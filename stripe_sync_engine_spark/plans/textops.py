@@ -1,0 +1,118 @@
+"""Text-analysis operators over the ``documents`` table — the pieces a
+large-scale training-data pipeline needs: token counting, quality scoring,
+language-ID heuristics, and document fingerprinting.
+
+All hot-path expressions are Spark built-ins (JVM-side, whole-stage
+codegen); no Python UDFs. Division results are IEEE doubles computed from
+identical integer inputs on both engines, so value hashes are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stripe_sync_engine_spark.plans.registry import register
+from stripe_sync_engine_spark.tables import load_table
+
+# Marker stopwords for the language-ID heuristic (deterministic; the
+# synthetic corpus is a word soup, the point is the operator shape).
+EN_MARKERS = ("the", "a", "of", "and")
+
+
+@register(
+    "txt_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               n_chars
+        FROM documents
+    """,
+    operators="TDP-text",
+)
+def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — fully JVM-side (split + size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "txt_quality_score",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS lexical_diversity,
+               CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+        FROM documents
+    """,
+    operators="TDP-text",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: lexical diversity + mean token length. At 100 TB
+    these are per-row map-side expressions — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct.cast("double") / n_tokens.cast("double")).alias("lexical_diversity"),
+        ((F.col("n_chars") - (n_tokens - 1)).cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+    )
+
+
+@register(
+    "txt_lang_id",
+    oracle=f"""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN {EN_MARKERS!r})) AS en_marker_hits,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                          t -> t IN {EN_MARKERS!r})) >= 2
+                    THEN 'en' ELSE 'unknown' END AS predicted_lang,
+               lang AS labeled_lang
+        FROM documents
+    """,
+    operators="TDP-langid",
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (n-gram/stopword voting shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS))).cast("long")
+    return docs.select(
+        "doc_id",
+        hits.alias("en_marker_hits"),
+        F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS content_fp,
+               md5(lower(trim(text))) AS normalized_fp
+        FROM documents
+    """,
+    operators="TDP-fingerprint",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: raw + normalized md5 (both engines emit the
+    same lowercase hex)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_fp"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("normalized_fp"),
+    )

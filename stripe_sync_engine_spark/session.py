@@ -1,0 +1,39 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[32]``; the configuration below is written so
+the same code is correct on a 1000-executor cluster:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+* ``spark.sql.shuffle.partitions`` sized for the local test harness; on a
+  real cluster AQE's coalescing makes the initial number mostly a ceiling.
+* Arrow enabled for the few Pandas-UDF paths (similarity / multimodal).
+* Timestamps normalized to UTC so event-time semantics match the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(app_name: str = "stripe-sync-engine-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

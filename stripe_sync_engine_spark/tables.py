@@ -1,0 +1,61 @@
+"""Loaders for the driver-generated synthetic tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under an ``sf`` directory.
+
+Reading through ``spark.read.parquet`` keeps predicate pushdown and column
+pruning available to Catalyst (``PushedFilters`` / ``ReadSchema`` in
+``.explain``), which is the scan behavior we need at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # Required to read parquet TIMESTAMP(NANOS); runtime-settable SQLConf,
+        # applied here as well so driver-provided sessions work.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    # timestamp; with spark.sql.legacy.parquet.nanosAsLong (set in
+    # session.py) it arrives as epoch-nanos LONG. Truncate to micros —
+    # exactly what DuckDB does when it reads the same file — so both
+    # engines see identical TIMESTAMP values.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
