@@ -64,14 +64,19 @@ def merge_upsert(
     key: str = "id",
     ts_col: str | None = "last_synced_at",
     tiebreak_cols: Sequence[str] | None = None,
+    update_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Delta-MERGE-style upsert as a pure DataFrame transformation.
 
-    WHEN MATCHED [AND t.ts IS NULL OR t.ts < s.ts] THEN UPDATE SET *
+    WHEN MATCHED [AND t.ts IS NULL OR t.ts < s.ts] THEN UPDATE SET <cols>
     WHEN NOT MATCHED THEN INSERT *
 
     ``target is None`` bootstraps the table from the (deduplicated) source.
     Source and target must share the same schema (the entity StructType).
+    ``update_cols`` limits which columns a MATCHED row takes from the
+    source (the reference's partial upserts, e.g. customer.deleted writes
+    only id/object/deleted — schemas/customer.ts:29-31 — leaving the rest
+    of an existing row intact); inserts always take the full source row.
     """
     if ts_col is not None:
         source = latest_by_key(source, key, ts_col, tiebreak_cols)
@@ -79,6 +84,9 @@ def merge_upsert(
         return source
 
     cols = target.columns
+    updatable = set(update_cols) if update_cols is not None else set(cols)
+    if ts_col is not None:
+        updatable.add(ts_col)
     t = target.alias("t")
     s = source.alias("s")
     joined = (
@@ -102,7 +110,13 @@ def merge_upsert(
     for c in cols:
         if c == key:
             continue
-        out_cols.append(F.when(use_source, _qualify("s", c)).otherwise(_qualify("t", c)).alias(c))
+        if c in updatable:
+            # matched-and-newer OR brand-new row takes the source value
+            expr = F.when(use_source, _qualify("s", c)).otherwise(_qualify("t", c))
+        else:
+            # partial update: existing rows keep their value; inserts take source
+            expr = F.when(t_exists, _qualify("t", c)).otherwise(_qualify("s", c))
+        out_cols.append(expr.alias(c))
     return joined.select(*out_cols)
 
 

@@ -1,0 +1,479 @@
+"""StripeSparkSync — the engine's sync/ETL core.
+
+Re-expresses the reference's webhook/backfill pipeline
+(``packages/sync-engine/src/stripeSync.ts``) as Spark DataFrame
+transformations over a ``TableStore``:
+
+* ``process_webhook_events``: a batch (or micro-batch) of raw Stripe Event
+  JSON → route by event type → per-entity typed projection → optional
+  revalidation / list expansion → parent backfill → timestamp-protected
+  merge → child-table side-writes. Mirrors ``processEvent``
+  (stripeSync.ts:107-578) but set-oriented: one merge per entity per
+  batch instead of one statement per row.
+* ``sync_backfill`` / ``sync_single_entity``: paginated list scans and
+  point lookups (stripeSync.ts:664-778, 606-662).
+
+Event-time semantics (SURVEY T1/T2): ``last_synced_at`` carries
+``event.created`` (or wall-clock when the object was refetched —
+getSyncTimestamp, stripeSync.ts:580-582); the merge's matched-condition
+makes stale webhooks no-ops and replays idempotent. This is keyed
+last-write-wins with unbounded lateness — deliberately NOT a Spark
+watermark, which would drop late events instead of no-op'ing them.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from stripe_sync_engine_spark.operators.merge import (
+    delete_by_keys,
+    latest_by_key,
+    merge_upsert,
+    replace_set,
+    soft_delete_reconcile,
+)
+from stripe_sync_engine_spark.schemas.entities import ENTITY_PROPS, entity_schema
+from stripe_sync_engine_spark.sources.stripe_api import FLUSH_CHUNK, StripeAPI, to_json_rows
+from stripe_sync_engine_spark.storage import TableStore
+from stripe_sync_engine_spark.sync import registry as R
+
+
+@dataclass
+class SyncConfig:
+    """Mirrors the reference's StripeSyncConfig toggles (types.ts:25-66)."""
+
+    backfill_related_entities: bool = True
+    auto_expand_lists: bool = True
+    revalidate_objects_via_stripe_api: tuple[str, ...] = ()
+    max_backfill_depth: int = 3
+
+
+_RAW_EVENT_SCHEMA = StructType([StructField("value", StringType())])
+
+
+class StripeSparkSync:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        api: StripeAPI | None = None,
+        config: SyncConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.api = api
+        self.config = config or SyncConfig()
+
+    # ------------------------------------------------------------------
+    # Parsing & projection
+    # ------------------------------------------------------------------
+    def events_df_from_json(self, payloads: list[str]) -> DataFrame:
+        return self.spark.createDataFrame([(p,) for p in payloads], _RAW_EVENT_SCHEMA)
+
+    @staticmethod
+    def _parse_envelope(raw: DataFrame) -> DataFrame:
+        """raw JSON → (event_id, event_type, event_created, payload) where
+        payload is the embedded entity as raw JSON text. One map-typed
+        parse per level; nested objects stay as JSON text (P1 projection
+        then drops unknown fields for free)."""
+        env = F.from_json(F.col("value"), "map<string,string>")
+        return raw.select(
+            env["id"].alias("event_id"),
+            env["type"].alias("event_type"),
+            env["created"].cast("long").alias("event_created"),
+            F.from_json(env["data"], "map<string,string>")["object"].alias("payload"),
+        )
+
+    @staticmethod
+    def _project(
+        entity: str,
+        with_payload: DataFrame,
+        sync_ts_col: str = "sync_ts",
+        overrides: dict | None = None,
+    ) -> DataFrame:
+        """Typed projection of the payload map into the entity's declared
+        columns (missing → NULL, unknown dropped — reference
+        useNullForMissing, database/postgres.ts:52,93-95). ``overrides``
+        maps column name → Column expression evaluated against the input
+        (payload available as the ``payload`` column)."""
+        pm = F.from_json(F.col("payload"), "map<string,string>")
+        overrides = dict(overrides or {})
+        if entity == "customers":
+            # deleted boolean NOT NULL default false (migration 0015)
+            overrides.setdefault("deleted", F.coalesce(pm["deleted"].cast("boolean"), F.lit(False)))
+        cols = []
+        for f in entity_schema(entity).fields:
+            if f.name in ("updated_at", "last_synced_at"):
+                continue
+            if f.name in overrides:
+                cols.append(overrides[f.name].cast(f.dataType).alias(f.name))
+            else:
+                cols.append(pm[f.name].cast(f.dataType).alias(f.name))
+        cols.append(F.col(sync_ts_col).cast("timestamp").alias("updated_at"))
+        cols.append(F.col(sync_ts_col).cast("timestamp").alias("last_synced_at"))
+        return with_payload.select(*cols)
+
+    # ------------------------------------------------------------------
+    # Webhook batch processing (§3.1)
+    # ------------------------------------------------------------------
+    def process_webhook_events(self, raw_events: DataFrame) -> dict[str, int]:
+        """Process a batch of raw Stripe Event JSON strings (column
+        ``value``). Returns {table: merged-row-count}."""
+        parsed = self._parse_envelope(raw_events).withColumn(
+            "sync_ts", F.to_timestamp(F.col("event_created"))
+        )
+        routes = sorted({(r[0], r[1]) for r in R.EVENT_ROUTES.values()})
+        # Driver-side routing plan: which (entity, action) groups exist in
+        # this batch. One tiny agg over the batch (not the tables).
+        present = {
+            row["event_type"]
+            for row in parsed.select("event_type").distinct().collect()
+        }
+        counts: dict[str, int] = {}
+        for entity, action in routes:
+            types = [t for t, r in R.EVENT_ROUTES.items() if r == (entity, action) and t in present]
+            if not types:
+                continue
+            subset = parsed.where(F.col("event_type").isin(types))
+            if action == R.UPSERT:
+                n = self._handle_upsert(entity, subset)
+            elif action == R.CUSTOMER_DELETED:
+                n = self._handle_customer_deleted(subset)
+            elif action == R.DELETE:
+                n = self._handle_delete(entity, subset)
+            elif action == R.ENTITLEMENT_SUMMARY:
+                n = self._handle_entitlement_summary(subset)
+            else:  # pragma: no cover
+                raise ValueError(action)
+            counts[entity] = counts.get(entity, 0) + n
+        unhandled = present - set(R.EVENT_ROUTES)
+        if unhandled:
+            # reference throws on unhandled types (stripeSync.ts:575-576);
+            # we surface them without failing the batch.
+            counts["_unhandled"] = len(unhandled)
+        return counts
+
+    # -- handlers ------------------------------------------------------
+    def _handle_upsert(self, entity: str, subset: DataFrame) -> int:
+        subset = self._revalidate(entity, subset)
+        subset = self._expand_lists(entity, subset)
+        rows = self._project(entity, subset)
+        if self.config.backfill_related_entities:
+            self._backfill_parents(entity, rows, depth=0)
+        self._merge(entity, rows)
+        n = rows.count()
+        if entity == "subscriptions":
+            self._sync_subscription_items(subset)
+        elif entity == "checkout_sessions":
+            self._sync_checkout_line_items(rows)
+        return n
+
+    def _handle_customer_deleted(self, subset: DataFrame) -> int:
+        """customer.deleted: partial upsert of id/object/deleted only
+        (reference customerDeletedSchema, schemas/customer.ts:29-31)."""
+        rows = self._project("customers", subset)
+        self._merge("customers", rows, update_cols=["object", "deleted", "updated_at"])
+        return rows.count()
+
+    def _handle_delete(self, entity: str, subset: DataFrame) -> int:
+        """Hard delete (product/price/plan/tax_id .deleted —
+        stripeSync.ts:1360-1399,:1480-1482)."""
+        keys = self._project(entity, subset).select("id")
+        target = self.store.read(entity)
+        if target is not None:
+            self.store.write(entity, delete_by_keys(target, keys))
+        return keys.count()
+
+    def _handle_entitlement_summary(self, subset: DataFrame) -> int:
+        """entitlements.active_entitlement_summary.updated → replace-set of
+        active_entitlements per customer (stripeSync.ts:527-554,1650-1704)."""
+        pm = F.from_json(F.col("payload"), "map<string,string>")
+        ent_rows = subset.select(
+            pm["customer"].alias("customer"),
+            F.explode(
+                F.from_json(F.from_json(pm["entitlements"], "map<string,string>")["data"], "array<string>")
+            ).alias("ent"),
+            F.col("sync_ts"),
+        )
+        em = F.from_json(F.col("ent"), "map<string,string>")
+        # feature may be an embedded object → extract its id (flattening,
+        # reference stripeSync.ts:1696-1704)
+        feature_id = F.coalesce(
+            F.get_json_object(F.col("ent"), "$.feature.id"), em["feature"]
+        )
+        rows = ent_rows.select(
+            em["id"].alias("id"),
+            em["object"].alias("object"),
+            feature_id.alias("feature"),
+            em["lookup_key"].alias("lookup_key"),
+            em["livemode"].cast("boolean").alias("livemode"),
+            F.col("customer"),
+            F.col("sync_ts").cast("timestamp").alias("updated_at"),
+            F.col("sync_ts").cast("timestamp").alias("last_synced_at"),
+        )
+        rows = latest_by_key(rows, "id", "last_synced_at")
+        target = self.store.read("active_entitlements")
+        merged = replace_set(target, rows, partition_key="customer")
+        self.store.write("active_entitlements", merged)
+        return rows.count()
+
+    # -- child tables ----------------------------------------------------
+    def _sync_subscription_items(self, subset: DataFrame) -> None:
+        """Explode subscription.items.data → merge subscription_items, then
+        soft-delete items that vanished from their subscription (reference
+        stripeSync.ts:1607-1648, markDeletedSubscriptionItems :1559-1583)."""
+        pm = F.from_json(F.col("payload"), "map<string,string>")
+        parent = subset.select(
+            pm["id"].alias("_sub_id"),
+            F.from_json(F.from_json(pm["items"], "map<string,string>")["data"], "array<string>").alias("_items"),
+            F.col("sync_ts"),
+        )
+        items = parent.select(
+            "_sub_id", "sync_ts", F.explode_outer(F.col("_items")).alias("payload")
+        ).where(F.col("payload").isNotNull())
+        im = F.from_json(F.col("payload"), "map<string,string>")
+        # price may arrive embedded → normalize to its id; deleted and
+        # quantity get defaults (reference stripeSync.ts:1484-1509); child
+        # rows are stamped with the parent subscription id (J5).
+        rows = self._project(
+            "subscription_items",
+            items,
+            overrides={
+                "price": F.coalesce(F.get_json_object(F.col("payload"), "$.price.id"), im["price"]),
+                "deleted": F.coalesce(im["deleted"].cast("boolean"), F.lit(False)),
+                "quantity": F.coalesce(im["quantity"].cast("long"), F.lit(1)),
+                "subscription": F.coalesce(im["subscription"], F.col("_sub_id")),
+            },
+        )
+        self._merge("subscription_items", rows)
+        # reconcile: current item set per subscription in this batch
+        target = self.store.read("subscription_items")
+        if target is not None:
+            current = rows.select("id", "subscription")
+            reconciled = soft_delete_reconcile(
+                target, current, partition_key="subscription", deleted_col="deleted"
+            )
+            self.store.write("subscription_items", reconciled)
+
+    def _sync_checkout_line_items(self, session_rows: DataFrame) -> None:
+        """Fetch line items per checkout session from the API, stamp the
+        parent id, extract the price id, merge (reference
+        stripeSync.ts:1511-1557)."""
+        if self.api is None:
+            return
+        sessions = [r["id"] for r in session_rows.select("id").collect()]
+        all_items: list[str] = []
+        stamp: dict[str, str] = {}
+        for sid in sessions:
+            for item in self.api.list_line_items(sid):
+                item = dict(item)
+                stamp[item["id"]] = sid
+                if isinstance(item.get("price"), dict):
+                    item["price"] = item["price"].get("id")
+                item["checkout_session"] = sid
+                all_items.append(json.dumps(item))
+        if not all_items:
+            return
+        now = time.time()
+        df = self.spark.createDataFrame([(p, now) for p in all_items], "payload string, sync_ts double")
+        rows = self._project("checkout_session_line_items", df)
+        self._merge("checkout_session_line_items", rows)
+
+    # -- optional refetch / expansion ------------------------------------
+    def _revalidate(self, entity: str, subset: DataFrame) -> DataFrame:
+        """T3 read-repair: ignore webhook payload, refetch from the API —
+        unless the object is in a final state (P4 refetch suppression,
+        reference fetchOrUseWebhookData stripeSync.ts:584-604)."""
+        if entity not in self.config.revalidate_objects_via_stripe_api or self.api is None:
+            return subset
+        status_col, finals = R.FINAL_STATES.get(entity, ("status", ()))
+        rows = subset.collect()
+        out = []
+        for r in rows:
+            payload = json.loads(r["payload"])
+            sync_ts = r["sync_ts"]
+            if payload.get(status_col) not in finals:
+                fresh = self.api.retrieve(entity, payload["id"])
+                if fresh is not None:
+                    payload = fresh
+                    # refetched → wall-clock sync timestamp (getSyncTimestamp,
+                    # reference stripeSync.ts:580-582)
+                    sync_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+            out.append((r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), sync_ts))
+        return self.spark.createDataFrame(
+            out, "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
+        )
+
+    def _expand_lists(self, entity: str, subset: DataFrame) -> DataFrame:
+        """autoExpandLists: when an embedded list has has_more=true, refetch
+        the full list (reference expandEntity, stripeSync.ts:1736-1760)."""
+        prop = R.EXPANDABLE_LISTS.get(entity)
+        if not self.config.auto_expand_lists or prop is None or self.api is None:
+            return subset
+        has_more = F.get_json_object(F.col("payload"), f"$.{prop}.has_more") == "true"
+        needs = subset.where(has_more)
+        rest = subset.where(~F.coalesce(has_more, F.lit(False)))
+        rows = needs.collect()
+        if not rows:
+            return subset
+        out = []
+        for r in rows:
+            payload = json.loads(r["payload"])
+            obj_id = payload["id"]
+            full = self.api.list_expanded(entity, obj_id, prop)
+            payload[prop] = {"object": "list", "data": full, "has_more": False}
+            out.append((r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), r["sync_ts"]))
+        expanded = self.spark.createDataFrame(
+            out, "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
+        )
+        return rest.select(expanded.columns).unionByName(expanded)
+
+    # -- parent backfill ---------------------------------------------------
+    def _backfill_parents(self, entity: str, rows: DataFrame, depth: int) -> None:
+        """Anti-join the batch's FK ids against the parent table; fetch and
+        upsert the missing parents (reference backfill via
+        findMissingEntries + fetchMissingEntities,
+        database/postgres.ts:106-120 + stripeSync.ts:1762-1776). Iterative
+        with capped depth instead of recursion."""
+        if self.api is None or depth >= self.config.max_backfill_depth:
+            return
+        for fk, parent in R.BACKFILL_PARENTS.get(entity, []):
+            if fk not in rows.columns:
+                continue
+            ids = rows.select(F.col(fk).alias("id")).where(F.col("id").isNotNull()).distinct()
+            parent_df = self.store.read(parent)
+            missing = (
+                ids if parent_df is None
+                else ids.join(parent_df.select("id"), "id", "left_anti")
+            )
+            missing_ids = [r["id"] for r in missing.collect()]
+            if not missing_ids:
+                continue
+            fetched = []
+            for mid in missing_ids:
+                obj = self.api.retrieve(parent, mid)
+                if obj is not None:
+                    fetched.append(json.dumps(obj))
+            if not fetched:
+                continue
+            now = time.time()
+            pdf = self.spark.createDataFrame(
+                [(p, now) for p in fetched], "payload string, sync_ts double"
+            )
+            parent_rows = self._project(parent, pdf)
+            self._backfill_parents(parent, parent_rows, depth + 1)
+            self._merge(parent, parent_rows)
+
+    # -- merge -------------------------------------------------------------
+    def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> None:
+        target = self.store.read(entity)
+        merged = merge_upsert(
+            target,
+            rows,
+            key="id",
+            ts_col="last_synced_at",
+            tiebreak_cols=None,
+            update_cols=update_cols,
+        )
+        self.store.write(entity, merged)
+
+    # ------------------------------------------------------------------
+    # Backfill layer (§3.2) — paginated scans in dependency order
+    # ------------------------------------------------------------------
+    def sync_backfill(self, object: str = "all", created: dict | None = None) -> dict[str, int]:
+        """Reference syncBackfill (stripeSync.ts:664-778): 'all' runs the
+        dependency-ordered scan; otherwise one entity. ``created`` is the
+        pushed-down range predicate ({gt,gte,lt,lte} on unix seconds)."""
+        entities = R.BACKFILL_ORDER if object == "all" else [object]
+        counts: dict[str, int] = {}
+        for entity in entities:
+            counts[entity] = self._fetch_and_upsert(entity, created)
+        return counts
+
+    def _fetch_and_upsert(self, entity: str, created: dict | None) -> int:
+        """S1 paginated scan: buffer pages into FLUSH_CHUNK batches, each
+        flushed through the merge pipeline (stripeSync.ts:1033-1058)."""
+        if self.api is None:
+            return 0
+        synced = 0
+        buffer: list[dict] = []
+
+        def flush() -> None:
+            nonlocal synced
+            if not buffer:
+                return
+            now = time.time()
+            df = self.spark.createDataFrame(
+                [(p, now) for p in to_json_rows(buffer)], "payload string, sync_ts double"
+            )
+            rows = self._project(entity, df)
+            if self.config.backfill_related_entities:
+                self._backfill_parents(entity, rows, depth=0)
+            self._merge(entity, rows)
+            synced += len(buffer)
+            buffer.clear()
+
+        for page in self.api.list(entity, created):
+            buffer.extend(page)
+            if len(buffer) >= FLUSH_CHUNK:
+                flush()
+        flush()
+        return synced
+
+    def sync_payment_methods_fanout(self) -> int:
+        """S3 fan-out scan: payment methods have no global list endpoint —
+        list per non-deleted customer id read from the store (reference
+        syncPaymentMethods, stripeSync.ts:912-949)."""
+        if self.api is None:
+            return 0
+        customers = self.store.read("customers")
+        if customers is None:
+            return 0
+        ids = [
+            r["id"]
+            for r in customers.where(~F.coalesce(F.col("deleted"), F.lit(False)))
+            .select("id")
+            .collect()
+        ]
+        objs: list[dict] = []
+        for cid in ids:
+            objs.extend(self.api.list_by_parent("payment_methods", "customer", cid))
+        if not objs:
+            return 0
+        now = time.time()
+        df = self.spark.createDataFrame(
+            [(p, now) for p in to_json_rows(objs)], "payload string, sync_ts double"
+        )
+        rows = self._project("payment_methods", df)
+        self._merge("payment_methods", rows)
+        return len(objs)
+
+    def sync_single_entity(self, stripe_id: str) -> str | None:
+        """S4 point lookup: dispatch on id prefix → retrieve → upsert
+        (reference syncSingleEntity, stripeSync.ts:606-662)."""
+        entity = None
+        for prefix, ent in R.ID_PREFIX_DISPATCH:
+            if stripe_id.startswith(prefix):
+                entity = ent
+                break
+        if entity is None or self.api is None:
+            return None
+        obj = self.api.retrieve(entity, stripe_id)
+        if obj is None:
+            return None
+        now = time.time()
+        df = self.spark.createDataFrame(
+            [(json.dumps(obj), now)], "payload string, sync_ts double"
+        )
+        rows = self._project(entity, df)
+        if self.config.backfill_related_entities:
+            self._backfill_parents(entity, rows, depth=0)
+        self._merge(entity, rows)
+        return entity

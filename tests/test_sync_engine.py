@@ -1,0 +1,276 @@
+"""Sync-layer behavior tests — the FIXTURES.md §3 scenario list, which is
+itself the reference's test strategy (SURVEY.md §5): fixture events through
+the engine, then assert on table state."""
+
+from __future__ import annotations
+
+import pytest
+
+from stripe_sync_engine_spark.sources.stripe_api import InMemoryStripeAPI
+from stripe_sync_engine_spark.storage import TableStore
+from stripe_sync_engine_spark.sync import StripeSparkSync, SyncConfig
+from tests import fixtures as fx
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "warehouse"))
+    api = InMemoryStripeAPI()
+    eng = StripeSparkSync(spark, store, api=api)
+    return eng
+
+
+def process(eng, *payloads):
+    return eng.process_webhook_events(eng.events_df_from_json(list(payloads)))
+
+
+def table_rows(eng, table):
+    df = eng.store.read(table)
+    return {} if df is None else {r["id"]: r.asDict() for r in df.collect()}
+
+
+# 1. upsert round-trip: one event → one row, last_synced_at == event.created
+def test_upsert_roundtrip(engine):
+    counts = process(engine, fx.event("charge.succeeded", fx.charge(id="ch_A"), created=1_700_000_100))
+    assert counts["charges"] == 1
+    rows = table_rows(engine, "charges")
+    assert rows["ch_A"]["amount"] == 4200
+    assert rows["ch_A"]["paid"] is True
+    assert rows["ch_A"]["metadata"] == '{"k":"v"}'
+    assert int(rows["ch_A"]["last_synced_at"].timestamp()) == 1_700_000_100
+
+
+# 2. stale-event protection: older event cannot overwrite newer row
+def test_stale_event_protection(engine):
+    process(engine, fx.event("charge.updated", fx.charge(id="ch_A", paid=True), created=2_000))
+    process(engine, fx.event("charge.updated", fx.charge(id="ch_A", paid=False), created=1_000))
+    row = table_rows(engine, "charges")["ch_A"]
+    assert row["paid"] is True
+    assert int(row["last_synced_at"].timestamp()) == 2_000
+
+
+# 3. replay idempotency
+def test_replay_idempotent(engine):
+    e = fx.event("charge.succeeded", fx.charge(id="ch_A"), created=3_000)
+    process(engine, e)
+    process(engine, e)
+    rows = table_rows(engine, "charges")
+    assert len(rows) == 1 and rows["ch_A"]["amount"] == 4200
+
+
+# batch-internal duplicates: newest version within one batch wins (A3)
+def test_batch_internal_argmax(engine):
+    counts = process(
+        engine,
+        fx.event("charge.updated", fx.charge(id="ch_A", amount=1), created=10),
+        fx.event("charge.updated", fx.charge(id="ch_A", amount=2), created=20),
+    )
+    assert counts["charges"] == 2  # 2 events processed (reference counts items)
+    rows = table_rows(engine, "charges")
+    assert len(rows) == 1  # … but argmax pre-reduction keeps one row per key
+    assert rows["ch_A"]["amount"] == 2
+
+
+# 4. deleted customer: partial update of id/object/deleted only
+def test_customer_deleted_partial(engine):
+    process(engine, fx.event("customer.created", fx.customer(id="cus_X", name="Ada"), created=100))
+    process(
+        engine,
+        fx.event("customer.deleted", {"id": "cus_X", "object": "customer", "deleted": True}, created=200),
+    )
+    row = table_rows(engine, "customers")["cus_X"]
+    assert row["deleted"] is True
+    assert row["name"] == "Ada"  # untouched by the partial upsert
+    assert int(row["last_synced_at"].timestamp()) == 200
+
+
+# 5. hard deletes
+def test_product_hard_delete(engine):
+    process(engine, fx.event("product.created", fx.product(id="prod_Z"), created=100))
+    assert "prod_Z" in table_rows(engine, "products")
+    process(engine, fx.event("product.deleted", {"id": "prod_Z", "object": "product", "deleted": True}, created=200))
+    assert "prod_Z" not in table_rows(engine, "products")
+
+
+# 6. explode + soft-delete reconciliation: items [A,B] then [B,C]
+def test_subscription_items_reconcile(engine):
+    engine.api.put("customers", fx.customer(id="cus_1"))
+    process(
+        engine,
+        fx.event(
+            "customer.subscription.created",
+            fx.subscription(items=[fx.sub_item(id="si_A"), fx.sub_item(id="si_B")]),
+            created=100,
+        ),
+    )
+    process(
+        engine,
+        fx.event(
+            "customer.subscription.updated",
+            fx.subscription(items=[fx.sub_item(id="si_B"), fx.sub_item(id="si_C")]),
+            created=200,
+        ),
+    )
+    rows = table_rows(engine, "subscription_items")
+    assert rows["si_A"]["deleted"] is True
+    assert rows["si_B"]["deleted"] is False
+    assert rows["si_C"]["deleted"] is False
+    assert rows["si_C"]["price"] == "price_1"  # embedded price → id extracted
+    assert rows["si_C"]["subscription"] == "sub_1"
+
+
+# 7. replace-set entitlements: set A then set B → table equals exactly B
+def test_entitlements_replace_set(engine):
+    process(
+        engine,
+        fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(ents=[fx.entitlement(id="ent_1"), fx.entitlement(id="ent_2", feature="feat_2")]),
+            created=100,
+        ),
+    )
+    process(
+        engine,
+        fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(ents=[fx.entitlement(id="ent_3", feature="feat_3")]),
+            created=200,
+        ),
+    )
+    rows = table_rows(engine, "active_entitlements")
+    assert set(rows) == {"ent_3"}
+    assert rows["ent_3"]["feature"] == "feat_3"
+    assert rows["ent_3"]["customer"] == "cus_1"
+    # other customers' entitlements survive
+    process(
+        engine,
+        fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(customer="cus_2", ents=[fx.entitlement(id="ent_9")]),
+            created=300,
+        ),
+    )
+    assert set(table_rows(engine, "active_entitlements")) == {"ent_3", "ent_9"}
+
+
+# 8. list expansion: invoice lines has_more=true → refetched via API
+def test_invoice_lines_expansion(engine):
+    engine.api.put("customers", fx.customer(id="cus_1"))
+    engine.api.put_expanded(
+        "invoices", "in_1", "lines",
+        [{"id": "il_1", "amount": 100}, {"id": "il_2", "amount": 200}],
+    )
+    truncated = {"object": "list", "data": [{"id": "il_1", "amount": 100}], "has_more": True}
+    process(engine, fx.event("invoice.updated", fx.invoice(id="in_1", lines=truncated), created=100))
+    row = table_rows(engine, "invoices")["in_1"]
+    assert '"il_2"' in row["lines"] and '"has_more":false' in row["lines"].replace(" ", "")
+
+
+# 8b. has_more=false stored as-is, API not called
+def test_invoice_lines_no_expansion(engine):
+    lines = {"object": "list", "data": [{"id": "il_1"}], "has_more": False}
+    process(engine, fx.event("invoice.updated", fx.invoice(id="in_2", lines=lines), created=100))
+    row = table_rows(engine, "invoices")["in_2"]
+    assert '"il_1"' in row["lines"]
+
+
+# 9. parent backfill: charge referencing unseen customer + invoice
+def test_parent_backfill(engine):
+    engine.api.put("customers", fx.customer(id="cus_9"))
+    engine.api.put("invoices", fx.invoice(id="in_9", customer="cus_9"))
+    process(
+        engine,
+        fx.event("charge.succeeded", fx.charge(id="ch_9", customer="cus_9", invoice="in_9"), created=100),
+    )
+    assert "cus_9" in table_rows(engine, "customers")
+    assert "in_9" in table_rows(engine, "invoices")
+    assert ("customers", "cus_9") in engine.api.retrieve_calls
+    # already-present parents are NOT refetched (anti-join gate)
+    engine.api.retrieve_calls.clear()
+    process(
+        engine,
+        fx.event("charge.updated", fx.charge(id="ch_9", customer="cus_9", invoice="in_9"), created=200),
+    )
+    assert ("customers", "cus_9") not in engine.api.retrieve_calls
+
+
+# 10. checkout session line-item fill with price extraction + FK stamp
+def test_checkout_session_line_items(engine):
+    engine.api.put("customers", fx.customer(id="cus_1"))
+    engine.api.put_line_items("cs_1", [fx.line_item(id="li_1", price="price_77"), fx.line_item(id="li_2")])
+    process(engine, fx.event("checkout.session.completed", fx.checkout_session(id="cs_1"), created=100))
+    rows = table_rows(engine, "checkout_session_line_items")
+    assert set(rows) == {"li_1", "li_2"}
+    assert rows["li_1"]["price"] == "price_77"
+    assert rows["li_1"]["checkout_session"] == "cs_1"
+    assert rows["li_1"]["quantity"] == 2
+
+
+# 11. backfill window: created gte/lt only touches in-window rows
+def test_backfill_created_window(engine):
+    for i, created in enumerate([1_000, 2_000, 3_000]):
+        engine.api.put("products", fx.product(id=f"prod_{i}", created=created))
+    counts = engine.sync_backfill("products", created={"gte": 1_500, "lt": 2_500})
+    assert counts["products"] == 1
+    assert set(table_rows(engine, "products")) == {"prod_1"}
+
+
+def test_backfill_all_dependency_order(engine):
+    engine.api.put("products", fx.product(id="prod_1"))
+    engine.api.put("prices", fx.price(id="price_1", product="prod_1"))
+    engine.api.put("customers", fx.customer(id="cus_1"))
+    engine.api.put("charges", fx.charge(id="ch_1", customer="cus_1", invoice=None))
+    counts = engine.sync_backfill("all")
+    assert counts["products"] == 1 and counts["charges"] == 1
+    assert set(table_rows(engine, "charges")) == {"ch_1"}
+
+
+def test_sync_single_entity_prefix_dispatch(engine):
+    engine.api.put("subscription_schedules", {"id": "sub_sched_1", "object": "subscription_schedule", "status": "active", "created": 1, "customer": None})
+    engine.api.put("subscriptions", fx.subscription(id="sub_2", customer=None))
+    assert engine.sync_single_entity("sub_sched_1") == "subscription_schedules"
+    assert engine.sync_single_entity("sub_2") == "subscriptions"
+    assert "sub_sched_1" in table_rows(engine, "subscription_schedules")
+    assert "sub_2" in table_rows(engine, "subscriptions")
+
+
+def test_payment_methods_fanout(engine):
+    process(engine, fx.event("customer.created", fx.customer(id="cus_1"), created=100))
+    engine.api.put("payment_methods", {"id": "pm_1", "object": "payment_method", "customer": "cus_1", "type": "card", "created": 5})
+    engine.api.put("payment_methods", {"id": "pm_2", "object": "payment_method", "customer": "cus_other", "type": "card", "created": 6})
+    n = engine.sync_payment_methods_fanout()
+    assert n == 1
+    assert set(table_rows(engine, "payment_methods")) == {"pm_1"}
+
+
+def test_revalidation(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh2"))
+    api = InMemoryStripeAPI()
+    eng = StripeSparkSync(
+        spark, store, api=api,
+        config=SyncConfig(revalidate_objects_via_stripe_api=("invoices",), backfill_related_entities=False),
+    )
+    # non-final invoice: API version wins over webhook payload
+    api.put("invoices", fx.invoice(id="in_1", customer="cus_api"))
+    eng.process_webhook_events(
+        eng.events_df_from_json([fx.event("invoice.updated", fx.invoice(id="in_1", customer="cus_hook"), created=100)])
+    )
+    assert table_rows(eng, "invoices")["in_1"]["customer"] == "cus_api"
+    # voided (final) invoice: payload used as-is, no refetch
+    api.retrieve_calls.clear()
+    eng.process_webhook_events(
+        eng.events_df_from_json([fx.event("invoice.voided", fx.invoice(id="in_2", status="void", customer="cus_hook"), created=200)])
+    )
+    assert table_rows(eng, "invoices")["in_2"]["customer"] == "cus_hook"
+    assert ("invoices", "in_2") not in api.retrieve_calls
+
+
+def test_migrate_bootstraps_all_tables(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh3"))
+    applied = store.migrate()
+    assert "charges" in applied and "active_entitlements" in applied
+    df = store.read("charges")
+    assert df.count() == 0
+    assert "last_synced_at" in df.columns
+    # idempotent
+    assert store.migrate() == []
