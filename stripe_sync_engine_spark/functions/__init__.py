@@ -1,0 +1,3 @@
+"""Column-level function library: webhook crypto lives in sources/,
+multimodal binary plumbing here; text/dedup/similarity expressions live
+with their query plans in plans/."""

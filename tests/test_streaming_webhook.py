@@ -1,0 +1,93 @@
+"""Streaming ingestion + webhook signature tests (SURVEY §2.9, S6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from stripe_sync_engine_spark.sources.stripe_api import InMemoryStripeAPI
+from stripe_sync_engine_spark.sources.webhook import (
+    sign_header,
+    verify_signature,
+    with_signature_verified,
+)
+from stripe_sync_engine_spark.storage import TableStore
+from stripe_sync_engine_spark.streaming.pipeline import start_webhook_stream
+from stripe_sync_engine_spark.sync import StripeSparkSync, SyncConfig
+from tests import fixtures as fx
+
+SECRET = "whsec_test_secret"
+
+
+def test_signature_roundtrip():
+    body = '{"id":"evt_1"}'
+    header = sign_header(SECRET, 1_700_000_000, body)
+    assert verify_signature(SECRET, header, body)
+    assert not verify_signature(SECRET, header, body + " ")
+    assert not verify_signature("other", header, body)
+    assert not verify_signature(SECRET, "t=1,v1=deadbeef", body)
+    assert not verify_signature(SECRET, "garbage", body)
+    # tolerance window
+    assert not verify_signature(SECRET, header, body, tolerance_s=300, now=1_700_009_999)
+    assert verify_signature(SECRET, header, body, tolerance_s=300, now=1_700_000_100)
+
+
+def test_bulk_signature_filter(spark):
+    body_ok = fx.event("charge.succeeded", fx.charge(id="ch_ok"), created=100)
+    body_bad = fx.event("charge.succeeded", fx.charge(id="ch_bad"), created=100)
+    rows = [
+        (body_ok, sign_header(SECRET, 100, body_ok)),
+        (body_bad, "t=100,v1=" + "0" * 64),
+        (body_bad, None),
+    ]
+    df = spark.createDataFrame(rows, "value string, signature string")
+    out = with_signature_verified(df, SECRET)
+    got = {r["value"][:40]: r["signature_valid"] for r in out.collect()}
+    valid = [r["signature_valid"] for r in out.collect()]
+    assert valid.count(True) == 1 and valid.count(False) == 2
+    assert got is not None
+
+
+def test_streaming_foreachbatch_merge(spark, tmp_path):
+    """Events land as JSON-lines files (out of order across files); the
+    stream drains with availableNow and the tables converge to
+    last-write-wins — replay the stream and nothing changes."""
+    landing = tmp_path / "landing"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(landing)
+    # file 1: newer events; file 2: stale + new entity
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                fx.event("charge.succeeded", fx.charge(id="ch_s", amount=900, paid=True), created=2_000),
+                fx.event("customer.created", fx.customer(id="cus_s"), created=2_000),
+            ]
+        )
+    )
+    (landing / "b2.jsonl").write_text(
+        "\n".join(
+            [
+                fx.event("charge.updated", fx.charge(id="ch_s", amount=1, paid=False), created=1_000),
+                fx.event("product.created", fx.product(id="prod_s"), created=1_500),
+            ]
+        )
+    )
+    api = InMemoryStripeAPI()
+    api.put("customers", fx.customer(id="cus_1"))
+    engine = StripeSparkSync(
+        spark, TableStore(spark, str(tmp_path / "wh")), api=api,
+        config=SyncConfig(backfill_related_entities=True),
+    )
+    q = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+    charges = {r["id"]: r.asDict() for r in engine.store.read("charges").collect()}
+    assert charges["ch_s"]["amount"] == 900  # stale file-2 event was a no-op
+    assert charges["ch_s"]["paid"] is True
+    assert engine.store.read("products").count() == 1
+    # restart the stream with the same checkpoint: nothing re-processed,
+    # state unchanged (exactly-once effect)
+    q2 = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True)
+    q2.awaitTermination(120)
+    charges2 = {r["id"]: r.asDict() for r in engine.store.read("charges").collect()}
+    assert charges2["ch_s"]["amount"] == 900
