@@ -46,8 +46,14 @@ SQL_SHINGLES = f"""
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, shingle): per-doc distinct-shingle size is computed
+    on the array BEFORE exploding (map-side), so downstream consumers never
+    need a per-doc re-aggregation join."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle"))
+    sh = shingles_col(F.col("text"))
+    return docs.select(
+        "doc_id", F.size(sh).cast("long").alias("n_sh"), F.explode(sh).alias("shingle")
+    )
 
 
 @register(
@@ -95,38 +101,48 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: inverted-index self-join on shingles (pair
     work bounded by shingle-bucket sizes), then exact set algebra
-    |A∩B| / (|A|+|B|-|A∩B|)."""
+    |A∩B| / (|A|+|B|-|A∩B|). Per-doc sizes ride along on the exploded rows
+    (computed map-side from the array), so the whole query is ONE shuffle
+    join + one pair aggregation — no per-doc size joins."""
     ds = _doc_shingles(spark, sf_dir)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LSH band keys, computed ENTIRELY map-side: the MinHash for
+    seed s is ``array_min(transform(shingles, x -> md5(s:x)))`` — a
+    string-min MinHash (md5 as the permutation; lexicographic min over hex
+    is a uniform min-hash). No explode, no shuffle, no per-(doc,seed)
+    aggregation: at 100 TB this is a pure scan→project stage whose only
+    shuffle is whatever consumes the band keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_col(F.col("text"))
+    mins = [
+        F.array_min(F.transform(sh, lambda x: F.md5(F.concat_ws(":", F.lit(s), x))))
+        for s in range(MINHASH_SEEDS)
+    ]
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", *mins[b * LSH_ROWS : (b + 1) * LSH_ROWS]))
+            for b in range(LSH_BANDS)
+        ]
     )
-
-
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (doc, seed): min md5(seed:shingle) — a string-min MinHash (md5
-    as the permutation; lexicographic min over hex is a uniform min-hash).
-    One explode + one groupBy; signature width = MINHASH_SEEDS."""
-    ds = _doc_shingles(spark, sf_dir)
-    seeds = spark.range(MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
     return (
-        ds.crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        docs.where(F.size(sh) > 0)  # shingle-less docs have no signature (oracle parity)
+        .select("doc_id", F.posexplode(bands).alias("band", "band_key"))
+        .select("doc_id", F.col("band").cast("int").alias("band"), "band_key")
     )
 
 
@@ -152,13 +168,9 @@ SQL_MINHASH_SIGS = f"""
 def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures folded into LSH band keys (band = md5 of its
     ordered minhash rows). The band key IS the shuffle key for candidate
-    generation — tiny fixed-width rows at any scale."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    band = (F.col("seed") / LSH_ROWS).cast("int").alias("band")
-    return (
-        sigs.groupBy("doc_id", band)
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash")))["minhash"])).alias("band_key"))
-    )
+    generation — tiny fixed-width rows at any scale, and the signature
+    computation itself is shuffle-free (see _minhash_band_rows)."""
+    return _minhash_band_rows(spark, sf_dir)
 
 
 @register(
@@ -179,7 +191,7 @@ def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket. Join key is
     (band, band_key) so pair fan-out is per-bucket, never global."""
-    bands = dd_minhash_bands(spark, sf_dir)
+    bands = _minhash_band_rows(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
