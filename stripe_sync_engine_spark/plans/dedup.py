@@ -45,14 +45,26 @@ SQL_SHINGLES = f"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_sh, shingle): per-doc distinct-shingle size is computed
-    on the array BEFORE exploding (map-side), so downstream consumers never
-    need a per-doc re-aggregation join."""
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_arr): the shingle array materialized as a REAL column in
+    its own projection. This matters: referencing ``shingles_col(...)`` from
+    several downstream expressions (or from a projection above an explode)
+    makes Catalyst re-inline the whole array construction at every use site
+    — per exploded row, per minhash seed. A dedicated projection below the
+    Generate/consumer computes it exactly once per document."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_col(F.col("text"))
-    return docs.select(
-        "doc_id", F.size(sh).cast("long").alias("n_sh"), F.explode(sh).alias("shingle")
+    return docs.select("doc_id", shingles_col(F.col("text")).alias("sh_arr"))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, shingle): per-doc distinct-shingle size is an O(1)
+    ``size()`` on the materialized array, so downstream consumers never
+    need a per-doc re-aggregation join."""
+    base = _doc_shingle_arrays(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        F.size("sh_arr").cast("long").alias("n_sh"),
+        F.explode("sh_arr").alias("shingle"),
     )
 
 
@@ -127,8 +139,8 @@ def _minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a uniform min-hash). No explode, no shuffle, no per-(doc,seed)
     aggregation: at 100 TB this is a pure scan→project stage whose only
     shuffle is whatever consumes the band keys."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_col(F.col("text"))
+    base = _doc_shingle_arrays(spark, sf_dir)
+    sh = F.col("sh_arr")
     mins = [
         F.array_min(F.transform(sh, lambda x: F.md5(F.concat_ws(":", F.lit(s), x))))
         for s in range(MINHASH_SEEDS)
@@ -140,7 +152,7 @@ def _minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        docs.where(F.size(sh) > 0)  # shingle-less docs have no signature (oracle parity)
+        base.where(F.size(sh) > 0)  # shingle-less docs have no signature (oracle parity)
         .select("doc_id", F.posexplode(bands).alias("band", "band_key"))
         .select("doc_id", F.col("band").cast("int").alias("band"), "band_key")
     )
