@@ -3,12 +3,22 @@ MinHash+LSH, and SimHash. These are first-class training-data-pipeline
 components (the 100 TB use case), expressed scale-first:
 
 * Exact dedup = one hash aggregation on a fingerprint (never on raw text).
-* Near-dup candidate generation uses an **inverted-index join** (explode
-  shingles → self-join on shingle) or **LSH band buckets** — never an
-  O(n²) cross join. Pair counts are bounded by bucket sizes, and skewed
-  buckets are AQE-splittable like any other shuffle join.
-* All hashing is md5-based (identical hex on Spark and DuckDB), so every
-  stage has an exact SQL oracle.
+* Near-dup candidate generation uses an **inverted index grouped by key**
+  (groupBy shingle / LSH band bucket → map-side pair generation) — never an
+  O(n²) cross join and never a self-join that computes the shingle pipeline
+  twice. Each bucket's pair fan-out is generated from its collected doc
+  list, so the expensive scan→shingle stage runs exactly once.
+* Hot shingles (document frequency above ``SHINGLE_DF_MAX``) are dropped
+  before candidate generation — without this, one boilerplate shingle
+  shared by k documents creates a k²/2 pair blow-up, which is quadratic at
+  web scale. The cut is part of the operator's declared semantics and is
+  mirrored exactly in the SQL oracle.
+* MinHash uses ONE md5 per shingle (a 32-bit integer draw) and derives the
+  12 per-seed hashes with cheap universal-hash permutations
+  ``(a·h + b) mod p`` — 12× less hashing than md5-per-seed, and identical
+  integer math is expressible in the DuckDB oracle.
+* All remaining hashing is md5-based (identical hex on Spark and DuckDB),
+  so every stage has an exact SQL oracle.
 """
 
 from __future__ import annotations
@@ -20,16 +30,31 @@ from stripe_sync_engine_spark.plans.registry import register
 from stripe_sync_engine_spark.tables import load_table
 
 SHINGLE_W = 5  # words per shingle
+SHINGLE_DF_MAX = 256  # drop shingles appearing in more docs (hot-shingle cut)
 MINHASH_SEEDS = 12
 LSH_BANDS = 4  # 4 bands × 3 rows
 LSH_ROWS = MINHASH_SEEDS // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
 
+# Universal-hash permutation constants for MinHash: mh_s = (A[s]·h + B[s]) mod P
+# with h a 32-bit draw from md5(shingle). P is the Mersenne prime 2^31-1, so
+# every product fits comfortably in int64 on both engines.
+MH_PRIME = 2147483647
+MH_A = [1000003, 1000033, 1000037, 1000039, 1000081, 1000099,
+        1000117, 1000121, 1000133, 1000151, 1000159, 1000171]
+MH_B = [12345, 54321, 192837, 918273, 13579, 97531,
+        24680, 86420, 111111, 222222, 333333, 444444]
 
-def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
-    """Distinct word w-shingles of a text column, JVM-side (split +
-    transform over an index sequence; empty when fewer than w words)."""
-    words = F.split(text, " ")
+
+def shingles_of_words(words: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct word w-shingles from a MATERIALIZED words-array column.
+
+    ``words`` must be a real column (an attribute), not the ``split(...)``
+    expression: higher-order-function lambdas evaluate interpreted (no
+    whole-stage codegen, no common-subexpression elimination), so an
+    inlined split would re-tokenize the document for every element access —
+    O(words²) per doc. Against a bound array attribute each ``element_at``
+    is O(1)."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), n - w)
     mk = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(w)]))
@@ -44,16 +69,26 @@ SQL_SHINGLES = f"""
          ELSE [] END
 """
 
+# 32-bit integer draw from the first 8 hex chars of md5(shingle), as DuckDB
+# SQL (no hex→int builtin shared with Spark, so sum the nibbles explicitly).
+SQL_H32 = " + ".join(
+    f"CAST(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1 AS BIGINT) * {16 ** (8 - i)}"
+    for i in range(1, 9)
+)
+
 
 def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_arr): the shingle array materialized as a REAL column in
-    its own projection. This matters: referencing ``shingles_col(...)`` from
+    its own projection. This matters: referencing the shingle expression from
     several downstream expressions (or from a projection above an explode)
     makes Catalyst re-inline the whole array construction at every use site
     — per exploded row, per minhash seed. A dedicated projection below the
-    Generate/consumer computes it exactly once per document."""
+    Generate/consumer computes it exactly once per document (CollapseProject
+    keeps a projection whose alias is referenced by multiple non-cheap
+    consumers)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", shingles_col(F.col("text")).alias("sh_arr"))
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    return words.select("doc_id", shingles_of_words(F.col("words")).alias("sh_arr"))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +100,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("sh_arr").cast("long").alias("n_sh"),
         F.explode("sh_arr").alias("shingle"),
+    )
+
+
+def _pairs_from_sorted(arr: Column, mk_pair) -> Column:
+    """All ordered pairs (i < j) from a sorted array, generated map-side
+    (nested transform + flatten — no join). ``mk_pair(a, b)`` builds the
+    output struct. Callers must guarantee ``size(arr) >= 2`` (a filter),
+    since ``sequence(1, 0)`` would count downward."""
+    n = F.size(arr)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(arr, i + 1, n - i),
+                lambda y: mk_pair(F.element_at(arr, i), y),
+            ),
+        )
     )
 
 
@@ -95,10 +147,16 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH ds AS (
             SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM documents
         ),
+        hot AS (
+            SELECT shingle FROM ds GROUP BY shingle HAVING COUNT(*) > {SHINGLE_DF_MAX}
+        ),
+        kept AS (
+            SELECT doc_id, shingle FROM ds WHERE shingle NOT IN (SELECT shingle FROM hot)
+        ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT i.doc_a, i.doc_b,
@@ -111,58 +169,99 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="TDP-dedup-jaccard",
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup: inverted-index self-join on shingles (pair
-    work bounded by shingle-bucket sizes), then exact set algebra
-    |A∩B| / (|A|+|B|-|A∩B|). Per-doc sizes ride along on the exploded rows
-    (computed map-side from the array), so the whole query is ONE shuffle
-    join + one pair aggregation — no per-doc size joins."""
-    ds = _doc_shingles(spark, sf_dir)
-    a = ds.alias("a")
-    b = ds.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
-        )
+    """n-gram Jaccard near-dup via a grouped inverted index:
+
+    1. Explode shingles ONCE (persisted — it feeds both the hot-shingle
+       count and candidate generation).
+    2. Drop hot shingles (df > SHINGLE_DF_MAX) with a broadcast anti-join —
+       the hot list is tiny by Zipf's law. This bounds every bucket below,
+       so the collect_list in step 3 cannot blow up on a boilerplate
+       shingle, and total pair work is ≤ df_max²/2 per shingle.
+    3. groupBy(shingle) → sorted doc list → map-side pair explosion
+       (`_pairs_from_sorted`); ONE shuffle builds all candidate pairs,
+       versus a self-join's two shuffles over twice-computed input.
+    4. Pair aggregation: |A∩B| from pair counts; |A| and |B| ride along on
+       the exploded rows (computed map-side from the array), so no per-doc
+       size joins.
+
+    Declared semantics (mirrored in the oracle): intersections count only
+    non-hot shingles; set sizes use the full shingle sets.
+    """
+    ds = _doc_shingles(spark, sf_dir).persist()
+    hot = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > SHINGLE_DF_MAX).select("shingle")
+    kept = ds.join(F.broadcast(hot), "shingle", "left_anti")
+    grp = (
+        kept.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    pairs = _pairs_from_sorted(F.col("docs"), lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    ex = grp.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr.a.doc_id").alias("doc_a"),
+        F.col("pr.a.n_sh").alias("n_a"),
+        F.col("pr.b.doc_id").alias("doc_b"),
+        F.col("pr.b.n_sh").alias("n_b"),
+    )
+    inter = ex.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
     )
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
     return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def _minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc LSH band keys, computed ENTIRELY map-side: the MinHash for
-    seed s is ``array_min(transform(shingles, x -> md5(s:x)))`` — a
-    string-min MinHash (md5 as the permutation; lexicographic min over hex
-    is a uniform min-hash). No explode, no shuffle, no per-(doc,seed)
-    aggregation: at 100 TB this is a pure scan→project stage whose only
-    shuffle is whatever consumes the band keys."""
+    """Per-doc LSH band keys with ONE md5 per shingle: h = int64 of the
+    first 8 hex chars of md5(shingle), then the per-seed MinHash is
+    ``min((a_s·h + b_s) mod p)`` — a textbook universal-hash MinHash.
+
+    Physical shape: explode shingles → whole-stage-codegen'd h32 → ONE hash
+    aggregation computing all 12 seed minima as parallel ``min`` columns.
+    Every stage is codegen (an earlier all-higher-order-function version was
+    shuffle-free but 10× slower: HOF lambdas evaluate interpreted). The
+    aggregation is map-side combinable and — since each document's shingles
+    come from a single input row — partial aggregation collapses them
+    BEFORE the exchange, so the shuffle carries one 13-column row per
+    document regardless of corpus size."""
     base = _doc_shingle_arrays(spark, sf_dir)
-    sh = F.col("sh_arr")
-    mins = [
-        F.array_min(F.transform(sh, lambda x: F.md5(F.concat_ws(":", F.lit(s), x))))
-        for s in range(MINHASH_SEEDS)
-    ]
+    ex = base.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    h = ex.select("doc_id", F.conv(F.md5("shingle").substr(1, 8), 16, 10).cast("long").alias("h32"))
+    sigs = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MH_A[s]) * (F.col("h32") % MH_PRIME) + F.lit(MH_B[s])) % MH_PRIME).alias(f"m{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
+    )
     bands = F.array(
         *[
-            F.md5(F.concat_ws("|", *mins[b * LSH_ROWS : (b + 1) * LSH_ROWS]))
+            F.md5(F.concat_ws("|", *[F.col(f"m{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]))
             for b in range(LSH_BANDS)
         ]
     )
     return (
-        base.where(F.size(sh) > 0)  # shingle-less docs have no signature (oracle parity)
-        .select("doc_id", F.posexplode(bands).alias("band", "band_key"))
+        sigs.select("doc_id", F.posexplode(bands).alias("band", "band_key"))
         .select("doc_id", F.col("band").cast("int").alias("band"), "band_key")
     )
 
 
+SQL_SEEDS = ", ".join(f"({s}, {MH_A[s]}, {MH_B[s]})" for s in range(MINHASH_SEEDS))
+
 SQL_MINHASH_SIGS = f"""
-        SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS minhash
-        FROM (SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM documents) ds
-        CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed) seeds
+        SELECT doc_id, seed, MIN((a * (h32 % {MH_PRIME}) + b) % {MH_PRIME}) AS mh
+        FROM (
+            SELECT doc_id, {SQL_H32} AS h32
+            FROM (SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM documents) raw
+        ) h
+        CROSS JOIN (SELECT * FROM (VALUES {SQL_SEEDS}) v(seed, a, b)) seeds
         GROUP BY doc_id, seed
+"""
+
+SQL_MINHASH_BANDS = f"""
+        SELECT doc_id, CAST(seed // {LSH_ROWS} AS INTEGER) AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+        FROM sigs
+        GROUP BY doc_id, seed // {LSH_ROWS}
 """
 
 
@@ -170,10 +269,7 @@ SQL_MINHASH_SIGS = f"""
     "dd_minhash_bands",
     oracle=f"""
         WITH sigs AS ({SQL_MINHASH_SIGS})
-        SELECT doc_id, CAST(seed // {LSH_ROWS} AS INTEGER) AS band,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
-        FROM sigs
-        GROUP BY doc_id, seed // {LSH_ROWS}
+        {SQL_MINHASH_BANDS}
     """,
     operators="TDP-dedup-minhash",
 )
@@ -189,11 +285,7 @@ def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_minhash_lsh_pairs",
     oracle=f"""
         WITH sigs AS ({SQL_MINHASH_SIGS}),
-        bands AS (
-            SELECT doc_id, seed // {LSH_ROWS} AS band,
-                   md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
-            FROM sigs GROUP BY doc_id, seed // {LSH_ROWS}
-        )
+        bands AS ({SQL_MINHASH_BANDS})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -201,19 +293,21 @@ def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="TDP-dedup-minhash-lsh",
 )
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band bucket. Join key is
-    (band, band_key) so pair fan-out is per-bucket, never global."""
+    """LSH candidate pairs: docs sharing any band bucket. Instead of a
+    self-join (which would compute the whole minhash pipeline twice and
+    shuffle it twice), groupBy the bucket key, collect the sorted doc list,
+    and explode pairs map-side — the signature stage runs once and the only
+    shuffles are the bucket groupBy and the final distinct."""
     bands = _minhash_band_rows(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    grp = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = _pairs_from_sorted(F.col("ids"), lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grp.select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -236,25 +330,45 @@ SIMHASH_BITS = 16
             GROUP BY doc_id, p
         )
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
     """,
     operators="TDP-dedup-simhash",
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint: per-token md5 nibbles vote ±1 on each of 16 bit
-    positions; the sign vector packs into an integer fingerprint. Two
-    aggregations, both map-side-combinable."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    ps = tok.sparkSession.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("p"))
-    nibble = F.conv(F.md5(F.col("token")).substr(F.col("p") + 1, F.lit(1)), 16, 10).cast("int")
-    bits = (
-        tok.crossJoin(F.broadcast(ps))
-        .select("doc_id", "p", F.when(nibble >= 8, F.lit(1)).otherwise(F.lit(-1)).alias("vote"))
-        .groupBy("doc_id", "p")
-        .agg(F.sum("vote").alias("s"))
+    positions; the sign vector packs into an integer fingerprint.
+
+    Computed ENTIRELY map-side as one expression per document: fold the
+    token array into a 16-slot vote accumulator (``aggregate`` +
+    ``zip_with``), then pack the sign bits. Zero shuffles, zero row
+    blow-up — the previous formulation exploded tokens and cross-joined 16
+    bit positions (a 16× row multiplier feeding two shuffled aggregations).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bit_seq = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    hs = F.transform(F.split(F.col("text"), " "), lambda t: F.md5(t))
+
+    def votes(h: Column) -> Column:
+        return F.transform(
+            bit_seq,
+            lambda p: F.when(F.conv(h.substr(p + F.lit(1), F.lit(1)), 16, 10).cast("int") >= 8, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        )
+
+    s_arr = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("p")).cast("long")).otherwise(F.lit(0))).alias("simhash")
+    packed = F.aggregate(
+        F.zip_with(
+            s_arr,
+            bit_seq,
+            lambda s, p: F.when(s > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
+    return docs.select("doc_id", packed.alias("simhash"))

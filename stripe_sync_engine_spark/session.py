@@ -8,7 +8,15 @@ the same code is correct on a 1000-executor cluster:
   real cluster AQE's coalescing makes the initial number mostly a ceiling.
 * Arrow enabled for the few Pandas-UDF paths (similarity / multimodal).
 * Timestamps normalized to UTC so event-time semantics match the oracle.
-"""
+* ``InferFiltersFromGenerate`` excluded: for an explode over a COMPUTED
+  array (shingles, token arrays — this engine's bread and butter) the rule
+  clones the whole array-construction expression into an inferred
+  ``size(...) > 0`` filter, which predicate-pushdown then sinks below the
+  materializing projections — re-evaluating the interpreted
+  higher-order-function pipeline once per row with every subexpression
+  re-inlined (measured 25× slowdown on the shingle explode). The rule only
+  helps when the generator input is a stored column; none of our hot paths
+  are."""
 
 from __future__ import annotations
 
@@ -17,6 +25,8 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+EXCLUDED_OPTIMIZER_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
 
 def get_spark(app_name: str = "stripe-sync-engine-spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -29,6 +39,7 @@ def get_spark(app_name: str = "stripe-sync-engine-spark", shuffle_partitions: in
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -33,6 +33,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    try:
+        # Runtime-settable; applied here as well as in session.py so
+        # driver-provided sessions get the same plans (see session.py for
+        # why InferFiltersFromGenerate pessimizes computed-array explodes).
+        from stripe_sync_engine_spark.session import EXCLUDED_OPTIMIZER_RULES
+
+        spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+    except Exception:
+        pass
     if name == "events":
         # Required to read parquet TIMESTAMP(NANOS); runtime-settable SQLConf,
         # applied here as well so driver-provided sessions work.

@@ -46,6 +46,13 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str, float_exact: bool = Tr
     assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
+        # The driver's value hash sees the concrete representation, so a
+        # float64-vs-int64 dtype divergence (e.g. DuckDB HUGEINT -> float64)
+        # is a real mismatch even when the numbers are equal. Catch it here.
+        assert pd.api.types.is_float_dtype(g) == pd.api.types.is_float_dtype(w), (
+            f"{name}.{c}: dtype kind mismatch spark={g.dtype} oracle={w.dtype} "
+            "(cast the oracle aggregate, e.g. CAST(SUM(...) AS BIGINT))"
+        )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             ok = (g.isna() & w.isna()) | (g.astype("float64") == w.astype("float64"))
             if not float_exact:
