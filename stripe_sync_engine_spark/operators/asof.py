@@ -16,6 +16,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -42,35 +43,38 @@ def asof_join(
     # (strict) the left row, controlling visibility of exact-time matches.
     right_tag, left_tag = (0, 1) if inclusive else (1, 0)
 
+    # The whole right payload travels as ONE struct carried with a single
+    # last(..., ignoreNulls) — carrying columns independently would
+    # back-fill a NULL payload column of the most recent right row from an
+    # OLDER right row, silently mixing columns of different rows. The
+    # struct itself is non-null exactly on right rows, so ignoreNulls skips
+    # left rows and the latest right row wins atomically, its NULLs
+    # included.
+    payload_type = StructType([StructField(c, right.schema[c].dataType) for c in payload_srcs])
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(right_tag).alias("_tag"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_srcs],
+        F.struct(*[F.col(c).alias(c) for c in payload_srcs]).alias("_p"),
     )
-    l_schema_nulls = [F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_srcs]
     l = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(left_tag).alias("_tag"),
-        *l_schema_nulls,
+        F.lit(None).cast(payload_type).alias("_p"),
         *[F.col(c) for c in left_cols],
     )
     r_full = r.select(
-        "_k", "_t", "_tag",
-        *[F.col(f"_p_{c}") for c in payload_srcs],
+        "_k", "_t", "_tag", "_p",
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     unioned = l.unionByName(r_full).withColumn("_is_left", F.col("_tag") == F.lit(left_tag))
 
-    order = [F.col("_t").asc(), F.col("_tag").asc()] + [F.col(f"_p_{c}").asc_nulls_first() for c in (right_order or [])]
+    order = [F.col("_t").asc(), F.col("_tag").asc()] + [F.col("_p")[c].asc_nulls_first() for c in (right_order or [])]
     w = Window.partitionBy("_k").orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    carried = unioned.select(
-        "*",
-        *[F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}") for c in payload_srcs],
-    )
+    carried = unioned.select("*", F.last(F.col("_p"), ignorenulls=True).over(w).alias("_asof"))
     return carried.where(F.col("_is_left")).select(
         *left_cols,
-        *[F.col(f"_asof_{src}").alias(dst) for src, dst in right_payload.items()],
+        *[F.col("_asof")[src].alias(dst) for src, dst in right_payload.items()],
     )

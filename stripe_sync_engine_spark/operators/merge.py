@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 def latest_by_key(
     df: DataFrame,
     key: str | Sequence[str],
-    ts_col: str,
+    ts_col: str | None,
     tiebreak_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Keyed argmax (SURVEY A3): newest row per key by (ts, tiebreaks).
@@ -46,10 +46,15 @@ def latest_by_key(
     per-row ``ON CONFLICT`` application order; in a set-oriented engine it
     must happen before the merge join (multiple matches per key are
     ambiguous). row_number + filter is one shuffle; Catalyst pushes the
-    partial sort into the shuffle write.
+    partial sort into the shuffle write. ``ts_col=None`` orders by the
+    tiebreak columns alone.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    order = [F.col(ts_col).desc_nulls_last()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    order = ([F.col(ts_col).desc_nulls_last()] if ts_col is not None else []) + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    if not order:
+        raise ValueError("latest_by_key needs ts_col or tiebreak_cols to define which row wins")
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
@@ -78,8 +83,16 @@ def merge_upsert(
     only id/object/deleted — schemas/customer.ts:29-31 — leaving the rest
     of an existing row intact); inserts always take the full source row.
     """
-    if ts_col is not None:
+    # A source batch may hold several rows per key even in the plain
+    # (ts_col=None) upsert — the reference applies them sequentially so the
+    # last statement wins; an un-deduplicated full_outer join would instead
+    # multiply matched target rows. Reduce to one row per key first:
+    # by (ts, tiebreaks) when a timestamp guards the merge, by the
+    # tiebreaks alone otherwise, else any-one-row (dropDuplicates).
+    if ts_col is not None or tiebreak_cols:
         source = latest_by_key(source, key, ts_col, tiebreak_cols)
+    else:
+        source = source.dropDuplicates([key] if isinstance(key, str) else list(key))
     if target is None:
         return source
 

@@ -36,15 +36,23 @@ def sign_header(secret: str, timestamp: int, payload: str) -> str:
 
 
 def verify_signature(secret: str, header: str, payload: str, tolerance_s: int | None = None, now: int | None = None) -> bool:
-    """Constant-time verification of a ``t=...,v1=...`` header."""
+    """Constant-time verification of a ``t=...,v1=...`` header.
+
+    Every malformed-header shape (missing fields, non-numeric timestamp)
+    returns False rather than raising: this runs on untrusted input inside
+    batch verification, where one poisoned row must not fail the job."""
     parts = dict(p.split("=", 1) for p in header.split(",") if "=" in p)
     ts, sig = parts.get("t"), parts.get("v1")
     if ts is None or sig is None:
         return False
-    expected = compute_signature(secret, int(ts), payload)
+    try:
+        ts_int = int(ts)
+    except ValueError:
+        return False
+    expected = compute_signature(secret, ts_int, payload)
     if not hmac_mod.compare_digest(expected, sig):
         return False
-    if tolerance_s is not None and now is not None and abs(now - int(ts)) > tolerance_s:
+    if tolerance_s is not None and now is not None and abs(now - ts_int) > tolerance_s:
         return False
     return True
 

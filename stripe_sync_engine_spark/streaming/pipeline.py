@@ -22,12 +22,22 @@ hasn't advanced past them. The merge condition enforces it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StringType, StructField, StructType
 
+from stripe_sync_engine_spark.sources.webhook import with_signature_verified
 from stripe_sync_engine_spark.sync.engine import StripeSparkSync
 
 LANDING_SCHEMA = StructType([StructField("value", StringType())])
+
+# Signed landing format: one JSON object per line wrapping the RAW request
+# body with its Stripe-Signature header (the HTTP edge writes these —
+# api/http.py). Verification must run on the exact raw body bytes, so the
+# body travels as an opaque string, never re-serialized.
+ENVELOPE_TYPE = "struct<payload string, signature string>"
+
+REJECTED_TABLE = "_rejected_webhooks"
 
 
 def start_webhook_stream(
@@ -35,12 +45,20 @@ def start_webhook_stream(
     landing_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    secret: str | None = None,
 ) -> StreamingQuery:
     """File-source stream of JSON-lines Stripe events → foreachBatch.
 
     ``available_now=True`` drains everything currently in the landing zone
     then stops (the scheduled-sync T4 shape); ``False`` runs continuously
     (the webhook hot path).
+
+    With ``secret`` set, each line is a signed envelope (``ENVELOPE_TYPE``)
+    and the batch is HMAC-verified BEFORE any parse — the reference's
+    order of operations (stripeSync.ts:97-105: constructEvent throws before
+    processEvent sees the body). Rows failing verification never reach the
+    merge pipeline; they are appended to ``_rejected_webhooks`` for audit
+    (the batch analog of the reference's 401 response).
     """
     spark: SparkSession = engine.spark
     raw = (
@@ -51,7 +69,36 @@ def start_webhook_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        engine.process_webhook_events(batch_df)
+        events = batch_df
+        if secret is not None:
+            env = F.from_json(F.col("value"), ENVELOPE_TYPE)
+            unwrapped = batch_df.select(
+                env["payload"].alias("payload"), env["signature"].alias("signature")
+            )
+            checked = with_signature_verified(
+                unwrapped, secret, payload_col="payload", header_col="signature"
+            ).persist()
+            try:
+                rejected = checked.where(~F.col("signature_valid")).select(
+                    F.col("payload").alias("value"),
+                    F.col("signature"),
+                    F.lit(batch_id).alias("batch_id"),
+                    F.current_timestamp().alias("rejected_at"),
+                )
+                if not rejected.isEmpty():
+                    prior = engine.store.read(REJECTED_TABLE)
+                    engine.store.write(
+                        REJECTED_TABLE,
+                        rejected if prior is None else prior.unionByName(rejected),
+                    )
+                events = checked.where(F.col("signature_valid")).select(
+                    F.col("payload").alias("value")
+                )
+                engine.process_webhook_events(events)
+            finally:
+                checked.unpersist()
+            return
+        engine.process_webhook_events(events)
 
     writer = raw.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

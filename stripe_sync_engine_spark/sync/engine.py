@@ -23,12 +23,15 @@ watermark, which would drop late events instead of no-op'ing them.
 
 from __future__ import annotations
 
+import itertools
 import json
 import time
+from collections.abc import Callable, Iterable, Iterator
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -56,6 +59,30 @@ class SyncConfig:
 
 
 _RAW_EVENT_SCHEMA = StructType([StructField("value", StringType())])
+
+# Concurrent in-flight API requests per fetch stage — the reference's own
+# fan-out width (stripeSync.ts:929-931 runs 10 customers in parallel).
+API_CONCURRENCY = 10
+# Ids pulled from Spark per driver-side chunk: bounds driver memory (no
+# unbounded collect()) while keeping the thread pool saturated.
+FETCH_CHUNK = 1000
+
+
+def _chunks(it: Iterable, size: int) -> Iterator[list]:
+    it = iter(it)
+    while chunk := list(itertools.islice(it, size)):
+        yield chunk
+
+
+def _concurrent_fetch(fn: Callable, items: Iterable, concurrency: int = API_CONCURRENCY) -> Iterator:
+    """Apply an API call to each item with a bounded thread pool, chunked so
+    neither the item list nor the futures map is ever fully materialized.
+    REST pagination/retrieval is driver-bound by nature (cursor tokens, API
+    keys, rate limits); the scalable axis is concurrent requests — the same
+    10-way fan-out the reference uses — not executor count."""
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        for chunk in _chunks(items, FETCH_CHUNK):
+            yield from pool.map(fn, chunk)
 
 
 class StripeSparkSync:
@@ -97,12 +124,15 @@ class StripeSparkSync:
         with_payload: DataFrame,
         sync_ts_col: str = "sync_ts",
         overrides: dict | None = None,
+        carry: dict[str, Column] | None = None,
     ) -> DataFrame:
         """Typed projection of the payload map into the entity's declared
         columns (missing → NULL, unknown dropped — reference
         useNullForMissing, database/postgres.ts:52,93-95). ``overrides``
         maps column name → Column expression evaluated against the input
-        (payload available as the ``payload`` column)."""
+        (payload available as the ``payload`` column). ``carry`` appends
+        extra pass-through columns (e.g. the event id used as a merge
+        tiebreaker) that are NOT part of the entity schema."""
         pm = F.from_json(F.col("payload"), "map<string,string>")
         overrides = dict(overrides or {})
         if entity == "customers":
@@ -118,6 +148,8 @@ class StripeSparkSync:
                 cols.append(pm[f.name].cast(f.dataType).alias(f.name))
         cols.append(F.col(sync_ts_col).cast("timestamp").alias("updated_at"))
         cols.append(F.col(sync_ts_col).cast("timestamp").alias("last_synced_at"))
+        for name, expr in (carry or {}).items():
+            cols.append(expr.alias(name))
         return with_payload.select(*cols)
 
     # ------------------------------------------------------------------
@@ -126,48 +158,58 @@ class StripeSparkSync:
     def process_webhook_events(self, raw_events: DataFrame) -> dict[str, int]:
         """Process a batch of raw Stripe Event JSON strings (column
         ``value``). Returns {table: merged-row-count}."""
-        parsed = self._parse_envelope(raw_events).withColumn(
-            "sync_ts", F.to_timestamp(F.col("event_created"))
+        # Cache the parsed batch: every per-entity handler (and its row
+        # accounting) re-reads it, and without the cache each one would
+        # re-execute the parse→project lineage from the raw strings.
+        parsed = (
+            self._parse_envelope(raw_events)
+            .withColumn("sync_ts", F.to_timestamp(F.col("event_created")))
+            .persist()
         )
-        routes = sorted({(r[0], r[1]) for r in R.EVENT_ROUTES.values()})
-        # Driver-side routing plan: which (entity, action) groups exist in
-        # this batch. One tiny agg over the batch (not the tables).
-        present = {
-            row["event_type"]
-            for row in parsed.select("event_type").distinct().collect()
-        }
-        counts: dict[str, int] = {}
-        for entity, action in routes:
-            types = [t for t, r in R.EVENT_ROUTES.items() if r == (entity, action) and t in present]
-            if not types:
-                continue
-            subset = parsed.where(F.col("event_type").isin(types))
-            if action == R.UPSERT:
-                n = self._handle_upsert(entity, subset)
-            elif action == R.CUSTOMER_DELETED:
-                n = self._handle_customer_deleted(subset)
-            elif action == R.DELETE:
-                n = self._handle_delete(entity, subset)
-            elif action == R.ENTITLEMENT_SUMMARY:
-                n = self._handle_entitlement_summary(subset)
-            else:  # pragma: no cover
-                raise ValueError(action)
-            counts[entity] = counts.get(entity, 0) + n
-        unhandled = present - set(R.EVENT_ROUTES)
-        if unhandled:
-            # reference throws on unhandled types (stripeSync.ts:575-576);
-            # we surface them without failing the batch.
-            counts["_unhandled"] = len(unhandled)
-        return counts
+        try:
+            routes = sorted({(r[0], r[1]) for r in R.EVENT_ROUTES.values()})
+            # Driver-side routing plan: which (entity, action) groups exist in
+            # this batch. One tiny agg over the batch (not the tables).
+            present = {
+                row["event_type"]
+                for row in parsed.select("event_type").distinct().collect()
+            }
+            counts: dict[str, int] = {}
+            for entity, action in routes:
+                types = [t for t, r in R.EVENT_ROUTES.items() if r == (entity, action) and t in present]
+                if not types:
+                    continue
+                subset = parsed.where(F.col("event_type").isin(types))
+                if action == R.UPSERT:
+                    n = self._handle_upsert(entity, subset)
+                elif action == R.CUSTOMER_DELETED:
+                    n = self._handle_customer_deleted(subset)
+                elif action == R.DELETE:
+                    n = self._handle_delete(entity, subset)
+                elif action == R.ENTITLEMENT_SUMMARY:
+                    n = self._handle_entitlement_summary(subset)
+                else:  # pragma: no cover
+                    raise ValueError(action)
+                counts[entity] = counts.get(entity, 0) + n
+            unhandled = present - set(R.EVENT_ROUTES)
+            if unhandled:
+                # reference throws on unhandled types (stripeSync.ts:575-576);
+                # we surface them without failing the batch.
+                counts["_unhandled"] = len(unhandled)
+            return counts
+        finally:
+            parsed.unpersist()
 
     # -- handlers ------------------------------------------------------
     def _handle_upsert(self, entity: str, subset: DataFrame) -> int:
-        subset = self._revalidate(entity, subset)
+        subset, deleted_ids = self._revalidate(entity, subset)
         subset = self._expand_lists(entity, subset)
-        rows = self._project(entity, subset)
+        rows = self._project(entity, subset, carry={"_event_id": F.col("event_id")})
         if self.config.backfill_related_entities:
             self._backfill_parents(entity, rows, depth=0)
         self._merge(entity, rows)
+        if deleted_ids:
+            self._delete_ids(entity, deleted_ids)
         n = rows.count()
         if entity == "subscriptions":
             self._sync_subscription_items(subset)
@@ -178,7 +220,7 @@ class StripeSparkSync:
     def _handle_customer_deleted(self, subset: DataFrame) -> int:
         """customer.deleted: partial upsert of id/object/deleted only
         (reference customerDeletedSchema, schemas/customer.ts:29-31)."""
-        rows = self._project("customers", subset)
+        rows = self._project("customers", subset, carry={"_event_id": F.col("event_id")})
         self._merge("customers", rows, update_cols=["object", "deleted", "updated_at"])
         return rows.count()
 
@@ -201,6 +243,7 @@ class StripeSparkSync:
                 F.from_json(F.from_json(pm["entitlements"], "map<string,string>")["data"], "array<string>")
             ).alias("ent"),
             F.col("sync_ts"),
+            F.col("event_id"),
         )
         em = F.from_json(F.col("ent"), "map<string,string>")
         # feature may be an embedded object → extract its id (flattening,
@@ -217,8 +260,13 @@ class StripeSparkSync:
             F.col("customer"),
             F.col("sync_ts").cast("timestamp").alias("updated_at"),
             F.col("sync_ts").cast("timestamp").alias("last_synced_at"),
+            F.col("event_id").alias("_event_id"),
         )
-        rows = latest_by_key(rows, "id", "last_synced_at")
+        rows = latest_by_key(rows, "id", "last_synced_at", ["_event_id"]).drop("_event_id")
+        # Backfill features referenced by the summary but absent from the
+        # features table (reference backfillFeatures, stripeSync.ts:1692).
+        if self.config.backfill_related_entities:
+            self._backfill_parents("active_entitlements", rows, depth=0)
         target = self.store.read("active_entitlements")
         merged = replace_set(target, rows, partition_key="customer")
         self.store.write("active_entitlements", merged)
@@ -234,9 +282,10 @@ class StripeSparkSync:
             pm["id"].alias("_sub_id"),
             F.from_json(F.from_json(pm["items"], "map<string,string>")["data"], "array<string>").alias("_items"),
             F.col("sync_ts"),
+            F.col("event_id"),
         )
         items = parent.select(
-            "_sub_id", "sync_ts", F.explode_outer(F.col("_items")).alias("payload")
+            "_sub_id", "sync_ts", "event_id", F.explode_outer(F.col("_items")).alias("payload")
         ).where(F.col("payload").isNotNull())
         im = F.from_json(F.col("payload"), "map<string,string>")
         # price may arrive embedded → normalize to its id; deleted and
@@ -251,6 +300,7 @@ class StripeSparkSync:
                 "quantity": F.coalesce(im["quantity"].cast("long"), F.lit(1)),
                 "subscription": F.coalesce(im["subscription"], F.col("_sub_id")),
             },
+            carry={"_event_id": F.col("event_id")},
         )
         self._merge("subscription_items", rows)
         # reconcile: current item set per subscription in this batch
@@ -268,17 +318,20 @@ class StripeSparkSync:
         stripeSync.ts:1511-1557)."""
         if self.api is None:
             return
-        sessions = [r["id"] for r in session_rows.select("id").collect()]
-        all_items: list[str] = []
-        stamp: dict[str, str] = {}
-        for sid in sessions:
-            for item in self.api.list_line_items(sid):
+        api = self.api
+
+        def fetch(sid: str) -> list[str]:
+            out = []
+            for item in api.list_line_items(sid):
                 item = dict(item)
-                stamp[item["id"]] = sid
                 if isinstance(item.get("price"), dict):
                     item["price"] = item["price"].get("id")
                 item["checkout_session"] = sid
-                all_items.append(json.dumps(item))
+                out.append(json.dumps(item))
+            return out
+
+        sids = (r["id"] for r in session_rows.select("id").distinct().toLocalIterator())
+        all_items = [p for batch in _concurrent_fetch(fetch, sids) for p in batch]
         if not all_items:
             return
         now = time.time()
@@ -287,29 +340,57 @@ class StripeSparkSync:
         self._merge("checkout_session_line_items", rows)
 
     # -- optional refetch / expansion ------------------------------------
-    def _revalidate(self, entity: str, subset: DataFrame) -> DataFrame:
+    def _revalidate(self, entity: str, subset: DataFrame) -> tuple[DataFrame, list[str]]:
         """T3 read-repair: ignore webhook payload, refetch from the API —
         unless the object is in a final state (P4 refetch suppression,
-        reference fetchOrUseWebhookData stripeSync.ts:584-604)."""
+        reference fetchOrUseWebhookData stripeSync.ts:584-604). Refetches
+        run ``API_CONCURRENCY``-wide off a chunked iterator (never an
+        unbounded collect).
+
+        Returns ``(subset, deleted_ids)``: for entities where a failed
+        refetch means the object was deleted upstream (Stripe's
+        ``resource_missing`` on products/prices/plans — reference
+        stripeSync.ts:267-273, 300-306, 333-339), the vanished ids are
+        returned for deletion instead of being silently kept."""
         if entity not in self.config.revalidate_objects_via_stripe_api or self.api is None:
-            return subset
+            return subset, []
         status_col, finals = R.FINAL_STATES.get(entity, ("status", ()))
-        rows = subset.collect()
-        out = []
-        for r in rows:
+        api = self.api
+        treat_missing_as_delete = entity in R.DELETE_ON_REFETCH_MISSING
+
+        def refetch(r) -> tuple:
             payload = json.loads(r["payload"])
             sync_ts = r["sync_ts"]
+            deleted_id = None
             if payload.get(status_col) not in finals:
-                fresh = self.api.retrieve(entity, payload["id"])
+                fresh = api.retrieve(entity, payload["id"])
                 if fresh is not None:
                     payload = fresh
                     # refetched → wall-clock sync timestamp (getSyncTimestamp,
                     # reference stripeSync.ts:580-582)
                     sync_ts = datetime.now(timezone.utc).replace(tzinfo=None)
-            out.append((r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), sync_ts))
-        return self.spark.createDataFrame(
+                elif treat_missing_as_delete:
+                    deleted_id = payload["id"]
+            return (r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), sync_ts), deleted_id
+
+        out, deleted_ids = [], []
+        for row, deleted_id in _concurrent_fetch(refetch, subset.toLocalIterator()):
+            if deleted_id is not None:
+                deleted_ids.append(deleted_id)
+            else:
+                out.append(row)
+        revalidated = self.spark.createDataFrame(
             out, "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
         )
+        return revalidated, deleted_ids
+
+    def _delete_ids(self, entity: str, ids: list[str]) -> None:
+        """Hard-delete rows whose upstream object no longer exists."""
+        target = self.store.read(entity)
+        if target is None:
+            return
+        keys = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        self.store.write(entity, delete_by_keys(target, keys))
 
     def _expand_lists(self, entity: str, subset: DataFrame) -> DataFrame:
         """autoExpandLists: when an embedded list has has_more=true, refetch
@@ -320,16 +401,17 @@ class StripeSparkSync:
         has_more = F.get_json_object(F.col("payload"), f"$.{prop}.has_more") == "true"
         needs = subset.where(has_more)
         rest = subset.where(~F.coalesce(has_more, F.lit(False)))
-        rows = needs.collect()
-        if not rows:
-            return subset
-        out = []
-        for r in rows:
+        api = self.api
+
+        def expand(r) -> tuple:
             payload = json.loads(r["payload"])
-            obj_id = payload["id"]
-            full = self.api.list_expanded(entity, obj_id, prop)
+            full = api.list_expanded(entity, payload["id"], prop)
             payload[prop] = {"object": "list", "data": full, "has_more": False}
-            out.append((r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), r["sync_ts"]))
+            return (r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), r["sync_ts"])
+
+        out = list(_concurrent_fetch(expand, needs.toLocalIterator()))
+        if not out:
+            return subset
         expanded = self.spark.createDataFrame(
             out, "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
         )
@@ -344,6 +426,7 @@ class StripeSparkSync:
         with capped depth instead of recursion."""
         if self.api is None or depth >= self.config.max_backfill_depth:
             return
+        api = self.api
         for fk, parent in R.BACKFILL_PARENTS.get(entity, []):
             if fk not in rows.columns:
                 continue
@@ -353,14 +436,12 @@ class StripeSparkSync:
                 ids if parent_df is None
                 else ids.join(parent_df.select("id"), "id", "left_anti")
             )
-            missing_ids = [r["id"] for r in missing.collect()]
-            if not missing_ids:
-                continue
-            fetched = []
-            for mid in missing_ids:
-                obj = self.api.retrieve(parent, mid)
-                if obj is not None:
-                    fetched.append(json.dumps(obj))
+            missing_ids = (r["id"] for r in missing.toLocalIterator())
+            fetched = [
+                json.dumps(obj)
+                for obj in _concurrent_fetch(lambda mid: api.retrieve(parent, mid), missing_ids)
+                if obj is not None
+            ]
             if not fetched:
                 continue
             now = time.time()
@@ -373,15 +454,23 @@ class StripeSparkSync:
 
     # -- merge -------------------------------------------------------------
     def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> None:
+        # Webhook-fed rows carry ``_event_id`` so two events for the same
+        # object with equal event.created (same-second updates are common)
+        # reduce deterministically — the reference applies rows sequentially
+        # so the later statement wins; a set-oriented argmax needs an
+        # explicit total order.
+        tiebreaks = ["_event_id"] if "_event_id" in rows.columns else None
         target = self.store.read(entity)
         merged = merge_upsert(
             target,
             rows,
             key="id",
             ts_col="last_synced_at",
-            tiebreak_cols=None,
+            tiebreak_cols=tiebreaks,
             update_cols=update_cols,
         )
+        if tiebreaks:
+            merged = merged.drop(*tiebreaks)
         self.store.write(entity, merged)
 
     # ------------------------------------------------------------------
@@ -436,24 +525,40 @@ class StripeSparkSync:
         customers = self.store.read("customers")
         if customers is None:
             return 0
-        ids = [
+        api = self.api
+        ids = (
             r["id"]
             for r in customers.where(~F.coalesce(F.col("deleted"), F.lit(False)))
             .select("id")
-            .collect()
-        ]
-        objs: list[dict] = []
-        for cid in ids:
-            objs.extend(self.api.list_by_parent("payment_methods", "customer", cid))
-        if not objs:
-            return 0
-        now = time.time()
-        df = self.spark.createDataFrame(
-            [(p, now) for p in to_json_rows(objs)], "payload string, sync_ts double"
+            .toLocalIterator()
         )
-        rows = self._project("payment_methods", df)
-        self._merge("payment_methods", rows)
-        return len(objs)
+        # 10-way concurrent per-customer listing (the reference's own
+        # fan-out width), flushed through the merge pipeline in bounded
+        # chunks so neither the object buffer nor a single merge batch
+        # grows with the customer count.
+        synced = 0
+        buffer: list[dict] = []
+
+        def flush() -> None:
+            nonlocal synced
+            if not buffer:
+                return
+            now = time.time()
+            df = self.spark.createDataFrame(
+                [(p, now) for p in to_json_rows(buffer)], "payload string, sync_ts double"
+            )
+            self._merge("payment_methods", self._project("payment_methods", df))
+            synced += len(buffer)
+            buffer.clear()
+
+        for objs in _concurrent_fetch(
+            lambda cid: api.list_by_parent("payment_methods", "customer", cid), ids
+        ):
+            buffer.extend(objs)
+            if len(buffer) >= FLUSH_CHUNK:
+                flush()
+        flush()
+        return synced
 
     def sync_single_entity(self, stripe_id: str) -> str | None:
         """S4 point lookup: dispatch on id prefix → retrieve → upsert
@@ -467,6 +572,12 @@ class StripeSparkSync:
             return None
         obj = self.api.retrieve(entity, stripe_id)
         if obj is None:
+            # Upstream object vanished: for products/prices/plans the
+            # reference maps Stripe's resource_missing to a delete
+            # (stripeSync.ts:267-273, 300-306, 333-339).
+            if entity in R.DELETE_ON_REFETCH_MISSING:
+                self._delete_ids(entity, [stripe_id])
+                return entity
             return None
         now = time.time()
         df = self.spark.createDataFrame(

@@ -136,6 +136,11 @@ ID_PREFIX_DISPATCH: list[tuple[str, str]] = [
     ("cs_", "checkout_sessions"),
 ]
 
+# Entities where a failed refetch (Stripe 404 resource_missing) means the
+# object was deleted upstream → delete the row (reference
+# stripeSync.ts:267-273 products, :300-306 prices, :333-339 plans).
+DELETE_ON_REFETCH_MISSING: frozenset[str] = frozenset({"products", "prices", "plans"})
+
 # entity → (status column, final values): skip refetch when already final.
 FINAL_STATES: dict[str, tuple[str, tuple[str, ...]]] = {
     "charges": ("status", ("failed", "succeeded")),

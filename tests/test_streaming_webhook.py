@@ -91,3 +91,45 @@ def test_streaming_foreachbatch_merge(spark, tmp_path):
     q2.awaitTermination(120)
     charges2 = {r["id"]: r.asDict() for r in engine.store.read("charges").collect()}
     assert charges2["ch_s"]["amount"] == 900
+
+
+def test_malformed_signature_header_returns_false():
+    """Untrusted header shapes must return False, never raise (one poisoned
+    row must not fail batch verification)."""
+    from stripe_sync_engine_spark.sources.webhook import sign_header, verify_signature
+
+    good = sign_header("whsec_x", 1700000000, "{}")
+    assert verify_signature("whsec_x", good, "{}")
+    for bad in ["t=abc,v1=deadbeef", "v1=deadbeef", "t=,v1=x", "", "t=1,2,3", "garbage"]:
+        assert verify_signature("whsec_x", bad, "{}") is False
+
+
+def test_streaming_signed_envelopes_reject_bad_signature(spark, tmp_path):
+    """Signed landing zone: valid envelope merges, tampered one is rejected
+    before parse and lands in the audit table."""
+    import json
+
+    landing = tmp_path / "landing_s"
+    ckpt = tmp_path / "ckpt_s"
+    os.makedirs(landing)
+    good_body = fx.event("charge.succeeded", fx.charge(id="ch_sig_ok"), created=100)
+    bad_body = fx.event("charge.succeeded", fx.charge(id="ch_sig_bad"), created=100)
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"payload": good_body, "signature": sign_header(SECRET, 100, good_body)}),
+                json.dumps({"payload": bad_body, "signature": "t=100,v1=" + "0" * 64}),
+                json.dumps({"payload": bad_body, "signature": "t=abc,v1=garbage"}),
+            ]
+        )
+    )
+    engine = StripeSparkSync(
+        spark, TableStore(spark, str(tmp_path / "wh_s")), api=None,
+        config=SyncConfig(backfill_related_entities=False),
+    )
+    q = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True, secret=SECRET)
+    q.awaitTermination(120)
+    charges = {r["id"] for r in engine.store.read("charges").collect()}
+    assert charges == {"ch_sig_ok"}
+    rejected = engine.store.read("_rejected_webhooks")
+    assert rejected.count() == 2

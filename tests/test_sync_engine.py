@@ -274,3 +274,100 @@ def test_migrate_bootstraps_all_tables(spark, tmp_path):
     assert "last_synced_at" in df.columns
     # idempotent
     assert store.migrate() == []
+
+
+# 12. same-second events: higher event_id deterministically wins (merge tiebreak)
+def test_same_second_event_tiebreak(engine):
+    process(
+        engine,
+        fx.event("charge.updated", fx.charge(id="ch_T", amount=111), created=500, event_id="evt_aaa"),
+        fx.event("charge.updated", fx.charge(id="ch_T", amount=222), created=500, event_id="evt_zzz"),
+    )
+    assert table_rows(engine, "charges")["ch_T"]["amount"] == 222
+    # replay in the other order — same winner (determinism, not arrival order)
+    process(
+        engine,
+        fx.event("charge.updated", fx.charge(id="ch_T", amount=222), created=500, event_id="evt_zzz"),
+        fx.event("charge.updated", fx.charge(id="ch_T", amount=111), created=500, event_id="evt_aaa"),
+    )
+    assert table_rows(engine, "charges")["ch_T"]["amount"] == 222
+
+
+# 13. resource_missing → delete: revalidated product vanished upstream
+def test_resource_missing_deletes_on_revalidate(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_rm"))
+    api = InMemoryStripeAPI()
+    eng = StripeSparkSync(
+        spark, store, api=api,
+        config=SyncConfig(revalidate_objects_via_stripe_api=("products",), backfill_related_entities=False),
+    )
+    # product exists, then is deleted upstream (API no longer returns it)
+    api.put("products", fx.product(id="prod_gone"))
+    eng.process_webhook_events(
+        eng.events_df_from_json([fx.event("product.created", fx.product(id="prod_gone"), created=100)])
+    )
+    assert "prod_gone" in table_rows(eng, "products")
+    del api.objects["products"]["prod_gone"]
+    eng.process_webhook_events(
+        eng.events_df_from_json([fx.event("product.updated", fx.product(id="prod_gone"), created=200)])
+    )
+    assert "prod_gone" not in table_rows(eng, "products")
+
+
+# 13b. resource_missing → delete on point sync
+def test_resource_missing_deletes_on_point_sync(engine):
+    process(engine, fx.event("product.created", fx.product(id="prod_p"), created=100))
+    assert "prod_p" in table_rows(engine, "products")
+    # API never had it → retrieve returns None → treated as deleted
+    assert engine.sync_single_entity("prod_p") == "products"
+    assert "prod_p" not in table_rows(engine, "products")
+
+
+# 14. entitlement summary backfills missing features
+def test_entitlement_summary_backfills_features(engine):
+    engine.api.put("features", {"id": "feat_bf", "object": "entitlements.feature",
+                                "name": "Backfilled", "lookup_key": "bf", "livemode": False})
+    process(
+        engine,
+        fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(ents=[fx.entitlement(id="ent_bf", feature="feat_bf")]),
+            created=100,
+        ),
+    )
+    assert "feat_bf" in table_rows(engine, "features")
+    assert ("features", "feat_bf") in engine.api.retrieve_calls
+
+
+# merge_upsert with ts_col=None must not multiply duplicate source keys
+def test_plain_upsert_dedupes_source(spark):
+    from stripe_sync_engine_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([("a", 1)], "id string, v int")
+    source = spark.createDataFrame([("a", 2), ("a", 3), ("b", 4)], "id string, v int")
+    out = merge_upsert(target, source, key="id", ts_col=None)
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert set(rows) == {"a", "b"}  # no row multiplication
+    assert rows["a"] in (2, 3) and rows["b"] == 4
+    # with a tiebreak the winner is deterministic
+    out2 = merge_upsert(target, source, key="id", ts_col=None, tiebreak_cols=["v"])
+    assert {r["id"]: r["v"] for r in out2.collect()} == {"a": 3, "b": 4}
+
+
+# asof payload must come atomically from ONE right row (NULLs included)
+def test_asof_join_null_payload_atomic(spark):
+    from stripe_sync_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 30)], "k string, t int")
+    right = spark.createDataFrame(
+        [("k", 10, "old_a", "old_b"), ("k", 20, "new_a", None)],
+        "k string, t int, a string, b string",
+    )
+    out = asof_join(
+        left, right, "k", "k", "t", "t",
+        right_payload={"a": "a_val", "b": "b_val"},
+    ).collect()[0]
+    # the latest right row (t=20) wins atomically: its NULL b must NOT be
+    # back-filled from the older row
+    assert out["a_val"] == "new_a"
+    assert out["b_val"] is None
