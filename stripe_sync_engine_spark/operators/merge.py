@@ -17,13 +17,14 @@ Reproduces the semantics of the reference's upsert sinks
 * S12 ``soft_delete_reconcile`` — mark vanished children deleted
   (reference ``markDeletedSubscriptionItems``, stripeSync.ts:1559-1583).
 
-Physical strategy: one shuffle join on the merge key per operator. With a
-small source batch (the common CDC case) Catalyst/AQE broadcasts the source
-side, so the target is never shuffled — the same plan shape Delta MERGE
-produces. At 100 TB the target table would additionally be bucketed/
-partitioned by key so only affected partitions rewrite; these operators are
-pure DataFrame→DataFrame so the storage policy stays orthogonal (see
-``storage.py`` for the table read/write layer).
+Physical strategy: one shuffle join on the merge key per operator. The
+full_outer join CANNOT be broadcast (Spark's BroadcastHashJoin does not
+support full-outer), so merge cost is O(rows joined) — which is why the
+engine's sync layer feeds these operators BUCKET-PRUNED targets: the store
+is hash-bucketed by key (``storage.py``) and a merge reads/joins/rewrites
+only buckets containing batch keys, making each micro-batch O(batch ∩
+buckets) rather than O(table). These operators stay pure
+DataFrame→DataFrame; the pruning policy lives at the call site.
 """
 
 from __future__ import annotations

@@ -1,17 +1,30 @@
-"""Parquet-backed table store — the engine's warehouse layer.
+"""Hash-bucketed parquet table store — the engine's warehouse layer.
 
 The reference stores entities in Postgres tables under a ``stripe`` schema
-(``database/migrate.ts:15-66`` bootstraps them); this engine stores one
-Parquet dataset per entity under a warehouse directory and rewrites
-through versioned directories with an atomic pointer swap (Spark cannot
-overwrite a dataset it is currently reading, and a crash mid-write must
-never corrupt the current version — the pointer file is the commit).
+(``database/migrate.ts:15-66`` bootstraps them); this engine stores each
+entity as a HASH-BUCKETED parquet dataset with a per-bucket manifest:
 
-Scale note: at 100 TB you would swap this class for Delta/Iceberg tables
-(real MERGE, partition-level rewrites, concurrent writers). Everything
-above this layer is pure DataFrame logic, so the swap is confined here.
+    <root>/<table>/v<N>/bucket=<k>/*.parquet     (immutable version dirs)
+    <root>/<table>/MANIFEST.json                 (the commit)
+
+``MANIFEST.json`` maps every bucket to the version directory holding its
+current data (plus the table schema and bucket count). A merge therefore
+rewrites ONLY the buckets containing batch keys: the new version dir gets
+the merged rows of touched buckets, the manifest re-points those buckets,
+and every untouched bucket keeps serving its existing files. This is the
+property that makes CDC upserts O(batch ∩ buckets), not O(table), per
+micro-batch — the same idea as Delta/Iceberg MERGE with partition/file
+pruning, reduced to a manifest swap. A crash mid-write leaves an
+unreferenced version dir (vacuumed later); the manifest rename is the
+atomic commit, and readers of the old manifest keep a consistent view.
+
+Bucket assignment is ``pmod(xxhash64(key), n_buckets)`` — stable across
+sessions, computed JVM-side. 32 buckets suit the local harness; at 100 TB
+you would raise ``n_buckets`` into the thousands (it is recorded per table
+in the manifest, so stores of different widths coexist).
+
 The ``migrate()`` analog of the reference's migration runner records
-applied DDL in a ``_migrations`` dataset.
+applied DDL in a ``_migrations.json`` file.
 """
 
 from __future__ import annotations
@@ -22,51 +35,158 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from stripe_sync_engine_spark.schemas.entities import entity_schema, entity_tables
 
+DEFAULT_N_BUCKETS = 32
+
 
 class TableStore:
-    """Versioned parquet datasets: <root>/<table>/v<N> + <root>/<table>/CURRENT."""
+    """Bucketed parquet datasets with an atomic per-bucket manifest."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = DEFAULT_N_BUCKETS):
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
+    # -- layout --------------------------------------------------------
     def _dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _pointer(self, table: str) -> str:
-        return os.path.join(self._dir(table), "CURRENT")
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._dir(table), "MANIFEST.json")
+
+    def _read_manifest(self, table: str) -> dict | None:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, table: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))
 
     def exists(self, table: str) -> bool:
-        return os.path.exists(self._pointer(table))
+        return os.path.exists(self._manifest_path(table))
+
+    # -- bucketing -----------------------------------------------------
+    def bucket_expr(self, key: str, n_buckets: int):
+        """Stable bucket id of a key column (JVM-side, seed-stable)."""
+        return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
+
+    def _table_n_buckets(self, table: str) -> int:
+        m = self._read_manifest(table)
+        return int(m["n_buckets"]) if m else self.n_buckets
+
+    def buckets_of(self, df: DataFrame, key: str = "id", table: str | None = None) -> list[int]:
+        """Distinct bucket ids present in ``df`` — bounded by n_buckets, so
+        the collect is O(n_buckets) regardless of batch size."""
+        nb = self._table_n_buckets(table) if table else self.n_buckets
+        return sorted(
+            r["b"] for r in df.select(self.bucket_expr(key, nb).alias("b")).distinct().collect()
+        )
+
+    # -- read ----------------------------------------------------------
+    def _bucket_paths(self, table: str, manifest: dict, buckets: list[int] | None) -> list[str]:
+        sel = manifest["buckets"]
+        if buckets is not None:
+            sel = {str(b): v for b in buckets if (v := manifest["buckets"].get(str(b)))}
+        paths = []
+        for b, version in sel.items():
+            p = os.path.join(self._dir(table), version, f"_bucket={b}")
+            if os.path.exists(p):
+                paths.append(p)
+        return paths
 
     def read(self, table: str) -> DataFrame | None:
-        if not self.exists(table):
-            return None
-        with open(self._pointer(table)) as f:
-            version = f.read().strip()
-        return self.spark.read.parquet(os.path.join(self._dir(table), version))
+        return self.read_buckets(table, None)
 
-    def write(self, table: str, df: DataFrame) -> None:
-        """Write a new version and atomically swap the CURRENT pointer."""
+    def read_buckets(self, table: str, buckets: list[int] | None) -> DataFrame | None:
+        """Read the whole table (``buckets=None``) or only the named
+        buckets — the pruning that keeps merges O(batch), not O(table)."""
+        manifest = self._read_manifest(table)
+        if manifest is None:
+            return None
+        schema = StructType.fromJson(manifest["schema"])
+        paths = self._bucket_paths(table, manifest, buckets)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- write ---------------------------------------------------------
+    def _write_version(self, table: str, df: DataFrame, key: str, nb: int) -> str:
         tdir = self._dir(table)
         os.makedirs(tdir, exist_ok=True)
         version = f"v{int(time.time() * 1000)}_{os.getpid()}"
         path = os.path.join(tdir, version)
-        df.write.mode("overwrite").parquet(path)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer(table))
-        self._vacuum(table, keep=version)
+        (
+            df.withColumn("_bucket", self.bucket_expr(key, nb))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        return version
 
-    def _vacuum(self, table: str, keep: str) -> None:
+    def write(self, table: str, df: DataFrame, key: str = "id") -> None:
+        """Full-table write: every bucket re-points to the new version."""
+        nb = self._table_n_buckets(table)
+        version = self._write_version(table, df, key, nb)
+        vdir = os.path.join(self._dir(table), version)
+        present = [
+            d.split("=", 1)[1]
+            for d in (os.listdir(vdir) if os.path.exists(vdir) else [])
+            if d.startswith("_bucket=")
+        ]
+        manifest = {
+            "n_buckets": nb,
+            "schema": json.loads(df.schema.json()),
+            "buckets": {b: version for b in present},
+        }
+        self._commit_manifest(table, manifest)
+        self._vacuum(table)
+
+    def write_buckets(self, table: str, df: DataFrame, buckets: list[int], key: str = "id") -> None:
+        """Partial write: ``df`` holds the full new contents of exactly the
+        given buckets; only their manifest entries move. Buckets in the
+        list with no surviving rows are dropped from the manifest."""
+        prior = self._read_manifest(table)
+        if prior is None:
+            # table does not exist yet — a partial write of its only data
+            # is simply its first full version
+            return self.write(table, df, key=key)
+        nb = int(prior["n_buckets"])
+        version = self._write_version(table, df, key, nb)
+        vdir = os.path.join(self._dir(table), version)
+        written = {
+            d.split("=", 1)[1]
+            for d in (os.listdir(vdir) if os.path.exists(vdir) else [])
+            if d.startswith("_bucket=")
+        }
+        new_buckets = dict(prior["buckets"])
+        for b in buckets:
+            if str(b) in written:
+                new_buckets[str(b)] = version
+            else:
+                new_buckets.pop(str(b), None)  # bucket emptied by deletes
+        manifest = {"n_buckets": nb, "schema": json.loads(df.schema.json()), "buckets": new_buckets}
+        self._commit_manifest(table, manifest)
+        self._vacuum(table)
+
+    def _vacuum(self, table: str) -> None:
+        """Remove version dirs no manifest bucket references."""
+        manifest = self._read_manifest(table)
+        if manifest is None:
+            return
+        live = set(manifest["buckets"].values())
         tdir = self._dir(table)
         for name in os.listdir(tdir):
-            if name.startswith("v") and name != keep:
+            if name.startswith("v") and name not in live:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------

@@ -90,6 +90,7 @@ def start_webhook_stream(
                     engine.store.write(
                         REJECTED_TABLE,
                         rejected if prior is None else prior.unionByName(rejected),
+                        key="value",
                     )
                 events = checked.where(F.col("signature_valid")).select(
                     F.col("payload").alias("value")

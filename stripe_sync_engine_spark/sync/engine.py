@@ -228,9 +228,11 @@ class StripeSparkSync:
         """Hard delete (product/price/plan/tax_id .deleted —
         stripeSync.ts:1360-1399,:1480-1482)."""
         keys = self._project(entity, subset).select("id")
-        target = self.store.read(entity)
-        if target is not None:
-            self.store.write(entity, delete_by_keys(target, keys))
+        if self.store.exists(entity):
+            touched = self.store.buckets_of(keys, "id", table=entity)
+            target = self.store.read_buckets(entity, touched)
+            if target is not None:
+                self.store.write_buckets(entity, delete_by_keys(target, keys), touched)
         return keys.count()
 
     def _handle_entitlement_summary(self, subset: DataFrame) -> int:
@@ -385,12 +387,16 @@ class StripeSparkSync:
         return revalidated, deleted_ids
 
     def _delete_ids(self, entity: str, ids: list[str]) -> None:
-        """Hard-delete rows whose upstream object no longer exists."""
-        target = self.store.read(entity)
-        if target is None:
+        """Hard-delete rows whose upstream object no longer exists.
+        Bucket-pruned like the merge: only buckets holding the keys are
+        anti-joined and rewritten."""
+        if not self.store.exists(entity):
             return
         keys = self.spark.createDataFrame([(i,) for i in ids], "id string")
-        self.store.write(entity, delete_by_keys(target, keys))
+        touched = self.store.buckets_of(keys, "id", table=entity)
+        target = self.store.read_buckets(entity, touched)
+        if target is not None:
+            self.store.write_buckets(entity, delete_by_keys(target, keys), touched)
 
     def _expand_lists(self, entity: str, subset: DataFrame) -> DataFrame:
         """autoExpandLists: when an embedded list has has_more=true, refetch
@@ -460,7 +466,12 @@ class StripeSparkSync:
         # so the later statement wins; a set-oriented argmax needs an
         # explicit total order.
         tiebreaks = ["_event_id"] if "_event_id" in rows.columns else None
-        target = self.store.read(entity)
+        # Bucket pruning: only the store buckets containing batch keys are
+        # read, merged, and rewritten — merge cost scales with the batch,
+        # not the table (O(table) full-outer + full rewrite was the
+        # dominant scale-killer in the sync layer).
+        touched = self.store.buckets_of(rows, "id", table=entity)
+        target = self.store.read_buckets(entity, touched)
         merged = merge_upsert(
             target,
             rows,
@@ -471,7 +482,7 @@ class StripeSparkSync:
         )
         if tiebreaks:
             merged = merged.drop(*tiebreaks)
-        self.store.write(entity, merged)
+        self.store.write_buckets(entity, merged, touched)
 
     # ------------------------------------------------------------------
     # Backfill layer (§3.2) — paginated scans in dependency order

@@ -371,3 +371,31 @@ def test_asof_join_null_payload_atomic(spark):
     # back-filled from the older row
     assert out["a_val"] == "new_a"
     assert out["b_val"] is None
+
+
+# bucketed store: a small merge batch rewrites a strict subset of buckets
+def test_merge_rewrites_only_touched_buckets(engine):
+    import json as _json
+    import os as _os
+
+    # seed many keys so several buckets are populated
+    events = [
+        fx.event("charge.updated", fx.charge(id=f"ch_bkt_{i}", amount=i), created=100 + i)
+        for i in range(40)
+    ]
+    process(engine, *events)
+    mpath = _os.path.join(engine.store.root, "charges", "MANIFEST.json")
+    before = _json.load(open(mpath))["buckets"]
+    assert len(set(before.values())) == 1  # one full version
+    # single-key merge
+    process(engine, fx.event("charge.updated", fx.charge(id="ch_bkt_0", amount=999), created=10_000))
+    after = _json.load(open(mpath))["buckets"]
+    moved = {b for b in after if after[b] != before.get(b)}
+    kept = {b for b in after if after[b] == before.get(b)}
+    assert len(moved) == 1  # exactly the bucket of ch_bkt_0 rewrote
+    assert kept  # everything else still serves the old version's files
+    # and the data is correct
+    rows = table_rows(engine, "charges")
+    assert rows["ch_bkt_0"]["amount"] == 999
+    assert rows["ch_bkt_7"]["amount"] == 7
+    assert len(rows) == 40
