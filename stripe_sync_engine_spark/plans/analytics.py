@@ -593,3 +593,63 @@ def q20_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         as_double(F.sum(m("o_totalprice"))).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — interval range join (SURVEY J6 theta-range): clicks within 10
+# minutes after each purchase. Closes the J6 "no theta/interval-range
+# query exercised" gap (VERDICT r1).
+# ---------------------------------------------------------------------------
+@register(
+    "q21_range_join",
+    oracle="""
+        SELECT a.event_id, COUNT(*) AS n_clicks,
+               MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us
+        FROM events a
+        JOIN events b
+          ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+        GROUP BY a.event_id
+    """,
+    operators="J6-range",
+)
+def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) via the bucketed band-join operator —
+    O(pairs-in-band), never a nested-loop cross product. See
+    operators/range_join.py for the physical strategy."""
+    from stripe_sync_engine_spark.operators.range_join import interval_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select("event_id", "ts")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts")
+    )
+    pairs = interval_range_join(
+        purchases, clicks, left_time="ts", right_time="click_ts", lower_s=0, upper_s=600
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min(F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("ts"))).alias("min_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — INTERSECT (SURVEY §2.7): customers present in both the orders fact
+# and the events stream. Closes the §2.7 "intersect never exercised" gap.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_intersect",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        INTERSECT
+        SELECT user_id AS custkey FROM events
+    """,
+    operators="SET-intersect",
+)
+def q22_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set INTERSECT (distinct semantics) — Catalyst plans a left-semi
+    aggregate join; key-only projections push column pruning to both
+    scans."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("custkey"))
+    return orders.intersect(events)
