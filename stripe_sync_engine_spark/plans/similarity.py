@@ -211,3 +211,274 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = _idot(F.col("qv"), plane_lit)
         bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
     return emb.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (dedup family) and the two
+# scale-path ANN searches: multiprobe LSH and IVF. Candidate generation is
+# always a bucket/cell equi-join — never an all-pairs cross join — and the
+# oracle SQL mirrors BOTH stages (bucketing and exact verify), so the
+# correctness gate checks the full pipeline, not just the verify step.
+# ---------------------------------------------------------------------------
+
+EMBED_DUP_THRESHOLD = 0.25  # same-bucket pairs above this cosine are near-dups
+N_PROBES_BITS = N_PLANES  # multiprobe: original bucket + all Hamming-1 flips
+IVF_CENTROID_STRIDE = 50  # centroids = vec_id % 50 == 0 (deterministic seeds)
+IVF_NPROBE = 2
+
+
+SQL_BUCKETS = f"""
+    WITH planes(p, d, w) AS (VALUES {_sql_plane_values()}),
+    comps AS (
+        SELECT vec_id,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS vi,
+               unnest(generate_series(1, {N_DIMS})) AS d
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT c.vec_id, pl.p, CAST(SUM(c.vi * pl.w) AS BIGINT) AS s
+        FROM comps c JOIN planes pl ON pl.d = c.d
+        GROUP BY c.vec_id, pl.p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        FROM signs GROUP BY vec_id
+    ),
+    qcomps AS (
+        SELECT vec_id,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS vi,
+               unnest(generate_series(1, {N_DIMS})) AS d
+        FROM embeddings
+    ),
+    qvecs AS (
+        SELECT vec_id, list(vi ORDER BY d) AS qv FROM qcomps GROUP BY vec_id
+    )
+"""
+
+SQL_EXACT_COSINE = """
+    list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+      / (sqrt(list_dot_product(a.qv::DOUBLE[], a.qv::DOUBLE[]))
+         * sqrt(list_dot_product(b.qv::DOUBLE[], b.qv::DOUBLE[])))
+"""
+
+
+def _buckets_and_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket, qv): LSH bucket + quantized vector, one map-side pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    )
+    planes = lsh_planes()
+    bits = []
+    for p in range(N_PLANES):
+        plane_lit = F.array(*[F.lit(w).cast("long") for w in planes[p]])
+        bits.append(F.when(_idot(F.col("qv"), plane_lit) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return emb.select("vec_id", F.concat(*bits).alias("bucket"), "qv")
+
+
+def _exact_cosine(a_qv: Column, b_qv: Column) -> Column:
+    """Exact int64 dot/norms; IEEE-deterministic final division."""
+    return _idot(a_qv, b_qv).cast("double") / (
+        F.sqrt(_idot(a_qv, a_qv).cast("double")) * F.sqrt(_idot(b_qv, b_qv).cast("double"))
+    )
+
+
+@register(
+    "dd_embed_cosine",
+    oracle=f"""
+        {SQL_BUCKETS},
+        vecs AS (
+            SELECT b.vec_id, b.bucket, q.qv FROM buckets b JOIN qvecs q USING (vec_id)
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {SQL_EXACT_COSINE} AS cosine
+        FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {SQL_EXACT_COSINE} >= {EMBED_DUP_THRESHOLD}
+    """,
+    operators="TDP-dedup-embed",
+)
+def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the LSH
+    bucket equi-join (|bucket|² pair fan-out per bucket, never all-pairs —
+    560 vs 124,750 pairs at sf0.01), verified with the exact quantized
+    cosine. At 100 TB, recall is tuned by adding bands (OR over several
+    independent bucket keys) exactly like MinHash-LSH in plans/dedup.py;
+    the candidate join stays an equi-join either way."""
+    vecs = _buckets_and_quant(spark, sf_dir)
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("qv").alias("qv_a"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("qv").alias("qv_b"))
+    cosine = _exact_cosine(F.col("qv_a"), F.col("qv_b"))
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(EMBED_DUP_THRESHOLD))
+    )
+
+
+@register(
+    "sim_lsh_ann",
+    oracle=f"""
+        {SQL_BUCKETS},
+        vecs AS (
+            SELECT b.vec_id, b.bucket, q.qv FROM buckets b JOIN qvecs q USING (vec_id)
+        ),
+        probes AS (
+            SELECT vec_id, bucket AS probe FROM vecs WHERE vec_id < {N_QUERIES}
+            UNION ALL
+            SELECT vec_id,
+                   substr(bucket, 1, i - 1)
+                     || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+                     || substr(bucket, i + 1) AS probe
+            FROM vecs, generate_series(1, {N_PROBES_BITS}) AS t(i)
+            WHERE vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id
+            FROM probes p JOIN vecs v ON v.bucket = p.probe
+            WHERE v.vec_id <> p.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, {SQL_EXACT_COSINE} AS cosine
+            FROM cand c
+            JOIN vecs a ON a.vec_id = c.query_id
+            JOIN vecs b ON b.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    operators="TDP-ann-lsh-e2e",
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multiprobe-LSH ANN: each query probes its own bucket plus
+    all {N_PLANES} Hamming-1 neighbors (9 probe keys, computed map-side),
+    candidates come from the bucket equi-join, and only candidates get the
+    exact cosine — the corpus is never brute-force scanned. Each
+    (query, candidate) pair matches exactly one probe (a corpus vector has
+    one bucket and probe keys are distinct), so no dedup pass is needed."""
+    vecs = _buckets_and_quant(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES)
+    flips = [F.col("bucket")]
+    for i in range(1, N_PROBES_BITS + 1):
+        flipped = F.when(F.substring("bucket", i, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(F.substring("bucket", 1, i - 1), flipped, F.expr(f"substring(bucket, {i + 1})"))
+        )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_a"),
+        F.explode(F.array(*flips)).alias("probe"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("probe"), F.col("qv").alias("qv_b")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, ["probe"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _exact_cosine(F.col("qv_a"), F.col("qv_b")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+        {SQL_BUCKETS},
+        cdist AS (
+            SELECT vec_id, cell,
+                   CAST(SUM(vv * cc) AS BIGINT) AS dot,
+                   CAST(SUM(vv * vv) AS BIGINT) AS vn2,
+                   CAST(SUM(cc * cc) AS BIGINT) AS cn2
+            FROM (
+                SELECT v.vec_id, c.vec_id AS cell, unnest(v.qv) AS vv, unnest(c.qv) AS cc
+                FROM qvecs v JOIN qvecs c ON c.vec_id % {IVF_CENTROID_STRIDE} = 0
+            )
+            GROUP BY vec_id, cell
+        ),
+        assign AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY vn2 + cn2 - 2 * dot, cell) AS rn
+            FROM cdist
+        ),
+        cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, cell FROM assign
+            WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id
+            FROM qprobe q JOIN cells v USING (cell)
+            WHERE v.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, {SQL_EXACT_COSINE} AS cosine
+            FROM cand c
+            JOIN qvecs a ON a.vec_id = c.query_id
+            JOIN qvecs b ON b.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    operators="TDP-ann-ivf",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a small deterministic centroid set (every
+    {IVF_CENTROID_STRIDE}th vector) is broadcast; every corpus vector is
+    assigned to its nearest cell map-side (exact int64 L2, |centroids|-way
+    fan-out, no shuffle); queries probe their {IVF_NPROBE} nearest cells
+    and brute-force only those cells' members. At 100 TB the corpus would
+    be written bucketed BY cell so probes prune file scans; the search
+    join stays an equi-join on cell either way. Each corpus vector lives
+    in exactly one cell and probed cells are distinct, so each
+    (query, neighbor) candidate appears once — no dedup pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    )
+    cents = emb.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+    l2sq = (
+        _idot(F.col("qv"), F.col("qv"))
+        + _idot(F.col("cv"), F.col("cv"))
+        - 2 * _idot(F.col("qv"), F.col("cv"))
+    )
+    cdist = emb.crossJoin(F.broadcast(cents)).select("vec_id", "qv", "cell", l2sq.alias("l2sq"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("l2sq").asc(), F.col("cell").asc())
+    ranked_cells = cdist.withColumn("rn", F.row_number().over(w))
+    cells = ranked_cells.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell"), F.col("qv").alias("qv_b")
+    )
+    qprobe = ranked_cells.where(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cell"), F.col("qv").alias("qv_a"))
+    scored = (
+        F.broadcast(qprobe)
+        .join(cells, ["cell"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _exact_cosine(F.col("qv_a"), F.col("qv_b")).alias("cosine"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
