@@ -56,6 +56,9 @@ class SyncConfig:
     auto_expand_lists: bool = True
     revalidate_objects_via_stripe_api: tuple[str, ...] = ()
     max_backfill_depth: int = 3
+    # Endpoint secret for HTTP webhook ingest (reference
+    # STRIPE_WEBHOOK_SECRET, types.ts:25-66); None disables the route.
+    webhook_secret: str | None = None
 
 
 _RAW_EVENT_SCHEMA = StructType([StructField("value", StringType())])

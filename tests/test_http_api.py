@@ -1,0 +1,141 @@
+"""HTTP front-door tests — mirrors the reference's route tests
+(packages/fastify-app/src/test/webhooks.test.ts:64-168: signed event in →
+row in store; bad signature → 400) plus the API-key guard semantics of
+utils/verifyApiKey.ts."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import time
+
+import pytest
+
+from stripe_sync_engine_spark.api import Router, api_key_matches, serve
+from stripe_sync_engine_spark.sources.stripe_api import InMemoryStripeAPI
+from stripe_sync_engine_spark.sources.webhook import sign_header
+from stripe_sync_engine_spark.storage import TableStore
+from stripe_sync_engine_spark.sync import StripeSparkSync, SyncConfig
+from tests import fixtures as fx
+
+SECRET = "whsec_test_secret"
+API_KEY = "api_key_test"
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "warehouse"))
+    return StripeSparkSync(
+        spark, store, api=InMemoryStripeAPI(), config=SyncConfig(webhook_secret=SECRET)
+    )
+
+
+@pytest.fixture()
+def router(engine):
+    return Router(engine, api_key=API_KEY)
+
+
+def signed_post(router, payload: str, secret: str = SECRET):
+    header = sign_header(secret, int(time.time()), payload)
+    return router.handle("POST", "/webhooks", {"Stripe-Signature": header}, payload.encode())
+
+
+def table_rows(eng, table):
+    df = eng.store.read(table)
+    return {} if df is None else {r["id"]: r.asDict() for r in df.collect()}
+
+
+def test_health(router):
+    status, body = router.handle("GET", "/health", {}, b"")
+    assert status == 200
+    assert body["received"] is True and body["statusCode"] == 200
+
+
+def test_webhook_signed_event_lands_in_store(router, engine):
+    payload = fx.event("charge.succeeded", fx.charge(id="ch_http"), created=1_700_000_500)
+    status, body = signed_post(router, payload)
+    assert (status, body) == (200, {"received": True})
+    assert table_rows(engine, "charges")["ch_http"]["amount"] == 4200
+
+
+def test_webhook_bad_signature_400(router, engine):
+    payload = fx.event("charge.succeeded", fx.charge(id="ch_bad"))
+    status, body = signed_post(router, payload, secret="whsec_wrong")
+    assert status == 400
+    assert str(body).startswith("Webhook Error:")
+    assert "ch_bad" not in table_rows(engine, "charges")
+
+
+def test_webhook_malformed_header_400(router):
+    payload = fx.event("charge.succeeded", fx.charge())
+    status, _ = router.handle(
+        "POST", "/webhooks", {"Stripe-Signature": "t=abc,v1=zzz"}, payload.encode()
+    )
+    assert status == 400
+
+
+def test_sync_requires_api_key(router):
+    assert router.handle("POST", "/sync", {}, b"")[0] == 401
+    assert router.handle("POST", "/sync", {"Authorization": "nope"}, b"")[0] == 401
+    # longer-than-key header is rejected (reference verifyApiKey.ts:27)
+    assert router.handle("POST", "/sync", {"Authorization": API_KEY + "x"}, b"")[0] == 401
+
+
+def test_sync_backfill_roundtrip(router, engine):
+    engine.api.put("customers", fx.customer(id="cus_http"))
+    status, body = router.handle(
+        "POST", "/sync", {"Authorization": API_KEY}, json.dumps({"object": "customers"}).encode()
+    )
+    assert status == 200 and body["statusCode"] == 200
+    assert "cus_http" in table_rows(engine, "customers")
+
+
+def test_sync_single_prefix_dispatch(router, engine):
+    engine.api.put("customers", fx.customer(id="cus_single"))
+    status, body = router.handle(
+        "POST", "/sync/single/cus_single", {"Authorization": API_KEY}, b""
+    )
+    assert status == 200
+    assert "cus_single" in table_rows(engine, "customers")
+
+
+def test_sync_daily_window(router, engine):
+    # one recent object (inside the 24h window) and one ancient one
+    now = int(time.time())
+    engine.api.put("customers", {**fx.customer(id="cus_new"), "created": now - 3600})
+    engine.api.put("customers", {**fx.customer(id="cus_old"), "created": now - 40 * 86_400})
+    status, _ = router.handle("POST", "/sync/daily", {"Authorization": API_KEY}, b"")
+    assert status == 200
+    rows = table_rows(engine, "customers")
+    assert "cus_new" in rows and "cus_old" not in rows
+
+
+def test_unknown_route_404(router):
+    assert router.handle("GET", "/nope", {}, b"")[0] == 404
+    assert router.handle("POST", "/sync/hourly", {"Authorization": API_KEY}, b"")[0] == 404
+
+
+def test_api_key_matches_timing_safe_semantics():
+    assert api_key_matches("abc", "abc")
+    assert not api_key_matches("abcd", "abc")  # longer than key → reject
+    assert not api_key_matches("ab", "abc")  # padded compare fails
+    assert not api_key_matches("abc", None)
+    assert not api_key_matches(None, "abc")
+
+
+def test_end_to_end_over_socket(engine):
+    server = serve(engine, api_key=API_KEY, port=0)
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        payload = fx.event("charge.succeeded", fx.charge(id="ch_sock"), created=1_700_000_900)
+        header = sign_header(SECRET, int(time.time()), payload)
+        conn.request("POST", "/webhooks", body=payload, headers={"Stripe-Signature": header})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read()) == {"received": True}
+        conn.request("GET", "/health")
+        assert conn.getresponse().status == 200
+    finally:
+        server.shutdown()
+    assert table_rows(engine, "charges")["ch_sock"]["amount"] == 4200
