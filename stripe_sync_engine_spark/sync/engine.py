@@ -42,10 +42,12 @@ from stripe_sync_engine_spark.operators.merge import (
     replace_set,
     soft_delete_reconcile,
 )
+from stripe_sync_engine_spark.operators.validate import validate_enums
 from stripe_sync_engine_spark.schemas.entities import ENTITY_PROPS, entity_schema
 from stripe_sync_engine_spark.sources.stripe_api import FLUSH_CHUNK, StripeAPI, to_json_rows
 from stripe_sync_engine_spark.storage import TableStore
 from stripe_sync_engine_spark.sync import registry as R
+from stripe_sync_engine_spark.sync.transforms import apply_transforms
 
 
 @dataclass
@@ -59,6 +61,9 @@ class SyncConfig:
     # Endpoint secret for HTTP webhook ingest (reference
     # STRIPE_WEBHOOK_SECRET, types.ts:25-66); None disables the route.
     webhook_secret: str | None = None
+    # Enum-as-text write validation: "error" (reference Postgres-enum
+    # parity), "null" (quarantine invalid values), or "ignore".
+    enum_policy: str = "error"
 
 
 _RAW_EVENT_SCHEMA = StructType([StructField("value", StringType())])
@@ -463,6 +468,14 @@ class StripeSparkSync:
 
     # -- merge -------------------------------------------------------------
     def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> None:
+        # Public UDF seam (SURVEY §2.10): user-registered per-entity
+        # transforms run on the projected rows just before every merge —
+        # all write paths (webhook, backfill, fan-out, point sync) funnel
+        # through here.
+        rows = apply_transforms(entity, rows)
+        # Enum-as-text checks (reference Postgres enum types) ride the
+        # merge plan itself — no extra validation pass.
+        rows = validate_enums(entity, rows, policy=self.config.enum_policy)
         # Webhook-fed rows carry ``_event_id`` so two events for the same
         # object with equal event.created (same-second updates are common)
         # reduce deterministically — the reference applies rows sequentially

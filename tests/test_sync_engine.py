@@ -399,3 +399,70 @@ def test_merge_rewrites_only_touched_buckets(engine):
     assert rows["ch_bkt_0"]["amount"] == 999
     assert rows["ch_bkt_7"]["amount"] == 7
     assert len(rows) == 40
+
+
+# SURVEY §2.10: public per-entity transform(df)->df registry, applied on
+# every write path just before the merge
+def test_transform_registry_applied_before_merge(engine):
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.sync import clear_transforms, register_transform
+
+    @register_transform("customers")
+    def mask_email(df):
+        return df.withColumn("email", F.upper(F.col("email")))
+
+    try:
+        process(engine, fx.event("customer.created", fx.customer(id="cus_T", email="ada@x.io")))
+        assert table_rows(engine, "customers")["cus_T"]["email"] == "ADA@X.IO"
+        # other entities are untouched
+        process(engine, fx.event("charge.succeeded", fx.charge(id="ch_T")))
+        assert table_rows(engine, "charges")["ch_T"]["amount"] == 4200
+    finally:
+        clear_transforms("customers")
+
+
+def test_transform_dropping_merge_key_fails_fast(engine):
+    from stripe_sync_engine_spark.sync import clear_transforms, register_transform
+
+    register_transform("charges", lambda df: df.drop("id"))
+    try:
+        with pytest.raises(ValueError, match="dropped the 'id' merge key"):
+            process(engine, fx.event("charge.succeeded", fx.charge(id="ch_D")))
+    finally:
+        clear_transforms("charges")
+
+
+# SURVEY §1.2: enum-as-text validation at write (reference Postgres enums)
+def test_enum_violation_errors_batch(engine):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="enum violation"):
+        process(
+            engine,
+            fx.event("customer.subscription.updated", fx.subscription(id="sub_E", status="bogus")),
+        )
+
+
+def test_enum_valid_value_passes(engine):
+    process(
+        engine,
+        fx.event("customer.subscription.updated", fx.subscription(id="sub_OK", status="paused")),
+    )
+    assert table_rows(engine, "subscriptions")["sub_OK"]["status"] == "paused"
+
+
+def test_enum_null_policy_quarantines(spark, tmp_path):
+    from stripe_sync_engine_spark.sources.stripe_api import InMemoryStripeAPI
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync import StripeSparkSync, SyncConfig
+
+    store = TableStore(spark, str(tmp_path / "wh_nullpolicy"))
+    eng = StripeSparkSync(
+        spark, store, api=InMemoryStripeAPI(), config=SyncConfig(enum_policy="null")
+    )
+    process(
+        eng, fx.event("customer.subscription.updated", fx.subscription(id="sub_N", status="bogus"))
+    )
+    assert table_rows(eng, "subscriptions")["sub_N"]["status"] is None
