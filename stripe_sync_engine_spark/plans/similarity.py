@@ -298,22 +298,36 @@ def _exact_cosine(a_qv: Column, b_qv: Column) -> Column:
     operators="TDP-dedup-embed",
 )
 def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates from the LSH
-    bucket equi-join (|bucket|² pair fan-out per bucket, never all-pairs —
-    560 vs 124,750 pairs at sf0.01), verified with the exact quantized
-    cosine. At 100 TB, recall is tuned by adding bands (OR over several
-    independent bucket keys) exactly like MinHash-LSH in plans/dedup.py;
-    the candidate join stays an equi-join either way."""
-    vecs = _buckets_and_quant(spark, sf_dir)
-    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("qv").alias("qv_a"))
-    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("qv").alias("qv_b"))
-    cosine = _exact_cosine(F.col("qv_a"), F.col("qv_b"))
-    return (
-        a.join(b, ["bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine.alias("cosine"))
-        .where(F.col("cosine") >= F.lit(EMBED_DUP_THRESHOLD))
+    """Embedding-cosine near-duplicate pairs: candidates come from LSH
+    buckets (560 candidate pairs vs 124,750 all-pairs at sf0.01), verified
+    with the exact quantized cosine. Single-pass plan (the shape the
+    Jaccard dedup uses): the quantize+bucket pipeline runs ONCE, one
+    shuffle groups vectors by bucket, and the i<j pairs explode map-side
+    from the sorted in-bucket list — vs a self-join's two shuffles over
+    twice-computed input. Norms are computed per vector BEFORE grouping so
+    each pair only needs one dot product. At 100 TB, recall is tuned by
+    adding bands (OR over independent bucket keys) exactly like
+    MinHash-LSH in plans/dedup.py; bucket-size bounds the pair fan-out."""
+    from stripe_sync_engine_spark.plans.dedup import _pairs_from_sorted
+
+    vecs = _buckets_and_quant(spark, sf_dir).withColumn(
+        "n2", _idot(F.col("qv"), F.col("qv"))
     )
+    grp = (
+        vecs.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "n2", "qv"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    pairs = _pairs_from_sorted(F.col("docs"), lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    ex = grp.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr.a.vec_id").alias("id_a"),
+        F.col("pr.b.vec_id").alias("id_b"),
+        (
+            _idot(F.col("pr.a.qv"), F.col("pr.b.qv")).cast("double")
+            / (F.sqrt(F.col("pr.a.n2").cast("double")) * F.sqrt(F.col("pr.b.n2").cast("double")))
+        ).alias("cosine"),
+    )
+    return ex.where(F.col("cosine") >= F.lit(EMBED_DUP_THRESHOLD))
 
 
 @register(
