@@ -60,3 +60,95 @@ def decode_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
             yield out
 
     return df.mapInPandas(decode, schema=DECODED_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample / feature-extract: the rest of the multimodal UDF
+# family. Same contract as decode: deterministic fakes behind the exact
+# production UDF signature, schema, and Arrow batch shape; swap the fake
+# for PIL/ffmpeg/numpy calls and the Spark plan is unchanged.
+# ---------------------------------------------------------------------------
+
+RESIZE_BOX = (320, 240)  # target bounding box, keep-aspect
+RESIZED_SCHEMA = "doc_id long, src_w long, src_h long, out_w long, out_h long, out_bytes long"
+
+FRAME_BYTES = 64  # fake "frame" length within a binary payload
+FRAME_STRIDE = 4  # sample every 4th frame
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_sig int"
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, n_digit long, n_upper long, n_lower long, n_space long, n_other long"
+)
+
+
+def resize_binary(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Keep-aspect 'resize' into RESIZE_BOX via mapInPandas. The fake
+    decoder supplies (w, h) from the byte length (as in ``_fake_decode``);
+    a real implementation calls PIL ``img.thumbnail(RESIZE_BOX)`` and
+    re-encodes. Degenerate dims (0) yield NULL output dims, mirroring a
+    decoder failure row — downstream filters on ``out_w IS NOT NULL``."""
+    max_w, max_h = RESIZE_BOX
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                n = len(payload)
+                w, h = n % 640, (n * 7) % 480
+                if w == 0 or h == 0:
+                    rows.append((doc_id, w, h, None, None, None))
+                    continue
+                scale = min(1.0, max_w / w, max_h / h)
+                out_w, out_h = int(w * scale), int(h * scale)
+                rows.append((doc_id, w, h, out_w, out_h, out_w * out_h * 3))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_w", "src_h", "out_w", "out_h", "out_bytes"]
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Frame sampling: treat the payload as FRAME_BYTES-sized frames, emit
+    one row per FRAME_STRIDE-th frame — a row-EXPANDING mapInPandas (the
+    UDTF shape; ffmpeg frame extraction has the same fan-out). Each output
+    row carries the frame's offset and a deterministic signature byte
+    (md5 of the frame bytes — the stand-in for a real thumbnail/phash)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                n_frames = len(payload) // FRAME_BYTES
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    seg = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    sig = int(hashlib.md5(seg).hexdigest()[:2], 16)
+                    rows.append((doc_id, idx, idx * FRAME_BYTES, sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_off", "frame_sig"])
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Byte-class histogram features — the deterministic stand-in for an
+    embedding model: each payload maps to a fixed-length numeric feature
+    row, the exact plumbing a real encoder (CLIP/wav2vec) batch would use
+    (Arrow in, fixed-schema vector out). Feeds the similarity operators
+    (plans/similarity.py) unchanged."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                n = len(payload)
+                d = sum(1 for b in payload if 0x30 <= b <= 0x39)
+                u = sum(1 for b in payload if 0x41 <= b <= 0x5A)
+                lo = sum(1 for b in payload if 0x61 <= b <= 0x7A)
+                sp = sum(1 for b in payload if b == 0x20)
+                rows.append((doc_id, n, d, u, lo, sp, n - d - u - lo - sp))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "n_digit", "n_upper", "n_lower", "n_space", "n_other"],
+            )
+
+    return df.mapInPandas(feats, schema=FEATURES_SCHEMA)

@@ -38,3 +38,98 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return decode_binary_meta(docs)
+
+
+@register(
+    "mm_resize",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) % 640 AS BIGINT) AS src_w,
+                   CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS src_h
+            FROM documents
+        )
+        SELECT doc_id, src_w, src_h,
+               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
+                    ELSE CAST(floor(src_w * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) END AS out_w,
+               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
+                    ELSE CAST(floor(src_h * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) END AS out_h,
+               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
+                    ELSE CAST(floor(src_w * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT)
+                         * CAST(floor(src_h * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) * 3 END AS out_bytes
+        FROM dims
+    """,
+    operators="TDP-multimodal-resize",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-aspect resize plumbing (fake decoder dims; real swap = PIL
+    thumbnail). mapInPandas, Arrow batches, NULL rows for degenerate
+    dims."""
+    from stripe_sync_engine_spark.functions.multimodal import resize_binary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return resize_binary(docs)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS INTEGER) - 1)) AS frame_idx
+            FROM documents
+            WHERE octet_length(encode(text)) >= 64
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * 64 AS BIGINT) AS frame_off,
+               CAST((strpos('{_HEX}', substr(md5(substr(text, frame_idx * 64 + 1, 64)), 1, 1)) - 1) * 16
+                    + (strpos('{_HEX}', substr(md5(substr(text, frame_idx * 64 + 1, 64)), 2, 1)) - 1) AS INTEGER) AS frame_sig
+        FROM f
+        WHERE frame_idx % 4 = 0
+    """,
+    operators="TDP-multimodal-frames",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: row-expanding mapInPandas (every 4th 64-byte
+    'frame' → one output row with a signature byte) — the ffmpeg
+    frame-extract shape. Oracle mirrors the framing arithmetic over the
+    ASCII text (bytes == chars for this corpus)."""
+    from stripe_sync_engine_spark.functions.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(docs)
+
+
+@register(
+    "mm_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+               CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_lower,
+               CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_space,
+               CAST(octet_length(encode(text))
+                    - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                    - (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                    - (length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
+                    - (length(text) - length(regexp_replace(text, '[ ]', '', 'g'))) AS BIGINT) AS n_other
+        FROM documents
+    """,
+    operators="TDP-multimodal-features",
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction plumbing: payload → fixed-length numeric feature
+    row (byte-class histogram as the deterministic stand-in for an
+    embedding model batch). Same Arrow-batched shape a CLIP/wav2vec
+    encoder would use."""
+    from stripe_sync_engine_spark.functions.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_features(docs)
