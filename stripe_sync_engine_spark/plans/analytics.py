@@ -653,3 +653,40 @@ def q22_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("custkey"))
     return orders.intersect(events)
+
+
+# ---------------------------------------------------------------------------
+# Q23 — batch sessionization (gaps-and-islands; batch twin of the
+# applyInPandasWithState streaming sessionizer in streaming/sessions.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q23_sessionize",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    operators="T5,A4,window",
+)
+def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min gap) over the events stream table — one
+    shuffle on user_id shared by the lag window, the cumulative-sum
+    window, and the final aggregation."""
+    from stripe_sync_engine_spark.streaming.sessions import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_s=1800)

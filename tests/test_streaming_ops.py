@@ -1,0 +1,165 @@
+"""Streaming analytics operators: watermarked windowed aggregation and
+applyInPandasWithState sessionization (state carried across micro-batches,
+deterministic data-driven session closes)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from stripe_sync_engine_spark.streaming.sessions import sessionize_batch, sessionize_stream
+from stripe_sync_engine_spark.streaming.windows import windowed_event_counts
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+def _write_batch(dirpath: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(event_id: int, ts: str, user_id: int, event_type: str = "click", value: int = 1) -> dict:
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+    }
+
+
+def _drain(stream_df, tmp_path, name: str):
+    """Run one availableNow pass into a memory sink; return collected rows."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            _ev(1, "2024-01-01 00:10:00", 1, "click", 2),
+            _ev(2, "2024-01-01 00:40:00", 1, "click", 3),
+            _ev(3, "2024-01-01 01:10:00", 2, "view", 5),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(landing)
+    windowed = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    # append-mode windows only emit when the watermark passes; push it
+    # forward with a later second batch
+    _write_batch(landing, "b2.json", [_ev(4, "2024-01-01 05:00:00", 3, "click", 1)])
+    _drain(windowed, tmp_path, "win_counts")
+    rows = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows[("2024-01-01T00:00:00", "click")] == (2, 5.0)
+    assert rows[("2024-01-01T01:00:00", "view")] == (1, 5.0)
+
+
+def test_windowed_counts_batch_parity(spark, sf_dir):
+    from stripe_sync_engine_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(events, window="1 day", watermark="1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()  # tumbling windows partition the stream
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    landing = str(tmp_path / "sess_landing")
+    ckpt = str(tmp_path / "ckpt_sessions")
+    collected: list = []
+
+    def run_pass():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(landing)
+        sessions = sessionize_stream(stream, gap_s=1800)
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 has two events 10 min apart (one open session)
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            _ev(1, "2024-01-01 00:00:00", 1),
+            _ev(2, "2024-01-01 00:10:00", 1),
+        ],
+    )
+    run_pass()
+    assert collected == []  # session still open, held in state
+
+    # batch 2 (same checkpoint → state restored): an event 2h later closes
+    # the session; a second user appears
+    _write_batch(
+        landing,
+        "b2.json",
+        [
+            _ev(3, "2024-01-01 02:10:00", 1),
+            _ev(4, "2024-01-01 00:05:00", 2),
+        ],
+    )
+    run_pass()
+    assert len(collected) == 1
+    s = collected[0]
+    assert s["user_id"] == 1 and s["n_events"] == 2
+    assert s["session_start"].isoformat() == "2024-01-01T00:00:00"
+    assert s["session_end"].isoformat() == "2024-01-01T00:10:00"
+
+
+def test_sessionize_batch_gaps_and_islands(spark):
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:10:00"),
+        (3, 1, "2024-01-01 02:00:00"),
+        (4, 2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r["user_id"], r["session_start"].isoformat()): r["n_events"]
+        for r in sessionize_batch(df, gap_s=1800).collect()
+    }
+    assert out == {
+        (1, "2024-01-01T00:00:00"): 2,
+        (1, "2024-01-01T02:00:00"): 1,
+        (2, "2024-01-01T00:00:00"): 1,
+    }
