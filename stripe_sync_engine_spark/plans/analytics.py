@@ -690,3 +690,63 @@ def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return sessionize_batch(events, gap_s=1800)
+
+
+# ---------------------------------------------------------------------------
+# Q24 — PIVOT (wide conditional aggregation). Explicit value list so no
+# extra distinct-values job runs and the plan is a single hash aggregate.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q24_pivot",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'error') AS n_error,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (event_type = 'view') AS n_view
+        FROM events GROUP BY user_id
+    """,
+    operators="A4-pivot",
+)
+def q24_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events to one column per type. The explicit values list keeps
+    it one aggregation pass (no distinct-scan) and a fixed output schema —
+    the only scale-safe way to pivot."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = events.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+# verified bit-identical interpolation).
+# ---------------------------------------------------------------------------
+@register(
+    "q25_percentiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """,
+    operators="A4-percentile",
+)
+def q25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group. Exact percentile
+    is a sort-based aggregate; at 100 TB the approx_percentile sketch
+    (t-digest, mergeable, fixed memory) is the scale path — exact here
+    because the oracle must hash-match."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )

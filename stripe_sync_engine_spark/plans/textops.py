@@ -116,3 +116,37 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("content_fp"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("normalized_fp"),
     )
+
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "txt_bpe_tokens",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
+               CAST(list_sum(list_transform(
+                    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+                    x -> (length(x) + 3) // 4)) AS BIGINT) AS n_subwords
+        FROM documents
+    """,
+    operators="TDP-text-bpe",
+)
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-style pre-tokenizer regex (letter runs,
+    single digits, punctuation) plus a ceil(len/4) subword estimate per
+    piece — all JVM-side (regexp_extract_all + higher-order aggregate),
+    zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    subwords = F.aggregate(
+        F.transform(pieces, lambda x: F.floor((F.length(x) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        subwords.alias("n_subwords"),
+    )
