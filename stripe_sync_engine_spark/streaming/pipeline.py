@@ -86,12 +86,21 @@ def start_webhook_stream(
                     F.current_timestamp().alias("rejected_at"),
                 )
                 if not rejected.isEmpty():
-                    prior = engine.store.read(REJECTED_TABLE)
-                    engine.store.write(
-                        REJECTED_TABLE,
-                        rejected if prior is None else prior.unionByName(rejected),
-                        key="value",
-                    )
+                    # bucket-pruned append: only buckets receiving new
+                    # rejected rows are rewritten
+                    if engine.store.exists(REJECTED_TABLE):
+                        touched = engine.store.buckets_of(
+                            rejected, "value", table=REJECTED_TABLE
+                        )
+                        prior = engine.store.read_buckets(REJECTED_TABLE, touched)
+                        engine.store.write_buckets(
+                            REJECTED_TABLE,
+                            prior.unionByName(rejected),
+                            touched,
+                            key="value",
+                        )
+                    else:
+                        engine.store.write(REJECTED_TABLE, rejected, key="value")
                 events = checked.where(F.col("signature_valid")).select(
                     F.col("payload").alias("value")
                 )

@@ -40,7 +40,6 @@ from stripe_sync_engine_spark.operators.merge import (
     latest_by_key,
     merge_upsert,
     replace_set,
-    soft_delete_reconcile,
 )
 from stripe_sync_engine_spark.operators.validate import validate_enums
 from stripe_sync_engine_spark.schemas.entities import ENTITY_PROPS, entity_schema
@@ -277,9 +276,27 @@ class StripeSparkSync:
         # features table (reference backfillFeatures, stripeSync.ts:1692).
         if self.config.backfill_related_entities:
             self._backfill_parents("active_entitlements", rows, depth=0)
+        if not self.store.exists("active_entitlements"):
+            self.store.write("active_entitlements", rows)
+            return rows.count()
+        # Bucket-pruned replace-set: the rewrite touches exactly (a) rows
+        # being upserted and (b) rows being dropped because their customer
+        # is in the batch but their id is not. A full scan finds (b) — the
+        # id keys — then only buckets holding (a) ∪ (b) are rewritten.
         target = self.store.read("active_entitlements")
-        merged = replace_set(target, rows, partition_key="customer")
-        self.store.write("active_entitlements", merged)
+        custs = rows.select("customer").distinct()
+        live = rows.select("id")
+        del_keys = (
+            target.join(F.broadcast(custs), "customer", "left_semi")
+            .join(F.broadcast(live), "id", "left_anti")
+            .select("id")
+        )
+        touched = self.store.buckets_of(
+            del_keys.unionByName(live), "id", table="active_entitlements"
+        )
+        bucket_target = self.store.read_buckets("active_entitlements", touched)
+        merged = replace_set(bucket_target, rows, partition_key="customer")
+        self.store.write_buckets("active_entitlements", merged, touched)
         return rows.count()
 
     # -- child tables ----------------------------------------------------
@@ -313,14 +330,36 @@ class StripeSparkSync:
             carry={"_event_id": F.col("event_id")},
         )
         self._merge("subscription_items", rows)
-        # reconcile: current item set per subscription in this batch
+        # Reconcile (soft-delete items that vanished from their
+        # subscription), bucket-pruned: a full scan finds the stale keys
+        # (items of batch subscriptions absent from the batch item set —
+        # usually a handful), then only their buckets are rewritten with
+        # the deleted flag flipped.
         target = self.store.read("subscription_items")
         if target is not None:
             current = rows.select("id", "subscription")
-            reconciled = soft_delete_reconcile(
-                target, current, partition_key="subscription", deleted_col="deleted"
+            stale = (
+                target.where(~F.coalesce(F.col("deleted"), F.lit(False)))
+                .join(F.broadcast(current.select("subscription").distinct()), "subscription", "left_semi")
+                .join(F.broadcast(current.select("id")), "id", "left_anti")
+                .select("id")
             )
-            self.store.write("subscription_items", reconciled)
+            touched = self.store.buckets_of(stale, "id", table="subscription_items")
+            if touched:
+                bucket_target = self.store.read_buckets("subscription_items", touched)
+                marked = (
+                    bucket_target.join(
+                        F.broadcast(stale.withColumn("_stale", F.lit(True))), "id", "left"
+                    )
+                    .withColumn(
+                        "deleted",
+                        F.when(F.col("_stale").isNotNull(), F.lit(True)).otherwise(
+                            F.col("deleted")
+                        ),
+                    )
+                    .drop("_stale")
+                )
+                self.store.write_buckets("subscription_items", marked, touched)
 
     def _sync_checkout_line_items(self, session_rows: DataFrame) -> None:
         """Fetch line items per checkout session from the API, stamp the

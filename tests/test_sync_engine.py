@@ -466,3 +466,42 @@ def test_enum_null_policy_quarantines(spark, tmp_path):
         eng, fx.event("customer.subscription.updated", fx.subscription(id="sub_N", status="bogus"))
     )
     assert table_rows(eng, "subscriptions")["sub_N"]["status"] is None
+
+
+# reconcile and replace-set paths rewrite only the buckets they touch
+def test_reconcile_rewrites_subset_of_buckets(engine):
+    import json as _json
+    import os as _os
+
+    subs = [
+        fx.event(
+            "customer.subscription.created",
+            fx.subscription(id=f"sub_r{i}", items=[
+                fx.sub_item(id=f"si_r{i}_a", subscription=f"sub_r{i}"),
+                fx.sub_item(id=f"si_r{i}_b", subscription=f"sub_r{i}"),
+            ]),
+            created=100 + i,
+        )
+        for i in range(12)
+    ]
+    process(engine, *subs)
+    mpath = _os.path.join(engine.store.root, "subscription_items", "MANIFEST.json")
+    before = _json.load(open(mpath))["buckets"]
+    # one subscription drops an item -> reconcile flips its deleted flag
+    process(
+        engine,
+        fx.event(
+            "customer.subscription.updated",
+            fx.subscription(id="sub_r0", items=[
+                fx.sub_item(id="si_r0_a", subscription="sub_r0"),
+            ]),
+            created=10_000,
+        ),
+    )
+    after = _json.load(open(mpath))["buckets"]
+    kept = {b for b in after if after[b] == before.get(b)}
+    assert kept  # untouched buckets still serve their old files
+    rows = table_rows(engine, "subscription_items")
+    assert rows["si_r0_b"]["deleted"] is True
+    assert rows["si_r0_a"]["deleted"] is False
+    assert rows["si_r5_a"]["deleted"] is False
