@@ -1,0 +1,99 @@
+"""Property-based checks (hypothesis) of the merge engine's declared
+semantics: the set-oriented, batch-at-a-time merge must converge to the
+same table state regardless of how an event stream is split into batches,
+ordered within batches, or replayed — the invariant that makes unordered
+at-least-once webhook delivery safe (SURVEY T1/T2).
+
+Spec under test (operators/merge.py):
+* within a batch: per-key argmax of (ts, tiebreak) wins;
+* across batches: a row only updates when strictly newer
+  (``last_synced_at IS NULL OR < incoming``) — the reference's ON
+  CONFLICT condition (database/postgres.ts:178-179), so with unique ts
+  per key, ANY batching of the same events yields the per-key max-ts row.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stripe_sync_engine_spark.operators.merge import merge_upsert
+
+KEYS = ["a", "b", "c"]
+
+
+def _events_strategy():
+    # (key, ts_seconds, value, event_seq); ts unique across the stream so
+    # batch-split invariance holds exactly (ties are resolved by batch
+    # boundaries by design — the reference's strict < does the same)
+    return st.lists(
+        st.tuples(
+            st.sampled_from(KEYS),
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[1],
+    )
+
+
+def _expected_final(events):
+    """Sequential/argmax model: per key, the max-ts event wins."""
+    best: dict[str, tuple[int, int]] = {}
+    for key, ts, val in events:
+        if key not in best or ts > best[key][0]:
+            best[key] = (ts, val)
+    return {k: (ts, v) for k, (ts, v) in best.items()}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (k, v, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts))
+            for (k, ts, v) in rows
+        ],
+        "id string, value long, last_synced_at timestamp",
+    )
+
+
+def _apply_batches(spark, batches):
+    target = None
+    for batch in batches:
+        if not batch:
+            continue
+        target = merge_upsert(target, _df(spark, batch), key="id", ts_col="last_synced_at")
+    return target
+
+
+def _state(df):
+    if df is None:
+        return {}
+    return {
+        r["id"]: (int((r["last_synced_at"] - dt.datetime(2024, 1, 1)).total_seconds()), r["value"])
+        for r in df.collect()
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_events_strategy(), split=st.integers(min_value=0, max_value=11), seed=st.randoms())
+def test_batch_split_and_order_invariance(spark, events, split, seed):
+    """Any split point, any intra-batch order, optionally reversed batch
+    order → same final state as the per-key argmax model."""
+    cut = min(split, len(events))
+    b1, b2 = list(events[:cut]), list(events[cut:])
+    seed.shuffle(b1)
+    seed.shuffle(b2)
+    batches = [b1, b2] if seed.random() < 0.5 else [b2, b1]
+    final = _state(_apply_batches(spark, batches))
+    assert final == _expected_final(events)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_events_strategy())
+def test_replay_idempotent(spark, events):
+    once = _state(_apply_batches(spark, [events]))
+    twice = _state(_apply_batches(spark, [events, events]))
+    assert once == twice == _expected_final(events)
