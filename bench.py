@@ -21,6 +21,58 @@ from stripe_sync_engine_spark.plans import REGISTRY  # noqa: E402
 from stripe_sync_engine_spark.session import get_spark  # noqa: E402
 
 
+def _bench_sync_ingest(spark, n_events: int) -> float:
+    """Merge throughput: n synthetic charge/customer webhook events through
+    the full ingest pipeline (parse → route → project → validate →
+    timestamp-protected merge into the bucketed store), as two batches so
+    the second exercises merge-against-existing + bucket pruning."""
+    import shutil
+    import tempfile
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync import StripeSparkSync
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        engine = StripeSparkSync(spark, TableStore(spark, wh))
+        half = n_events // 2
+
+        def batch(start: int, n: int) -> list[str]:
+            payloads = []
+            for i in range(start, start + n):
+                if i % 4 == 0:
+                    obj = {"id": f"cus_{i % 997}", "object": "customer", "email": f"u{i}@x.io"}
+                    etype = "customer.updated"
+                else:
+                    obj = {
+                        "id": f"ch_{i % 3001}",
+                        "object": "charge",
+                        "amount": i,
+                        "customer": f"cus_{i % 997}",
+                        "status": "succeeded",
+                    }
+                    etype = "charge.updated"
+                payloads.append(
+                    json.dumps(
+                        {
+                            "id": f"evt_{i:08d}",
+                            "object": "event",
+                            "type": etype,
+                            "created": 1_700_000_000 + i,
+                            "data": {"object": obj},
+                        }
+                    )
+                )
+            return payloads
+
+        t0 = time.perf_counter()
+        engine.process_webhook_events(engine.events_df_from_json(batch(0, half)))
+        engine.process_webhook_events(engine.events_df_from_json(batch(half, n_events - half)))
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -43,6 +95,8 @@ def main() -> None:
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+
+    times["sync_ingest_5k_events"] = round(_bench_sync_ingest(spark, n_events=5000), 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -127,6 +127,11 @@ class TableStore:
         path = os.path.join(tdir, version)
         (
             df.withColumn("_bucket", self.bucket_expr(key, nb))
+            # co-locate each bucket into one task before partitionBy:
+            # without this every task writes a file per bucket it holds
+            # (tasks × buckets small files); with it, ~one file per bucket
+            # per version — the layout that keeps file counts sane at scale
+            .repartition(nb, F.col("_bucket"))
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(path)
