@@ -87,9 +87,21 @@ class TableStore:
     def buckets_of(self, df: DataFrame, key: str = "id", table: str | None = None) -> list[int]:
         """Distinct bucket ids present in ``df`` — bounded by n_buckets, so
         the collect is O(n_buckets) regardless of batch size."""
+        return [b for b, _ in self.bucket_counts(df, key=key, table=table)]
+
+    def bucket_counts(
+        self, df: DataFrame, key: str = "id", table: str | None = None
+    ) -> list[tuple[int, int]]:
+        """``(bucket id, row count)`` pairs present in ``df``, one partial-agg
+        job bounded by n_buckets. Merges use this as their bucket probe AND
+        their row accounting — one action serves both, so no separate
+        count() re-executes the batch lineage."""
         nb = self._table_n_buckets(table) if table else self.n_buckets
         return sorted(
-            r["b"] for r in df.select(self.bucket_expr(key, nb).alias("b")).distinct().collect()
+            (r["b"], r["n"])
+            for r in df.groupBy(self.bucket_expr(key, nb).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
 
     # -- read ----------------------------------------------------------

@@ -214,10 +214,9 @@ class StripeSparkSync:
         rows = self._project(entity, subset, carry={"_event_id": F.col("event_id")})
         if self.config.backfill_related_entities:
             self._backfill_parents(entity, rows, depth=0)
-        self._merge(entity, rows)
+        n = self._merge(entity, rows)
         if deleted_ids:
             self._delete_ids(entity, deleted_ids)
-        n = rows.count()
         if entity == "subscriptions":
             self._sync_subscription_items(subset)
         elif entity == "checkout_sessions":
@@ -228,8 +227,7 @@ class StripeSparkSync:
         """customer.deleted: partial upsert of id/object/deleted only
         (reference customerDeletedSchema, schemas/customer.ts:29-31)."""
         rows = self._project("customers", subset, carry={"_event_id": F.col("event_id")})
-        self._merge("customers", rows, update_cols=["object", "deleted", "updated_at"])
-        return rows.count()
+        return self._merge("customers", rows, update_cols=["object", "deleted", "updated_at"])
 
     def _handle_delete(self, entity: str, subset: DataFrame) -> int:
         """Hard delete (product/price/plan/tax_id .deleted —
@@ -506,7 +504,7 @@ class StripeSparkSync:
             self._merge(parent, parent_rows)
 
     # -- merge -------------------------------------------------------------
-    def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> None:
+    def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
         # Public UDF seam (SURVEY §2.10): user-registered per-entity
         # transforms run on the projected rows just before every merge —
         # all write paths (webhook, backfill, fan-out, point sync) funnel
@@ -524,8 +522,12 @@ class StripeSparkSync:
         # Bucket pruning: only the store buckets containing batch keys are
         # read, merged, and rewritten — merge cost scales with the batch,
         # not the table (O(table) full-outer + full rewrite was the
-        # dominant scale-killer in the sync layer).
-        touched = self.store.buckets_of(rows, "id", table=entity)
+        # dominant scale-killer in the sync layer). The probe job doubles
+        # as the batch-row accounting, so no separate count() re-executes
+        # the parse→project lineage per entity.
+        probe = self.store.bucket_counts(rows, "id", table=entity)
+        touched = [b for b, _ in probe]
+        n_rows = int(sum(n for _, n in probe))
         target = self.store.read_buckets(entity, touched)
         merged = merge_upsert(
             target,
@@ -538,6 +540,7 @@ class StripeSparkSync:
         if tiebreaks:
             merged = merged.drop(*tiebreaks)
         self.store.write_buckets(entity, merged, touched)
+        return n_rows
 
     # ------------------------------------------------------------------
     # Backfill layer (§3.2) — paginated scans in dependency order
