@@ -29,32 +29,38 @@ DECODED_META_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for an image decoder. A real implementation
-    would be: img = PIL.Image.open(io.BytesIO(payload)); return its size."""
-    n = len(payload)
-    digest = hashlib.md5(payload).digest()
-    return {
-        "n_bytes": n,
-        "content_sha": digest[0],
-        "fake_width": n % 640,
-        "fake_height": (n * 7) % 480,
-    }
-
-
 def decode_real(payload: bytes) -> dict:  # pragma: no cover - by design
     raise NotImplementedError(
         "real image/audio decode requires PIL/ffmpeg, not present in this "
-        "container; the Spark-side plumbing uses _fake_decode instead"
+        "container; the Spark-side plumbing uses the fake decode in "
+        "decode_binary_meta instead"
     )
 
 
 def decode_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """binary column → typed metadata rows via mapInPandas (Arrow batches)."""
+    """binary column → typed metadata rows via mapInPandas (Arrow batches).
+
+    The worker function closes over ONLY stdlib + pandas: every mapInPandas
+    body in this module is a nested function referencing no module-level
+    helpers, so cloudpickle ships it by value and executors never need this
+    package importable on their own sys.path (a fresh driver session from
+    any cwd works)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> dict:
+            # Deterministic stand-in for an image decoder; the real one is
+            # img = PIL.Image.open(io.BytesIO(payload)) → its size.
+            n = len(payload)
+            digest = hashlib.md5(payload).digest()
+            return {
+                "n_bytes": n,
+                "content_sha": digest[0],
+                "fake_width": n % 640,
+                "fake_height": (n * 7) % 480,
+            }
+
         for pdf in batches:
-            metas = [_fake_decode(b) for b in pdf[bin_col]]
+            metas = [fake_decode(b) for b in pdf[bin_col]]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
