@@ -476,14 +476,29 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * _idot(F.col("qv"), F.col("cv"))
     )
     cdist = emb.crossJoin(F.broadcast(cents)).select("vec_id", "qv", "cell", l2sq.alias("l2sq"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("l2sq").asc(), F.col("cell").asc())
-    ranked_cells = cdist.withColumn("rn", F.row_number().over(w))
-    cells = ranked_cells.where(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cell"), F.col("qv").alias("qv_b")
+    # Corpus assignment is an argmin, not a rank: min_by ordered by the
+    # (l2sq, cell) struct is map-side partial-aggregable, so the exchange
+    # carries ONE row per vector — a window-over-vec_id formulation would
+    # shuffle all |corpus|·|centroids| rows, each dragging its 64-long
+    # array, before ranking.
+    cells = (
+        cdist.groupBy("vec_id")
+        .agg(
+            F.min_by("cell", F.struct("l2sq", "cell")).alias("cell"),
+            F.first("qv").alias("qv_b"),
+        )
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "qv_b")
     )
-    qprobe = ranked_cells.where(
-        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cell"), F.col("qv").alias("qv_a"))
+    # Queries DO need a rank (their top-NPROBE cells), but only the
+    # N_QUERIES subset pays for it — the filter pushes below the centroid
+    # cross join, so this branch re-scans |queries|·|centroids| rows.
+    w = Window.partitionBy("vec_id").orderBy(F.col("l2sq").asc(), F.col("cell").asc())
+    qprobe = (
+        cdist.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cell"), F.col("qv").alias("qv_a"))
+    )
     scored = (
         F.broadcast(qprobe)
         .join(cells, ["cell"])
