@@ -13,5 +13,6 @@ from stripe_sync_engine_spark.plans import textops  # noqa: E402,F401
 from stripe_sync_engine_spark.plans import dedup  # noqa: E402,F401
 from stripe_sync_engine_spark.plans import similarity  # noqa: E402,F401
 from stripe_sync_engine_spark.plans import multimodal  # noqa: E402,F401
+from stripe_sync_engine_spark.plans import skewops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "EngineQuery", "register"]

@@ -1,0 +1,70 @@
+"""Skew-mitigation query surface: the salted-join and widened-shuffle
+operators (operators/skew.py) under oracle gates.
+
+The oracles are the PLAIN formulations (ordinary join / COUNT DISTINCT):
+the point of the gate is that the skew-safe physical shape is
+semantically invisible — identical rows, identical values — while its
+shuffle routing survives a Zipf-hot key that would stall the plain plan's
+single reducer at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stripe_sync_engine_spark.operators.skew import salted_join, two_level_count_distinct
+from stripe_sync_engine_spark.plans.analytics import SQL_REVENUE_EXPR, as_double, revenue_expr
+from stripe_sync_engine_spark.plans.registry import register
+from stripe_sync_engine_spark.tables import load_table
+
+N_SALT = 8
+
+
+@register(
+    "q26_count_distinct_skew",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    operators="A4,TDP-skew",
+)
+def q26_count_distinct_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type — 5 hot key values over the
+    whole table, the classic skewed distinct. Routed through the widened
+    first shuffle (dedupe on (event_type, user_id)) so no reducer owns a
+    whole event_type."""
+    events = load_table(spark, sf_dir, "events")
+    return two_level_count_distinct(events, "event_type", "user_id", alias="n_users")
+
+
+@register(
+    "q27_salted_join",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM({SQL_REVENUE_EXPR}) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    operators="J6,TDP-skew",
+)
+def q27_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim revenue rollup through ``salted_join``: lineitem rows
+    salt on (orderkey, linenumber) — varying within each join key — and
+    orders replicate 8×, so a pathological hot orderkey would spread over
+    8 reducers. The oracle is the ordinary join: the salt must not change
+    a single output value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on="o_orderkey",
+        salt_on=F.concat_ws("|", F.col("o_orderkey"), F.col("l_linenumber")),
+        n_salt=N_SALT,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"), as_double(F.sum(revenue_expr())).alias("revenue")
+    )

@@ -52,3 +52,58 @@ def test_range_join_negative_window(spark):
     out = interval_range_join(left, right, "lt", "rt", lower_s=-60, upper_s=0).collect()
     # window is (40, 100]: ts=40 sits exactly on the exclusive lower bound
     assert sorted(r["rid"] for r in out) == [41, 42]
+
+
+# ---------------------------------------------------------------------------
+# Skew operators (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+from stripe_sync_engine_spark.operators.skew import salted_join, two_level_count_distinct  # noqa: E402
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_inner(spark):
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "a", "b") for i in range(5 if k == "hot" else 1)],
+        "k string, line int",
+    )
+    right = spark.createDataFrame([("hot", 1), ("a", 2), ("c", 3)], "k string, v int")
+    got = salted_join(left, right, "k", salt_on=F.col("line"), n_salt=4)
+    want = left.join(right, "k")
+    assert _rows(got) == _rows(want)
+
+
+def test_salted_join_left_keeps_unmatched_once(spark):
+    left = spark.createDataFrame([("a", 1), ("zzz", 2), ("zzz", 3)], "k string, line int")
+    right = spark.createDataFrame([("a", 10)], "k string, v int")
+    got = salted_join(left, right, "k", salt_on=F.col("line"), n_salt=8, how="left")
+    want = left.join(right, "k", "left")
+    assert _rows(got) == _rows(want)  # unmatched rows exactly once, not n_salt times
+
+
+def test_salted_join_semi_anti(spark):
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k string, line int")
+    right = spark.createDataFrame([("a", 10)], "k string, v int")
+    semi = salted_join(left, right, "k", salt_on=F.col("line"), n_salt=4, how="left_semi")
+    anti = salted_join(left, right, "k", salt_on=F.col("line"), n_salt=4, how="left_anti")
+    assert _rows(semi) == _rows(left.join(right, "k", "left_semi"))
+    assert _rows(anti) == _rows(left.join(right, "k", "left_anti"))
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, line int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "k", salt_on=F.col("line"), how="right")
+
+
+def test_two_level_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("hot", u) for u in (1, 1, 2, 3, 3, 3)] + [("cold", 9)], "k string, u int"
+    )
+    got = {r["k"]: r["n"] for r in two_level_count_distinct(df, "k", "u", alias="n").collect()}
+    assert got == {"hot": 3, "cold": 1}
