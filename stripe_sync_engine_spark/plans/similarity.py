@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,12 +74,17 @@ SQL_DOTS = f"""
 
 def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, dot, qn2, en2) with exact int64 arithmetic;
-    query side broadcast so the corpus never shuffles."""
+    query side broadcast so the corpus never shuffles. Norms are computed
+    ONCE per vector on each side BEFORE the cross join — inside the join
+    they would be re-evaluated per pair, i.e. |Q|× more norm work on the
+    corpus side (and |corpus|× on the query side) for identical values."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _quant(F.col("embedding")).alias("q_emb")
-    )
-    e = emb.select(F.col("vec_id").alias("neighbor_id"), _quant(F.col("embedding")).alias("e_emb"))
+    ).withColumn("qn2", _idot(F.col("q_emb"), F.col("q_emb")))
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _quant(F.col("embedding")).alias("e_emb")
+    ).withColumn("en2", _idot(F.col("e_emb"), F.col("e_emb")))
     return (
         F.broadcast(q)
         .crossJoin(e)
@@ -87,8 +93,8 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             _idot(F.col("q_emb"), F.col("e_emb")).alias("dot"),
-            _idot(F.col("q_emb"), F.col("q_emb")).alias("qn2"),
-            _idot(F.col("e_emb"), F.col("e_emb")).alias("en2"),
+            "qn2",
+            "en2",
         )
     )
 
@@ -200,17 +206,10 @@ def _sql_plane_values() -> str:
 )
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment: 8 deterministic ±1 planes →
-    8 sign bits → bucket string. Entirely map-side per vector in Spark
-    (literal plane arrays, zip_with dot products) — no shuffle until a
-    candidate join on ``bucket``."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    planes = lsh_planes()
-    bits = []
-    for p in range(N_PLANES):
-        plane_lit = F.array(*[F.lit(w).cast("long") for w in planes[p]])
-        s = _idot(F.col("qv"), plane_lit)
-        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-    return emb.select("vec_id", F.concat(*bits).alias("bucket"))
+    8 sign bits → bucket string. Entirely map-side per vector — no shuffle
+    until a candidate join on ``bucket`` (numpy matmul inside mapInPandas;
+    see _buckets_and_quant for why that beats JVM HOF lambdas here)."""
+    return _buckets_and_quant(spark, sf_dir).select("vec_id", "bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -264,23 +263,41 @@ SQL_EXACT_COSINE = """
 
 
 def _buckets_and_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bucket, qv): LSH bucket + quantized vector, one map-side pass."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quant(F.col("embedding")).alias("qv")
-    )
+    """(vec_id, bucket, qv): LSH bucket + quantized vector, one map-side pass.
+
+    Vectorized numpy inside Arrow-batched ``mapInPandas`` — the one place
+    this engine prefers Python over JVM expressions on a hot path, and it
+    is measured, not guessed: Spark higher-order-function lambdas
+    (zip_with/aggregate) evaluate INTERPRETED, so 8 plane dot products ×
+    64 dims per vector cost ~1.5 ms/row, while the equivalent (n,64)@(64,8)
+    int64 matmul is microseconds per batch. The arithmetic is exactly the
+    JVM/_quant semantics: float32→float64 (exact), ×1e7, floor, int64 —
+    bit-identical on both engines, so the DuckDB oracle is unchanged.
+    Still zero-shuffle and embarrassingly parallel at 100 TB.
+
+    The worker closure references only numpy/pandas + captured plain-data
+    literals (plane list, ints) so it pickles by value — executors never
+    import this package."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planes = lsh_planes()
-    bits = []
-    for p in range(N_PLANES):
-        plane_lit = F.array(*[F.lit(w).cast("long") for w in planes[p]])
-        bits.append(F.when(_idot(F.col("qv"), plane_lit) > 0, F.lit("1")).otherwise(F.lit("0")))
-    return emb.select("vec_id", F.concat(*bits).alias("bucket"), "qv")
+    quant = QUANT
 
+    def assign(batches):
+        import numpy as np
 
-def _exact_cosine(a_qv: Column, b_qv: Column) -> Column:
-    """Exact int64 dot/norms; IEEE-deterministic final division."""
-    return _idot(a_qv, b_qv).cast("double") / (
-        F.sqrt(_idot(a_qv, a_qv).cast("double")) * F.sqrt(_idot(b_qv, b_qv).cast("double"))
-    )
+        plane_m = np.array(planes, dtype=np.int64)  # (8, 64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(v * quant).astype(np.int64)  # (n, 64)
+            signs = q @ plane_m.T > 0  # (n, 8)
+            buckets = ["".join("1" if b else "0" for b in row) for row in signs]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "bucket": buckets, "qv": list(q)}
+            )
+
+    return emb.mapInPandas(assign, schema="vec_id long, bucket string, qv array<long>")
 
 
 @register(
@@ -376,7 +393,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine — the corpus is never brute-force scanned. Each
     (query, candidate) pair matches exactly one probe (a corpus vector has
     one bucket and probe keys are distinct), so no dedup pass is needed."""
-    vecs = _buckets_and_quant(spark, sf_dir)
+    vecs = _buckets_and_quant(spark, sf_dir).withColumn("n2", _idot(F.col("qv"), F.col("qv")))
     queries = vecs.where(F.col("vec_id") < N_QUERIES)
     flips = [F.col("bucket")]
     for i in range(1, N_PROBES_BITS + 1):
@@ -387,16 +404,25 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_a"),
+        F.col("n2").alias("na2"),
         F.explode(F.array(*flips)).alias("probe"),
     )
     corpus = vecs.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("probe"), F.col("qv").alias("qv_b")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("probe"),
+        F.col("qv").alias("qv_b"),
+        F.col("n2").alias("nb2"),
+    )
+    # Norms ride the join sides (computed once per vector/probe row);
+    # each candidate pair evaluates only the single cross dot product.
+    cosine = _idot(F.col("qv_a"), F.col("qv_b")).cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
     )
     scored = (
         F.broadcast(probes)
         .join(corpus, ["probe"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _exact_cosine(F.col("qv_a"), F.col("qv_b")).alias("cosine"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -464,18 +490,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join stays an equi-join on cell either way. Each corpus vector lives
     in exactly one cell and probed cells are distinct, so each
     (query, neighbor) candidate appears once — no dedup pass."""
+    # Norms hoisted out of the |corpus|·|centroids| pair fan-out: vn2 is
+    # computed once per vector and cn2 once per centroid; inside the cross
+    # join each would be re-evaluated per pair for identical values.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quant(F.col("embedding")).alias("qv")
-    )
+    ).withColumn("vn2", _idot(F.col("qv"), F.col("qv")))
     cents = emb.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv"), F.col("vn2").alias("cn2")
     )
-    l2sq = (
-        _idot(F.col("qv"), F.col("qv"))
-        + _idot(F.col("cv"), F.col("cv"))
-        - 2 * _idot(F.col("qv"), F.col("cv"))
+    l2sq = F.col("vn2") + F.col("cn2") - 2 * _idot(F.col("qv"), F.col("cv"))
+    cdist = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "vn2", "cell", l2sq.alias("l2sq")
     )
-    cdist = emb.crossJoin(F.broadcast(cents)).select("vec_id", "qv", "cell", l2sq.alias("l2sq"))
     # Corpus assignment is an argmin, not a rank: min_by ordered by the
     # (l2sq, cell) struct is map-side partial-aggregable, so the exchange
     # carries ONE row per vector — a window-over-vec_id formulation would
@@ -486,8 +513,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min_by("cell", F.struct("l2sq", "cell")).alias("cell"),
             F.first("qv").alias("qv_b"),
+            F.first("vn2").alias("nb2"),
         )
-        .select(F.col("vec_id").alias("neighbor_id"), "cell", "qv_b")
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "qv_b", "nb2")
     )
     # Queries DO need a rank (their top-NPROBE cells), but only the
     # N_QUERIES subset pays for it — the filter pushes below the centroid
@@ -497,13 +525,22 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdist.where(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("cell"), F.col("qv").alias("qv_a"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell"),
+            F.col("qv").alias("qv_a"),
+            F.col("vn2").alias("na2"),
+        )
+    )
+    # Norms ride the join sides; each candidate pair costs one dot product.
+    cosine = _idot(F.col("qv_a"), F.col("qv_b")).cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
     )
     scored = (
         F.broadcast(qprobe)
         .join(cells, ["cell"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _exact_cosine(F.col("qv_a"), F.col("qv_b")).alias("cosine"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
