@@ -68,3 +68,31 @@ def q27_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"), as_double(F.sum(revenue_expr())).alias("revenue")
     )
+
+
+@register(
+    "q28_hll_distinct",
+    oracle=None,  # sketch estimates are engine-specific: Spark's Datasketches
+    # HLL and DuckDB's HLL disagree by design, so there is no value oracle.
+    # The driver records a rows-only check; the ACCURACY gate is
+    # tests/test_operators.py::test_hll_estimate_within_bound (±5% of the
+    # exact count from q26, which IS value-oracled).
+    operators="A4,TDP-sketch",
+)
+def q28_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via an HLL sketch
+    aggregation (Datasketches under Spark's hll_sketch_agg). The sketch is
+    the 100 TB path q26's exact rewrite trades off against: fixed ~KB state
+    per key regardless of cardinality, map-side combinable, and sketches
+    are MERGEABLE — partial sketches from per-partition / per-day runs
+    union losslessly (hll_union_agg), which exact distinct cannot do
+    without re-scanning."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id").cast("string"))).alias(
+                "n_users_approx"
+            )
+        )
+    )

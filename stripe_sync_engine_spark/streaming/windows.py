@@ -50,3 +50,26 @@ def windowed_event_counts(
             *[F.col(a) for a in (["n_events"] + (["total_value"] if agg_col else []))],
         )
     )
+
+
+def dedupe_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup (at-least-once source → effectively
+    -once downstream): ``dropDuplicatesWithinWatermark`` keeps one row per key
+    and evicts its dedup state once the watermark passes the row's event time
+    — bounded state no matter how long the stream runs, which plain
+    ``dropDuplicates`` (unbounded state) cannot promise. Duplicates arriving
+    within the watermark horizon are suppressed across micro-batches; a
+    duplicate arriving later than the horizon is by contract late data.
+
+    On a batch DataFrame this degrades to exact ``dropDuplicates`` — same
+    code path serves backfill and live ingest, like windowed_event_counts.
+    """
+    keys = list(key_cols)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -107,3 +107,21 @@ def test_two_level_count_distinct(spark):
     )
     got = {r["k"]: r["n"] for r in two_level_count_distinct(df, "k", "u", alias="n").collect()}
     assert got == {"hot": 3, "cold": 1}
+
+
+def test_hll_estimate_within_bound(spark, sf_dir):
+    """q28's HLL estimate must land within 5% of q26's exact count (the
+    oracle-gated truth) for every event_type."""
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in REGISTRY["q26_count_distinct_skew"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in REGISTRY["q28_hll_distinct"].spark(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)

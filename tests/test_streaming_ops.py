@@ -163,3 +163,39 @@ def test_sessionize_batch_gaps_and_islands(spark):
         (1, "2024-01-01T02:00:00"): 1,
         (2, "2024-01-01T00:00:00"): 1,
     }
+
+
+def test_dedupe_stream_across_microbatches(spark, tmp_path):
+    from stripe_sync_engine_spark.streaming.windows import dedupe_stream
+
+    landing = str(tmp_path / "landing_dd")
+    # event 1 appears in both files; maxFilesPerTrigger=1 forces the files
+    # into separate micro-batches so the dedup state must carry across
+    _write_batch(
+        landing,
+        "b1.json",
+        [_ev(1, "2024-01-01 00:10:00", 1), _ev(2, "2024-01-01 00:11:00", 1)],
+    )
+    _write_batch(
+        landing,
+        "b2.json",
+        [_ev(1, "2024-01-01 00:10:00", 1), _ev(3, "2024-01-01 00:12:00", 2)],
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    deduped = dedupe_stream(stream, key_cols=("event_id",), watermark="1 hour")
+    _drain(deduped, tmp_path, "dd_stream")
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dd_stream").collect())
+    assert got == [1, 2, 3]
+
+
+def test_dedupe_stream_batch_fallback(spark):
+    from stripe_sync_engine_spark.streaming.windows import dedupe_stream
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "event_id long, payload string"
+    )
+    assert dedupe_stream(df, key_cols=("event_id",)).count() == 2
