@@ -750,3 +750,64 @@ def q25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.9)").alias("p90"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+@register(
+    "q29_grouping_sets",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal,
+               COUNT(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (n.n_name), ())
+    """,
+    operators="A4-groupingsets,J6",
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as rollup/cube): per-region,
+    per-nation, and grand totals in one pass — Spark expands the sets with
+    a single Expand node feeding one hash aggregation, not three scans."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    base = joined.select(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal"
+    )
+    return base.groupingSets([["region"], ["nation"], []], "region", "nation").agg(
+        as_double(F.sum(m("c_acctbal"))).alias("total_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "q30_time_range_frame",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_1h_value
+        FROM events
+    """,
+    operators="W-frame-range",
+)
+def q30_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour RANGE frame per user: Spark has no interval RANGE
+    frame, so the order key is microseconds-since-epoch and the frame is
+    the equivalent numeric range — value-identical to DuckDB's interval
+    frame (RANGE includes ts-peers on both engines). One shuffle on
+    user_id; the frame scan is sorted-run local."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id", "user_id", "ts", as_double(F.sum(m("value")).over(w)).alias("trailing_1h_value")
+    )
