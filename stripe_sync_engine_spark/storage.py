@@ -46,10 +46,24 @@ DEFAULT_N_BUCKETS = 32
 class TableStore:
     """Bucketed parquet datasets with an atomic per-bucket manifest."""
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = DEFAULT_N_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = DEFAULT_N_BUCKETS,
+        vacuum_retain_s: float = 0.0,
+    ):
+        """``vacuum_retain_s``: minimum age before an UNREFERENCED version
+        dir is deleted. A reader plans its scan against the manifest it
+        read; a concurrent merge that re-points buckets and vacuums
+        immediately would delete files out from under that in-flight scan.
+        Locally (single-writer tests, short queries) 0 is fine; a real
+        deployment sets this beyond the longest expected query, exactly
+        like Delta's VACUUM retention."""
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self.vacuum_retain_s = vacuum_retain_s
         os.makedirs(root, exist_ok=True)
 
     # -- layout --------------------------------------------------------
@@ -196,14 +210,23 @@ class TableStore:
         self._vacuum(table)
 
     def _vacuum(self, table: str) -> None:
-        """Remove version dirs no manifest bucket references."""
+        """Remove version dirs no manifest bucket references, once they are
+        older than ``vacuum_retain_s`` (grace period for in-flight readers
+        holding the previous manifest)."""
         manifest = self._read_manifest(table)
         if manifest is None:
             return
         live = set(manifest["buckets"].values())
         tdir = self._dir(table)
+        cutoff_ms = (time.time() - self.vacuum_retain_s) * 1000
         for name in os.listdir(tdir):
-            if name.startswith("v") and name not in live:
+            if not name.startswith("v") or name in live:
+                continue
+            try:
+                created_ms = int(name[1:].split("_", 1)[0])
+            except ValueError:
+                continue  # not a version dir we wrote
+            if created_ms <= cutoff_ms:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------

@@ -505,3 +505,22 @@ def test_reconcile_rewrites_subset_of_buckets(engine):
     assert rows["si_r0_b"]["deleted"] is True
     assert rows["si_r0_a"]["deleted"] is False
     assert rows["si_r5_a"]["deleted"] is False
+
+
+# vacuum retention: unreferenced versions survive the grace period
+def test_vacuum_retention_grace(spark, tmp_path):
+    import os as _os
+
+    store = TableStore(spark, str(tmp_path / "wh_vac"), vacuum_retain_s=3600)
+    df1 = spark.createDataFrame([("a", 1)], "id string, v int")
+    df2 = spark.createDataFrame([("a", 2)], "id string, v int")
+    store.write("t", df1)
+    store.write("t", df2)  # re-points every bucket; v1 now unreferenced
+    tdir = str(tmp_path / "wh_vac" / "t")
+    versions = [d for d in _os.listdir(tdir) if d.startswith("v")]
+    assert len(versions) == 2  # old version retained for in-flight readers
+    # with no grace period the unreferenced version is reclaimed
+    store_now = TableStore(spark, str(tmp_path / "wh_vac"), vacuum_retain_s=0.0)
+    store_now.write("t", df1)
+    versions = [d for d in _os.listdir(tdir) if d.startswith("v")]
+    assert len(versions) == 1
