@@ -298,6 +298,11 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle it twice), groupBy the bucket key, collect the sorted doc list,
     and explode pairs map-side — the signature stage runs once and the only
     shuffles are the bucket groupBy and the final distinct."""
+    return _lsh_candidate_pairs(spark, sf_dir)
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b) distinct LSH candidate pairs — see dd_minhash_lsh_pairs."""
     bands = _minhash_band_rows(spark, sf_dir)
     grp = (
         bands.groupBy("band", "band_key")
@@ -372,3 +377,74 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     return docs.select("doc_id", packed.alias("simhash"))
+
+
+@register(
+    "dd_cluster_components",
+    oracle=f"""
+        WITH RECURSIVE sigs AS ({SQL_MINHASH_SIGS}),
+        bands AS ({SQL_MINHASH_BANDS}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u
+    """,
+    operators="TDP-dedup-cluster,iterative",
+)
+def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from the LSH candidate pairs: connected
+    components labeled by the component's minimum doc_id — the step that
+    turns pairwise matches into keep/drop groups in a real dedup pipeline
+    (keep cluster_id, drop the rest). Docs with no near-dup pair are
+    singletons and excluded by construction.
+
+    This is the engine's iterative-algorithm shape: driver-controlled
+    min-label propagation. Each sweep is one distributed join+agg (label
+    of v → candidates for u, take the min); ``localCheckpoint`` truncates
+    the lineage so plan depth stays O(1) per sweep instead of growing to
+    the full unrolled loop; convergence is detected with a 1-row
+    aggregate. Sweeps needed = graph diameter, small for LSH graphs
+    (band buckets are cliques). At 100 TB you swap the sweep body for the
+    large-star/small-star alternation (O(log n) rounds, same loop
+    skeleton, still min-label semantics) — the oracle (a transitive-
+    closure recursive CTE) is label-order independent either way.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    for _ in range(32):  # diameter bound; loop exits on convergence below
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                "label",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("new_label"),
+            )
+        )
+        changed = proposed.where(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = proposed.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
