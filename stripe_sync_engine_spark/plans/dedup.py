@@ -448,3 +448,73 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
+
+
+KEEPLIST_MIN_TOKENS = 50
+
+
+@register(
+    "dd_keeplist_pipeline",
+    oracle=f"""
+        WITH RECURSIVE sigs AS ({SQL_MINHASH_SIGS}),
+        bands AS ({SQL_MINHASH_BANDS}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        clusters AS (
+            SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+        ),
+        exact_keep AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        )
+        SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens
+        FROM documents d
+        JOIN exact_keep k ON k.doc_id = d.doc_id
+        LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        WHERE (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+          AND len(string_split(d.text, ' ')) >= {KEEPLIST_MIN_TOKENS}
+    """,
+    operators="TDP-dedup-pipeline,J2,J3",
+)
+def dd_keeplist_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: one declarative plan composing the dedup
+    family into the keep-list a training-data pipeline actually ships —
+
+    1. exact dedup (keep min doc_id per content md5, left-semi),
+    2. near-dup clusters (dd_cluster_components): keep only each cluster's
+       representative (cluster_id == doc_id), drop the rest (left-anti),
+    3. quality cut: at least {KEEPLIST_MIN_TOKENS} whitespace tokens.
+
+    Every stage is an operator already oracle-gated on its own; this entry
+    gates their COMPOSITION (semi/anti join plumbing, no accidental row
+    duplication or filter reordering across stages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keep = (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    cluster_drops = (
+        dd_cluster_components(spark, sf_dir)
+        .where(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(F.broadcast(cluster_drops), "doc_id", "left_anti")
+        .where(n_tokens >= KEEPLIST_MIN_TOKENS)
+        .select("doc_id", n_tokens.alias("n_tokens"))
+    )
