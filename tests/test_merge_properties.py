@@ -97,3 +97,46 @@ def test_replay_idempotent(spark, events):
     once = _state(_apply_batches(spark, [events]))
     twice = _state(_apply_batches(spark, [events, events]))
     assert once == twice == _expected_final(events)
+
+
+# ---------------------------------------------------------------------------
+# Skew operators: the salted physical shape must be semantically invisible
+# for ANY input, including duplicate keys on both sides, unmatched keys,
+# and a degenerate n_salt of 1.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stripe_sync_engine_spark.operators.skew import (  # noqa: E402
+    salted_join,
+    two_level_count_distinct,
+)
+
+
+def _pairs_strategy(max_key: int = 4):
+    return st.lists(
+        st.tuples(st.integers(min_value=0, max_value=max_key), st.integers(min_value=0, max_value=9)),
+        min_size=0,
+        max_size=10,
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_pairs_strategy(), right=_pairs_strategy(), n_salt=st.sampled_from([1, 3, 8]), how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]))
+def test_salted_join_equals_plain_join(spark, left, right, n_salt, how):
+    ldf = spark.createDataFrame(left or [(99, 0)], "k int, line int")
+    rdf = spark.createDataFrame(right or [(98, 0)], "k int, v int")
+    got = salted_join(ldf, rdf, "k", salt_on=F.col("line"), n_salt=n_salt, how=how)
+    want = ldf.join(rdf, "k", how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_pairs_strategy(max_key=2))
+def test_two_level_count_distinct_exact(spark, rows):
+    df = spark.createDataFrame(rows or [(0, 0)], "k int, u int")
+    got = {r["k"]: r["n"] for r in two_level_count_distinct(df, "k", "u", alias="n").collect()}
+    want: dict[int, set[int]] = {}
+    for k, u in rows or [(0, 0)]:
+        want.setdefault(k, set()).add(u)
+    assert got == {k: len(s) for k, s in want.items()}
