@@ -423,9 +423,19 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure recursive CTE) is label-order independent either way.
     """
     pairs = _lsh_candidate_pairs(spark, sf_dir)
+    # Both edge directions explode from ONE pass over the pairs — a
+    # union of two selects would execute the whole minhash→pairs
+    # pipeline twice inside this materialization.
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                    F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .localCheckpoint()
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -435,6 +445,10 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Checkpoint FIRST, then read both the convergence test and the
+        # next labels from the materialized result — counting on the
+        # un-checkpointed plan would execute the sweep join twice per
+        # iteration (once for the count, again for the checkpoint).
         proposed = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
@@ -442,9 +456,10 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "label",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("new_label"),
             )
+            .localCheckpoint()
         )
         changed = proposed.where(F.col("new_label") < F.col("label")).limit(1).count()
-        labels = proposed.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        labels = proposed.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
