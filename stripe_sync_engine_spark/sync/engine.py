@@ -42,7 +42,7 @@ from stripe_sync_engine_spark.operators.merge import (
     replace_set,
 )
 from stripe_sync_engine_spark.operators.validate import validate_enums
-from stripe_sync_engine_spark.schemas.entities import ENTITY_PROPS, entity_schema
+from stripe_sync_engine_spark.schemas.entities import entity_schema
 from stripe_sync_engine_spark.sources.stripe_api import FLUSH_CHUNK, StripeAPI, to_json_rows
 from stripe_sync_engine_spark.storage import TableStore
 from stripe_sync_engine_spark.sync import registry as R
