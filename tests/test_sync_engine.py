@@ -524,3 +524,23 @@ def test_vacuum_retention_grace(spark, tmp_path):
     store_now.write("t", df1)
     versions = [d for d in _os.listdir(tdir) if d.startswith("v")]
     assert len(versions) == 1
+
+
+# full routing sweep: one upsert event per routed entity lands a row in its
+# table — exercises the projection schema + route + merge path for the whole
+# event surface, not just the scenario-tested entities
+def test_every_upsert_route_lands_a_row(engine):
+    import stripe_sync_engine_spark.sync.registry as R
+
+    first_type_for: dict[str, str] = {}
+    for etype, (entity, action) in R.EVENT_ROUTES.items():
+        if action == R.UPSERT and entity not in first_type_for:
+            first_type_for[entity] = etype
+    events = [
+        fx.event(etype, {"id": f"sweep_{entity}", "object": entity.rstrip("s")})
+        for entity, etype in sorted(first_type_for.items())
+    ]
+    counts = process(engine, *events)
+    for entity in first_type_for:
+        assert counts.get(entity, 0) >= 1, f"{entity}: no merged rows reported"
+        assert f"sweep_{entity}" in table_rows(engine, entity), entity
