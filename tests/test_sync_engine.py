@@ -544,3 +544,25 @@ def test_every_upsert_route_lands_a_row(engine):
     for entity in first_type_for:
         assert counts.get(entity, 0) >= 1, f"{entity}: no merged rows reported"
         assert f"sweep_{entity}" in table_rows(engine, entity), entity
+
+
+# the delete-routed half of the sweep: create → <entity>.deleted → row gone
+def test_every_delete_route_removes_the_row(engine):
+    import stripe_sync_engine_spark.sync.registry as R
+
+    delete_routes = {
+        entity: etype
+        for etype, (entity, action) in R.EVENT_ROUTES.items()
+        if action == R.DELETE
+    }
+    upsert_type_for = {
+        entity: etype
+        for etype, (entity, action) in sorted(R.EVENT_ROUTES.items(), reverse=True)
+        if action == R.UPSERT
+    }
+    for entity, del_type in sorted(delete_routes.items()):
+        oid = f"sweepdel_{entity}"
+        process(engine, fx.event(upsert_type_for[entity], {"id": oid, "object": entity.rstrip("s")}, created=100))
+        assert oid in table_rows(engine, entity), f"{entity}: seed row missing"
+        process(engine, fx.event(del_type, {"id": oid, "object": entity.rstrip("s")}, created=200))
+        assert oid not in table_rows(engine, entity), f"{entity}: {del_type} did not delete"
