@@ -96,3 +96,42 @@ def q28_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q31_table_profile",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_custkey) AS nn_custkey,
+               COUNT(DISTINCT o_custkey) AS nd_custkey,
+               MIN(o_custkey) AS min_custkey,
+               MAX(o_custkey) AS max_custkey,
+               COUNT(o_orderstatus) AS nn_status,
+               COUNT(DISTINCT o_orderstatus) AS nd_status,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+    """,
+    operators="A4,TDP-profile",
+)
+def q31_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling in ONE scan: row count, per-column null-aware
+    counts, exact distincts, min/max, and a decimal-exact sum, all as
+    parallel aggregates of a single pass (Spark plans the multiple
+    DISTINCT aggregates with one Expand — still one scan of the table).
+    The profile every curation pipeline runs before training; at 100 TB
+    the exact distincts swap for q28's HLL sketches column-wise."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.count_distinct(F.col("o_custkey")).alias("nd_custkey"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct(F.col("o_orderstatus")).alias("nd_status"),
+        as_double(F.min(F.col("o_totalprice").cast("decimal(18,4)"))).alias("min_price"),
+        as_double(F.max(F.col("o_totalprice").cast("decimal(18,4)"))).alias("max_price"),
+        as_double(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).alias("sum_price"),
+    )
