@@ -135,3 +135,30 @@ def q31_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.max(F.col("o_totalprice").cast("decimal(18,4)"))).alias("max_price"),
         as_double(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).alias("sum_price"),
     )
+
+
+SAMPLE_PCT = 20  # keep rows whose id-hash bucket (0..99) is below this
+
+
+@register(
+    "q32_deterministic_sample",
+    oracle=f"""
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE (CAST(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+               + CAST(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
+              < {SAMPLE_PCT}
+    """,
+    operators="P2,TDP-sample",
+)
+def q32_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~{SAMPLE_PCT}% sample: keep rows whose md5(id) first
+    byte lands in a fixed bucket range. Unlike ``df.sample()`` (seeded
+    per-partition RNG — resplitting the input changes the sample), the
+    hash sample is a pure row predicate: reproducible across runs,
+    cluster layouts, and engines, composable with stratification (hash
+    within group), and it pushes down as an ordinary filter. This is how
+    training sets are cut reproducibly at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.conv(F.md5(F.col("event_id").cast("string")).substr(1, 2), 16, 10).cast("long") % 100
+    return events.where(bucket < SAMPLE_PCT).select("event_id", "event_type", "user_id")
