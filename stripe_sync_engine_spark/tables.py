@@ -43,24 +43,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     if name == "events":
-        # Required to read parquet TIMESTAMP(NANOS); runtime-settable SQLConf,
+        # Two generations of driver testdata exist: parquet TIMESTAMP(NANOS)
+        # (needs nanosAsLong to read at all) and plain timestamp[us] with no
+        # timezone (which Spark infers as TIMESTAMP_NTZ). Normalize both to
+        # session-TZ TIMESTAMP below; these confs are runtime-settable and
         # applied here as well so driver-provided sessions work.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        for key, val in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ):
+            try:
+                spark.conf.set(key, val)
+            except Exception:
+                pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    # timestamp; with spark.sql.legacy.parquet.nanosAsLong (set in
-    # session.py) it arrives as epoch-nanos LONG. Truncate to micros —
-    # exactly what DuckDB does when it reads the same file — so both
-    # engines see identical TIMESTAMP values.
+    # Normalize events.ts to TIMESTAMP (LTZ) regardless of which physical
+    # type the driver wrote:
+    #   * TIMESTAMP(NANOS) + nanosAsLong → epoch-nanos LONG: truncate to
+    #     micros, exactly what DuckDB does reading the same file.
+    #   * timestamp[us] (no tz) → TIMESTAMP_NTZ: cast to timestamp. The
+    #     session TZ is UTC (session.py), so the cast is bit-exact and
+    #     matches DuckDB's native read.
+    # Downstream expressions (F.unix_micros, range frames, sessionization)
+    # require LTZ TIMESTAMP, so this is the single choke point for the
+    # normalization.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
