@@ -473,20 +473,46 @@ def q15_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q16_set_ops",
     oracle="""
-        SELECT user_id FROM events WHERE event_type = 'click'
-        EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
+        SELECT 'except' AS op, user_id AS key_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'union' AS op, user_id AS key_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'intersect' AS op, custkey AS key_id FROM (
+            SELECT o_custkey AS custkey FROM orders
+            INTERSECT
+            SELECT user_id AS custkey FROM events
+        )
     """,
-    operators="2.7-setops",
+    operators="2.7-setops,SET-intersect",
 )
 def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set difference) between two event cohorts."""
+    """All three SQL set operators (distinct semantics) in one result,
+    tagged by an ``op`` column: EXCEPT and UNION between two event
+    cohorts, INTERSECT between the orders fact and the events stream
+    (formerly the separate q22_intersect registry entry).
+
+    subtract == SQL EXCEPT (exceptAll would keep a user who clicked more
+    often than they purchased); intersect plans as a left-semi aggregate
+    join with key-only projections pruning both scans."""
     events = load_table(spark, sf_dir, "events")
     clickers = events.where(F.col("event_type") == "click").select("user_id")
     buyers = events.where(F.col("event_type") == "purchase").select("user_id")
-    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep a
-    # user who clicked more often than they purchased.
-    return clickers.subtract(buyers)
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    users = events.select(F.col("user_id").alias("custkey"))
+    tag = lambda df, op, col: df.select(F.lit(op).alias("op"), F.col(col).alias("key_id"))  # noqa: E731
+    return (
+        tag(clickers.subtract(buyers), "except", "user_id")
+        .unionByName(tag(clickers.union(buyers).distinct(), "union", "user_id"))
+        .unionByName(tag(orders.intersect(users), "intersect", "custkey"))
+    )
 
 
 @register(
@@ -631,28 +657,6 @@ def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.min(F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("ts"))).alias("min_gap_us"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Q22 — INTERSECT (SURVEY §2.7): customers present in both the orders fact
-# and the events stream. Closes the §2.7 "intersect never exercised" gap.
-# ---------------------------------------------------------------------------
-@register(
-    "q22_intersect",
-    oracle="""
-        SELECT o_custkey AS custkey FROM orders
-        INTERSECT
-        SELECT user_id AS custkey FROM events
-    """,
-    operators="SET-intersect",
-)
-def q22_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set INTERSECT (distinct semantics) — Catalyst plans a left-semi
-    aggregate join; key-only projections push column pruning to both
-    scans."""
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("custkey"))
-    return orders.intersect(events)
 
 
 # ---------------------------------------------------------------------------

@@ -100,40 +100,17 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_topk_l2",
+    "sim_topk_brute",
     oracle=f"""
         WITH dots AS ({SQL_DOTS}),
-        ranked AS (
+        ranked_l2 AS (
             SELECT query_id, neighbor_id,
                    qn2 + en2 - 2 * dot AS l2sq,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY qn2 + en2 - 2 * dot, neighbor_id) AS rank
             FROM dots
-        )
-        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, CAST(l2sq AS BIGINT) AS l2sq
-        FROM ranked WHERE rank <= {TOP_K}
-    """,
-    operators="TDP-ann-bruteforce",
-)
-def sim_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force k-NN by (quantized) squared L2 distance — exact integers
-    end to end."""
-    scored = _scored_pairs(spark, sf_dir).select(
-        "query_id", "neighbor_id", (F.col("qn2") + F.col("en2") - 2 * F.col("dot")).alias("l2sq")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("l2sq").asc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.col("l2sq").cast("long"))
-    )
-
-
-@register(
-    "sim_topk_cosine",
-    oracle=f"""
-        WITH dots AS ({SQL_DOTS}),
-        ranked AS (
+        ),
+        ranked_cos AS (
             SELECT query_id, neighbor_id,
                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) AS cosine,
                    row_number() OVER (PARTITION BY query_id
@@ -141,22 +118,55 @@ def sim_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                neighbor_id) AS rank
             FROM dots
         )
-        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
-        FROM ranked WHERE rank <= {TOP_K}
+        SELECT 'l2' AS metric, query_id, neighbor_id,
+               CAST(rank AS BIGINT) AS rank, CAST(l2sq AS DOUBLE) AS score
+        FROM ranked_l2 WHERE rank <= {TOP_K}
+        UNION ALL
+        SELECT 'cosine' AS metric, query_id, neighbor_id,
+               CAST(rank AS BIGINT) AS rank, cosine AS score
+        FROM ranked_cos WHERE rank <= {TOP_K}
     """,
-    operators="TDP-ann-cosine",
+    operators="TDP-ann-bruteforce,TDP-ann-cosine",
 )
-def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-k cosine: exact integer dot/norms, IEEE-deterministic
-    final sqrt/division."""
-    cosine = F.col("dot").cast("double") / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("en2").cast("double")))
-    scored = _scored_pairs(spark, sf_dir).select("query_id", "neighbor_id", cosine.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
+def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN baseline under BOTH metrics, tagged by a ``metric``
+    column (formerly the separate sim_topk_l2 / sim_topk_cosine registry
+    entries — same operators, one scored-pairs pass instead of two).
+
+    L2 ranks on exact int64 squared distance (quantized embeddings);
+    cosine ranks on IEEE-deterministic dot/(|q||e|). The final score cast
+    to DOUBLE is the same exact-int → nearest-even rounding in both
+    engines, so value hashes stay stable."""
+    scored = _scored_pairs(spark, sf_dir)
+    l2sq = (F.col("qn2") + F.col("en2") - 2 * F.col("dot")).alias("l2sq")
+    w_l2 = Window.partitionBy("query_id").orderBy(F.col("l2sq").asc(), F.col("neighbor_id").asc())
+    top_l2 = (
+        scored.select("query_id", "neighbor_id", l2sq)
+        .withColumn("rank", F.row_number().over(w_l2))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+        .select(
+            F.lit("l2").alias("metric"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("l2sq").cast("double").alias("score"),
+        )
     )
+    cosine = F.col("dot").cast("double") / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("en2").cast("double")))
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    top_cos = (
+        scored.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.lit("cosine").alias("metric"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cosine").alias("score"),
+        )
+    )
+    return top_l2.unionByName(top_cos)
 
 
 def lsh_planes() -> list[list[int]]:
