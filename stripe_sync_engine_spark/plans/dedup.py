@@ -13,6 +13,15 @@ components (the 100 TB use case), expressed scale-first:
   shared by k documents creates a k²/2 pair blow-up, which is quadratic at
   web scale. The cut is part of the operator's declared semantics and is
   mirrored exactly in the SQL oracle.
+* The same declared-semantics cut bounds LSH band buckets
+  (``LSH_BUCKET_MAX``): bucket sizes are counted FIRST and oversized
+  buckets are dropped with a broadcast anti-join BEFORE any per-bucket
+  doc list is collected, so no task ever holds an unbounded bucket array
+  or emits its k²/2 pairs. Near-identical boilerplate at web scale lands
+  in exactly such buckets; a bucket past the bound carries no ranking
+  signal anyway (its members are found via the remaining bands or the
+  shingle index). Mirrored in every consuming oracle via
+  ``HAVING COUNT(*) > {LSH_BUCKET_MAX}`` → NOT EXISTS.
 * MinHash uses ONE md5 per shingle (a 32-bit integer draw) and derives the
   12 per-seed hashes with cheap universal-hash permutations
   ``(a·h + b) mod p`` — 12× less hashing than md5-per-seed, and identical
@@ -31,6 +40,7 @@ from stripe_sync_engine_spark.tables import load_table
 
 SHINGLE_W = 5  # words per shingle
 SHINGLE_DF_MAX = 256  # drop shingles appearing in more docs (hot-shingle cut)
+LSH_BUCKET_MAX = 256  # drop LSH band buckets larger than this (fan-out cap)
 MINHASH_SEEDS = 12
 LSH_BANDS = 4  # 4 bands × 3 rows
 LSH_ROWS = MINHASH_SEEDS // LSH_BANDS
@@ -265,47 +275,69 @@ SQL_MINHASH_BANDS = f"""
 """
 
 
-@register(
-    "dd_minhash_bands",
-    oracle=f"""
-        WITH sigs AS ({SQL_MINHASH_SIGS})
-        {SQL_MINHASH_BANDS}
-    """,
-    operators="TDP-dedup-minhash",
-)
-def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures folded into LSH band keys (band = md5 of its
-    ordered minhash rows). The band key IS the shuffle key for candidate
-    generation — tiny fixed-width rows at any scale, and the signature
-    computation itself is shuffle-free (see _minhash_band_rows)."""
-    return _minhash_band_rows(spark, sf_dir)
+# Shared oracle CTE block: minhash sigs → band keys → bucket-size cap →
+# candidate pairs. Inlined by every pairs consumer (dd_minhash_lsh_pairs,
+# dd_cluster_components, dd_keeplist_pipeline) so the declared LSH_BUCKET_MAX
+# semantics are identical across the family.
+SQL_LSH_PAIRS_CTES = f"""sigs AS ({SQL_MINHASH_SIGS}),
+        bands AS ({SQL_MINHASH_BANDS}),
+        hot_buckets AS (
+            SELECT band, band_key FROM bands
+            GROUP BY band, band_key HAVING COUNT(*) > {LSH_BUCKET_MAX}
+        ),
+        kept_bands AS (
+            SELECT * FROM bands b
+            WHERE NOT EXISTS (SELECT 1 FROM hot_buckets h
+                              WHERE h.band = b.band AND h.band_key = b.band_key)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept_bands a JOIN kept_bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )"""
 
 
 @register(
     "dd_minhash_lsh_pairs",
     oracle=f"""
-        WITH sigs AS ({SQL_MINHASH_SIGS}),
-        bands AS ({SQL_MINHASH_BANDS})
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WITH {SQL_LSH_PAIRS_CTES}
+        SELECT doc_a, doc_b FROM pairs
     """,
-    operators="TDP-dedup-minhash-lsh",
+    operators="TDP-dedup-minhash,TDP-dedup-minhash-lsh",
 )
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket. Instead of a
     self-join (which would compute the whole minhash pipeline twice and
     shuffle it twice), groupBy the bucket key, collect the sorted doc list,
     and explode pairs map-side — the signature stage runs once and the only
-    shuffles are the bucket groupBy and the final distinct."""
+    shuffles are the bucket groupBy and the final distinct.
+
+    Subsumes the former ``dd_minhash_bands`` registry entry (its band-key
+    output, ``_minhash_band_rows``, is this operator's only input and its
+    oracle is this oracle's ``bands`` CTE verbatim — superset, not a cut;
+    the bands stage keeps its own value-level parity test in
+    ``tests/test_operators.py``)."""
     return _lsh_candidate_pairs(spark, sf_dir)
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a < doc_b) distinct LSH candidate pairs — see dd_minhash_lsh_pairs."""
-    bands = _minhash_band_rows(spark, sf_dir)
-    grp = (
+    """(doc_a < doc_b) distinct LSH candidate pairs — see dd_minhash_lsh_pairs.
+
+    Bucket-size cap: band rows are persisted, bucket sizes counted (tiny
+    partial-agg shuffle), and buckets above ``LSH_BUCKET_MAX`` removed by a
+    broadcast anti-join BEFORE the per-bucket doc lists are collected — the
+    cap guards the collect_list itself, not just the pair explosion, so one
+    boilerplate-heavy bucket can never pin a straggler task at 100 TB."""
+    bands = _minhash_band_rows(spark, sf_dir).persist()
+    hot = (
         bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") > LSH_BUCKET_MAX)
+        .select("band", "band_key")
+    )
+    kept = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    grp = (
+        kept.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -382,13 +414,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_cluster_components",
     oracle=f"""
-        WITH RECURSIVE sigs AS ({SQL_MINHASH_SIGS}),
-        bands AS ({SQL_MINHASH_BANDS}),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ),
+        WITH RECURSIVE {SQL_LSH_PAIRS_CTES},
         edges AS (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION
@@ -471,13 +497,7 @@ KEEPLIST_MIN_TOKENS = 50
 @register(
     "dd_keeplist_pipeline",
     oracle=f"""
-        WITH RECURSIVE sigs AS ({SQL_MINHASH_SIGS}),
-        bands AS ({SQL_MINHASH_BANDS}),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ),
+        WITH RECURSIVE {SQL_LSH_PAIRS_CTES},
         edges AS (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION

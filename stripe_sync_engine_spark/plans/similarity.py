@@ -1,11 +1,11 @@
 """Similarity search over the ``embeddings`` table (``array<float>``):
 
-* ``sim_topk_l2`` / ``sim_topk_cosine`` — brute-force top-k as the exact
-  baseline: the (small) query set is **broadcast** against the corpus, the
-  distance arithmetic runs in JVM higher-order functions (zip_with /
-  aggregate), and ranking is a per-query window. O(|Q|·N), no shuffle of
-  the corpus, linear scale-out across executors — the right brute-force
-  shape at 100 TB.
+* ``sim_topk_brute`` — brute-force top-k under BOTH metrics (l2 + cosine,
+  tagged by a ``metric`` column) as the exact baseline: the (small) query
+  set is **broadcast** against the corpus, the distance arithmetic runs in
+  JVM higher-order functions (zip_with / aggregate), and ranking is a
+  per-query window. O(|Q|·N), no shuffle of the corpus, linear scale-out
+  across executors — the right brute-force shape at 100 TB.
 * ``sim_lsh_buckets`` — random-hyperplane LSH bucketing as the scale path:
   deterministic ±1 hyperplanes (md5-derived, inlined identically into the
   Spark plan and the SQL oracle), sign-bit bucket key, so candidate
@@ -231,6 +231,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 EMBED_DUP_THRESHOLD = 0.25  # same-bucket pairs above this cosine are near-dups
+EMBED_BUCKET_MAX = 256  # drop LSH buckets larger than this (fan-out cap)
 N_PROBES_BITS = N_PLANES  # multiprobe: original bucket + all Hamming-1 flips
 IVF_CENTROID_STRIDE = 50  # centroids = vec_id % 50 == 0 (deterministic seeds)
 IVF_NPROBE = 2
@@ -314,8 +315,13 @@ def _buckets_and_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_embed_cosine",
     oracle=f"""
         {SQL_BUCKETS},
+        hot_buckets AS (
+            SELECT bucket FROM buckets
+            GROUP BY bucket HAVING COUNT(*) > {EMBED_BUCKET_MAX}
+        ),
         vecs AS (
             SELECT b.vec_id, b.bucket, q.qv FROM buckets b JOIN qvecs q USING (vec_id)
+            WHERE b.bucket NOT IN (SELECT bucket FROM hot_buckets)
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {SQL_EXACT_COSINE} AS cosine
@@ -328,20 +334,33 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates come from LSH
     buckets (560 candidate pairs vs 124,750 all-pairs at sf0.01), verified
     with the exact quantized cosine. Single-pass plan (the shape the
-    Jaccard dedup uses): the quantize+bucket pipeline runs ONCE, one
-    shuffle groups vectors by bucket, and the i<j pairs explode map-side
+    Jaccard dedup uses): the quantize+bucket pipeline runs ONCE (persisted),
+    one shuffle groups vectors by bucket, and the i<j pairs explode map-side
     from the sorted in-bucket list — vs a self-join's two shuffles over
     twice-computed input. Norms are computed per vector BEFORE grouping so
     each pair only needs one dot product. At 100 TB, recall is tuned by
     adding bands (OR over independent bucket keys) exactly like
-    MinHash-LSH in plans/dedup.py; bucket-size bounds the pair fan-out."""
+    MinHash-LSH in plans/dedup.py.
+
+    Declared bucket cap (mirrored in the oracle): bucket sizes are counted
+    first and buckets above ``EMBED_BUCKET_MAX`` dropped with a broadcast
+    anti-join BEFORE the per-bucket vector lists are collected — no task
+    ever holds an unbounded bucket array or emits its k²/2 pairs (a dense
+    embedding cluster at 100 TB is exactly such a bucket)."""
     from stripe_sync_engine_spark.plans.dedup import _pairs_from_sorted
 
     vecs = _buckets_and_quant(spark, sf_dir).withColumn(
         "n2", _idot(F.col("qv"), F.col("qv"))
-    )
-    grp = (
+    ).persist()
+    hot = (
         vecs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") > EMBED_BUCKET_MAX)
+        .select("bucket")
+    )
+    kept = vecs.join(F.broadcast(hot), "bucket", "left_anti")
+    grp = (
+        kept.groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "n2", "qv"))).alias("docs"))
         .where(F.size("docs") >= 2)
     )

@@ -125,3 +125,42 @@ def test_hll_estimate_within_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+# ---------------------------------------------------------------------------
+# Dedup internals (plans/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_bands_parity(spark, sf_dir):
+    """The MinHash band stage was folded out of the registry (it is a pure
+    intermediate of dd_minhash_lsh_pairs); this keeps its value-level
+    oracle parity checked here instead."""
+    from stripe_sync_engine_spark.plans.dedup import (
+        SQL_MINHASH_BANDS,
+        SQL_MINHASH_SIGS,
+        _minhash_band_rows,
+    )
+    from tests.oracle import compare, run_oracle
+
+    df = _minhash_band_rows(spark, sf_dir)
+    want = run_oracle(f"WITH sigs AS ({SQL_MINHASH_SIGS}) {SQL_MINHASH_BANDS}", sf_dir)
+    compare(df, want, "minhash_bands")
+
+
+def test_lsh_bucket_cap_drops_oversized(spark, sf_dir, monkeypatch):
+    """With the cap forced to 1, every bucket that could produce a pair
+    (size >= 2) is dropped before collect_list — so the pair set is empty.
+    Proves the declared LSH_BUCKET_MAX bound executes on the Spark side."""
+    import stripe_sync_engine_spark.plans.dedup as dd
+
+    monkeypatch.setattr(dd, "LSH_BUCKET_MAX", 1)
+    assert dd.dd_minhash_lsh_pairs(spark, sf_dir).count() == 0
+
+
+def test_embed_bucket_cap_drops_oversized(spark, sf_dir, monkeypatch):
+    """Same bound, embedding-LSH variant (dd_embed_cosine)."""
+    import stripe_sync_engine_spark.plans.similarity as sim
+
+    monkeypatch.setattr(sim, "EMBED_BUCKET_MAX", 1)
+    assert sim.dd_embed_cosine(spark, sf_dir).count() == 0
