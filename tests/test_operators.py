@@ -164,3 +164,29 @@ def test_embed_bucket_cap_drops_oversized(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(sim, "EMBED_BUCKET_MAX", 1)
     assert sim.dd_embed_cosine(spark, sf_dir).count() == 0
+
+
+def test_alternating_components_chain(spark):
+    """Worst-case diameter graph: a 64-node chain. Per-hop min-label
+    propagation needs 63 sweeps; the large-star/small-star alternation
+    must converge in O(log n) rounds with every node labeled by the
+    component minimum."""
+    from stripe_sync_engine_spark.plans.dedup import alternating_components
+
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "u long, v long")
+    labels, rounds = alternating_components(edges)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10, rounds
+
+
+def test_alternating_components_two_components(spark):
+    from stripe_sync_engine_spark.plans.dedup import alternating_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 30), (30, 20)], "u long, v long"
+    )
+    labels, _ = alternating_components(edges)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 30: 20}
