@@ -317,3 +317,25 @@ def entity_schema(entity: str) -> StructType:
 def entity_tables() -> list[str]:
     """All actively synced entity tables."""
     return list(ENTITY_PROPS)
+
+
+# Storage bucket key per entity — the hash-partition key of the table's
+# parquet store. Default is the primary key ``id``; child-set tables whose
+# write semantics are per-PARENT set operations (soft-delete reconciliation
+# of subscription items — reference markDeletedSubscriptionItems,
+# stripeSync.ts:1559-1583 — and the entitlement replace-set,
+# deleteRemovedActiveEntitlements :1650-1660) bucket by the parent FK
+# instead: one parent's rows co-locate, so BOTH the merge and the
+# stale-row discovery prune to the batch parents' buckets (O(batch), never
+# an O(table) scan). Safe because a child never changes parent (Stripe
+# subscription items are bound to their subscription, entitlements to
+# their customer), so a row's bucket is stable for its lifetime.
+BUCKET_KEYS: dict[str, str] = {
+    "subscription_items": "subscription",
+    "active_entitlements": "customer",
+}
+
+
+def bucket_key(entity: str) -> str:
+    """The storage bucket key for an entity table (see BUCKET_KEYS)."""
+    return BUCKET_KEYS.get(entity, "id")

@@ -29,6 +29,7 @@ applied DDL in a ``_migrations.json`` file.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -38,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from stripe_sync_engine_spark.schemas.entities import entity_schema, entity_tables
+from stripe_sync_engine_spark.schemas.entities import bucket_key, entity_schema, entity_tables
 
 DEFAULT_N_BUCKETS = 32
 
@@ -97,6 +98,14 @@ class TableStore:
     def _table_n_buckets(self, table: str) -> int:
         m = self._read_manifest(table)
         return int(m["n_buckets"]) if m else self.n_buckets
+
+    def table_bucket_key(self, table: str) -> str:
+        """The key column this table's store is bucketed by (recorded in the
+        manifest at creation; 'id' for tables written before it was
+        recorded). Callers pruning reads/writes must bucket their probe by
+        this column."""
+        m = self._read_manifest(table)
+        return (m or {}).get("bucket_key", "id")
 
     def buckets_of(self, df: DataFrame, key: str = "id", table: str | None = None) -> list[int]:
         """Distinct bucket ids present in ``df`` — bounded by n_buckets, so
@@ -176,6 +185,7 @@ class TableStore:
         ]
         manifest = {
             "n_buckets": nb,
+            "bucket_key": key,
             "schema": json.loads(df.schema.json()),
             "buckets": {b: version for b in present},
         }
@@ -192,6 +202,10 @@ class TableStore:
             # is simply its first full version
             return self.write(table, df, key=key)
         nb = int(prior["n_buckets"])
+        # the table's recorded bucket key wins over the argument: a partial
+        # write with a different key would scatter rows across buckets the
+        # manifest doesn't re-point
+        key = prior.get("bucket_key", key)
         version = self._write_version(table, df, key, nb)
         vdir = os.path.join(self._dir(table), version)
         written = {
@@ -205,7 +219,12 @@ class TableStore:
                 new_buckets[str(b)] = version
             else:
                 new_buckets.pop(str(b), None)  # bucket emptied by deletes
-        manifest = {"n_buckets": nb, "schema": json.loads(df.schema.json()), "buckets": new_buckets}
+        manifest = {
+            "n_buckets": nb,
+            "bucket_key": key,
+            "schema": json.loads(df.schema.json()),
+            "buckets": new_buckets,
+        }
         self._commit_manifest(table, manifest)
         self._vacuum(table)
 
@@ -230,17 +249,53 @@ class TableStore:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------
+    def _migrations_path(self) -> str:
+        return os.path.join(self.root, "_migrations.json")
+
+    def migration_history(self) -> list[dict]:
+        """Ordered, append-only migration entries (see migrate())."""
+        path = self._migrations_path()
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f).get("history", [])
+
     def migrate(self) -> list[str]:
         """Bootstrap every entity table (empty dataset with the declared
         StructType) — the analog of runMigrations (reference
-        database/migrate.ts:15-66): idempotent, ordered, recorded."""
+        database/migrate.ts:15-66): idempotent, ordered, recorded.
+
+        Bookkeeping mirrors the reference's checksummed migration table
+        (migrate.ts:42-66 records each applied migration's name + hash and
+        skips unchanged ones): ``_migrations.json`` holds an append-only
+        ``history`` of ``{version, table, checksum, applied_at}`` entries,
+        one per (table, schema-checksum) ever applied. Re-running after a
+        schema edit appends a new checksummed entry for the changed table
+        only; re-running unchanged appends nothing."""
+        history = self.migration_history()
+        seen = {(h["table"], h["checksum"]) for h in history}
+        version = max((h["version"] for h in history), default=0)
         applied = []
         for table in entity_tables():
+            schema = entity_schema(table)
+            checksum = hashlib.md5(schema.json().encode()).hexdigest()
             if not self.exists(table):
-                empty = self.spark.createDataFrame([], entity_schema(table))
-                self.write(table, empty)
+                self.write(table, self.spark.createDataFrame([], schema), key=bucket_key(table))
                 applied.append(table)
-        record = os.path.join(self.root, "_migrations.json")
-        with open(record, "w") as f:
-            json.dump({"tables": entity_tables(), "applied_at": time.time()}, f)
+            if (table, checksum) not in seen:
+                version += 1
+                history.append(
+                    {
+                        "version": version,
+                        "table": table,
+                        "checksum": checksum,
+                        "applied_at": time.time(),
+                    }
+                )
+                seen.add((table, checksum))
+        record = {"tables": entity_tables(), "applied_at": time.time(), "history": history}
+        tmp = self._migrations_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, self._migrations_path())
         return applied

@@ -40,9 +40,10 @@ from stripe_sync_engine_spark.operators.merge import (
     latest_by_key,
     merge_upsert,
     replace_set,
+    soft_delete_reconcile,
 )
 from stripe_sync_engine_spark.operators.validate import validate_enums
-from stripe_sync_engine_spark.schemas.entities import entity_schema
+from stripe_sync_engine_spark.schemas.entities import bucket_key, entity_schema
 from stripe_sync_engine_spark.sources.stripe_api import FLUSH_CHUNK, StripeAPI, to_json_rows
 from stripe_sync_engine_spark.storage import TableStore
 from stripe_sync_engine_spark.sync import registry as R
@@ -209,14 +210,27 @@ class StripeSparkSync:
 
     # -- handlers ------------------------------------------------------
     def _handle_upsert(self, entity: str, subset: DataFrame) -> int:
-        subset, deleted_ids = self._revalidate(entity, subset)
+        if entity in self.config.revalidate_objects_via_stripe_api and self.api is not None:
+            # T3 read-repair path: refetched rows arrive in FLUSH_CHUNK
+            # chunks (the reference's flush-250 contract,
+            # stripeSync.ts:1037), so the driver never buffers the whole
+            # batch; each chunk runs the full upsert pipeline.
+            n = 0
+            for chunk, deleted_ids in self._revalidate_chunks(entity, subset):
+                n += self._upsert_rows(entity, chunk)
+                if deleted_ids:
+                    self._delete_ids(entity, deleted_ids)
+            return n
+        return self._upsert_rows(entity, subset)
+
+    def _upsert_rows(self, entity: str, subset: DataFrame) -> int:
+        """Expand → project → parent backfill → merge → child side-writes,
+        for one (possibly chunked) slice of an upsert-routed batch."""
         subset = self._expand_lists(entity, subset)
         rows = self._project(entity, subset, carry={"_event_id": F.col("event_id")})
         if self.config.backfill_related_entities:
             self._backfill_parents(entity, rows, depth=0)
         n = self._merge(entity, rows)
-        if deleted_ids:
-            self._delete_ids(entity, deleted_ids)
         if entity == "subscriptions":
             self._sync_subscription_items(subset)
         elif entity == "checkout_sessions":
@@ -275,26 +289,21 @@ class StripeSparkSync:
         if self.config.backfill_related_entities:
             self._backfill_parents("active_entitlements", rows, depth=0)
         if not self.store.exists("active_entitlements"):
-            self.store.write("active_entitlements", rows)
+            self.store.write("active_entitlements", rows, key="customer")
             return rows.count()
-        # Bucket-pruned replace-set: the rewrite touches exactly (a) rows
-        # being upserted and (b) rows being dropped because their customer
-        # is in the batch but their id is not. A full scan finds (b) — the
-        # id keys — then only buckets holding (a) ∪ (b) are rewritten.
-        target = self.store.read("active_entitlements")
+        # Replace-set, bucket-pruned BY CUSTOMER (the table's bucket key —
+        # schemas/entities.py BUCKET_KEYS): one customer's entitlements all
+        # live in one bucket, so reading the batch customers' buckets IS the
+        # discovery — rows of batch customers absent from the batch set die
+        # in the rewrite, rows of bucket-mate customers survive the
+        # replace_set anti-join. O(batch buckets); no full-table scan
+        # (previously the delete-key discovery scanned the whole table per
+        # micro-batch — the sync layer's scale-killer at 100× ingest).
         custs = rows.select("customer").distinct()
-        live = rows.select("id")
-        del_keys = (
-            target.join(F.broadcast(custs), "customer", "left_semi")
-            .join(F.broadcast(live), "id", "left_anti")
-            .select("id")
-        )
-        touched = self.store.buckets_of(
-            del_keys.unionByName(live), "id", table="active_entitlements"
-        )
+        touched = self.store.buckets_of(custs, "customer", table="active_entitlements")
         bucket_target = self.store.read_buckets("active_entitlements", touched)
         merged = replace_set(bucket_target, rows, partition_key="customer")
-        self.store.write_buckets("active_entitlements", merged, touched)
+        self.store.write_buckets("active_entitlements", merged, touched, key="customer")
         return rows.count()
 
     # -- child tables ----------------------------------------------------
@@ -327,37 +336,19 @@ class StripeSparkSync:
             },
             carry={"_event_id": F.col("event_id")},
         )
-        self._merge("subscription_items", rows)
-        # Reconcile (soft-delete items that vanished from their
-        # subscription), bucket-pruned: a full scan finds the stale keys
-        # (items of batch subscriptions absent from the batch item set —
-        # usually a handful), then only their buckets are rewritten with
-        # the deleted flag flipped.
-        target = self.store.read("subscription_items")
-        if target is not None:
-            current = rows.select("id", "subscription")
-            stale = (
-                target.where(~F.coalesce(F.col("deleted"), F.lit(False)))
-                .join(F.broadcast(current.select("subscription").distinct()), "subscription", "left_semi")
-                .join(F.broadcast(current.select("id")), "id", "left_anti")
-                .select("id")
-            )
-            touched = self.store.buckets_of(stale, "id", table="subscription_items")
-            if touched:
-                bucket_target = self.store.read_buckets("subscription_items", touched)
-                marked = (
-                    bucket_target.join(
-                        F.broadcast(stale.withColumn("_stale", F.lit(True))), "id", "left"
-                    )
-                    .withColumn(
-                        "deleted",
-                        F.when(F.col("_stale").isNotNull(), F.lit(True)).otherwise(
-                            F.col("deleted")
-                        ),
-                    )
-                    .drop("_stale")
-                )
-                self.store.write_buckets("subscription_items", marked, touched)
+        # Merge + reconcile in ONE bucket rewrite. The table is bucketed by
+        # subscription (schemas/entities.py BUCKET_KEYS), so the merge
+        # plan's touched buckets already hold every existing item of every
+        # batch subscription — stale-key discovery (items of batch
+        # subscriptions absent from the batch item set, reference
+        # markDeletedSubscriptionItems stripeSync.ts:1559-1583) happens
+        # inside those buckets via soft_delete_reconcile, never via a
+        # full-table scan, and the deleted flags ride the same version
+        # commit as the upsert (one write per batch instead of two).
+        merged, touched, bkey, _n = self._merge_plan("subscription_items", rows)
+        current = rows.select("id", "subscription")
+        marked = soft_delete_reconcile(merged, current, partition_key="subscription")
+        self.store.write_buckets("subscription_items", marked, touched, key=bkey)
 
     def _sync_checkout_line_items(self, session_rows: DataFrame) -> None:
         """Fetch line items per checkout session from the API, stamp the
@@ -377,30 +368,45 @@ class StripeSparkSync:
                 out.append(json.dumps(item))
             return out
 
+        # Flush every FLUSH_CHUNK items (the reference's flush-250 contract,
+        # stripeSync.ts:1037) — the driver buffer is bounded regardless of
+        # how many sessions (or how many line items each) the batch holds.
         sids = (r["id"] for r in session_rows.select("id").distinct().toLocalIterator())
-        all_items = [p for batch in _concurrent_fetch(fetch, sids) for p in batch]
-        if not all_items:
-            return
-        now = time.time()
-        df = self.spark.createDataFrame([(p, now) for p in all_items], "payload string, sync_ts double")
-        rows = self._project("checkout_session_line_items", df)
-        self._merge("checkout_session_line_items", rows)
+        buffer: list[str] = []
+
+        def flush() -> None:
+            if not buffer:
+                return
+            now = time.time()
+            df = self.spark.createDataFrame(
+                [(p, now) for p in buffer], "payload string, sync_ts double"
+            )
+            self._merge("checkout_session_line_items", self._project("checkout_session_line_items", df))
+            buffer.clear()
+
+        for items in _concurrent_fetch(fetch, sids):
+            buffer.extend(items)
+            if len(buffer) >= FLUSH_CHUNK:
+                flush()
+        flush()
 
     # -- optional refetch / expansion ------------------------------------
-    def _revalidate(self, entity: str, subset: DataFrame) -> tuple[DataFrame, list[str]]:
+    def _revalidate_chunks(
+        self, entity: str, subset: DataFrame
+    ) -> Iterator[tuple[DataFrame, list[str]]]:
         """T3 read-repair: ignore webhook payload, refetch from the API —
         unless the object is in a final state (P4 refetch suppression,
         reference fetchOrUseWebhookData stripeSync.ts:584-604). Refetches
-        run ``API_CONCURRENCY``-wide off a chunked iterator (never an
-        unbounded collect).
+        run ``API_CONCURRENCY``-wide off a chunked iterator, and results
+        are YIELDED in ``FLUSH_CHUNK`` chunks (the reference's flush-250
+        contract, stripeSync.ts:1037) — the driver never buffers the whole
+        revalidated batch.
 
-        Returns ``(subset, deleted_ids)``: for entities where a failed
+        Yields ``(chunk_df, deleted_ids)``: for entities where a failed
         refetch means the object was deleted upstream (Stripe's
         ``resource_missing`` on products/prices/plans — reference
-        stripeSync.ts:267-273, 300-306, 333-339), the vanished ids are
-        returned for deletion instead of being silently kept."""
-        if entity not in self.config.revalidate_objects_via_stripe_api or self.api is None:
-            return subset, []
+        stripeSync.ts:267-273, 300-306, 333-339), the vanished ids ride
+        alongside their chunk for deletion instead of being silently kept."""
         status_col, finals = R.FINAL_STATES.get(entity, ("status", ()))
         api = self.api
         treat_missing_as_delete = entity in R.DELETE_ON_REFETCH_MISSING
@@ -420,16 +426,19 @@ class StripeSparkSync:
                     deleted_id = payload["id"]
             return (r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), sync_ts), deleted_id
 
-        out, deleted_ids = [], []
+        schema = "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
+        buf: list[tuple] = []
+        dels: list[str] = []
         for row, deleted_id in _concurrent_fetch(refetch, subset.toLocalIterator()):
             if deleted_id is not None:
-                deleted_ids.append(deleted_id)
+                dels.append(deleted_id)
             else:
-                out.append(row)
-        revalidated = self.spark.createDataFrame(
-            out, "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
-        )
-        return revalidated, deleted_ids
+                buf.append(row)
+            if len(buf) + len(dels) >= FLUSH_CHUNK:
+                yield self.spark.createDataFrame(buf, schema), dels
+                buf, dels = [], []
+        if buf or dels:
+            yield self.spark.createDataFrame(buf, schema), dels
 
     def _delete_ids(self, entity: str, ids: list[str]) -> None:
         """Hard-delete rows whose upstream object no longer exists.
@@ -482,7 +491,18 @@ class StripeSparkSync:
             if fk not in rows.columns:
                 continue
             ids = rows.select(F.col(fk).alias("id")).where(F.col("id").isNotNull()).distinct()
-            parent_df = self.store.read(parent)
+            # The existence probe reads only the buckets that could hold the
+            # candidate ids — O(batch buckets), never the whole parent id
+            # column (an id absent from its bucket is missing by
+            # definition). Falls back to a full read only if a parent table
+            # were bucketed by a non-id key (none are today).
+            parent_df = None
+            if self.store.exists(parent):
+                if self.store.table_bucket_key(parent) == "id":
+                    probe = self.store.buckets_of(ids, "id", table=parent)
+                    parent_df = self.store.read_buckets(parent, probe)
+                else:  # pragma: no cover
+                    parent_df = self.store.read(parent)
             missing = (
                 ids if parent_df is None
                 else ids.join(parent_df.select("id"), "id", "left_anti")
@@ -504,7 +524,14 @@ class StripeSparkSync:
             self._merge(parent, parent_rows)
 
     # -- merge -------------------------------------------------------------
-    def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
+    def _merge_plan(
+        self, entity: str, rows: DataFrame, update_cols: list[str] | None = None
+    ) -> tuple[DataFrame, list[int], str, int]:
+        """Build (but do not write) the merged contents of the buckets a
+        batch touches. Returns ``(merged, touched_buckets, bucket_key,
+        n_batch_rows)`` so callers that compose further bucket-local
+        operators onto the merge (subscription-item reconciliation) commit
+        ONE version instead of two."""
         # Public UDF seam (SURVEY §2.10): user-registered per-entity
         # transforms run on the projected rows just before every merge —
         # all write paths (webhook, backfill, fan-out, point sync) funnel
@@ -522,10 +549,14 @@ class StripeSparkSync:
         # Bucket pruning: only the store buckets containing batch keys are
         # read, merged, and rewritten — merge cost scales with the batch,
         # not the table (O(table) full-outer + full rewrite was the
-        # dominant scale-killer in the sync layer). The probe job doubles
-        # as the batch-row accounting, so no separate count() re-executes
-        # the parse→project lineage per entity.
-        probe = self.store.bucket_counts(rows, "id", table=entity)
+        # dominant scale-killer in the sync layer). The bucket key is the
+        # table's declared one (schemas/entities.py BUCKET_KEYS — the
+        # parent FK for per-parent-set tables, so parent-scoped rewrites
+        # stay bucket-local too). The probe job doubles as the batch-row
+        # accounting, so no separate count() re-executes the
+        # parse→project lineage per entity.
+        bkey = bucket_key(entity)
+        probe = self.store.bucket_counts(rows, bkey, table=entity)
         touched = [b for b, _ in probe]
         n_rows = int(sum(n for _, n in probe))
         target = self.store.read_buckets(entity, touched)
@@ -539,7 +570,11 @@ class StripeSparkSync:
         )
         if tiebreaks:
             merged = merged.drop(*tiebreaks)
-        self.store.write_buckets(entity, merged, touched)
+        return merged, touched, bkey, n_rows
+
+    def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
+        merged, touched, bkey, n_rows = self._merge_plan(entity, rows, update_cols)
+        self.store.write_buckets(entity, merged, touched, key=bkey)
         return n_rows
 
     # ------------------------------------------------------------------

@@ -566,3 +566,90 @@ def test_every_delete_route_removes_the_row(engine):
         assert oid in table_rows(engine, entity), f"{entity}: seed row missing"
         process(engine, fx.event(del_type, {"id": oid, "object": entity.rstrip("s")}, created=200))
         assert oid not in table_rows(engine, entity), f"{entity}: {del_type} did not delete"
+
+
+# scale guard: steady-state webhook processing never reads a full table —
+# reconcile, replace-set, parent-backfill probes, and merges are all
+# bucket-pruned (a full read here is O(table) per micro-batch, the sync
+# layer's 100 TB anti-pattern; discovery pruning comes from bucketing the
+# child-set tables by their parent FK, schemas/entities.py BUCKET_KEYS)
+def test_webhook_batch_never_full_scans(engine, monkeypatch):
+    engine.api.put("customers", fx.customer(id="cus_bf"))
+    process(
+        engine,
+        fx.event(
+            "customer.subscription.created",
+            fx.subscription(id="sub_s", items=[
+                fx.sub_item(id="si_a", subscription="sub_s"),
+                fx.sub_item(id="si_b", subscription="sub_s"),
+            ]),
+            created=100,
+        ),
+        fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(ents=[fx.entitlement(id="ent_1")]),
+            created=100,
+        ),
+    )
+    assert engine.store.table_bucket_key("subscription_items") == "subscription"
+    assert engine.store.table_bucket_key("active_entitlements") == "customer"
+    with monkeypatch.context() as m:
+        def no_full_read(table, *a, **k):
+            raise AssertionError(f"full-table scan of {table} in webhook path")
+
+        m.setattr(engine.store, "read", no_full_read)
+        process(
+            engine,
+            fx.event(
+                "customer.subscription.updated",
+                fx.subscription(id="sub_s", items=[fx.sub_item(id="si_a", subscription="sub_s")]),
+                created=200,
+            ),
+            fx.event(
+                "entitlements.active_entitlement_summary.updated",
+                fx.entitlement_summary(ents=[fx.entitlement(id="ent_2", feature="feat_2")]),
+                created=200,
+            ),
+            fx.event("charge.succeeded", fx.charge(id="ch_bf", customer="cus_bf"), created=200),
+        )
+    items = table_rows(engine, "subscription_items")
+    assert items["si_b"]["deleted"] is True and items["si_a"]["deleted"] is False
+    assert set(table_rows(engine, "active_entitlements")) == {"ent_2"}
+    assert "ch_bf" in table_rows(engine, "charges")
+    assert "cus_bf" in table_rows(engine, "customers")
+
+
+# migration bookkeeping: append-only checksummed history (reference
+# database/migrate.ts:42-66 records name+hash per applied migration)
+def test_migration_history_checksums(spark, tmp_path, monkeypatch):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    import stripe_sync_engine_spark.storage as S
+
+    store = TableStore(spark, str(tmp_path / "wh_mig"))
+    applied = store.migrate()
+    hist1 = store.migration_history()
+    assert len(applied) > 0
+    assert len(hist1) == len(applied)  # one checksummed entry per table
+    assert [h["version"] for h in hist1] == list(range(1, len(hist1) + 1))
+    # idempotent: unchanged re-run creates no tables and appends nothing
+    assert store.migrate() == []
+    assert store.migration_history() == hist1
+    # schema edit -> exactly one NEW checksummed entry, for that table only
+    orig = S.entity_schema
+
+    def patched(entity):
+        s = orig(entity)
+        if entity == "charges":
+            return StructType(list(s.fields) + [StructField("new_col", StringType(), True)])
+        return s
+
+    monkeypatch.setattr(S, "entity_schema", patched)
+    store.migrate()
+    hist2 = store.migration_history()
+    assert len(hist2) == len(hist1) + 1
+    new = hist2[-1]
+    old_charges = next(h for h in hist1 if h["table"] == "charges")
+    assert new["table"] == "charges"
+    assert new["version"] == len(hist1) + 1
+    assert new["checksum"] != old_charges["checksum"]
