@@ -48,15 +48,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timezone (which Spark infers as TIMESTAMP_NTZ). Normalize both to
         # session-TZ TIMESTAMP below; these confs are runtime-settable and
         # applied here as well so driver-provided sessions work.
+        # session.timeZone=UTC makes the NTZ→LTZ cast below bit-exact
+        # against DuckDB's naive timestamps even when the driver built the
+        # session in a non-UTC zone (engine sessions already set it —
+        # session.py). nanosAsLong has no per-read option, so it is
+        # session-wide by necessity; the NTZ inference toggle is passed as
+        # a per-read option further down instead of mutating the session.
         for key, val in (
             ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-            ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+            ("spark.sql.session.timeZone", "UTC"),
         ):
             try:
                 spark.conf.set(key, val)
             except Exception:
                 pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    reader = spark.read
+    if name == "events":
+        # Per-read (not session-global): new-generation files infer their
+        # no-tz micros column as TIMESTAMP_NTZ unless disabled; scoping the
+        # toggle to this read leaves other parquet reads' inference alone.
+        reader = reader.option("inferTimestampNTZ", "false")
+    df = reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Normalize events.ts to TIMESTAMP (LTZ) regardless of which physical
     # type the driver wrote:
     #   * TIMESTAMP(NANOS) + nanosAsLong → epoch-nanos LONG: truncate to
