@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from stripe_sync_engine_spark.plans.registry import register
 from stripe_sync_engine_spark.tables import load_table
@@ -441,13 +442,43 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed large-star/small-star alternation (``alternating_components``
     — O(log n) rounds, vs O(diameter) for naive min-label sweeps), each
     round a pair of join+agg jobs with ``localCheckpoint`` truncating the
-    lineage. The oracle (a transitive-closure recursive CTE) is
-    label-order independent, so the algorithm swap is oracle-invisible.
+    lineage. The input graph is the connectivity-equivalent EDGE REDUCTION
+    of the capped LSH pairs (``_lsh_component_edges``: bucket stars, not
+    bucket cliques), so the solver starts near its fixpoint. The oracle
+    (a transitive-closure recursive CTE over the full capped pair set) is
+    label-order and edge-representation independent, so both choices are
+    oracle-invisible.
     """
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    labels, _rounds = alternating_components(edges)
+    labels, _rounds = alternating_components(_lsh_component_edges(spark, sf_dir))
     return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
+
+
+def _lsh_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity-equivalent edge reduction of the capped LSH candidate
+    pairs: within a band bucket every member connects to the bucket MIN —
+    n-1 star edges per bucket instead of the clique's n(n-1)/2 pairs, with
+    the identical transitive closure (a clique and its spanning star have
+    the same components). No per-bucket array is ever collected (the pair
+    query needs the arrays; connectivity doesn't), the edge count is linear
+    in corpus size, and the output is already star-shaped and (u > v)
+    directed — alternating_components converges in 1-2 rounds on it.
+    The LSH_BUCKET_MAX cut applies exactly as in ``_lsh_candidate_pairs``,
+    keeping the closure equal to the oracle's capped pair set."""
+    bands = _minhash_band_rows(spark, sf_dir).persist()
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") > LSH_BUCKET_MAX)
+        .select("band", "band_key")
+    )
+    kept = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    mins = kept.groupBy("band", "band_key").agg(F.min("doc_id").alias("m"))
+    return (
+        kept.join(mins, ["band", "band_key"])
+        .where(F.col("doc_id") != F.col("m"))
+        .select(F.col("doc_id").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -487,33 +518,80 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.unionByName(selfe).where(F.col("u") != F.col("v")).distinct()
 
 
-def alternating_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame, int]:
-    """Connected components of an undirected edge set (columns ``u``/``v``)
-    via large-star/small-star alternation — O(log n) rounds to a star
-    forest whose centers are the component minima, versus O(diameter)
-    for per-hop min-label propagation (a 64-node chain: 7 rounds vs 63
-    sweeps). Each round is two distributed join+agg jobs; ``localCheckpoint``
-    truncates lineage so plan depth stays O(1) per round; convergence is
-    an edge-set fixpoint test (count + one-way exceptAll on materialized
-    results — two tiny driver round-trips per round, O(log n) total).
+# Edge sets at or below this size are solved on the driver (union-find)
+# instead of spinning up distributed alternation rounds — the same
+# size-based strategy switch Spark itself makes when it elects a broadcast
+# join for a bounded build side. 100k edges ≈ a few MB collected; far
+# below any driver-memory concern, far above anything the per-round
+# shuffle machinery could beat.
+DRIVER_CC_MAX_EDGES = 100_000
 
-    Returns ``(labels, rounds)``: one ``(node, label)`` row per node with
-    at least one edge, labeled by its component's minimum node id."""
+
+def alternating_components(
+    edges: DataFrame, max_rounds: int = 50, local_threshold: int = DRIVER_CC_MAX_EDGES
+) -> tuple[DataFrame, int]:
+    """Connected components of an undirected edge set (columns ``u``/``v``),
+    labeled by each component's minimum node id.
+
+    Physical strategy, chosen by measured edge count (the checkpoint that
+    truncates the upstream lineage doubles as the size probe):
+
+    * ``<= local_threshold``: collect the (bounded) edge list and run
+      union-find on the driver — exact same semantics, none of the
+      per-round shuffle latency that dominates on small graphs.
+    * above it: large-star/small-star alternation (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log n)
+      distributed rounds to a star forest whose centers are the component
+      minima, versus O(diameter) for per-hop min-label propagation (a
+      64-node chain: 7 rounds vs 63 sweeps). Each round is two join+agg
+      jobs; ``localCheckpoint`` keeps plan depth O(1) per round;
+      convergence is a one-action symmetric-difference fixpoint test.
+
+    Returns ``(labels, rounds)``; ``rounds == 0`` means the driver-local
+    path ran."""
     cur = (
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    prev_cnt = cur.count()
+    if cur.count() <= local_threshold:
+        pairs = cur.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # union by min → every root IS its set's min
+        nodes = {r["u"] for r in pairs} | {r["v"] for r in pairs}
+        spark = edges.sparkSession
+        out_schema = StructType(
+            [
+                StructField("node", cur.schema["u"].dataType, False),
+                StructField("label", cur.schema["v"].dataType, False),
+            ]
+        )
+        return spark.createDataFrame([(n, find(n)) for n in sorted(nodes)], out_schema), 0
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
         new = _small_star(_large_star(cur)).localCheckpoint()
-        cnt = new.count()
-        converged = cnt == prev_cnt and new.exceptAll(cur).limit(1).count() == 0
-        cur, prev_cnt = new, cnt
-        if converged:
+        # Exact fixpoint test in ONE action: both sets are distinct, so the
+        # symmetric difference is empty iff they are equal.
+        changed = (
+            new.exceptAll(cur).unionByName(cur.exceptAll(new)).limit(1).count()
+        )
+        cur = new
+        if changed == 0:
             break
     labels = (
         cur.select(F.col("u").alias("node"), F.col("v").alias("label"))

@@ -167,26 +167,32 @@ def test_embed_bucket_cap_drops_oversized(spark, sf_dir, monkeypatch):
 
 
 def test_alternating_components_chain(spark):
-    """Worst-case diameter graph: a 64-node chain. Per-hop min-label
-    propagation needs 63 sweeps; the large-star/small-star alternation
-    must converge in O(log n) rounds with every node labeled by the
-    component minimum."""
+    """Worst-case diameter graph: a 64-node chain, forced onto the
+    DISTRIBUTED path (local_threshold=0). Per-hop min-label propagation
+    needs 63 sweeps; the large-star/small-star alternation must converge
+    in O(log n) rounds with every node labeled by the component minimum."""
     from stripe_sync_engine_spark.plans.dedup import alternating_components
 
     n = 64
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "u long, v long")
-    labels, rounds = alternating_components(edges)
+    labels, rounds = alternating_components(edges, local_threshold=0)
     got = {r["node"]: r["label"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
-    assert rounds <= 10, rounds
+    assert 1 <= rounds <= 10, rounds
 
 
 def test_alternating_components_two_components(spark):
+    """Both physical strategies (driver union-find / distributed
+    alternation) produce identical labels."""
     from stripe_sync_engine_spark.plans.dedup import alternating_components
 
     edges = spark.createDataFrame(
         [(5, 3), (3, 9), (20, 30), (30, 20)], "u long, v long"
     )
-    labels, _ = alternating_components(edges)
-    got = {r["node"]: r["label"] for r in labels.collect()}
-    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 30: 20}
+    want = {3: 3, 5: 3, 9: 3, 20: 20, 30: 20}
+    local_labels, local_rounds = alternating_components(edges)
+    assert local_rounds == 0  # small graph → driver union-find path
+    assert {r["node"]: r["label"] for r in local_labels.collect()} == want
+    dist_labels, dist_rounds = alternating_components(edges, local_threshold=0)
+    assert dist_rounds >= 1
+    assert {r["node"]: r["label"] for r in dist_labels.collect()} == want
