@@ -6,6 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the noop sink (full computation of all
 output columns — ``count()`` alone would let Catalyst prune the work).
+
+Cross-round name map (registry consolidations are semantic SUPERSETS —
+union of the old oracles — never coverage cuts; do not read the old names'
+absence as regressions):
+* r4: q22_intersect folded into q16_set_ops (all three set ops, tagged);
+  sim_topk_l2 + sim_topk_cosine → sim_topk_brute (one scored-pairs pass,
+  ``metric`` column); txt_token_count + txt_quality_score + txt_lang_id →
+  txt_doc_profile (one scan).
+* r5: dd_minhash_bands folded into dd_minhash_lsh_pairs (bands is its
+  only input; bands-stage parity lives in tests/test_operators.py).
 """
 
 from __future__ import annotations

@@ -162,11 +162,14 @@ class TableStore:
         path = os.path.join(tdir, version)
         (
             df.withColumn("_bucket", self.bucket_expr(key, nb))
-            # co-locate each bucket into one task before partitionBy:
-            # without this every task writes a file per bucket it holds
-            # (tasks × buckets small files); with it, ~one file per bucket
-            # per version — the layout that keeps file counts sane at scale
-            .repartition(nb, F.col("_bucket"))
+            # co-locate each bucket before partitionBy: without this every
+            # task writes a file per bucket it holds (tasks × buckets small
+            # files); hash-partitioning on _bucket keeps ~one file per
+            # bucket per version. No explicit partition count — AQE then
+            # coalesces the shuffle for small batches (a micro-batch merge
+            # doesn't need nb write tasks) and splits by advisory size for
+            # large ones; a bucket never spans tasks either way.
+            .repartition(F.col("_bucket"))
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(path)
