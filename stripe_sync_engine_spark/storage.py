@@ -273,10 +273,12 @@ class TableStore:
         skips unchanged ones): ``_migrations.json`` holds an append-only
         ``history`` of ``{version, table, checksum, applied_at}`` entries,
         one per (table, schema-checksum) ever applied. Re-running after a
-        schema edit appends a new checksummed entry for the changed table
-        only; re-running unchanged appends nothing."""
+        schema edit APPLIES the change to the stored table (see
+        ``_migrate_schema``) and appends a new checksummed entry for the
+        changed table only; re-running unchanged appends nothing."""
         history = self.migration_history()
         seen = {(h["table"], h["checksum"]) for h in history}
+        latest = {h["table"]: h["checksum"] for h in history}  # last write wins
         version = max((h["version"] for h in history), default=0)
         applied = []
         for table in entity_tables():
@@ -285,6 +287,9 @@ class TableStore:
             if not self.exists(table):
                 self.write(table, self.spark.createDataFrame([], schema), key=bucket_key(table))
                 applied.append(table)
+            elif latest.get(table) not in (None, checksum):
+                # schema edited after the table was created → apply it
+                self._migrate_schema(table, schema)
             if (table, checksum) not in seen:
                 version += 1
                 history.append(
@@ -302,3 +307,37 @@ class TableStore:
             json.dump(record, f)
         os.replace(tmp, self._migrations_path())
         return applied
+
+    def _migrate_schema(self, table: str, new_schema: StructType) -> None:
+        """Apply a schema edit to an existing table.
+
+        Column ADD / DROP is METADATA-ONLY: the manifest schema is the read
+        contract (``read_buckets`` scans with ``spark.read.schema``), and
+        parquet scans null-fill requested columns missing from the files
+        and ignore columns no longer requested — so the manifest swap IS
+        the migration, O(1) at any table size, exactly like lakehouse-
+        format schema evolution. Only a changed column TYPE forces a cast
+        rewrite of the data files (parquet type mismatches fail at scan)."""
+        manifest = self._read_manifest(table)
+        old_types = {
+            f.name: f.dataType for f in StructType.fromJson(manifest["schema"]).fields
+        }
+        retyped = [
+            f.name
+            for f in new_schema.fields
+            if f.name in old_types and f.dataType != old_types[f.name]
+        ]
+        if retyped:
+            cur = self.read(table)
+            cols = [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in cur.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in new_schema.fields
+            ]
+            self.write(table, cur.select(*cols), key=manifest.get("bucket_key", "id"))
+        else:
+            manifest["schema"] = json.loads(new_schema.json())
+            self._commit_manifest(table, manifest)

@@ -653,3 +653,56 @@ def test_migration_history_checksums(spark, tmp_path, monkeypatch):
     assert new["table"] == "charges"
     assert new["version"] == len(hist1) + 1
     assert new["checksum"] != old_charges["checksum"]
+    # ... and the edit is APPLIED: added column is readable (metadata-only
+    # evolution — the manifest schema null-fills it at scan time)
+    assert "new_col" in store.read("charges").columns
+
+
+def test_migrate_applies_schema_edits(spark, tmp_path, monkeypatch):
+    """Column add/drop is a metadata-only migration; a column type change
+    rewrites with a cast. Existing rows survive both."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    import stripe_sync_engine_spark.storage as S
+
+    store = TableStore(spark, str(tmp_path / "wh_evolve"))
+    store.migrate()
+    orig_schema = S.entity_schema("products")
+    import datetime as _dt
+
+    row = {f.name: None for f in orig_schema.fields}
+    ts = _dt.datetime(2024, 1, 1)
+    row.update({"id": "prod_1", "name": "Widget", "updated_at": ts, "last_synced_at": ts})
+    store.write(
+        "products",
+        spark.createDataFrame([tuple(row[f.name] for f in orig_schema.fields)], orig_schema),
+    )
+    orig = S.entity_schema
+
+    def with_new_col(entity):
+        s = orig(entity)
+        if entity == "products":
+            return StructType(list(s.fields) + [StructField("brand_new", StringType(), True)])
+        return s
+
+    monkeypatch.setattr(S, "entity_schema", with_new_col)
+    store.migrate()
+    rows = {r["id"]: r.asDict() for r in store.read("products").collect()}
+    assert rows["prod_1"]["name"] == "Widget"  # data survived
+    assert rows["prod_1"]["brand_new"] is None  # added column null-filled
+
+    def with_retype(entity):
+        s = with_new_col(entity)
+        if entity == "products":
+            fields = [
+                StructField(f.name, StringType(), f.nullable) if f.name == "created" else f
+                for f in s.fields
+            ]
+            return StructType(fields)
+        return s
+
+    monkeypatch.setattr(S, "entity_schema", with_retype)
+    store.migrate()
+    df = store.read("products")
+    assert dict(df.dtypes)["created"] == "string"  # cast rewrite applied
+    assert {r["id"] for r in df.collect()} == {"prod_1"}
