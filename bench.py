@@ -105,6 +105,11 @@ def main() -> None:
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Queries persist intermediates (band rows, quantized vectors) for
+        # intra-query reuse; drop them between queries so the suite's
+        # memory footprint stays flat and no query reads a predecessor's
+        # cache.
+        spark.catalog.clearCache()
 
     times["sync_ingest_5k_events"] = round(_bench_sync_ingest(spark, n_events=5000), 3)
 

@@ -144,17 +144,23 @@ def replace_set(
     source: DataFrame,
     partition_key: str,
     key: str = "id",
+    touched: DataFrame | None = None,
 ) -> DataFrame:
-    """S11 replace-set: within each ``partition_key`` value present in the
-    source, the target's row set becomes exactly the source's row set
+    """S11 replace-set: within each touched ``partition_key`` value, the
+    target's row set becomes exactly the source's row set
     (delete-then-upsert; reference upserts then deletes ids ``<> ALL``).
 
-    Rows of partition keys untouched by the source are preserved.
+    ``touched`` defaults to the partition keys present in the source; pass
+    it explicitly when a partition can be touched WITH AN EMPTY new set
+    (e.g. an entitlement summary revoking everything — the source then has
+    no row to advertise the partition, but its old rows must still die).
+    Rows of untouched partition keys are preserved.
     """
     if target is None:
         return source
-    touched = source.select(partition_key).distinct()
-    untouched = target.join(touched, partition_key, "left_anti")
+    if touched is None:
+        touched = source.select(partition_key).distinct()
+    untouched = target.join(touched.select(partition_key), partition_key, "left_anti")
     return untouched.unionByName(source)
 
 

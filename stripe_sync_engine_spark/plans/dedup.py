@@ -329,14 +329,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast anti-join BEFORE the per-bucket doc lists are collected — the
     cap guards the collect_list itself, not just the pair explosion, so one
     boilerplate-heavy bucket can never pin a straggler task at 100 TB."""
-    bands = _minhash_band_rows(spark, sf_dir).persist()
-    hot = (
-        bands.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .where(F.col("sz") > LSH_BUCKET_MAX)
-        .select("band", "band_key")
-    )
-    kept = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    kept = _kept_bands(spark, sf_dir)
     grp = (
         kept.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -348,6 +341,22 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def _kept_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band rows with the declared ``LSH_BUCKET_MAX`` cut applied: sizes
+    counted first, oversized buckets dropped by broadcast anti-join —
+    THE single implementation of the cap every LSH consumer shares (its
+    SQL mirror is the hot_buckets/kept_bands CTE pair in
+    ``SQL_LSH_PAIRS_CTES``)."""
+    bands = _minhash_band_rows(spark, sf_dir).persist()
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") > LSH_BUCKET_MAX)
+        .select("band", "band_key")
+    )
+    return bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
 
 
 SIMHASH_BITS = 16
@@ -462,16 +471,10 @@ def _lsh_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     query needs the arrays; connectivity doesn't), the edge count is linear
     in corpus size, and the output is already star-shaped and (u > v)
     directed — alternating_components converges in 1-2 rounds on it.
-    The LSH_BUCKET_MAX cut applies exactly as in ``_lsh_candidate_pairs``,
-    keeping the closure equal to the oracle's capped pair set."""
-    bands = _minhash_band_rows(spark, sf_dir).persist()
-    hot = (
-        bands.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .where(F.col("sz") > LSH_BUCKET_MAX)
-        .select("band", "band_key")
-    )
-    kept = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    The LSH_BUCKET_MAX cut applies exactly as in ``_lsh_candidate_pairs``
+    (shared ``_kept_bands``), keeping the closure equal to the oracle's
+    capped pair set."""
+    kept = _kept_bands(spark, sf_dir)
     mins = kept.groupBy("band", "band_key").agg(F.min("doc_id").alias("m"))
     return (
         kept.join(mins, ["band", "band_key"])

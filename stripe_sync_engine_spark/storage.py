@@ -164,12 +164,12 @@ class TableStore:
             df.withColumn("_bucket", self.bucket_expr(key, nb))
             # co-locate each bucket before partitionBy: without this every
             # task writes a file per bucket it holds (tasks × buckets small
-            # files); hash-partitioning on _bucket keeps ~one file per
-            # bucket per version. No explicit partition count — AQE then
-            # coalesces the shuffle for small batches (a micro-batch merge
-            # doesn't need nb write tasks) and splits by advisory size for
-            # large ones; a bucket never spans tasks either way.
-            .repartition(F.col("_bucket"))
+            # files). REBALANCE (not plain repartition, which AQE can only
+            # coalesce, never split) lets AQE both shrink the shuffle for a
+            # micro-batch merge AND split a skewed bucket across tasks for
+            # a large one; in the split case a big bucket simply gets more
+            # than one file in its partition dir, which the reader globs.
+            .hint("rebalance", "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(path)
@@ -207,8 +207,9 @@ class TableStore:
         nb = int(prior["n_buckets"])
         # the table's recorded bucket key wins over the argument: a partial
         # write with a different key would scatter rows across buckets the
-        # manifest doesn't re-point
-        key = prior.get("bucket_key", key)
+        # manifest doesn't re-point. Manifests that predate the bucket_key
+        # field were all id-bucketed.
+        key = prior.get("bucket_key", "id")
         version = self._write_version(table, df, key, nb)
         vdir = os.path.join(self._dir(table), version)
         written = {
@@ -277,7 +278,6 @@ class TableStore:
         ``_migrate_schema``) and appends a new checksummed entry for the
         changed table only; re-running unchanged appends nothing."""
         history = self.migration_history()
-        seen = {(h["table"], h["checksum"]) for h in history}
         latest = {h["table"]: h["checksum"] for h in history}  # last write wins
         version = max((h["version"] for h in history), default=0)
         applied = []
@@ -290,7 +290,11 @@ class TableStore:
             elif latest.get(table) not in (None, checksum):
                 # schema edited after the table was created → apply it
                 self._migrate_schema(table, schema)
-            if (table, checksum) not in seen:
+            # History is gated on the LATEST recorded checksum (not the set
+            # of ever-seen ones): reverting a schema to a previous state is
+            # itself a migration and must be recorded, or `latest` would
+            # lie and the edit would re-apply on every run.
+            if latest.get(table) != checksum:
                 version += 1
                 history.append(
                     {
@@ -300,7 +304,7 @@ class TableStore:
                         "applied_at": time.time(),
                     }
                 )
-                seen.add((table, checksum))
+                latest[table] = checksum
         record = {"tables": entity_tables(), "applied_at": time.time(), "history": history}
         tmp = self._migrations_path() + ".tmp"
         with open(tmp, "w") as f:

@@ -258,14 +258,21 @@ class StripeSparkSync:
         """entitlements.active_entitlement_summary.updated → replace-set of
         active_entitlements per customer (stripeSync.ts:527-554,1650-1704)."""
         pm = F.from_json(F.col("payload"), "map<string,string>")
-        ent_rows = subset.select(
+        # Customers are extracted BEFORE the explode: a summary whose
+        # entitlements list is EMPTY (customer revoked of everything) must
+        # still touch that customer so replace-set deletes the stale rows —
+        # a plain explode would silently drop the whole event.
+        summaries = subset.select(
             pm["customer"].alias("customer"),
-            F.explode(
-                F.from_json(F.from_json(pm["entitlements"], "map<string,string>")["data"], "array<string>")
-            ).alias("ent"),
+            F.from_json(
+                F.from_json(pm["entitlements"], "map<string,string>")["data"], "array<string>"
+            ).alias("_ents"),
             F.col("sync_ts"),
             F.col("event_id"),
         )
+        ent_rows = summaries.select(
+            "customer", F.explode_outer("_ents").alias("ent"), "sync_ts", "event_id"
+        ).where(F.col("ent").isNotNull())
         em = F.from_json(F.col("ent"), "map<string,string>")
         # feature may be an embedded object → extract its id (flattening,
         # reference stripeSync.ts:1696-1704)
@@ -299,11 +306,14 @@ class StripeSparkSync:
         # replace_set anti-join. O(batch buckets); no full-table scan
         # (previously the delete-key discovery scanned the whole table per
         # micro-batch — the sync layer's scale-killer at 100× ingest).
-        custs = rows.select("customer").distinct()
-        touched = self.store.buckets_of(custs, "customer", table="active_entitlements")
+        # Touched customers come from the SUMMARIES (not the rows): a
+        # revoke-all summary has zero rows but must still clear its set.
+        bkey = self._ensure_bucket_key("active_entitlements")
+        custs = summaries.select("customer").distinct()
+        touched = self.store.buckets_of(custs, bkey, table="active_entitlements")
         bucket_target = self.store.read_buckets("active_entitlements", touched)
-        merged = replace_set(bucket_target, rows, partition_key="customer")
-        self.store.write_buckets("active_entitlements", merged, touched, key="customer")
+        merged = replace_set(bucket_target, rows, partition_key="customer", touched=custs)
+        self.store.write_buckets("active_entitlements", merged, touched, key=bkey)
         return rows.count()
 
     # -- child tables ----------------------------------------------------
@@ -346,6 +356,8 @@ class StripeSparkSync:
         # full-table scan, and the deleted flags ride the same version
         # commit as the upsert (one write per batch instead of two).
         merged, touched, bkey, _n = self._merge_plan("subscription_items", rows)
+        if not touched and self.store.exists("subscription_items"):
+            return  # batch had no items — nothing to merge or reconcile
         current = rows.select("id", "subscription")
         marked = soft_delete_reconcile(merged, current, partition_key="subscription")
         self.store.write_buckets("subscription_items", marked, touched, key=bkey)
@@ -524,6 +536,18 @@ class StripeSparkSync:
             self._merge(parent, parent_rows)
 
     # -- merge -------------------------------------------------------------
+    def _ensure_bucket_key(self, entity: str) -> str:
+        """The entity's declared storage bucket key — rebucketing the table
+        ONCE if its manifest records a different key (a store created
+        before BUCKET_KEYS declared parent-FK bucketing is id-bucketed;
+        pruning by the declared key against it would read the wrong
+        buckets and duplicate ids on write). The one-time O(table) rewrite
+        is the upgrade path; every subsequent batch is bucket-pruned."""
+        bkey = bucket_key(entity)
+        if self.store.exists(entity) and self.store.table_bucket_key(entity) != bkey:
+            self.store.write(entity, self.store.read(entity), key=bkey)
+        return bkey
+
     def _merge_plan(
         self, entity: str, rows: DataFrame, update_cols: list[str] | None = None
     ) -> tuple[DataFrame, list[int], str, int]:
@@ -555,7 +579,7 @@ class StripeSparkSync:
         # stay bucket-local too). The probe job doubles as the batch-row
         # accounting, so no separate count() re-executes the
         # parse→project lineage per entity.
-        bkey = bucket_key(entity)
+        bkey = self._ensure_bucket_key(entity)
         probe = self.store.bucket_counts(rows, bkey, table=entity)
         touched = [b for b, _ in probe]
         n_rows = int(sum(n for _, n in probe))
@@ -574,7 +598,10 @@ class StripeSparkSync:
 
     def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
         merged, touched, bkey, n_rows = self._merge_plan(entity, rows, update_cols)
-        self.store.write_buckets(entity, merged, touched, key=bkey)
+        # An empty batch touches no buckets — skip the write job unless the
+        # table doesn't exist yet (first write materializes the schema).
+        if touched or not self.store.exists(entity):
+            self.store.write_buckets(entity, merged, touched, key=bkey)
         return n_rows
 
     # ------------------------------------------------------------------

@@ -706,3 +706,77 @@ def test_migrate_applies_schema_edits(spark, tmp_path, monkeypatch):
     df = store.read("products")
     assert dict(df.dtypes)["created"] == "string"  # cast rewrite applied
     assert {r["id"] for r in df.collect()} == {"prod_1"}
+
+
+# legacy-store upgrade: a table bucketed by id before BUCKET_KEYS declared
+# parent-FK bucketing is rebucketed ONCE on first touch; no duplicate ids,
+# reconcile still works
+def test_legacy_id_bucketed_store_rebuckets(engine):
+    import stripe_sync_engine_spark.storage as S
+
+    schema = S.entity_schema("subscription_items")
+    import datetime as _dt
+
+    ts = _dt.datetime(2020, 1, 1)
+    row = {f.name: None for f in schema.fields}
+    row.update({"id": "si_old", "subscription": "sub_L", "deleted": False,
+                "quantity": 1, "updated_at": ts, "last_synced_at": ts})
+    legacy = engine.spark.createDataFrame(
+        [tuple(row[f.name] for f in schema.fields)], schema
+    )
+    engine.store.write("subscription_items", legacy, key="id")  # legacy layout
+    assert engine.store.table_bucket_key("subscription_items") == "id"
+    process(
+        engine,
+        fx.event(
+            "customer.subscription.updated",
+            fx.subscription(id="sub_L", items=[
+                fx.sub_item(id="si_old", subscription="sub_L", quantity=7),
+                fx.sub_item(id="si_new", subscription="sub_L"),
+            ]),
+            created=1_700_000_000,
+        ),
+    )
+    assert engine.store.table_bucket_key("subscription_items") == "subscription"
+    rows = [r.asDict() for r in engine.store.read("subscription_items").collect()]
+    by_id = {}
+    for r in rows:
+        assert r["id"] not in by_id, f"duplicate id {r['id']} after rebucket"
+        by_id[r["id"]] = r
+    assert by_id["si_old"]["quantity"] == 7  # merged, not duplicated
+    assert "si_new" in by_id
+    # reconcile against the rebucketed store still soft-deletes
+    process(
+        engine,
+        fx.event(
+            "customer.subscription.updated",
+            fx.subscription(id="sub_L", items=[fx.sub_item(id="si_new", subscription="sub_L")]),
+            created=1_700_000_100,
+        ),
+    )
+    rows = {r["id"]: r.asDict() for r in engine.store.read("subscription_items").collect()}
+    assert rows["si_old"]["deleted"] is True
+    assert rows["si_new"]["deleted"] is False
+
+
+# revoke-all: an entitlement summary with an EMPTY list clears the
+# customer's set (replace-set touched derives from summaries, not rows)
+def test_entitlement_summary_revoke_all(engine):
+    process(
+        engine,
+        fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(ents=[fx.entitlement(id="ent_r1"), fx.entitlement(id="ent_r2")]),
+            created=100,
+        ),
+    )
+    assert set(table_rows(engine, "active_entitlements")) == {"ent_r1", "ent_r2"}
+    process(
+        engine,
+        fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(ents=[]),
+            created=200,
+        ),
+    )
+    assert table_rows(engine, "active_entitlements") == {}
