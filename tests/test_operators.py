@@ -196,3 +196,30 @@ def test_alternating_components_two_components(spark):
     dist_labels, dist_rounds = alternating_components(edges, local_threshold=0)
     assert dist_rounds >= 1
     assert {r["node"]: r["label"] for r in dist_labels.collect()} == want
+
+
+def test_alternating_components_random_graphs_agree(spark):
+    """Seeded random graphs: the distributed large-star/small-star path and
+    the driver union-find path must label identically (each component by
+    its minimum node). Guards the alternation algebra on shapes beyond
+    chains/stars: cycles, multi-component forests, dense pockets."""
+    import random
+
+    from stripe_sync_engine_spark.plans.dedup import alternating_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (u, v)
+            for u in range(n)
+            for v in range(u + 1, n)
+            if rng.random() < 0.04
+        ]
+        df = spark.createDataFrame(edges, "u long, v long")
+        local, r0 = alternating_components(df)
+        dist, r1 = alternating_components(df, local_threshold=0)
+        assert r0 == 0 and r1 >= 1
+        got_local = {r["node"]: r["label"] for r in local.collect()}
+        got_dist = {r["node"]: r["label"] for r in dist.collect()}
+        assert got_local == got_dist, f"seed {seed}: path disagreement"
