@@ -14,13 +14,14 @@ components (the 100 TB use case), expressed scale-first:
   web scale. The cut is part of the operator's declared semantics and is
   mirrored exactly in the SQL oracle.
 * The same declared-semantics cut bounds LSH band buckets
-  (``LSH_BUCKET_MAX``): bucket sizes are counted FIRST and oversized
-  buckets are dropped with a broadcast anti-join BEFORE any per-bucket
-  doc list is collected, so no task ever holds an unbounded bucket array
-  or emits its k²/2 pairs. Near-identical boilerplate at web scale lands
-  in exactly such buckets; a bucket past the bound carries no ranking
-  signal anyway (its members are found via the remaining bands or the
-  shingle index). Mirrored in every consuming oracle via
+  (``LSH_BUCKET_MAX``): a window count over the bucket key drops
+  oversized buckets BEFORE any per-bucket doc list is collected, so no
+  task ever holds an unbounded bucket array or emits its k²/2 pairs (the
+  count streams over each bucket's sorted run — a giant bucket sorts and
+  spills, never materializes). Near-identical boilerplate at web scale
+  lands in exactly such buckets; a bucket past the bound carries no
+  ranking signal anyway (its members are found via the remaining bands or
+  the shingle index). Mirrored in every consuming oracle via
   ``HAVING COUNT(*) > {LSH_BUCKET_MAX}`` → NOT EXISTS.
 * MinHash uses ONE md5 per shingle (a 32-bit integer draw) and derives the
   12 per-seed hashes with cheap universal-hash permutations
@@ -324,10 +325,9 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a < doc_b) distinct LSH candidate pairs — see dd_minhash_lsh_pairs.
 
-    Bucket-size cap: band rows are persisted, bucket sizes counted (tiny
-    partial-agg shuffle), and buckets above ``LSH_BUCKET_MAX`` removed by a
-    broadcast anti-join BEFORE the per-bucket doc lists are collected — the
-    cap guards the collect_list itself, not just the pair explosion, so one
+    Bucket-size cap (``_kept_bands``): oversized buckets are filtered out
+    BEFORE the per-bucket doc lists are collected — the cap guards the
+    collect_list itself, not just the pair explosion, so one
     boilerplate-heavy bucket can never pin a straggler task at 100 TB."""
     kept = _kept_bands(spark, sf_dir)
     grp = (
@@ -344,19 +344,28 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kept_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band rows with the declared ``LSH_BUCKET_MAX`` cut applied: sizes
-    counted first, oversized buckets dropped by broadcast anti-join —
-    THE single implementation of the cap every LSH consumer shares (its
-    SQL mirror is the hot_buckets/kept_bands CTE pair in
-    ``SQL_LSH_PAIRS_CTES``)."""
-    bands = _minhash_band_rows(spark, sf_dir).persist()
-    hot = (
-        bands.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .where(F.col("sz") > LSH_BUCKET_MAX)
-        .select("band", "band_key")
+    """Band rows with the declared ``LSH_BUCKET_MAX`` cut applied — THE
+    single implementation of the cap every LSH consumer shares (its SQL
+    mirror is the hot_buckets/kept_bands CTE pair in
+    ``SQL_LSH_PAIRS_CTES``).
+
+    Physical shape: a window count over the bucket key, filtered before
+    anything collects — ONE shuffle, no persist, and the minhash pipeline
+    runs exactly once (an earlier two-pass form — count hot buckets, then
+    broadcast-anti-join them away — paid a second pipeline scan plus a
+    cache; the window count streams over each bucket's sorted run, so a
+    giant bucket sorts and spills but never materializes an array, and the
+    groupBy that follows reuses the same partitioning with no second
+    exchange)."""
+    from pyspark.sql import Window
+
+    bands = _minhash_band_rows(spark, sf_dir)
+    w = Window.partitionBy("band", "band_key")
+    return (
+        bands.withColumn("_sz", F.count(F.lit(1)).over(w))
+        .where(F.col("_sz") <= LSH_BUCKET_MAX)
+        .drop("_sz")
     )
-    return bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
 
 
 SIMHASH_BITS = 16

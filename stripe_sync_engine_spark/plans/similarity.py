@@ -334,7 +334,7 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates come from LSH
     buckets (560 candidate pairs vs 124,750 all-pairs at sf0.01), verified
     with the exact quantized cosine. Single-pass plan (the shape the
-    Jaccard dedup uses): the quantize+bucket pipeline runs ONCE (persisted),
+    Jaccard dedup uses): the quantize+bucket pipeline runs ONCE,
     one shuffle groups vectors by bucket, and the i<j pairs explode map-side
     from the sorted in-bucket list — vs a self-join's two shuffles over
     twice-computed input. Norms are computed per vector BEFORE grouping so
@@ -342,23 +342,26 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     adding bands (OR over independent bucket keys) exactly like
     MinHash-LSH in plans/dedup.py.
 
-    Declared bucket cap (mirrored in the oracle): bucket sizes are counted
-    first and buckets above ``EMBED_BUCKET_MAX`` dropped with a broadcast
-    anti-join BEFORE the per-bucket vector lists are collected — no task
-    ever holds an unbounded bucket array or emits its k²/2 pairs (a dense
-    embedding cluster at 100 TB is exactly such a bucket)."""
+    Declared bucket cap (mirrored in the oracle): a window count over the
+    bucket key drops buckets above ``EMBED_BUCKET_MAX`` BEFORE the
+    per-bucket vector lists are collected — no task ever holds an
+    unbounded bucket array or emits its k²/2 pairs (a dense embedding
+    cluster at 100 TB is exactly such a bucket). The window form keeps the
+    quantize+bucket ``mapInPandas`` to a single execution (one shuffle,
+    no persist, and the following groupBy reuses the partitioning)."""
+    from pyspark.sql import Window
+
     from stripe_sync_engine_spark.plans.dedup import _pairs_from_sorted
 
     vecs = _buckets_and_quant(spark, sf_dir).withColumn(
         "n2", _idot(F.col("qv"), F.col("qv"))
-    ).persist()
-    hot = (
-        vecs.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .where(F.col("sz") > EMBED_BUCKET_MAX)
-        .select("bucket")
     )
-    kept = vecs.join(F.broadcast(hot), "bucket", "left_anti")
+    w = Window.partitionBy("bucket")
+    kept = (
+        vecs.withColumn("_sz", F.count(F.lit(1)).over(w))
+        .where(F.col("_sz") <= EMBED_BUCKET_MAX)
+        .drop("_sz")
+    )
     grp = (
         kept.groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "n2", "qv"))).alias("docs"))
