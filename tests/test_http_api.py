@@ -139,3 +139,27 @@ def test_end_to_end_over_socket(engine):
     finally:
         server.shutdown()
     assert table_rows(engine, "charges")["ch_sock"]["amount"] == 4200
+
+
+def test_webhook_corpus_sweep_over_http(router, engine):
+    """The reference's e2e shape (test/webhooks.test.ts:64-168): each
+    production-shaped fixture posts to /webhooks with a freshly signed
+    header, then the row exists with last_synced_at == event.created.
+    One signed POST per corpus event, batched assertions per table."""
+    import datetime as _dt
+    import json as _json
+
+    from stripe_sync_engine_spark.sync import registry as R
+    from tests.fixtures_corpus import CORPUS
+
+    for name, ev in sorted(CORPUS.items()):
+        status, body = signed_post(router, _json.dumps(ev))
+        assert (status, body) == (200, {"received": True}), name
+    for name, ev in sorted(CORPUS.items()):
+        entity = R.EVENT_ROUTES[ev["type"]][0]
+        obj = ev["data"]["object"]
+        rows = table_rows(engine, entity)
+        assert obj["id"] in rows, f"{name}: {obj['id']} not in {entity}"
+        got_ts = rows[obj["id"]]["last_synced_at"]
+        want_ts = _dt.datetime.fromtimestamp(ev["created"], tz=_dt.timezone.utc).replace(tzinfo=None)
+        assert got_ts == want_ts, f"{name}: last_synced_at {got_ts} != event.created {want_ts}"
