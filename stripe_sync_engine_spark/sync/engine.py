@@ -481,12 +481,24 @@ class StripeSparkSync:
             payload[prop] = {"object": "list", "data": full, "has_more": False}
             return (r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), r["sync_ts"])
 
-        out = list(_concurrent_fetch(expand, needs.toLocalIterator()))
-        if not out:
+        # Expanded rows move into Spark local relations every FLUSH_CHUNK
+        # (flush-250 contract) so the Python-side buffer stays bounded even
+        # when many events carry truncated lists that expand large.
+        schema = "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
+        chunks: list[DataFrame] = []
+        buf: list[tuple] = []
+        for row in _concurrent_fetch(expand, needs.toLocalIterator()):
+            buf.append(row)
+            if len(buf) >= FLUSH_CHUNK:
+                chunks.append(self.spark.createDataFrame(buf, schema))
+                buf = []
+        if buf:
+            chunks.append(self.spark.createDataFrame(buf, schema))
+        if not chunks:
             return subset
-        expanded = self.spark.createDataFrame(
-            out, "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
-        )
+        expanded = chunks[0]
+        for c in chunks[1:]:
+            expanded = expanded.unionByName(c)
         return rest.select(expanded.columns).unionByName(expanded)
 
     # -- parent backfill ---------------------------------------------------
