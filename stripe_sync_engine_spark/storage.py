@@ -29,6 +29,7 @@ applied DDL in a ``_migrations.json`` file.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
@@ -86,6 +87,41 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(table))
+
+    @contextlib.contextmanager
+    def _commit_lock(self, table: str):
+        """Mutual exclusion for the manifest read-modify-write. The HTTP
+        front door is a threading server, so a webhook batch and a backfill
+        can commit to the same table concurrently; without the lock the
+        second commit's manifest would be based on a stale read and drop
+        the first commit's bucket re-points. Data files never conflict
+        (version dirs are unique per ms+pid) — only the pointer swap needs
+        serializing. O_CREAT|O_EXCL lock file; a lock older than 60s is
+        treated as left by a crashed holder and broken."""
+        tdir = self._dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        lock = os.path.join(tdir, ".commit.lock")
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60.0:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock on {table!r} held for >30s")
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
 
     def exists(self, table: str) -> bool:
         return os.path.exists(self._manifest_path(table))
@@ -192,13 +228,27 @@ class TableStore:
             "schema": json.loads(df.schema.json()),
             "buckets": {b: version for b in present},
         }
-        self._commit_manifest(table, manifest)
-        self._vacuum(table)
+        with self._commit_lock(table):
+            prior = self._read_manifest(table)
+            self._commit_manifest(table, manifest)
+        replaced = (
+            set(prior["buckets"].values()) - set(manifest["buckets"].values())
+            if prior
+            else set()
+        )
+        self._vacuum(table, replaced)
 
     def write_buckets(self, table: str, df: DataFrame, buckets: list[int], key: str = "id") -> None:
         """Partial write: ``df`` holds the full new contents of exactly the
         given buckets; only their manifest entries move. Buckets in the
-        list with no surviving rows are dropped from the manifest."""
+        list with no surviving rows are dropped from the manifest.
+
+        Concurrency: the data files are written first (no conflicts —
+        version dirs are unique), then the manifest is re-read and updated
+        UNDER THE COMMIT LOCK, so two writers touching DISJOINT buckets
+        both land. Two writers touching the SAME bucket are last-commit-
+        wins (the engine partitions write work by table, matching the
+        reference's one-sync-worker-per-account model)."""
         prior = self._read_manifest(table)
         if prior is None:
             # table does not exist yet — a partial write of its only data
@@ -217,40 +267,68 @@ class TableStore:
             for d in (os.listdir(vdir) if os.path.exists(vdir) else [])
             if d.startswith("_bucket=")
         }
-        new_buckets = dict(prior["buckets"])
-        for b in buckets:
-            if str(b) in written:
-                new_buckets[str(b)] = version
-            else:
-                new_buckets.pop(str(b), None)  # bucket emptied by deletes
-        manifest = {
-            "n_buckets": nb,
-            "bucket_key": key,
-            "schema": json.loads(df.schema.json()),
-            "buckets": new_buckets,
-        }
-        self._commit_manifest(table, manifest)
-        self._vacuum(table)
+        with self._commit_lock(table):
+            # base the pointer swap on the LATEST manifest, not the one the
+            # caller planned against — concurrent disjoint commits survive
+            prior = self._read_manifest(table) or prior
+            new_buckets = dict(prior["buckets"])
+            for b in buckets:
+                if str(b) in written:
+                    new_buckets[str(b)] = version
+                else:
+                    new_buckets.pop(str(b), None)  # bucket emptied by deletes
+            manifest = {
+                "n_buckets": nb,
+                "bucket_key": key,
+                "schema": json.loads(df.schema.json()),
+                "buckets": new_buckets,
+            }
+            self._commit_manifest(table, manifest)
+        replaced = set(prior["buckets"].values()) - set(new_buckets.values())
+        self._vacuum(table, replaced)
 
-    def _vacuum(self, table: str) -> None:
-        """Remove version dirs no manifest bucket references, once they are
-        older than ``vacuum_retain_s`` (grace period for in-flight readers
-        holding the previous manifest)."""
-        manifest = self._read_manifest(table)
-        if manifest is None:
-            return
-        live = set(manifest["buckets"].values())
+    def _vacuum(self, table: str, replaced: set[str]) -> None:
+        """Remove version dirs this commit REPLACED (referenced by the
+        prior manifest, unreferenced by the new one), once older than
+        ``vacuum_retain_s`` (grace for in-flight readers holding the
+        previous manifest). Only replaced dirs are candidates: an
+        unreferenced dir that was never in a manifest may be a concurrent
+        writer's not-yet-committed version — deleting it would break that
+        commit. Crash leftovers are reclaimed by ``vacuum_orphans``."""
         tdir = self._dir(table)
         cutoff_ms = (time.time() - self.vacuum_retain_s) * 1000
-        for name in os.listdir(tdir):
-            if not name.startswith("v") or name in live:
-                continue
+        for name in replaced:
             try:
                 created_ms = int(name[1:].split("_", 1)[0])
             except ValueError:
                 continue  # not a version dir we wrote
             if created_ms <= cutoff_ms:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
+    def vacuum_orphans(self, table: str, min_age_s: float = 3600.0) -> list[str]:
+        """Reclaim version dirs referenced by NO manifest bucket and older
+        than ``min_age_s`` — crash leftovers (a writer that died between
+        writing files and committing). The age floor is what makes this
+        safe to run while writers are active: an in-flight commit's dir is
+        always younger than any sane floor."""
+        manifest = self._read_manifest(table)
+        if manifest is None:
+            return []
+        live = set(manifest["buckets"].values())
+        tdir = self._dir(table)
+        cutoff_ms = (time.time() - min_age_s) * 1000
+        removed = []
+        for name in os.listdir(tdir):
+            if not name.startswith("v") or name in live:
+                continue
+            try:
+                created_ms = int(name[1:].split("_", 1)[0])
+            except ValueError:
+                continue
+            if created_ms <= cutoff_ms:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                removed.append(name)
+        return removed
 
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------
     def _migrations_path(self) -> str:

@@ -519,11 +519,53 @@ def test_vacuum_retention_grace(spark, tmp_path):
     tdir = str(tmp_path / "wh_vac" / "t")
     versions = [d for d in _os.listdir(tdir) if d.startswith("v")]
     assert len(versions) == 2  # old version retained for in-flight readers
-    # with no grace period the unreferenced version is reclaimed
+    # with no grace period the version THIS commit replaces is reclaimed;
+    # the earlier retained orphan (v1) is deliberately NOT touched — only
+    # vacuum_orphans may reclaim never-replaced/leftover dirs, because an
+    # unreferenced dir could be a concurrent writer's in-flight version
     store_now = TableStore(spark, str(tmp_path / "wh_vac"), vacuum_retain_s=0.0)
     store_now.write("t", df1)
     versions = [d for d in _os.listdir(tdir) if d.startswith("v")]
+    assert len(versions) == 2  # v1 (old orphan) + the new version
+    removed = store_now.vacuum_orphans("t", min_age_s=0.0)
+    assert len(removed) == 1
+    versions = [d for d in _os.listdir(tdir) if d.startswith("v")]
     assert len(versions) == 1
+
+
+# concurrent disjoint-bucket commits both survive: a second writer lands a
+# manifest commit while the first is mid-write; the first's pointer swap is
+# based on the LATEST manifest (re-read under the commit lock), so neither
+# commit's bucket re-points are lost
+def test_concurrent_disjoint_commits_both_land(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "wh_conc")
+    store = TableStore(spark, root)
+    base = spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int")
+    store.write("t", base)
+    nb = store._table_n_buckets("t")
+    bucket_of = {
+        r["id"]: r["b"]
+        for r in base.select("id", store.bucket_expr("id", nb).alias("b")).collect()
+    }
+    assert bucket_of["a"] != bucket_of["b"], "test needs keys in distinct buckets"
+    store2 = TableStore(spark, root)
+    df_b = spark.createDataFrame([("b", 99)], "id string, v int")
+    interleaved = [False]
+    orig_wv = store._write_version
+
+    def racing_write_version(table, df, key, nbk):
+        v = orig_wv(table, df, key, nbk)
+        if not interleaved[0]:
+            interleaved[0] = True
+            # another writer commits bucket(b) while our commit is pending
+            store2.write_buckets("t", df_b, [bucket_of["b"]])
+        return v
+
+    monkeypatch.setattr(store, "_write_version", racing_write_version)
+    df_a = spark.createDataFrame([("a", 42)], "id string, v int")
+    store.write_buckets("t", df_a, [bucket_of["a"]])
+    rows = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert rows == {"a": 42, "b": 99}  # both concurrent commits survived
 
 
 # full routing sweep: one upsert event per routed entity lands a row in its
