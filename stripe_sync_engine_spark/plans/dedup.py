@@ -183,12 +183,16 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup via a grouped inverted index:
 
-    1. Explode shingles ONCE (persisted — it feeds both the hot-shingle
-       count and candidate generation).
-    2. Drop hot shingles (df > SHINGLE_DF_MAX) with a broadcast anti-join —
-       the hot list is tiny by Zipf's law. This bounds every bucket below,
-       so the collect_list in step 3 cannot blow up on a boilerplate
-       shingle, and total pair work is ≤ df_max²/2 per shingle.
+    1. Explode shingles ONCE.
+    2. Drop hot shingles (df > SHINGLE_DF_MAX) with a window count over
+       the shingle key — the filter happens in the same shuffle the
+       grouping below reuses (one exchange total; an earlier two-pass form
+       counted hot shingles separately and broadcast-anti-joined them,
+       paying a persist plus a second scan). This bounds every bucket
+       below, so the collect_list in step 3 cannot blow up on a
+       boilerplate shingle, and total pair work is ≤ df_max²/2 per
+       shingle; the window count itself streams over each shingle's
+       sorted run and never materializes an array.
     3. groupBy(shingle) → sorted doc list → map-side pair explosion
        (`_pairs_from_sorted`); ONE shuffle builds all candidate pairs,
        versus a self-join's two shuffles over twice-computed input.
@@ -199,9 +203,15 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Declared semantics (mirrored in the oracle): intersections count only
     non-hot shingles; set sizes use the full shingle sets.
     """
-    ds = _doc_shingles(spark, sf_dir).persist()
-    hot = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > SHINGLE_DF_MAX).select("shingle")
-    kept = ds.join(F.broadcast(hot), "shingle", "left_anti")
+    from pyspark.sql import Window
+
+    ds = _doc_shingles(spark, sf_dir)
+    w = Window.partitionBy("shingle")
+    kept = (
+        ds.withColumn("_df", F.count(F.lit(1)).over(w))
+        .where(F.col("_df") <= SHINGLE_DF_MAX)
+        .drop("_df")
+    )
     grp = (
         kept.groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
