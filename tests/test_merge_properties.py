@@ -140,3 +140,42 @@ def test_two_level_count_distinct_exact(spark, rows):
     for k, u in rows or [(0, 0)]:
         want.setdefault(k, set()).add(u)
     assert got == {k: len(s) for k, s in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# replace_set (S11): per-partition set replacement, including the explicit
+# `touched` override used by revoke-all entitlement summaries
+# ---------------------------------------------------------------------------
+
+_rs_rows = st.lists(
+    st.tuples(st.sampled_from(["p", "q", "r"]), st.integers(min_value=0, max_value=9)),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t,
+)
+
+
+@given(target=_rs_rows, source=_rs_rows, extra_touched=st.lists(st.sampled_from(["p", "q", "r"]), max_size=3))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_replace_set_model(spark, target, source, extra_touched):
+    """Model: for every partition in touched (source partitions plus the
+    explicit extras), the result holds exactly the source's rows; every
+    other target row survives untouched."""
+    from stripe_sync_engine_spark.operators.merge import replace_set
+
+    tdf = spark.createDataFrame(
+        [(f"{p}_{v}", p, v) for p, v in target], "id string, part string, v int"
+    )
+    sdf = spark.createDataFrame(
+        [(f"{p}_{v}", p, v) for p, v in source], "id string, part string, v int"
+    )
+    touched_parts = sorted({p for p, _ in source} | set(extra_touched))
+    touched_df = spark.createDataFrame([(p,) for p in touched_parts], "part string")
+    got = {
+        (r["id"], r["part"], r["v"])
+        for r in replace_set(tdf, sdf, partition_key="part", touched=touched_df).collect()
+    }
+    want = {
+        (f"{p}_{v}", p, v) for p, v in target if p not in touched_parts
+    } | {(f"{p}_{v}", p, v) for p, v in source}
+    assert got == want
