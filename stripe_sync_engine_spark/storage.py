@@ -101,20 +101,32 @@ class TableStore:
         tdir = self._dir(table)
         os.makedirs(tdir, exist_ok=True)
         lock = os.path.join(tdir, ".commit.lock")
-        deadline = time.time() + 30.0
+        stale_s = 60.0
+        # the deadline must outlive the stale threshold, or a waiter that
+        # arrives just after a crash times out before the lock ever
+        # becomes breakable
+        deadline = time.time() + stale_s + 30.0
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > 60.0:
-                        os.unlink(lock)
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        # claim the break atomically: rename only succeeds
+                        # for ONE waiter (a bare unlink would let two
+                        # waiters each delete-and-recreate, both entering
+                        # the critical section)
+                        claimed = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                        os.rename(lock, claimed)
+                        os.unlink(claimed)
                         continue
                 except FileNotFoundError:
                     continue
+                except OSError:
+                    pass  # lost the break race; keep waiting
                 if time.time() > deadline:
-                    raise TimeoutError(f"commit lock on {table!r} held for >30s")
+                    raise TimeoutError(f"commit lock on {table!r} held for >{stale_s + 30.0:.0f}s")
                 time.sleep(0.02)
         try:
             yield
@@ -287,14 +299,25 @@ class TableStore:
         replaced = set(prior["buckets"].values()) - set(new_buckets.values())
         self._vacuum(table, replaced)
 
+    # Unreferenced dirs beyond this age are swept by every commit's vacuum
+    # (they can no longer be a concurrent writer's in-flight version);
+    # younger ones only fall to their own commit's `replaced` pass or to an
+    # explicit vacuum_orphans() call.
+    ORPHAN_GRACE_S = 3600.0
+
     def _vacuum(self, table: str, replaced: set[str]) -> None:
-        """Remove version dirs this commit REPLACED (referenced by the
-        prior manifest, unreferenced by the new one), once older than
-        ``vacuum_retain_s`` (grace for in-flight readers holding the
-        previous manifest). Only replaced dirs are candidates: an
-        unreferenced dir that was never in a manifest may be a concurrent
-        writer's not-yet-committed version — deleting it would break that
-        commit. Crash leftovers are reclaimed by ``vacuum_orphans``."""
+        """Two-tier reclamation after a commit:
+
+        1. Version dirs this commit REPLACED (referenced by the prior
+           manifest, unreferenced by the new one), once older than
+           ``vacuum_retain_s`` (grace for in-flight readers holding the
+           previous manifest).
+        2. ANY unreferenced dir older than ``ORPHAN_GRACE_S`` — replaced
+           dirs that were too young for tier 1 at their own commit time
+           (they would otherwise leak forever, since later commits compute
+           their own replaced sets) and crash leftovers. The age floor is
+           what makes this safe next to concurrent writers: an in-flight
+           commit's dir is always far younger."""
         tdir = self._dir(table)
         cutoff_ms = (time.time() - self.vacuum_retain_s) * 1000
         for name in replaced:
@@ -304,6 +327,7 @@ class TableStore:
                 continue  # not a version dir we wrote
             if created_ms <= cutoff_ms:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+        self.vacuum_orphans(table, min_age_s=max(self.vacuum_retain_s, self.ORPHAN_GRACE_S))
 
     def vacuum_orphans(self, table: str, min_age_s: float = 3600.0) -> list[str]:
         """Reclaim version dirs referenced by NO manifest bucket and older
@@ -421,5 +445,10 @@ class TableStore:
             ]
             self.write(table, cur.select(*cols), key=manifest.get("bucket_key", "id"))
         else:
-            manifest["schema"] = json.loads(new_schema.json())
-            self._commit_manifest(table, manifest)
+            # metadata-only swap is still a manifest read-modify-write —
+            # re-read and commit under the lock so a concurrent bucket
+            # commit's re-points are not dropped
+            with self._commit_lock(table):
+                manifest = self._read_manifest(table)
+                manifest["schema"] = json.loads(new_schema.json())
+                self._commit_manifest(table, manifest)

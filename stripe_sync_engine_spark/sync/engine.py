@@ -224,17 +224,20 @@ class StripeSparkSync:
         return self._upsert_rows(entity, subset)
 
     def _upsert_rows(self, entity: str, subset: DataFrame) -> int:
-        """Expand → project → parent backfill → merge → child side-writes,
-        for one (possibly chunked) slice of an upsert-routed batch."""
-        subset = self._expand_lists(entity, subset)
-        rows = self._project(entity, subset, carry={"_event_id": F.col("event_id")})
-        if self.config.backfill_related_entities:
-            self._backfill_parents(entity, rows, depth=0)
-        n = self._merge(entity, rows)
-        if entity == "subscriptions":
-            self._sync_subscription_items(subset)
-        elif entity == "checkout_sessions":
-            self._sync_checkout_line_items(rows)
+        """Expand → project → parent backfill → merge → child side-writes.
+        List expansion yields the untruncated remainder first and then the
+        refetched events in FLUSH_CHUNK slices, each run through the full
+        pipeline immediately — no accumulation of expanded payloads."""
+        n = 0
+        for part in self._expanded_parts(entity, subset):
+            rows = self._project(entity, part, carry={"_event_id": F.col("event_id")})
+            if self.config.backfill_related_entities:
+                self._backfill_parents(entity, rows, depth=0)
+            n += self._merge(entity, rows)
+            if entity == "subscriptions":
+                self._sync_subscription_items(part)
+            elif entity == "checkout_sessions":
+                self._sync_checkout_line_items(rows)
         return n
 
     def _handle_customer_deleted(self, subset: DataFrame) -> int:
@@ -464,15 +467,21 @@ class StripeSparkSync:
         if target is not None:
             self.store.write_buckets(entity, delete_by_keys(target, keys), touched)
 
-    def _expand_lists(self, entity: str, subset: DataFrame) -> DataFrame:
-        """autoExpandLists: when an embedded list has has_more=true, refetch
-        the full list (reference expandEntity, stripeSync.ts:1736-1760)."""
+    def _expanded_parts(self, entity: str, subset: DataFrame) -> Iterator[DataFrame]:
+        """autoExpandLists (reference expandEntity, stripeSync.ts:1736-1760):
+        yields the not-truncated remainder of the batch first, then the
+        has_more=true events — payloads refetched with the full list — in
+        ``FLUSH_CHUNK`` slices (flush-250 contract). The caller merges each
+        yielded part immediately, so neither the Python buffer nor any
+        single Spark local relation grows past one chunk of expanded
+        payloads."""
         prop = R.EXPANDABLE_LISTS.get(entity)
         if not self.config.auto_expand_lists or prop is None or self.api is None:
-            return subset
+            yield subset
+            return
         has_more = F.get_json_object(F.col("payload"), f"$.{prop}.has_more") == "true"
         needs = subset.where(has_more)
-        rest = subset.where(~F.coalesce(has_more, F.lit(False)))
+        yield subset.where(~F.coalesce(has_more, F.lit(False)))
         api = self.api
 
         def expand(r) -> tuple:
@@ -481,25 +490,15 @@ class StripeSparkSync:
             payload[prop] = {"object": "list", "data": full, "has_more": False}
             return (r["event_id"], r["event_type"], r["event_created"], json.dumps(payload), r["sync_ts"])
 
-        # Expanded rows move into Spark local relations every FLUSH_CHUNK
-        # (flush-250 contract) so the Python-side buffer stays bounded even
-        # when many events carry truncated lists that expand large.
         schema = "event_id string, event_type string, event_created long, payload string, sync_ts timestamp"
-        chunks: list[DataFrame] = []
         buf: list[tuple] = []
         for row in _concurrent_fetch(expand, needs.toLocalIterator()):
             buf.append(row)
             if len(buf) >= FLUSH_CHUNK:
-                chunks.append(self.spark.createDataFrame(buf, schema))
+                yield self.spark.createDataFrame(buf, schema)
                 buf = []
         if buf:
-            chunks.append(self.spark.createDataFrame(buf, schema))
-        if not chunks:
-            return subset
-        expanded = chunks[0]
-        for c in chunks[1:]:
-            expanded = expanded.unionByName(c)
-        return rest.select(expanded.columns).unionByName(expanded)
+            yield self.spark.createDataFrame(buf, schema)
 
     # -- parent backfill ---------------------------------------------------
     def _backfill_parents(self, entity: str, rows: DataFrame, depth: int) -> None:

@@ -171,11 +171,13 @@ def test_replace_set_model(spark, target, source, extra_touched):
     )
     touched_parts = sorted({p for p, _ in source} | set(extra_touched))
     touched_df = spark.createDataFrame([(p,) for p in touched_parts], "part string")
-    got = {
+    got = sorted(
         (r["id"], r["part"], r["v"])
         for r in replace_set(tdf, sdf, partition_key="part", touched=touched_df).collect()
-    }
-    want = {
-        (f"{p}_{v}", p, v) for p, v in target if p not in touched_parts
-    } | {(f"{p}_{v}", p, v) for p, v in source}
+    )
+    want = sorted(
+        {(f"{p}_{v}", p, v) for p, v in target if p not in touched_parts}
+        | {(f"{p}_{v}", p, v) for p, v in source}
+    )
+    # sorted LISTS, not sets: a duplicated output row must fail
     assert got == want
