@@ -223,3 +223,40 @@ def test_alternating_components_random_graphs_agree(spark):
         got_local = {r["node"]: r["label"] for r in local.collect()}
         got_dist = {r["node"]: r["label"] for r in dist.collect()}
         assert got_local == got_dist, f"seed {seed}: path disagreement"
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape guards: the physical properties the engine claims (scan-level
+# filter pushdown, broadcast dimension joins, top-k short-circuit) must
+# survive refactors — these assert on the compiled plan, not the results
+# ---------------------------------------------------------------------------
+
+
+def _plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+
+    plan = _plan_of(REGISTRY["q03_top10_customers"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+
+    plan = _plan_of(REGISTRY["q02_revenue_per_customer"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+
+    plan = _plan_of(REGISTRY["q01_point_lookup"].spark(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "point lookup must push its key predicate into the parquet scan"

@@ -822,3 +822,23 @@ def test_entitlement_summary_revoke_all(engine):
         ),
     )
     assert table_rows(engine, "active_entitlements") == {}
+
+
+# tier-2 vacuum: an old unreferenced version dir (aged-out replaced dir or
+# crash leftover) is swept by the next commit; a fresh one is left alone
+def test_vacuum_sweeps_old_orphans_on_commit(spark, tmp_path):
+    import os as _os
+
+    store = TableStore(spark, str(tmp_path / "wh_orph"))
+    df = spark.createDataFrame([("a", 1)], "id string, v int")
+    store.write("t", df)
+    tdir = str(tmp_path / "wh_orph" / "t")
+    # fabricate an ancient orphan (version name encodes its creation ms)
+    old = _os.path.join(tdir, "v1000_999")
+    _os.makedirs(old)
+    fresh_name = f"v{int(__import__('time').time() * 1000)}_999"
+    _os.makedirs(_os.path.join(tdir, fresh_name))
+    store.write("t", df)  # commit triggers the tier-2 sweep
+    left = {d for d in _os.listdir(tdir) if d.startswith("v")}
+    assert "v1000_999" not in left  # ancient orphan reclaimed
+    assert fresh_name in left  # fresh dir (could be in-flight) survives
