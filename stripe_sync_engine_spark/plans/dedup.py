@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from stripe_sync_engine_spark.plans.registry import register
-from stripe_sync_engine_spark.tables import load_table
+from stripe_sync_engine_spark.tables import load_table, spread_small_scan
 
 SHINGLE_W = 5  # words per shingle
 SHINGLE_DF_MAX = 256  # drop shingles appearing in more docs (hot-shingle cut)
@@ -98,7 +98,7 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generate/consumer computes it exactly once per document (CollapseProject
     keeps a projection whose alias is referenced by multiple non-cheap
     consumers)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
     return words.select("doc_id", shingles_of_words(F.col("words")).alias("sh_arr"))
 
@@ -411,7 +411,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up — the previous formulation exploded tokens and cross-joined 16
     bit positions (a 16× row multiplier feeding two shuffled aggregations).
     """
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull()))
     bit_seq = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
     hs = F.transform(F.split(F.col("text"), " "), lambda t: F.md5(t))
 
@@ -477,7 +477,7 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-order and edge-representation independent, so both choices are
     oracle-invisible.
     """
-    labels, _rounds = alternating_components(_lsh_component_edges(spark, sf_dir))
+    labels, _rounds = alternating_components(_lsh_component_edges(spark, sf_dir), normalized=True)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
 
 
@@ -490,14 +490,26 @@ def _lsh_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     query needs the arrays; connectivity doesn't), the edge count is linear
     in corpus size, and the output is already star-shaped and (u > v)
     directed — alternating_components converges in 1-2 rounds on it.
-    The LSH_BUCKET_MAX cut applies exactly as in ``_lsh_candidate_pairs``
-    (shared ``_kept_bands``), keeping the closure equal to the oracle's
-    capped pair set."""
-    kept = _kept_bands(spark, sf_dir)
-    mins = kept.groupBy("band", "band_key").agg(F.min("doc_id").alias("m"))
+
+    ONE window pass computes both the ``LSH_BUCKET_MAX`` cut and the bucket
+    min (two unbounded-frame functions over the same bucket partition share
+    a single sort): the minhash pipeline runs exactly once. An earlier form
+    derived the mins by re-grouping the capped rows and joining back — the
+    un-cached band pipeline executed twice, doubling the dominant cost.
+    Since the cap drops WHOLE buckets (never individual members), the min
+    over a surviving bucket equals the min over its capped rows, so the
+    closure stays equal to the oracle's capped pair set."""
+    from pyspark.sql import Window
+
+    bands = _minhash_band_rows(spark, sf_dir)
+    w = Window.partitionBy("band", "band_key")
     return (
-        kept.join(mins, ["band", "band_key"])
-        .where(F.col("doc_id") != F.col("m"))
+        bands.select(
+            "doc_id",
+            F.count(F.lit(1)).over(w).alias("_sz"),
+            F.min("doc_id").over(w).alias("m"),
+        )
+        .where((F.col("_sz") <= LSH_BUCKET_MAX) & (F.col("doc_id") != F.col("m")))
         .select(F.col("doc_id").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
@@ -550,18 +562,24 @@ DRIVER_CC_MAX_EDGES = 100_000
 
 
 def alternating_components(
-    edges: DataFrame, max_rounds: int = 50, local_threshold: int = DRIVER_CC_MAX_EDGES
+    edges: DataFrame,
+    max_rounds: int = 50,
+    local_threshold: int = DRIVER_CC_MAX_EDGES,
+    normalized: bool = False,
 ) -> tuple[DataFrame, int]:
     """Connected components of an undirected edge set (columns ``u``/``v``),
     labeled by each component's minimum node id.
 
-    Physical strategy, chosen by measured edge count (the checkpoint that
-    truncates the upstream lineage doubles as the size probe):
+    Physical strategy, chosen by a bounded size probe —
+    ``limit(threshold + 1).collect()``, which is ONE job that short-circuits
+    on large graphs (per-partition partial limits) and, on small ones,
+    already returns every edge, so the whole driver-local decision costs a
+    single pass over the pipeline with no checkpoint and no separate count:
 
-    * ``<= local_threshold``: collect the (bounded) edge list and run
-      union-find on the driver — exact same semantics, none of the
-      per-round shuffle latency that dominates on small graphs.
-    * above it: large-star/small-star alternation (Kiveris et al.,
+    * probe exhausted (``<= local_threshold`` edges): union-find on the
+      driver — exact same semantics, none of the per-round shuffle latency
+      that dominates on small graphs.
+    * probe truncated: large-star/small-star alternation (Kiveris et al.,
       "Connected Components in MapReduce and Beyond") — O(log n)
       distributed rounds to a star forest whose centers are the component
       minima, versus O(diameter) for per-hop min-label propagation (a
@@ -569,16 +587,23 @@ def alternating_components(
       jobs; ``localCheckpoint`` keeps plan depth O(1) per round;
       convergence is a one-action symmetric-difference fixpoint test.
 
+    ``normalized=True`` declares the input already (u > v)-directed,
+    self-loop-free, and distinct (true for ``_lsh_component_edges``'s
+    star edges), skipping the greatest/least + distinct normalization
+    exchange.
+
     Returns ``(labels, rounds)``; ``rounds == 0`` means the driver-local
     path ran."""
-    cur = (
-        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    if cur.count() <= local_threshold:
-        pairs = cur.collect()
+    if normalized:
+        cur = edges
+    else:
+        cur = (
+            edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    probe = cur.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
         parent: dict = {}
 
         def find(x):
@@ -589,12 +614,12 @@ def alternating_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in pairs:
+        for r in probe:
             ra, rb = find(r["u"]), find(r["v"])
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo  # union by min → every root IS its set's min
-        nodes = {r["u"] for r in pairs} | {r["v"] for r in pairs}
+        nodes = {r["u"] for r in probe} | {r["v"] for r in probe}
         spark = edges.sparkSession
         out_schema = StructType(
             [
@@ -603,6 +628,8 @@ def alternating_components(
             ]
         )
         return spark.createDataFrame([(n, find(n)) for n in sorted(nodes)], out_schema), 0
+    # distributed path: now pin the (re-executed) edge set for iteration
+    cur = cur.localCheckpoint()
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1

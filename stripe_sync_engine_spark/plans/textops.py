@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stripe_sync_engine_spark.plans.registry import register
-from stripe_sync_engine_spark.tables import load_table
+from stripe_sync_engine_spark.tables import load_table, spread_small_scan
 
 # Marker stopwords for the language-ID heuristic (deterministic; the
 # synthetic corpus is a word soup, the point is the operator shape).
@@ -50,7 +50,7 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt_quality_score, txt_lang_id); they share the same tokenization and
     are all per-row map-side expressions, so one scan computes everything —
     at 100 TB that's a third of the I/O and still zero shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
@@ -81,7 +81,7 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: raw + normalized md5 (both engines emit the
     same lowercase hex)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.md5(F.col("text")).alias("content_fp"),
@@ -109,7 +109,7 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     single digits, punctuation) plus a ceil(len/4) subword estimate per
     piece — all JVM-side (regexp_extract_all + higher-order aggregate),
     zero shuffle, zero Python."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
     subwords = F.aggregate(
         F.transform(pieces, lambda x: F.floor((F.length(x) + 3) / 4).cast("long")),

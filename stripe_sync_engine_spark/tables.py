@@ -92,6 +92,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a SMALL scan out across the session's cores before CPU-heavy
+    per-row work (shingling, hashing, vector math, Arrow-batched UDFs).
+
+    Parquet split planning sizes partitions by BYTES (maxPartitionBytes /
+    openCostInBytes) — it knows nothing about downstream CPU cost, and a
+    sub-row-group file can never split anyway, so a 600 KB documents file
+    becomes ONE task doing minutes of per-row hashing while 31 cores idle.
+    The guard makes this scale-correct: when the scan already has at least
+    as many splits as the session has cores (any real dataset at 100 TB —
+    thousands of row groups), this is the identity and no shuffle is ever
+    added. The repartition only fires for inputs small enough that
+    shuffling their raw bytes is trivially cheap (< one split's worth
+    per core, by construction).
+
+    An explicit ``repartition(n)`` (not a rebalance hint) on purpose: AQE
+    would coalesce a rebalance of a few MB right back to one partition —
+    partition count here is chosen for CPU spread, not shuffle-size
+    targets."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name in TESTDATA_TABLES:
