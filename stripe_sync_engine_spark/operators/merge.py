@@ -134,6 +134,69 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def merge_upsert_clustered(
+    target: DataFrame | None,
+    source: DataFrame,
+    cluster_expr: Column,
+    key: str = "id",
+    ts_col: str | None = "last_synced_at",
+    tiebreak_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Full-row ``merge_upsert`` (``update_cols=None``) in ONE exchange.
+
+    ``merge_upsert``'s physical plan costs three shuffles per micro-batch:
+    the source argmax window (hash by key), the full-outer join (hash by
+    key — Spark cannot broadcast full-outer), and the store's bucket
+    rebalance before the partitioned write (hash by bucket). A full-row
+    timestamp-protected merge, however, is exactly a row-wise argmax over
+    target ∪ source — and because the store's bucket expression is a
+    FUNCTION OF the merge key (``storage.py`` bucket invariant: a key's
+    rows always live in one bucket), partitioning by it co-locates equal
+    keys too. So: union both sides with a side flag, shuffle ONCE by
+    ``cluster_expr``, sort each partition by (key, recency), and keep the
+    first row of every key run. The output is already clustered for the
+    bucketed write — ``TableStore.write_buckets(pre_clustered=True)``
+    skips its rebalance, making the whole merge a single-shuffle job.
+
+    Precedence matches ``merge_upsert`` / the reference's guarded upsert
+    (``database/postgres.ts:196-203``): highest ``ts_col`` wins with NULLS
+    LAST; on an equal non-null timestamp the TARGET row survives (stale
+    updates are no-ops); a NULL-ts target loses to any source row; among
+    source rows ``tiebreak_cols`` descending break timestamp ties. With
+    ``ts_col=None`` the source always beats the target (plain upsert).
+    Equivalence to ``merge_upsert`` is property-tested
+    (tests/test_merge_properties.py).
+    """
+    is_tgt = F.col("_is_tgt")
+    src = source.withColumn("_is_tgt", F.lit(0))
+    if target is not None:
+        # allowMissingColumns: the target has no tiebreak carry columns
+        # (e.g. _event_id) — they union in as NULL and sort last.
+        both = target.withColumn("_is_tgt", F.lit(1)).unionByName(
+            src, allowMissingColumns=True
+        )
+    else:
+        both = src
+    order: list[Column] = [F.col(key).asc()]
+    if ts_col is not None:
+        ts = F.col(ts_col)
+        # equal non-null ts → target first; both-NULL ts → source first
+        # (reference: update iff target.ts IS NULL OR target.ts < source.ts)
+        pref = F.when(ts.isNull(), F.lit(1) - is_tgt).otherwise(is_tgt)
+        order += [ts.desc_nulls_last(), pref.desc()]
+    else:
+        order += [is_tgt.asc()]
+    order += [F.col(c).desc_nulls_last() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(cluster_expr).orderBy(*order)
+    prev_key = F.lag(F.col(key)).over(w)
+    keep_cols = target.columns if target is not None else source.columns
+    return (
+        both.withColumn("_keep", prev_key.isNull() | (prev_key != F.col(key)))
+        .where(F.col("_keep"))
+        .select(*keep_cols)
+    )
+
+
 def delete_by_keys(target: DataFrame, keys: DataFrame, key: str = "id") -> DataFrame:
     """S10 hard delete: anti-join rewrite (`DELETE FROM t WHERE id IN (…)`)."""
     return target.join(keys.select(key).distinct(), key, "left_anti")
@@ -174,8 +237,16 @@ def soft_delete_reconcile(
     """S12 soft-delete: for each partition value present in ``current``,
     mark target rows whose key is absent from ``current`` as deleted
     (reference markDeletedSubscriptionItems, stripeSync.ts:1559-1583)."""
-    touched = current.select(partition_key).distinct().withColumn("_touched", F.lit(True))
-    live_keys = current.select(key).distinct().withColumn("_live", F.lit(True))
+    # Explicit broadcast: both probe sides are bounded by the micro-batch
+    # (distinct parents / distinct child ids), while ``target`` may be a
+    # merge plan whose size estimate Spark can't see through — a
+    # sort-merge fallback would re-shuffle the merge output and destroy
+    # its bucket clustering (see merge_upsert_clustered). Broadcast joins
+    # preserve the streamed side's partitioning.
+    touched = F.broadcast(current.select(partition_key).distinct()).withColumn(
+        "_touched", F.lit(True)
+    )
+    live_keys = F.broadcast(current.select(key).distinct()).withColumn("_live", F.lit(True))
     return (
         target.join(touched, partition_key, "left")
         .join(live_keys, key, "left")

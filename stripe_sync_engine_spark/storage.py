@@ -147,6 +147,12 @@ class TableStore:
         m = self._read_manifest(table)
         return int(m["n_buckets"]) if m else self.n_buckets
 
+    def cluster_expr_for(self, table: str, key: str):
+        """The bucket expression a pre-clustered write of ``table`` must be
+        partitioned by — same function and bucket count ``_write_version``
+        will stamp, so ``merge_upsert_clustered`` output needs no rebalance."""
+        return self.bucket_expr(key, self._table_n_buckets(table))
+
     def table_bucket_key(self, table: str) -> str:
         """The key column this table's store is bucketed by (recorded in the
         manifest at creation; 'id' for tables written before it was
@@ -203,13 +209,15 @@ class TableStore:
         return self.spark.read.schema(schema).parquet(*paths)
 
     # -- write ---------------------------------------------------------
-    def _write_version(self, table: str, df: DataFrame, key: str, nb: int) -> str:
+    def _write_version(
+        self, table: str, df: DataFrame, key: str, nb: int, pre_clustered: bool = False
+    ) -> str:
         tdir = self._dir(table)
         os.makedirs(tdir, exist_ok=True)
         version = f"v{int(time.time() * 1000)}_{os.getpid()}"
         path = os.path.join(tdir, version)
-        (
-            df.withColumn("_bucket", self.bucket_expr(key, nb))
+        out = df.withColumn("_bucket", self.bucket_expr(key, nb))
+        if not pre_clustered:
             # co-locate each bucket before partitionBy: without this every
             # task writes a file per bucket it holds (tasks × buckets small
             # files). REBALANCE (not plain repartition, which AQE can only
@@ -217,17 +225,20 @@ class TableStore:
             # micro-batch merge AND split a skewed bucket across tasks for
             # a large one; in the split case a big bucket simply gets more
             # than one file in its partition dir, which the reader globs.
-            .hint("rebalance", "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(path)
-        )
+            #
+            # pre_clustered=True is the caller's guarantee that ``df`` is
+            # ALREADY hash-partitioned by this table's bucket expression
+            # (merge_upsert_clustered leaves it so), so every bucket lives
+            # wholly inside one task and the rebalance exchange — the
+            # merge's only remaining shuffle — is skipped entirely.
+            out = out.hint("rebalance", "_bucket")
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(path)
         return version
 
-    def write(self, table: str, df: DataFrame, key: str = "id") -> None:
+    def write(self, table: str, df: DataFrame, key: str = "id", pre_clustered: bool = False) -> None:
         """Full-table write: every bucket re-points to the new version."""
         nb = self._table_n_buckets(table)
-        version = self._write_version(table, df, key, nb)
+        version = self._write_version(table, df, key, nb, pre_clustered=pre_clustered)
         vdir = os.path.join(self._dir(table), version)
         present = [
             d.split("=", 1)[1]
@@ -250,7 +261,14 @@ class TableStore:
         )
         self._vacuum(table, replaced)
 
-    def write_buckets(self, table: str, df: DataFrame, buckets: list[int], key: str = "id") -> None:
+    def write_buckets(
+        self,
+        table: str,
+        df: DataFrame,
+        buckets: list[int],
+        key: str = "id",
+        pre_clustered: bool = False,
+    ) -> None:
         """Partial write: ``df`` holds the full new contents of exactly the
         given buckets; only their manifest entries move. Buckets in the
         list with no surviving rows are dropped from the manifest.
@@ -265,14 +283,14 @@ class TableStore:
         if prior is None:
             # table does not exist yet — a partial write of its only data
             # is simply its first full version
-            return self.write(table, df, key=key)
+            return self.write(table, df, key=key, pre_clustered=pre_clustered)
         nb = int(prior["n_buckets"])
         # the table's recorded bucket key wins over the argument: a partial
         # write with a different key would scatter rows across buckets the
         # manifest doesn't re-point. Manifests that predate the bucket_key
         # field were all id-bucketed.
         key = prior.get("bucket_key", "id")
-        version = self._write_version(table, df, key, nb)
+        version = self._write_version(table, df, key, nb, pre_clustered=pre_clustered)
         vdir = os.path.join(self._dir(table), version)
         written = {
             d.split("=", 1)[1]

@@ -39,6 +39,7 @@ from stripe_sync_engine_spark.operators.merge import (
     delete_by_keys,
     latest_by_key,
     merge_upsert,
+    merge_upsert_clustered,
     replace_set,
     soft_delete_reconcile,
 )
@@ -358,12 +359,17 @@ class StripeSparkSync:
         # inside those buckets via soft_delete_reconcile, never via a
         # full-table scan, and the deleted flags ride the same version
         # commit as the upsert (one write per batch instead of two).
-        merged, touched, bkey, _n = self._merge_plan("subscription_items", rows)
+        merged, touched, bkey, _n, pre_clustered = self._merge_plan("subscription_items", rows)
         if not touched and self.store.exists("subscription_items"):
             return  # batch had no items — nothing to merge or reconcile
         current = rows.select("id", "subscription")
+        # soft_delete_reconcile broadcasts its (batch-bounded) probe sides,
+        # so the merge output's bucket clustering survives the joins and
+        # the combined merge+reconcile commit stays a one-shuffle write.
         marked = soft_delete_reconcile(merged, current, partition_key="subscription")
-        self.store.write_buckets("subscription_items", marked, touched, key=bkey)
+        self.store.write_buckets(
+            "subscription_items", marked, touched, key=bkey, pre_clustered=pre_clustered
+        )
 
     def _sync_checkout_line_items(self, session_rows: DataFrame) -> None:
         """Fetch line items per checkout session from the API, stamp the
@@ -561,12 +567,15 @@ class StripeSparkSync:
 
     def _merge_plan(
         self, entity: str, rows: DataFrame, update_cols: list[str] | None = None
-    ) -> tuple[DataFrame, list[int], str, int]:
+    ) -> tuple[DataFrame, list[int], str, int, bool]:
         """Build (but do not write) the merged contents of the buckets a
         batch touches. Returns ``(merged, touched_buckets, bucket_key,
-        n_batch_rows)`` so callers that compose further bucket-local
-        operators onto the merge (subscription-item reconciliation) commit
-        ONE version instead of two."""
+        n_batch_rows, pre_clustered)`` so callers that compose further
+        bucket-local operators onto the merge (subscription-item
+        reconciliation) commit ONE version instead of two —
+        ``pre_clustered`` says whether ``merged`` is already partitioned by
+        the store's bucket expression (pass it to ``write_buckets`` to skip
+        the rebalance exchange)."""
         # Public UDF seam (SURVEY §2.10): user-registered per-entity
         # transforms run on the projected rows just before every merge —
         # all write paths (webhook, backfill, fan-out, point sync) funnel
@@ -595,24 +604,43 @@ class StripeSparkSync:
         touched = [b for b, _ in probe]
         n_rows = int(sum(n for _, n in probe))
         target = self.store.read_buckets(entity, touched)
-        merged = merge_upsert(
-            target,
-            rows,
-            key="id",
-            ts_col="last_synced_at",
-            tiebreak_cols=tiebreaks,
-            update_cols=update_cols,
-        )
+        if update_cols is None:
+            # Hot path: full-row merge as ONE shuffle clustered by the
+            # store's bucket expression — the write then skips its
+            # rebalance, so the whole micro-batch merge is a single
+            # exchange (vs argmax + full-outer + rebalance = three).
+            merged = merge_upsert_clustered(
+                target,
+                rows,
+                cluster_expr=self.store.cluster_expr_for(entity, bkey),
+                key="id",
+                ts_col="last_synced_at",
+                tiebreak_cols=tiebreaks,
+            )
+            pre_clustered = True
+        else:
+            # Partial-column updates (customer.deleted) keep the join-based
+            # merge — a matched row mixes target and source columns, which
+            # the union/argmax formulation cannot express.
+            merged = merge_upsert(
+                target,
+                rows,
+                key="id",
+                ts_col="last_synced_at",
+                tiebreak_cols=tiebreaks,
+                update_cols=update_cols,
+            )
+            pre_clustered = False
         if tiebreaks:
             merged = merged.drop(*tiebreaks)
-        return merged, touched, bkey, n_rows
+        return merged, touched, bkey, n_rows, pre_clustered
 
     def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
-        merged, touched, bkey, n_rows = self._merge_plan(entity, rows, update_cols)
+        merged, touched, bkey, n_rows, pre_clustered = self._merge_plan(entity, rows, update_cols)
         # An empty batch touches no buckets — skip the write job unless the
         # table doesn't exist yet (first write materializes the schema).
         if touched or not self.store.exists(entity):
-            self.store.write_buckets(entity, merged, touched, key=bkey)
+            self.store.write_buckets(entity, merged, touched, key=bkey, pre_clustered=pre_clustered)
         return n_rows
 
     # ------------------------------------------------------------------

@@ -100,6 +100,101 @@ def test_replay_idempotent(spark, events):
 
 
 # ---------------------------------------------------------------------------
+# merge_upsert_clustered: the single-shuffle (union + bucket-clustered
+# argmax) formulation must agree with the join-based merge_upsert for ANY
+# target/source, including duplicate source keys, equal timestamps (target
+# must win), NULL timestamps on either side, and tiebreak ordering.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F  # noqa: E402
+
+from stripe_sync_engine_spark.operators.merge import merge_upsert_clustered  # noqa: E402
+
+def _cluster():
+    # built lazily — Column construction needs an active SparkContext
+    return _F.pmod(_F.xxhash64(_F.col("id").cast("string")), _F.lit(4)).cast("int")
+
+_ts_or_null = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+
+
+def _merge_rows(spark, rows, with_tiebreak):
+    """rows: (key, ts|None, value[, seq])."""
+    base = dt.datetime(2024, 1, 1)
+    if with_tiebreak:
+        data = [
+            (k, v, base + dt.timedelta(seconds=ts) if ts is not None else None, f"evt_{seq:03d}")
+            for (k, ts, v, seq) in rows
+        ]
+        schema = "id string, value long, last_synced_at timestamp, _event_id string"
+    else:
+        data = [
+            (k, v, base + dt.timedelta(seconds=ts) if ts is not None else None)
+            for (k, ts, v) in rows
+        ]
+        schema = "id string, value long, last_synced_at timestamp"
+    return spark.createDataFrame(data, schema)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    target=st.lists(
+        st.tuples(st.sampled_from(KEYS), _ts_or_null, st.integers(0, 99)),
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.sampled_from(KEYS), _ts_or_null, st.integers(0, 99)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_clustered_merge_equals_join_merge(spark, target, source):
+    tdf = _merge_rows(spark, target, False) if target else None
+    src = [(k, ts, v, i) for i, (k, ts, v) in enumerate(source)]
+    sdf = _merge_rows(spark, src, True)
+    want = merge_upsert(
+        tdf, sdf, key="id", ts_col="last_synced_at", tiebreak_cols=["_event_id"]
+    ).drop("_event_id")
+    got = merge_upsert_clustered(
+        tdf, sdf, _cluster(), key="id", ts_col="last_synced_at", tiebreak_cols=["_event_id"]
+    ).drop("_event_id")
+    cols = ["id", "value", "last_synced_at"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    target=st.lists(
+        st.tuples(st.sampled_from(KEYS), _ts_or_null, st.integers(0, 99)),
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.sampled_from(KEYS), _ts_or_null, st.integers(0, 99)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_clustered_merge_no_ts_tiebreak_only(spark, target, source):
+    """ts_col=None + tiebreaks: source always beats target, last event wins."""
+    tdf = _merge_rows(spark, target, False) if target else None
+    src = [(k, ts, v, i) for i, (k, ts, v) in enumerate(source)]
+    sdf = _merge_rows(spark, src, True)
+    want = merge_upsert(tdf, sdf, key="id", ts_col=None, tiebreak_cols=["_event_id"]).drop(
+        "_event_id"
+    )
+    got = merge_upsert_clustered(
+        tdf, sdf, _cluster(), key="id", ts_col=None, tiebreak_cols=["_event_id"]
+    ).drop("_event_id")
+    cols = ["id", "value", "last_synced_at"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew operators: the salted physical shape must be semantically invisible
 # for ANY input, including duplicate keys on both sides, unmatched keys,
 # and a degenerate n_salt of 1.

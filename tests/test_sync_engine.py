@@ -553,8 +553,8 @@ def test_concurrent_disjoint_commits_both_land(spark, tmp_path, monkeypatch):
     interleaved = [False]
     orig_wv = store._write_version
 
-    def racing_write_version(table, df, key, nbk):
-        v = orig_wv(table, df, key, nbk)
+    def racing_write_version(table, df, key, nbk, **kw):
+        v = orig_wv(table, df, key, nbk, **kw)
         if not interleaved[0]:
             interleaved[0] = True
             # another writer commits bucket(b) while our commit is pending
