@@ -65,6 +65,16 @@ class SyncConfig:
     # Enum-as-text write validation: "error" (reference Postgres-enum
     # parity), "null" (quarantine invalid values), or "ignore".
     enum_policy: str = "error"
+    # Max concurrent per-entity handler chains per webhook batch. Spark
+    # accepts job submissions from multiple driver threads, so independent
+    # entity merges (disjoint write-sets) overlap their probe/merge jobs
+    # instead of queueing serially — a wide mixed batch touches many
+    # tables, each with a small job, and the serial loop leaves the
+    # cluster idle between them. 1 disables. Parallelism only engages when
+    # no Stripe API client is attached: with an API, handlers can backfill
+    # parent entities into arbitrary ancestor tables, which breaks the
+    # static write-set analysis that keeps concurrent chains disjoint.
+    webhook_parallelism: int = 8
 
 
 _RAW_EVENT_SCHEMA = StructType([StructField("value", StringType())])
@@ -183,11 +193,71 @@ class StripeSparkSync:
                 row["event_type"]
                 for row in parsed.select("event_type").distinct().collect()
             }
-            counts: dict[str, int] = {}
+            groups = []
             for entity, action in routes:
                 types = [t for t, r in R.EVENT_ROUTES.items() if r == (entity, action) and t in present]
-                if not types:
-                    continue
+                if types:
+                    groups.append((entity, action, types))
+            counts: dict[str, int] = {}
+            for chain_counts in self._run_handler_chains(parsed, groups):
+                for entity, n in chain_counts.items():
+                    counts[entity] = counts.get(entity, 0) + n
+            unhandled = present - set(R.EVENT_ROUTES)
+            if unhandled:
+                # reference throws on unhandled types (stripeSync.ts:575-576);
+                # we surface them without failing the batch.
+                counts["_unhandled"] = len(unhandled)
+            return counts
+        finally:
+            parsed.unpersist()
+
+    # -- handler scheduling --------------------------------------------
+    @staticmethod
+    def _write_set(entity: str, action: str) -> frozenset[str]:
+        """Tables a handler group may write (API-less operation — with an
+        API attached, parent backfill widens this unboundedly, which is why
+        parallelism is gated on ``api is None``)."""
+        tables = {entity}
+        if entity == "subscriptions":
+            tables.add("subscription_items")
+        elif entity == "checkout_sessions":
+            tables.add("checkout_session_line_items")
+        return frozenset(tables)
+
+    def _run_handler_chains(self, parsed: DataFrame, groups) -> list[dict[str, int]]:
+        """Run the batch's (entity, action, types) groups, overlapping the
+        ones with DISJOINT write-sets across driver threads (Spark's
+        scheduler accepts concurrent job submission; each per-entity merge
+        is a short job chain that otherwise serializes driver-side).
+
+        Groups whose write-sets overlap (customer.updated and
+        customer.deleted both write ``customers``) are chained into one
+        task in sorted route order, so the relative apply-order of
+        same-table groups stays exactly the serial loop's — parallelism
+        never reorders writes to a table, it only overlaps independent
+        tables. With an API client attached everything runs serially:
+        parent backfill can touch ancestor tables outside the static
+        write-set, and API-bound fetches dominate anyway."""
+        chains: list[tuple[set[str], list]] = []
+        for grp in groups:  # groups arrive in sorted route order
+            ws = set(self._write_set(grp[0], grp[1]))
+            # a multi-table write-set can bridge several existing chains —
+            # coalesce ALL overlapping chains plus this group into one,
+            # restoring sorted route order inside the merged chain so the
+            # apply-order matches the serial loop exactly
+            overlapping = [c for c in chains if c[0] & ws]
+            for c in overlapping:
+                ws |= c[0]
+            merged = sorted(
+                [g for c in overlapping for g in c[1]] + [grp],
+                key=lambda g: (g[0], g[1]),
+            )
+            chains = [c for c in chains if c not in overlapping]
+            chains.append((ws, merged))
+
+        def run_chain(chain_groups) -> dict[str, int]:
+            out: dict[str, int] = {}
+            for entity, action, types in chain_groups:
                 subset = parsed.where(F.col("event_type").isin(types))
                 if action == R.UPSERT:
                     n = self._handle_upsert(entity, subset)
@@ -199,15 +269,15 @@ class StripeSparkSync:
                     n = self._handle_entitlement_summary(subset)
                 else:  # pragma: no cover
                     raise ValueError(action)
-                counts[entity] = counts.get(entity, 0) + n
-            unhandled = present - set(R.EVENT_ROUTES)
-            if unhandled:
-                # reference throws on unhandled types (stripeSync.ts:575-576);
-                # we surface them without failing the batch.
-                counts["_unhandled"] = len(unhandled)
-            return counts
-        finally:
-            parsed.unpersist()
+                out[entity] = out.get(entity, 0) + n
+            return out
+
+        width = min(self.config.webhook_parallelism, len(chains))
+        if width <= 1 or self.api is not None:
+            return [run_chain(c[1]) for c in chains]
+        with ThreadPoolExecutor(max_workers=width) as pool:
+            futures = [pool.submit(run_chain, c[1]) for c in chains]
+            return [f.result() for f in futures]
 
     # -- handlers ------------------------------------------------------
     def _handle_upsert(self, entity: str, subset: DataFrame) -> int:

@@ -842,3 +842,43 @@ def test_vacuum_sweeps_old_orphans_on_commit(spark, tmp_path):
     left = {d for d in _os.listdir(tdir) if d.startswith("v")}
     assert "v1000_999" not in left  # ancient orphan reclaimed
     assert fresh_name in left  # fresh dir (could be in-flight) survives
+
+
+# parallel handler chains: with no API attached, disjoint-table handler
+# groups run on concurrent driver threads. The final table state must be
+# IDENTICAL to the serial loop's — including same-table groups
+# (customer.updated + customer.deleted both write ``customers``), which
+# must stay chained in sorted route order, never reordered by threading.
+def test_parallel_chains_match_serial(spark, tmp_path):
+    def mixed_batch():
+        return [
+            fx.event("product.created", fx.product(id="prod_p1"), created=100),
+            fx.event("price.created", fx.price(id="price_p1"), created=100),
+            fx.event("customer.created", fx.customer(id="cus_p1", name="A"), created=100),
+            fx.event("charge.succeeded", fx.charge(id="ch_p1", customer="cus_p1"), created=100),
+            fx.event(
+                "customer.subscription.created",
+                fx.subscription(id="sub_p1", customer="cus_p1"),
+                created=100,
+            ),
+            # same-table conflict pair: deleted (partial) then an update at
+            # a LATER ts — serial route order applies customer_deleted
+            # before upsert; the upsert's newer ts must win either way
+            fx.event("customer.deleted", {"id": "cus_p2", "object": "customer"}, created=200),
+            fx.event("customer.updated", fx.customer(id="cus_p2", name="B"), created=300),
+        ]
+
+    states = {}
+    for mode, width in (("serial", 1), ("parallel", 8)):
+        store = TableStore(spark, str(tmp_path / f"wh_{mode}"))
+        eng = StripeSparkSync(
+            spark, store, api=None, config=SyncConfig(webhook_parallelism=width)
+        )
+        counts = eng.process_webhook_events(eng.events_df_from_json(mixed_batch()))
+        assert counts["customers"] == 3  # created + deleted + updated
+        states[mode] = {
+            t: table_rows(eng, t)
+            for t in ("products", "prices", "customers", "charges", "subscriptions")
+        }
+    assert states["parallel"] == states["serial"]
+    assert states["parallel"]["customers"]["cus_p2"]["name"] == "B"
