@@ -260,3 +260,44 @@ def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert pushed.strip(), "point lookup must push its key predicate into the parquet scan"
+
+
+def test_clustered_merge_is_single_exchange(spark, tmp_path):
+    """The micro-batch merge's claimed physical shape: ONE shuffle
+    (hash by the store's bucket expression), no full-outer join, and no
+    rebalance before the bucketed write (merge_upsert_clustered +
+    write_buckets(pre_clustered=True))."""
+    import json as _json
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_plan"))
+    eng = StripeSparkSync(spark, store)
+
+    def batch(start, n):
+        return [
+            _json.dumps(
+                {
+                    "id": f"evt_{i:06d}",
+                    "object": "event",
+                    "type": "charge.updated",
+                    "created": 1_700_000_000 + i,
+                    "data": {"object": {"id": f"ch_{i % 40}", "object": "charge", "amount": i}},
+                }
+            )
+            for i in range(start, start + n)
+        ]
+
+    eng.process_webhook_events(eng.events_df_from_json(batch(0, 100)))  # table exists
+    from pyspark.sql import functions as F
+
+    parsed = eng._parse_envelope(eng.events_df_from_json(batch(100, 100))).withColumn(
+        "sync_ts", F.to_timestamp(F.col("event_created"))
+    )
+    rows = eng._project("charges", parsed, carry={"_event_id": F.col("event_id")})
+    merged, touched, bkey, _n, pre_clustered = eng._merge_plan("charges", rows)
+    assert pre_clustered and touched
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "FullOuter" not in plan and "full_outer" not in plan
