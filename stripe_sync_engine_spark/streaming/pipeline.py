@@ -87,7 +87,14 @@ def start_webhook_stream(
                 )
                 if not rejected.isEmpty():
                     # bucket-pruned append: only buckets receiving new
-                    # rejected rows are rewritten
+                    # rejected rows are rewritten. Deduplicated on
+                    # (value, signature, batch_id) so a crash-replayed
+                    # micro-batch (foreachBatch is at-least-once; the file
+                    # source re-delivers the same batch_id with identical
+                    # content) appends NOTHING the second time — the audit
+                    # table is exactly-once like the merge path, which is
+                    # idempotent by keyed timestamp protection instead.
+                    dedup_keys = ["value", "signature", "batch_id"]
                     if engine.store.exists(REJECTED_TABLE):
                         touched = engine.store.buckets_of(
                             rejected, "value", table=REJECTED_TABLE
@@ -95,12 +102,14 @@ def start_webhook_stream(
                         prior = engine.store.read_buckets(REJECTED_TABLE, touched)
                         engine.store.write_buckets(
                             REJECTED_TABLE,
-                            prior.unionByName(rejected),
+                            prior.unionByName(rejected).dropDuplicates(dedup_keys),
                             touched,
                             key="value",
                         )
                     else:
-                        engine.store.write(REJECTED_TABLE, rejected, key="value")
+                        engine.store.write(
+                            REJECTED_TABLE, rejected.dropDuplicates(dedup_keys), key="value"
+                        )
                 events = checked.where(F.col("signature_valid")).select(
                     F.col("payload").alias("value")
                 )

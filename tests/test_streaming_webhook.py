@@ -133,3 +133,32 @@ def test_streaming_signed_envelopes_reject_bad_signature(spark, tmp_path):
     assert charges == {"ch_sig_ok"}
     rejected = engine.store.read("_rejected_webhooks")
     assert rejected.count() == 2
+
+
+def test_rejected_audit_append_is_replay_idempotent(spark, tmp_path):
+    """Crash-replay of a micro-batch (same batch_id, same content — here
+    simulated by wiping the checkpoint and re-draining the same landing
+    file) must NOT duplicate audit rows: the append dedupes on
+    (value, signature, batch_id)."""
+    import json
+    import shutil
+
+    landing = tmp_path / "landing_r"
+    ckpt = tmp_path / "ckpt_r"
+    os.makedirs(landing)
+    bad_body = fx.event("charge.succeeded", fx.charge(id="ch_rr"), created=100)
+    (landing / "b1.jsonl").write_text(
+        json.dumps({"payload": bad_body, "signature": "t=100,v1=" + "1" * 64})
+    )
+    engine = StripeSparkSync(
+        spark, TableStore(spark, str(tmp_path / "wh_r")), api=None,
+        config=SyncConfig(backfill_related_entities=False),
+    )
+    q = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True, secret=SECRET)
+    q.awaitTermination(120)
+    assert engine.store.read("_rejected_webhooks").count() == 1
+    # replay: same file, same batch_id 0, fresh checkpoint
+    shutil.rmtree(ckpt)
+    q2 = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True, secret=SECRET)
+    q2.awaitTermination(120)
+    assert engine.store.read("_rejected_webhooks").count() == 1
