@@ -6,6 +6,7 @@ entity as a HASH-BUCKETED parquet dataset with a per-bucket manifest:
 
     <root>/<table>/v<N>/bucket=<k>/*.parquet     (immutable version dirs)
     <root>/<table>/MANIFEST.json                 (the commit)
+    <root>/<table>/_history/<ms>.json            (per-commit snapshots — time travel)
 
 ``MANIFEST.json`` maps every bucket to the version directory holding its
 current data (plus the table schema and bucket count). A merge therefore
@@ -83,6 +84,20 @@ class TableStore:
             return json.load(f)
 
     def _commit_manifest(self, table: str, manifest: dict) -> None:
+        """Swap the manifest pointer AND record the commit in the table's
+        history (``_history/<ms>.json``, a full manifest snapshot — a few
+        hundred bytes). Because version dirs are immutable, a retained
+        history file IS a readable snapshot: ``read(table, as_of_ms=...)``
+        plans against it, Delta-time-travel style. Always called under the
+        commit lock, so history timestamps are strictly increasing per
+        table."""
+        hdir = os.path.join(self._dir(table), "_history")
+        os.makedirs(hdir, exist_ok=True)
+        ms = int(time.time() * 1000)
+        while os.path.exists(os.path.join(hdir, f"{ms}.json")):
+            ms += 1
+        with open(os.path.join(hdir, f"{ms}.json"), "w") as f:
+            json.dump(manifest, f)
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -193,8 +208,44 @@ class TableStore:
                 paths.append(p)
         return paths
 
-    def read(self, table: str) -> DataFrame | None:
-        return self.read_buckets(table, None)
+    def read(self, table: str, as_of_ms: int | None = None) -> DataFrame | None:
+        """Current table state, or — with ``as_of_ms`` — the newest commit
+        at or before that timestamp (time travel). Snapshots stay readable
+        while their version dirs survive vacuum, i.e. for
+        ``vacuum_retain_s`` after being replaced — exactly Delta's
+        retention contract (the local default of 0 disables time travel;
+        set a retention to use it). A vacuumed snapshot raises instead of
+        silently returning partial data."""
+        if as_of_ms is None:
+            return self.read_buckets(table, None)
+        eligible = [c for c in self.commits(table) if c <= as_of_ms]
+        if not eligible:
+            return None
+        with open(os.path.join(self._dir(table), "_history", f"{eligible[-1]}.json")) as f:
+            manifest = json.load(f)
+        schema = StructType.fromJson(manifest["schema"])
+        paths = []
+        for b, version in manifest["buckets"].items():
+            p = os.path.join(self._dir(table), version, f"_bucket={b}")
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"snapshot {eligible[-1]} of {table!r} references vacuumed "
+                    f"version {version!r} (bucket {b}); raise vacuum_retain_s "
+                    "to keep older snapshots readable"
+                )
+            paths.append(p)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def commits(self, table: str) -> list[int]:
+        """Commit timestamps (ms) recorded in the table's history, ascending."""
+        hdir = os.path.join(self._dir(table), "_history")
+        if not os.path.isdir(hdir):
+            return []
+        return sorted(
+            int(n[:-5]) for n in os.listdir(hdir) if n.endswith(".json") and n[:-5].isdigit()
+        )
 
     def read_buckets(self, table: str, buckets: list[int] | None) -> DataFrame | None:
         """Read the whole table (``buckets=None``) or only the named
@@ -370,6 +421,14 @@ class TableStore:
             if created_ms <= cutoff_ms:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
                 removed.append(name)
+        # History snapshots older than the reclamation horizon reference
+        # vacuumed (or about-to-be-vacuumed) version dirs — prune them too,
+        # always keeping the newest entry (the current committed state).
+        history = self.commits(table)
+        for ms in history[:-1]:
+            if ms <= cutoff_ms:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(os.path.join(tdir, "_history", f"{ms}.json"))
         return removed
 
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------

@@ -882,3 +882,39 @@ def test_parallel_chains_match_serial(spark, tmp_path):
         }
     assert states["parallel"] == states["serial"]
     assert states["parallel"]["customers"]["cus_p2"]["name"] == "B"
+
+
+# time travel: every commit records a manifest snapshot; read(as_of_ms=...)
+# reconstructs the table as of that commit while its version dirs survive
+# vacuum (retention contract); a vacuumed snapshot raises, never silently
+# returns partial data
+def test_time_travel_reads(spark, tmp_path):
+    import time as _time
+
+    store = TableStore(spark, str(tmp_path / "wh_tt"), vacuum_retain_s=3600.0)
+    store.write("t", spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int"))
+    t1 = store.commits("t")[-1]
+    _time.sleep(0.01)
+    touched = store.buckets_of(spark.createDataFrame([("a",)], "id string"))
+    prior = store.read_buckets("t", touched)
+    upd = spark.createDataFrame([("a", 2)], "id string, v int")
+    from stripe_sync_engine_spark.operators.merge import merge_upsert
+
+    store.write_buckets("t", merge_upsert(prior, upd, key="id", ts_col=None), touched)
+    t2 = store.commits("t")[-1]
+    assert t2 > t1
+    assert {r["id"]: r["v"] for r in store.read("t").collect()} == {"a": 2, "b": 1}
+    assert {r["id"]: r["v"] for r in store.read("t", as_of_ms=t1).collect()} == {"a": 1, "b": 1}
+    assert {r["id"]: r["v"] for r in store.read("t", as_of_ms=t2).collect()} == {"a": 2, "b": 1}
+    assert store.read("t", as_of_ms=t1 - 1) is None  # before first commit
+
+
+def test_time_travel_vacuumed_snapshot_raises(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_ttv"), vacuum_retain_s=0.0)
+    store.write("t", spark.createDataFrame([("a", 1)], "id string, v int"))
+    t1 = store.commits("t")[-1]
+    __import__("time").sleep(0.01)
+    store.write("t", spark.createDataFrame([("a", 2)], "id string, v int"))
+    # retain=0: the replaced version dir was reclaimed at commit time
+    with pytest.raises(FileNotFoundError):
+        store.read("t", as_of_ms=t1).collect()
