@@ -116,6 +116,79 @@ class StripeSparkSync:
         self.store = store
         self.api = api
         self.config = config or SyncConfig()
+        # entity table -> registered RollupSpecs maintained on its commits
+        self._rollups: dict[str, list] = {}
+
+    # ------------------------------------------------------------------
+    # Incremental rollups (operators/rollup.py)
+    # ------------------------------------------------------------------
+    def register_rollup(self, spec) -> None:
+        """Maintain ``spec`` incrementally on every bucket commit of its
+        source table (merge, delete, reconcile — anything that rewrites
+        buckets through the engine). If the source already has data, the
+        rollup initializes with a full compute."""
+        from stripe_sync_engine_spark.operators.rollup import RollupSpec
+
+        if not isinstance(spec, RollupSpec):  # pragma: no cover - guard
+            raise TypeError("register_rollup expects a RollupSpec")
+        self._rollups.setdefault(spec.entity, []).append(spec)
+        if self.store.exists(spec.entity):
+            self.refresh_rollup(spec.name)
+
+    def refresh_rollup(self, name: str) -> None:
+        """Full recompute of one rollup — initialization and drift repair
+        (maintenance is applied after the source commit, so a crash
+        between the two can leave the rollup one delta behind)."""
+        from stripe_sync_engine_spark.operators.rollup import full_rollup
+
+        for specs in self._rollups.values():
+            for spec in specs:
+                if spec.name == name:
+                    rows = self.store.read(spec.entity)
+                    if rows is not None:
+                        self.store.write(spec.name, full_rollup(rows, spec), key="_gk")
+                    return
+        raise KeyError(f"no registered rollup named {name!r}")
+
+    def _commit_buckets(
+        self, table: str, df: DataFrame, touched: list[int] | None, **kw
+    ) -> None:
+        """All engine bucket writes funnel here: snapshot the touched
+        buckets' aggregate contributions, commit, then apply each
+        registered rollup's exact delta (new minus old contributions —
+        O(touched buckets) regardless of table size; zero for replayed or
+        stale batches, so maintenance inherits the merge's idempotence).
+        ``touched=None`` means a full-table write."""
+        from stripe_sync_engine_spark.operators import rollup as R_
+
+        specs = self._rollups.get(table, ())
+        pre = []
+        for spec in specs:
+            old = self.store.read_buckets(table, touched)
+            if old is None:
+                pre.append(None)
+            else:
+                # materialize BEFORE the commit: the write's vacuum may
+                # reclaim the old version dirs this lineage reads
+                pre.append(R_.contributions(old, spec).localCheckpoint(eager=True))
+        if touched is None:
+            self.store.write(table, df, **kw)
+        else:
+            self.store.write_buckets(table, df, touched, **kw)
+        for spec, old_contrib in zip(specs, pre):
+            new_rows = self.store.read_buckets(table, touched)
+            d = R_.delta(old_contrib, R_.contributions(new_rows, spec), spec)
+            keys = d.select(R_.group_key_col(spec).alias("_gk"))
+            if not self.store.exists(spec.name):
+                self.store.write(spec.name, R_.apply_delta(None, d, spec), key="_gk")
+                continue
+            rtouched = self.store.buckets_of(keys, "_gk", table=spec.name)
+            if not rtouched:
+                continue  # zero delta — replay/stale batch
+            rollup_old = self.store.read_buckets(spec.name, rtouched).drop("_gk")
+            self.store.write_buckets(
+                spec.name, R_.apply_delta(rollup_old, d, spec), rtouched, key="_gk"
+            )
 
     # ------------------------------------------------------------------
     # Parsing & projection
@@ -212,16 +285,18 @@ class StripeSparkSync:
             parsed.unpersist()
 
     # -- handler scheduling --------------------------------------------
-    @staticmethod
-    def _write_set(entity: str, action: str) -> frozenset[str]:
+    def _write_set(self, entity: str, action: str) -> frozenset[str]:
         """Tables a handler group may write (API-less operation — with an
         API attached, parent backfill widens this unboundedly, which is why
-        parallelism is gated on ``api is None``)."""
+        parallelism is gated on ``api is None``). Registered rollups ride
+        their source table's commits, so their tables join the set."""
         tables = {entity}
         if entity == "subscriptions":
             tables.add("subscription_items")
         elif entity == "checkout_sessions":
             tables.add("checkout_session_line_items")
+        for t in list(tables):
+            tables.update(spec.name for spec in self._rollups.get(t, ()))
         return frozenset(tables)
 
     def _run_handler_chains(self, parsed: DataFrame, groups) -> list[dict[str, int]]:
@@ -325,7 +400,7 @@ class StripeSparkSync:
             touched = self.store.buckets_of(keys, "id", table=entity)
             target = self.store.read_buckets(entity, touched)
             if target is not None:
-                self.store.write_buckets(entity, delete_by_keys(target, keys), touched)
+                self._commit_buckets(entity, delete_by_keys(target, keys), touched)
         return keys.count()
 
     def _handle_entitlement_summary(self, subset: DataFrame) -> int:
@@ -370,7 +445,7 @@ class StripeSparkSync:
         if self.config.backfill_related_entities:
             self._backfill_parents("active_entitlements", rows, depth=0)
         if not self.store.exists("active_entitlements"):
-            self.store.write("active_entitlements", rows, key="customer")
+            self._commit_buckets("active_entitlements", rows, None, key="customer")
             return rows.count()
         # Replace-set, bucket-pruned BY CUSTOMER (the table's bucket key —
         # schemas/entities.py BUCKET_KEYS): one customer's entitlements all
@@ -387,7 +462,7 @@ class StripeSparkSync:
         touched = self.store.buckets_of(custs, bkey, table="active_entitlements")
         bucket_target = self.store.read_buckets("active_entitlements", touched)
         merged = replace_set(bucket_target, rows, partition_key="customer", touched=custs)
-        self.store.write_buckets("active_entitlements", merged, touched, key=bkey)
+        self._commit_buckets("active_entitlements", merged, touched, key=bkey)
         return rows.count()
 
     # -- child tables ----------------------------------------------------
@@ -437,7 +512,7 @@ class StripeSparkSync:
         # so the merge output's bucket clustering survives the joins and
         # the combined merge+reconcile commit stays a one-shuffle write.
         marked = soft_delete_reconcile(merged, current, partition_key="subscription")
-        self.store.write_buckets(
+        self._commit_buckets(
             "subscription_items", marked, touched, key=bkey, pre_clustered=pre_clustered
         )
 
@@ -541,7 +616,7 @@ class StripeSparkSync:
         touched = self.store.buckets_of(keys, "id", table=entity)
         target = self.store.read_buckets(entity, touched)
         if target is not None:
-            self.store.write_buckets(entity, delete_by_keys(target, keys), touched)
+            self._commit_buckets(entity, delete_by_keys(target, keys), touched)
 
     def _expanded_parts(self, entity: str, subset: DataFrame) -> Iterator[DataFrame]:
         """autoExpandLists (reference expandEntity, stripeSync.ts:1736-1760):
@@ -710,7 +785,7 @@ class StripeSparkSync:
         # An empty batch touches no buckets — skip the write job unless the
         # table doesn't exist yet (first write materializes the schema).
         if touched or not self.store.exists(entity):
-            self.store.write_buckets(entity, merged, touched, key=bkey, pre_clustered=pre_clustered)
+            self._commit_buckets(entity, merged, touched, key=bkey, pre_clustered=pre_clustered)
         return n_rows
 
     # ------------------------------------------------------------------

@@ -918,3 +918,118 @@ def test_time_travel_vacuumed_snapshot_raises(spark, tmp_path):
     # retain=0: the replaced version dir was reclaimed at commit time
     with pytest.raises(FileNotFoundError):
         store.read("t", as_of_ms=t1).collect()
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/rollup.py): after any sequence
+# of commits, the maintained table must equal the same GROUP BY recomputed
+# from the final source state — including updates that MOVE a row between
+# groups, deletes, and replayed batches (zero delta)
+# ---------------------------------------------------------------------------
+
+
+def _charge_rollup_spec():
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec
+
+    return RollupSpec(
+        name="rollup_daily_charge_volume",
+        entity="charges",
+        group_by={"day": "date_trunc('DAY', to_timestamp(created))", "status": "status"},
+        aggregates={"total_amount": "sum(amount)", "n_charges": "count(*)"},
+        count_col="n_charges",
+    )
+
+
+def _recomputed(eng, spec):
+    from stripe_sync_engine_spark.operators.rollup import full_rollup
+
+    src = eng.store.read(spec.entity)
+    return {
+        tuple(r[c] for c in spec.gcols): tuple(r[c] for c in spec.acols)
+        for r in full_rollup(src, spec).collect()
+    }
+
+
+def _maintained(eng, spec):
+    rows = eng.store.read(spec.name)
+    return (
+        {}
+        if rows is None
+        else {
+            tuple(r[c] for c in spec.gcols): tuple(r[c] for c in spec.acols)
+            for r in rows.collect()
+        }
+    )
+
+
+def test_rollup_incremental_matches_recompute(spark, tmp_path):
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_ru")), api=None)
+    spec = _charge_rollup_spec()
+    eng.register_rollup(spec)
+
+    def ch(i, amount, created, status="succeeded"):
+        return fx.event(
+            "charge.updated",
+            fx.charge(id=f"ch_{i}", amount=amount, status=status),
+            created=created,
+        )
+
+    day1, day2 = 1_700_000_000, 1_700_100_000  # ~28h apart → distinct days
+    process(eng, ch(1, 100, day1), ch(2, 200, day1), ch(3, 50, day2, "failed"))
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
+    # update: ch_2's amount changes AND it moves to day2 (group migration)
+    process(eng, ch(2, 500, day2 + 10))
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
+    got = _maintained(eng, spec)
+    assert sum(v[0] for v in got.values()) == 100 + 500 + 50
+
+
+def test_rollup_replay_and_stale_are_zero_delta(spark, tmp_path):
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_rz")), api=None)
+    spec = _charge_rollup_spec()
+    eng.register_rollup(spec)
+    e = fx.event("charge.updated", fx.charge(id="ch_r", amount=100), created=2_000)
+    process(eng, e)
+    before = _maintained(eng, spec)
+    process(eng, e)  # replay
+    stale = fx.event("charge.updated", fx.charge(id="ch_r", amount=999), created=1_000)
+    process(eng, stale)  # older ts — merge no-op
+    assert _maintained(eng, spec) == before == _recomputed(eng, spec)
+
+
+def test_rollup_delete_and_group_drop(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_rd")), api=None)
+    spec = RollupSpec(
+        name="rollup_products",
+        entity="products",
+        group_by={"active": "active"},
+        aggregates={"n": "count(*)"},
+        count_col="n",
+    )
+    eng.register_rollup(spec)
+    process(eng, fx.event("product.created", fx.product(id="prod_a"), created=100))
+    process(eng, fx.event("product.created", fx.product(id="prod_b"), created=100))
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
+    process(
+        eng,
+        fx.event("product.deleted", {"id": "prod_a", "object": "product", "deleted": True}, created=200),
+    )
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
+    process(
+        eng,
+        fx.event("product.deleted", {"id": "prod_b", "object": "product", "deleted": True}, created=300),
+    )
+    # every row of the group deleted → the group row is gone, not zeroed
+    assert _maintained(eng, spec) == {} == _recomputed(eng, spec)
+
+
+def test_rollup_registered_on_existing_table_initializes(spark, tmp_path):
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_ri")), api=None)
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_0", amount=70), created=1_000))
+    spec = _charge_rollup_spec()
+    eng.register_rollup(spec)  # initial full compute
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_1", amount=30), created=1_500))
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
