@@ -166,13 +166,23 @@ def merge_upsert_clustered(
     ``ts_col=None`` the source always beats the target (plain upsert).
     Equivalence to ``merge_upsert`` is property-tested
     (tests/test_merge_properties.py).
+
+    NULL merge keys are DROPPED — the one deliberate divergence from
+    ``merge_upsert`` (whose full-outer join would insert them as unjoinable
+    rows that then accumulate across batches). The reference's tables all
+    declare ``id text primary key``, which rejects NULL; dropping is the
+    parity behavior, and run-boundary detection needs a total order on the
+    key anyway.
     """
     is_tgt = F.col("_is_tgt")
+    source = source.where(F.col(key).isNotNull())
     src = source.withColumn("_is_tgt", F.lit(0))
     if target is not None:
         # allowMissingColumns: the target has no tiebreak carry columns
-        # (e.g. _event_id) — they union in as NULL and sort last.
-        both = target.withColumn("_is_tgt", F.lit(1)).unionByName(
+        # (e.g. _event_id) — they union in as NULL and sort last. The
+        # null-key filter also sheds any legacy NULL-id garbage from the
+        # rewritten buckets (same PK-parity rationale as the source side).
+        both = target.where(F.col(key).isNotNull()).withColumn("_is_tgt", F.lit(1)).unionByName(
             src, allowMissingColumns=True
         )
     else:

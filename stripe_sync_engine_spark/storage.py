@@ -91,6 +91,14 @@ class TableStore:
         plans against it, Delta-time-travel style. Always called under the
         commit lock, so history timestamps are strictly increasing per
         table."""
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))
+        # History is written AFTER the atomic swap: a crash between the two
+        # loses one history entry (as-of reads around that instant resolve
+        # to the previous snapshot — older but real data), never records a
+        # phantom commit whose state was never the table's.
         hdir = os.path.join(self._dir(table), "_history")
         os.makedirs(hdir, exist_ok=True)
         ms = int(time.time() * 1000)
@@ -98,10 +106,6 @@ class TableStore:
             ms += 1
         with open(os.path.join(hdir, f"{ms}.json"), "w") as f:
             json.dump(manifest, f)
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(table))
 
     @contextlib.contextmanager
     def _commit_lock(self, table: str):
@@ -220,7 +224,18 @@ class TableStore:
             return self.read_buckets(table, None)
         eligible = [c for c in self.commits(table) if c <= as_of_ms]
         if not eligible:
-            return None
+            m = self._read_manifest(table)
+            if m is None:
+                return None  # table does not exist at all
+            created = m.get("created_ms")
+            if created is not None and as_of_ms < created:
+                return None  # before the table's first commit — genuinely absent
+            # the table existed at as_of_ms but its snapshot aged out —
+            # loud, like the vacuumed-version case below
+            raise FileNotFoundError(
+                f"no retained snapshot of {table!r} at {as_of_ms} (history pruned); "
+                "raise vacuum_retain_s to keep older snapshots readable"
+            )
         with open(os.path.join(self._dir(table), "_history", f"{eligible[-1]}.json")) as f:
             manifest = json.load(f)
         schema = StructType.fromJson(manifest["schema"])
@@ -304,6 +319,10 @@ class TableStore:
         }
         with self._commit_lock(table):
             prior = self._read_manifest(table)
+            # table birth time, carried across every rewrite — read(as_of)
+            # uses it to tell "before the table existed" (None) from
+            # "snapshot aged out of retention" (raise)
+            manifest["created_ms"] = (prior or {}).get("created_ms", int(time.time() * 1000))
             self._commit_manifest(table, manifest)
         replaced = (
             set(prior["buckets"].values()) - set(manifest["buckets"].values())
@@ -363,6 +382,7 @@ class TableStore:
                 "bucket_key": key,
                 "schema": json.loads(df.schema.json()),
                 "buckets": new_buckets,
+                "created_ms": prior.get("created_ms", int(time.time() * 1000)),
             }
             self._commit_manifest(table, manifest)
         replaced = set(prior["buckets"].values()) - set(new_buckets.values())
@@ -375,44 +395,57 @@ class TableStore:
     ORPHAN_GRACE_S = 3600.0
 
     def _vacuum(self, table: str, replaced: set[str]) -> None:
-        """Two-tier reclamation after a commit:
-
-        1. Version dirs this commit REPLACED (referenced by the prior
-           manifest, unreferenced by the new one), once older than
-           ``vacuum_retain_s`` (grace for in-flight readers holding the
-           previous manifest).
-        2. ANY unreferenced dir older than ``ORPHAN_GRACE_S`` — replaced
-           dirs that were too young for tier 1 at their own commit time
-           (they would otherwise leak forever, since later commits compute
-           their own replaced sets) and crash leftovers. The age floor is
-           what makes this safe next to concurrent writers: an in-flight
-           commit's dir is always far younger."""
-        tdir = self._dir(table)
-        cutoff_ms = (time.time() - self.vacuum_retain_s) * 1000
-        for name in replaced:
-            try:
-                created_ms = int(name[1:].split("_", 1)[0])
-            except ValueError:
-                continue  # not a version dir we wrote
-            if created_ms <= cutoff_ms:
-                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+        """Reclamation after a commit. With ``vacuum_retain_s == 0`` (the
+        local/test default: no snapshot readers) the dirs this commit just
+        replaced are deleted immediately. With a positive retention,
+        NOTHING is deleted eagerly — protection is reference-based: a dir
+        lives while the current manifest OR any retained history snapshot
+        points at it, so a replaced dir stays readable for the retention
+        window counted from REPLACEMENT (its last referencing snapshot
+        ages out then), not from creation — the Delta contract. The sweep
+        then reclaims whatever nothing references."""
+        if self.vacuum_retain_s == 0:
+            tdir = self._dir(table)
+            for name in replaced:
+                if name.startswith("v"):
+                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
         self.vacuum_orphans(table, min_age_s=max(self.vacuum_retain_s, self.ORPHAN_GRACE_S))
 
+    def _history_refs(self, table: str) -> set[str]:
+        """Version dirs referenced by any retained history snapshot."""
+        refs: set[str] = set()
+        hdir = os.path.join(self._dir(table), "_history")
+        for ms in self.commits(table):
+            try:
+                with open(os.path.join(hdir, f"{ms}.json")) as f:
+                    refs.update(json.load(f)["buckets"].values())
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                continue
+        return refs
+
     def vacuum_orphans(self, table: str, min_age_s: float = 3600.0) -> list[str]:
-        """Reclaim version dirs referenced by NO manifest bucket and older
-        than ``min_age_s`` — crash leftovers (a writer that died between
-        writing files and committing). The age floor is what makes this
-        safe to run while writers are active: an in-flight commit's dir is
-        always younger than any sane floor."""
+        """Prune history snapshots older than ``min_age_s`` (always keeping
+        the newest — the current committed state), then reclaim version
+        dirs referenced by NEITHER the current manifest NOR any retained
+        snapshot, once older than ``min_age_s`` since creation. The
+        creation-age floor is what makes this safe next to concurrent
+        writers: an in-flight commit's not-yet-referenced dir is always
+        younger than any sane floor. Unreferenced-and-old dirs are crash
+        leftovers or aged-out replaced versions — both reclaimable."""
         manifest = self._read_manifest(table)
         if manifest is None:
             return []
-        live = set(manifest["buckets"].values())
         tdir = self._dir(table)
         cutoff_ms = (time.time() - min_age_s) * 1000
+        history = self.commits(table)
+        for ms in history[:-1]:
+            if ms <= cutoff_ms:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(os.path.join(tdir, "_history", f"{ms}.json"))
+        protected = set(manifest["buckets"].values()) | self._history_refs(table)
         removed = []
         for name in os.listdir(tdir):
-            if not name.startswith("v") or name in live:
+            if not name.startswith("v") or name in protected:
                 continue
             try:
                 created_ms = int(name[1:].split("_", 1)[0])
@@ -421,14 +454,6 @@ class TableStore:
             if created_ms <= cutoff_ms:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
                 removed.append(name)
-        # History snapshots older than the reclamation horizon reference
-        # vacuumed (or about-to-be-vacuumed) version dirs — prune them too,
-        # always keeping the newest entry (the current committed state).
-        history = self.commits(table)
-        for ms in history[:-1]:
-            if ms <= cutoff_ms:
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(os.path.join(tdir, "_history", f"{ms}.json"))
         return removed
 
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------

@@ -87,29 +87,34 @@ def start_webhook_stream(
                 )
                 if not rejected.isEmpty():
                     # bucket-pruned append: only buckets receiving new
-                    # rejected rows are rewritten. Deduplicated on
-                    # (value, signature, batch_id) so a crash-replayed
+                    # rejected rows are rewritten. A crash-replayed
                     # micro-batch (foreachBatch is at-least-once; the file
                     # source re-delivers the same batch_id with identical
-                    # content) appends NOTHING the second time — the audit
-                    # table is exactly-once like the merge path, which is
-                    # idempotent by keyed timestamp protection instead.
+                    # content) appends NOTHING the second time: incoming
+                    # rows anti-join against rows ALREADY STORED for the
+                    # same (value, signature, batch_id). Within one batch,
+                    # genuine duplicate rejections (the same bad body
+                    # posted twice) are preserved — the dedup is against
+                    # the store, never within the batch. The commit is a
+                    # single atomic manifest swap, so a crash can't leave
+                    # a batch half-appended and defeat the anti-join.
                     dedup_keys = ["value", "signature", "batch_id"]
                     if engine.store.exists(REJECTED_TABLE):
                         touched = engine.store.buckets_of(
                             rejected, "value", table=REJECTED_TABLE
                         )
                         prior = engine.store.read_buckets(REJECTED_TABLE, touched)
+                        fresh = rejected.join(
+                            prior.select(*dedup_keys), dedup_keys, "left_anti"
+                        )
                         engine.store.write_buckets(
                             REJECTED_TABLE,
-                            prior.unionByName(rejected).dropDuplicates(dedup_keys),
+                            prior.unionByName(fresh),
                             touched,
                             key="value",
                         )
                     else:
-                        engine.store.write(
-                            REJECTED_TABLE, rejected.dropDuplicates(dedup_keys), key="value"
-                        )
+                        engine.store.write(REJECTED_TABLE, rejected, key="value")
                 events = checked.where(F.col("signature_valid")).select(
                     F.col("payload").alias("value")
                 )

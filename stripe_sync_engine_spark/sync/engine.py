@@ -131,6 +131,10 @@ class StripeSparkSync:
 
         if not isinstance(spec, RollupSpec):  # pragma: no cover - guard
             raise TypeError("register_rollup expects a RollupSpec")
+        # name uniqueness: a duplicate registration would apply every
+        # commit's delta twice, silently corrupting the rollup
+        if any(s.name == spec.name for specs in self._rollups.values() for s in specs):
+            raise ValueError(f"rollup {spec.name!r} is already registered")
         self._rollups.setdefault(spec.entity, []).append(spec)
         if self.store.exists(spec.entity):
             self.refresh_rollup(spec.name)
@@ -163,21 +167,32 @@ class StripeSparkSync:
 
         specs = self._rollups.get(table, ())
         pre = []
-        for spec in specs:
+        if specs:
+            # one read of the old touched-bucket state serves every spec;
+            # each contribution is materialized BEFORE the commit (the
+            # write's vacuum may reclaim the version dirs the lineage
+            # reads)
             old = self.store.read_buckets(table, touched)
-            if old is None:
-                pre.append(None)
-            else:
-                # materialize BEFORE the commit: the write's vacuum may
-                # reclaim the old version dirs this lineage reads
-                pre.append(R_.contributions(old, spec).localCheckpoint(eager=True))
+            for spec in specs:
+                pre.append(
+                    None
+                    if old is None
+                    else R_.contributions(old, spec).localCheckpoint(eager=True)
+                )
         if touched is None:
             self.store.write(table, df, **kw)
         else:
             self.store.write_buckets(table, df, touched, **kw)
+        if not specs:
+            return
+        new_rows = self.store.read_buckets(table, touched)
         for spec, old_contrib in zip(specs, pre):
-            new_rows = self.store.read_buckets(table, touched)
-            d = R_.delta(old_contrib, R_.contributions(new_rows, spec), spec)
+            # checkpoint the delta: its lineage (two aggregations) would
+            # otherwise execute once for the bucket probe and again inside
+            # the rollup write
+            d = R_.delta(old_contrib, R_.contributions(new_rows, spec), spec).localCheckpoint(
+                eager=True
+            )
             keys = d.select(R_.group_key_col(spec).alias("_gk"))
             if not self.store.exists(spec.name):
                 self.store.write(spec.name, R_.apply_delta(None, d, spec), key="_gk")

@@ -147,18 +147,19 @@ def test_rejected_audit_append_is_replay_idempotent(spark, tmp_path):
     ckpt = tmp_path / "ckpt_r"
     os.makedirs(landing)
     bad_body = fx.event("charge.succeeded", fx.charge(id="ch_rr"), created=100)
-    (landing / "b1.jsonl").write_text(
-        json.dumps({"payload": bad_body, "signature": "t=100,v1=" + "1" * 64})
-    )
+    # the SAME bad envelope twice in one batch: genuine duplicate
+    # rejections must BOTH be recorded (dedup is replay-vs-store only)
+    line = json.dumps({"payload": bad_body, "signature": "t=100,v1=" + "1" * 64})
+    (landing / "b1.jsonl").write_text(line + "\n" + line)
     engine = StripeSparkSync(
         spark, TableStore(spark, str(tmp_path / "wh_r")), api=None,
         config=SyncConfig(backfill_related_entities=False),
     )
     q = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True, secret=SECRET)
     q.awaitTermination(120)
-    assert engine.store.read("_rejected_webhooks").count() == 1
+    assert engine.store.read("_rejected_webhooks").count() == 2
     # replay: same file, same batch_id 0, fresh checkpoint
     shutil.rmtree(ckpt)
     q2 = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True, secret=SECRET)
     q2.awaitTermination(120)
-    assert engine.store.read("_rejected_webhooks").count() == 1
+    assert engine.store.read("_rejected_webhooks").count() == 2

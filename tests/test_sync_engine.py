@@ -906,7 +906,7 @@ def test_time_travel_reads(spark, tmp_path):
     assert {r["id"]: r["v"] for r in store.read("t").collect()} == {"a": 2, "b": 1}
     assert {r["id"]: r["v"] for r in store.read("t", as_of_ms=t1).collect()} == {"a": 1, "b": 1}
     assert {r["id"]: r["v"] for r in store.read("t", as_of_ms=t2).collect()} == {"a": 2, "b": 1}
-    assert store.read("t", as_of_ms=t1 - 1) is None  # before first commit
+    assert store.read("t", as_of_ms=t1 - 60_000) is None  # before the table existed
 
 
 def test_time_travel_vacuumed_snapshot_raises(spark, tmp_path):
@@ -1033,3 +1033,43 @@ def test_rollup_registered_on_existing_table_initializes(spark, tmp_path):
     assert _maintained(eng, spec) == _recomputed(eng, spec)
     process(eng, fx.event("charge.updated", fx.charge(id="ch_1", amount=30), created=1_500))
     assert _maintained(eng, spec) == _recomputed(eng, spec)
+
+
+# retention counts from REPLACEMENT, not creation: a long-lived current
+# version (ancient creation timestamp) that gets replaced under a positive
+# retention must survive the commit's vacuum and stay snapshot-readable —
+# protection is by reference from retained history, not by dir age
+def test_retention_protects_long_lived_replaced_versions(spark, tmp_path):
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    store = TableStore(spark, str(tmp_path / "wh_ret"), vacuum_retain_s=3600.0)
+    store.write("t", spark.createDataFrame([("a", 1)], "id string, v int"))
+    tdir = str(tmp_path / "wh_ret" / "t")
+    cur = _json.load(open(_os.path.join(tdir, "MANIFEST.json")))
+    (real_version,) = set(cur["buckets"].values())
+    # simulate a version that has been current for a long time: same files
+    # under an ancient-creation name, manifest + history re-pointed to it
+    old_name = "v1000_777"
+    _shutil.copytree(_os.path.join(tdir, real_version), _os.path.join(tdir, old_name))
+    cur["buckets"] = {b: old_name for b in cur["buckets"]}
+    _json.dump(cur, open(_os.path.join(tdir, "MANIFEST.json"), "w"))
+    newest_hist = max(store.commits("t"))
+    _json.dump(cur, open(_os.path.join(tdir, "_history", f"{newest_hist}.json"), "w"))
+    _shutil.rmtree(_os.path.join(tdir, real_version))
+    t_before = newest_hist
+    __import__("time").sleep(0.01)
+    # replace it
+    store.write("t", spark.createDataFrame([("a", 2)], "id string, v int"))
+    assert _os.path.isdir(_os.path.join(tdir, old_name))  # survived vacuum
+    snap = {r["id"]: r["v"] for r in store.read("t", as_of_ms=t_before).collect()}
+    assert snap == {"a": 1}
+    assert {r["v"] for r in store.read("t").collect()} == {2}
+
+
+def test_register_rollup_duplicate_name_raises(spark, tmp_path):
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_rr2")), api=None)
+    eng.register_rollup(_charge_rollup_spec())
+    with pytest.raises(ValueError, match="already registered"):
+        eng.register_rollup(_charge_rollup_spec())
