@@ -442,7 +442,12 @@ class TableStore:
             if ms <= cutoff_ms:
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(os.path.join(tdir, "_history", f"{ms}.json"))
-        protected = set(manifest["buckets"].values()) | self._history_refs(table)
+        protected = set(manifest["buckets"].values())
+        if self.vacuum_retain_s > 0:
+            # snapshot protection only matters when snapshots are readable;
+            # at retain=0 replaced dirs die at commit anyway, and skipping
+            # the scan keeps per-commit vacuum O(1) in history length
+            protected |= self._history_refs(table)
         removed = []
         for name in os.listdir(tdir):
             if not name.startswith("v") or name in protected:
