@@ -163,3 +163,65 @@ def test_rejected_audit_append_is_replay_idempotent(spark, tmp_path):
     q2 = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True, secret=SECRET)
     q2.awaitTermination(120)
     assert engine.store.read("_rejected_webhooks").count() == 2
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path):
+    """A registered rollup stays equal to its recompute under the streaming
+    ingest path too: deltas ride every foreachBatch commit, stale events
+    contribute zero, and a checkpointed restart changes nothing."""
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec, full_rollup
+
+    landing = tmp_path / "landing_ru"
+    ckpt = tmp_path / "ckpt_ru"
+    os.makedirs(landing)
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                fx.event("charge.succeeded", fx.charge(id="ch_r1", amount=300), created=2_000),
+                fx.event("charge.succeeded", fx.charge(id="ch_r2", amount=700), created=2_000),
+            ]
+        )
+    )
+    (landing / "b2.jsonl").write_text(
+        # stale update to ch_r1 (zero delta) + a genuinely new charge
+        "\n".join(
+            [
+                fx.event("charge.updated", fx.charge(id="ch_r1", amount=999), created=1_000),
+                fx.event("charge.succeeded", fx.charge(id="ch_r3", amount=50), created=2_500),
+            ]
+        )
+    )
+    engine = StripeSparkSync(
+        spark, TableStore(spark, str(tmp_path / "wh_ru")), api=None,
+        config=SyncConfig(backfill_related_entities=False),
+    )
+    spec = RollupSpec(
+        name="rollup_charge_status",
+        entity="charges",
+        group_by={"status": "status"},
+        aggregates={"total_amount": "sum(amount)", "n": "count(*)"},
+        count_col="n",
+    )
+    engine.register_rollup(spec)
+    q = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+
+    def states():
+        maintained = {
+            (r["status"],): (r["total_amount"], r["n"])
+            for r in engine.store.read(spec.name).collect()
+        }
+        recomputed = {
+            (r["status"],): (r["total_amount"], r["n"])
+            for r in full_rollup(engine.store.read("charges"), spec).collect()
+        }
+        return maintained, recomputed
+
+    m1, r1 = states()
+    assert m1 == r1
+    assert m1[("succeeded",)] == (300 + 700 + 50, 3)
+    # checkpointed restart: no re-processing, rollup unchanged
+    q2 = start_webhook_stream(engine, str(landing), str(ckpt), available_now=True)
+    q2.awaitTermination(120)
+    m2, r2 = states()
+    assert m2 == m1 == r2
