@@ -23,8 +23,10 @@ watermark, which would drop late events instead of no-op'ing them.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import json
+import threading
 import time
 from collections.abc import Callable, Iterable, Iterator
 from concurrent.futures import ThreadPoolExecutor
@@ -118,6 +120,37 @@ class StripeSparkSync:
         self.config = config or SyncConfig()
         # entity table -> registered RollupSpecs maintained on its commits
         self._rollups: dict[str, list] = {}
+        # Per-table write locks guarding every read-merge-write critical
+        # section. The store's commit lock only serializes the manifest
+        # POINTER swap — two writers that both planned against the same
+        # pre-commit bucket state would still be last-commit-wins on any
+        # shared bucket, dropping the earlier batch's rows. That matters
+        # because the HTTP front door (api/app.py) is a THREADING server:
+        # two concurrent webhook POSTs for the same entity race exactly
+        # like that. Within one batch the handler chains are disjoint by
+        # write-set construction; these locks extend the same guarantee
+        # across batches. Sorted multi-acquisition prevents deadlock.
+        self._table_locks: dict = {}
+        self._table_locks_guard = threading.Lock()
+
+    @contextlib.contextmanager
+    def _table_write_lock(self, *tables: str):
+        """Exclusive read-merge-write access to the given tables (see
+        __init__). Locks acquire in sorted name order so overlapping
+        multi-table sections can never deadlock; RLock tolerates nested
+        sections on the same table within one thread."""
+        with self._table_locks_guard:
+            locks = [
+                self._table_locks.setdefault(t, threading.RLock())
+                for t in sorted(set(tables))
+            ]
+        for lk in locks:
+            lk.acquire()
+        try:
+            yield
+        finally:
+            for lk in reversed(locks):
+                lk.release()
 
     # ------------------------------------------------------------------
     # Incremental rollups (operators/rollup.py)
@@ -148,9 +181,12 @@ class StripeSparkSync:
         for specs in self._rollups.values():
             for spec in specs:
                 if spec.name == name:
-                    rows = self.store.read(spec.entity)
-                    if rows is not None:
-                        self.store.write(spec.name, full_rollup(rows, spec), key="_gk")
+                    # source lock: the recompute must not interleave with a
+                    # commit whose delta it would then double- or un-count
+                    with self._table_write_lock(spec.entity):
+                        rows = self.store.read(spec.entity)
+                        if rows is not None:
+                            self.store.write(spec.name, full_rollup(rows, spec), key="_gk")
                     return
         raise KeyError(f"no registered rollup named {name!r}")
 
@@ -411,11 +447,12 @@ class StripeSparkSync:
         """Hard delete (product/price/plan/tax_id .deleted —
         stripeSync.ts:1360-1399,:1480-1482)."""
         keys = self._project(entity, subset).select("id")
-        if self.store.exists(entity):
-            touched = self.store.buckets_of(keys, "id", table=entity)
-            target = self.store.read_buckets(entity, touched)
-            if target is not None:
-                self._commit_buckets(entity, delete_by_keys(target, keys), touched)
+        with self._table_write_lock(entity):
+            if self.store.exists(entity):
+                touched = self.store.buckets_of(keys, "id", table=entity)
+                target = self.store.read_buckets(entity, touched)
+                if target is not None:
+                    self._commit_buckets(entity, delete_by_keys(target, keys), touched)
         return keys.count()
 
     def _handle_entitlement_summary(self, subset: DataFrame) -> int:
@@ -459,19 +496,24 @@ class StripeSparkSync:
         # features table (reference backfillFeatures, stripeSync.ts:1692).
         if self.config.backfill_related_entities:
             self._backfill_parents("active_entitlements", rows, depth=0)
-        if not self.store.exists("active_entitlements"):
-            self._commit_buckets("active_entitlements", rows, None, key="customer")
-            return rows.count()
-        # Replace-set, bucket-pruned BY CUSTOMER (the table's bucket key —
-        # schemas/entities.py BUCKET_KEYS): one customer's entitlements all
-        # live in one bucket, so reading the batch customers' buckets IS the
-        # discovery — rows of batch customers absent from the batch set die
-        # in the rewrite, rows of bucket-mate customers survive the
-        # replace_set anti-join. O(batch buckets); no full-table scan
-        # (previously the delete-key discovery scanned the whole table per
-        # micro-batch — the sync layer's scale-killer at 100× ingest).
-        # Touched customers come from the SUMMARIES (not the rows): a
-        # revoke-all summary has zero rows but must still clear its set.
+        with self._table_write_lock("active_entitlements"):
+            if not self.store.exists("active_entitlements"):
+                self._commit_buckets("active_entitlements", rows, None, key="customer")
+                return rows.count()
+            return self._entitlement_replace_set(summaries, rows)
+
+    def _entitlement_replace_set(self, summaries: DataFrame, rows: DataFrame) -> int:
+        """Replace-set, bucket-pruned BY CUSTOMER (the table's bucket key —
+        schemas/entities.py BUCKET_KEYS): one customer's entitlements all
+        live in one bucket, so reading the batch customers' buckets IS the
+        discovery — rows of batch customers absent from the batch set die
+        in the rewrite, rows of bucket-mate customers survive the
+        replace_set anti-join. O(batch buckets); no full-table scan
+        (previously the delete-key discovery scanned the whole table per
+        micro-batch — the sync layer's scale-killer at 100× ingest).
+        Touched customers come from the SUMMARIES (not the rows): a
+        revoke-all summary has zero rows but must still clear its set.
+        Caller holds the table write lock."""
         bkey = self._ensure_bucket_key("active_entitlements")
         custs = summaries.select("customer").distinct()
         touched = self.store.buckets_of(custs, bkey, table="active_entitlements")
@@ -519,17 +561,19 @@ class StripeSparkSync:
         # inside those buckets via soft_delete_reconcile, never via a
         # full-table scan, and the deleted flags ride the same version
         # commit as the upsert (one write per batch instead of two).
-        merged, touched, bkey, _n, pre_clustered = self._merge_plan("subscription_items", rows)
-        if not touched and self.store.exists("subscription_items"):
-            return  # batch had no items — nothing to merge or reconcile
-        current = rows.select("id", "subscription")
-        # soft_delete_reconcile broadcasts its (batch-bounded) probe sides,
-        # so the merge output's bucket clustering survives the joins and
-        # the combined merge+reconcile commit stays a one-shuffle write.
-        marked = soft_delete_reconcile(merged, current, partition_key="subscription")
-        self._commit_buckets(
-            "subscription_items", marked, touched, key=bkey, pre_clustered=pre_clustered
-        )
+        with self._table_write_lock("subscription_items"):
+            merged, touched, bkey, _n, pre_clustered = self._merge_plan("subscription_items", rows)
+            if not touched and self.store.exists("subscription_items"):
+                return  # batch had no items — nothing to merge or reconcile
+            current = rows.select("id", "subscription")
+            # soft_delete_reconcile broadcasts its (batch-bounded) probe
+            # sides, so the merge output's bucket clustering survives the
+            # joins and the combined merge+reconcile commit stays a
+            # one-shuffle write.
+            marked = soft_delete_reconcile(merged, current, partition_key="subscription")
+            self._commit_buckets(
+                "subscription_items", marked, touched, key=bkey, pre_clustered=pre_clustered
+            )
 
     def _sync_checkout_line_items(self, session_rows: DataFrame) -> None:
         """Fetch line items per checkout session from the API, stamp the
@@ -625,13 +669,14 @@ class StripeSparkSync:
         """Hard-delete rows whose upstream object no longer exists.
         Bucket-pruned like the merge: only buckets holding the keys are
         anti-joined and rewritten."""
-        if not self.store.exists(entity):
-            return
         keys = self.spark.createDataFrame([(i,) for i in ids], "id string")
-        touched = self.store.buckets_of(keys, "id", table=entity)
-        target = self.store.read_buckets(entity, touched)
-        if target is not None:
-            self._commit_buckets(entity, delete_by_keys(target, keys), touched)
+        with self._table_write_lock(entity):
+            if not self.store.exists(entity):
+                return
+            touched = self.store.buckets_of(keys, "id", table=entity)
+            target = self.store.read_buckets(entity, touched)
+            if target is not None:
+                self._commit_buckets(entity, delete_by_keys(target, keys), touched)
 
     def _expanded_parts(self, entity: str, subset: DataFrame) -> Iterator[DataFrame]:
         """autoExpandLists (reference expandEntity, stripeSync.ts:1736-1760):
@@ -796,11 +841,16 @@ class StripeSparkSync:
         return merged, touched, bkey, n_rows, pre_clustered
 
     def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
-        merged, touched, bkey, n_rows, pre_clustered = self._merge_plan(entity, rows, update_cols)
-        # An empty batch touches no buckets — skip the write job unless the
-        # table doesn't exist yet (first write materializes the schema).
-        if touched or not self.store.exists(entity):
-            self._commit_buckets(entity, merged, touched, key=bkey, pre_clustered=pre_clustered)
+        # the PLAN reads the current bucket state, so plan+write must sit
+        # inside the same critical section (cross-batch writers racing on
+        # a bucket would otherwise be last-commit-wins)
+        with self._table_write_lock(entity):
+            merged, touched, bkey, n_rows, pre_clustered = self._merge_plan(entity, rows, update_cols)
+            # An empty batch touches no buckets — skip the write job unless
+            # the table doesn't exist yet (first write materializes the
+            # schema).
+            if touched or not self.store.exists(entity):
+                self._commit_buckets(entity, merged, touched, key=bkey, pre_clustered=pre_clustered)
         return n_rows
 
     # ------------------------------------------------------------------

@@ -1073,3 +1073,27 @@ def test_register_rollup_duplicate_name_raises(spark, tmp_path):
     eng.register_rollup(_charge_rollup_spec())
     with pytest.raises(ValueError, match="already registered"):
         eng.register_rollup(_charge_rollup_spec())
+
+
+# cross-batch concurrency: the HTTP front door is a threading server, so
+# two webhook batches can process simultaneously on one engine. The store's
+# commit lock only serializes the manifest swap — without the engine's
+# per-table write locks, two batches touching the same bucket would be
+# last-commit-wins and one batch's rows would silently vanish.
+def test_concurrent_webhook_batches_lose_nothing(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_cc")), api=None)
+
+    def one_batch(i):
+        return process(
+            eng, fx.event("charge.updated", fx.charge(id=f"ch_cc_{i}", amount=i), created=1_000 + i)
+        )
+
+    n = 12
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(one_batch, range(n)))
+    assert all(r["charges"] == 1 for r in results)
+    rows = table_rows(eng, "charges")
+    assert {f"ch_cc_{i}" for i in range(n)} <= set(rows)
+    assert all(rows[f"ch_cc_{i}"]["amount"] == i for i in range(n))
