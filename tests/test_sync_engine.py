@@ -1097,3 +1097,66 @@ def test_concurrent_webhook_batches_lose_nothing(spark, tmp_path):
     rows = table_rows(eng, "charges")
     assert {f"ch_cc_{i}" for i in range(n)} <= set(rows)
     assert all(rows[f"ch_cc_{i}"]["amount"] == i for i in range(n))
+
+
+# combined: parallel chains + rollups on a parent-merged table AND a
+# child table maintained through the reconcile ride-along, plus a delete —
+# one mixed batch, every maintained rollup equals its recompute
+def test_rollups_under_parallel_mixed_batch(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec, full_rollup
+
+    eng = StripeSparkSync(
+        spark, TableStore(spark, str(tmp_path / "wh_mix")), api=None,
+        config=SyncConfig(webhook_parallelism=8),
+    )
+    charge_spec = _charge_rollup_spec()
+    item_spec = RollupSpec(
+        name="rollup_items_per_subscription",
+        entity="subscription_items",
+        group_by={"subscription": "subscription"},
+        aggregates={"n_live": "sum(CASE WHEN deleted THEN 0 ELSE 1 END)", "n_rows": "count(*)"},
+        count_col="n_rows",
+    )
+    eng.register_rollup(charge_spec)
+    eng.register_rollup(item_spec)
+    process(
+        eng,
+        fx.event("charge.succeeded", fx.charge(id="ch_m1", amount=10), created=1_000),
+        fx.event("charge.succeeded", fx.charge(id="ch_m2", amount=20), created=1_000),
+        fx.event("product.created", fx.product(id="prod_m"), created=1_000),
+        fx.event(
+            "customer.subscription.created",
+            fx.subscription(id="sub_m", items=[
+                fx.sub_item(id="si_m1", subscription="sub_m"),
+                fx.sub_item(id="si_m2", subscription="sub_m"),
+            ]),
+            created=1_000,
+        ),
+    )
+    # second batch: charge update, product delete, item vanishes (reconcile
+    # flips deleted=True — the rollup delta must ride the same commit)
+    process(
+        eng,
+        fx.event("charge.updated", fx.charge(id="ch_m1", amount=99), created=2_000),
+        fx.event("product.deleted", {"id": "prod_m", "object": "product", "deleted": True}, created=2_000),
+        fx.event(
+            "customer.subscription.updated",
+            fx.subscription(id="sub_m", items=[fx.sub_item(id="si_m1", subscription="sub_m")]),
+            created=2_000,
+        ),
+    )
+    for spec in (charge_spec, item_spec):
+        maintained = {
+            tuple(r[c] for c in spec.gcols): tuple(r[c] for c in spec.acols)
+            for r in eng.store.read(spec.name).collect()
+        }
+        recomputed = {
+            tuple(r[c] for c in spec.gcols): tuple(r[c] for c in spec.acols)
+            for r in full_rollup(eng.store.read(spec.entity), spec).collect()
+        }
+        assert maintained == recomputed, spec.name
+    items = {
+        (r["subscription"],): (r["n_live"], r["n_rows"])
+        for r in eng.store.read(item_spec.name).collect()
+    }
+    assert items[("sub_m",)] == (1, 2)  # si_m2 soft-deleted, still a row
