@@ -1160,3 +1160,73 @@ def test_rollups_under_parallel_mixed_batch(spark, tmp_path):
         for r in eng.store.read(item_spec.name).collect()
     }
     assert items[("sub_m",)] == (1, 2)  # si_m2 soft-deleted, still a row
+
+
+# rollup through the replace-set path: entitlement summaries rewrite a
+# customer's whole set (including revoke-all, where the batch has zero
+# rows for the touched partition) — deltas must still track exactly
+def test_rollup_on_replace_set_table(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec, full_rollup
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_rs")), api=None)
+    spec = RollupSpec(
+        name="rollup_ents_per_customer",
+        entity="active_entitlements",
+        group_by={"customer": "customer"},
+        aggregates={"n": "count(*)"},
+        count_col="n",
+    )
+    eng.register_rollup(spec)
+
+    def summary(ents, customer="cus_1", created=100):
+        return fx.event(
+            "entitlements.active_entitlement_summary.updated",
+            fx.entitlement_summary(customer=customer, ents=ents),
+            created=created,
+        )
+
+    process(eng, summary([fx.entitlement(id="e1"), fx.entitlement(id="e2")], created=100))
+    process(eng, summary([fx.entitlement(id="e9")], customer="cus_2", created=150))
+    process(eng, summary([fx.entitlement(id="e3")], created=200))  # replace set
+    maintained = {r["customer"]: r["n"] for r in eng.store.read(spec.name).collect()}
+    assert maintained == {"cus_1": 1, "cus_2": 1}
+    process(eng, summary([], created=300))  # revoke-all for cus_1
+    maintained = {r["customer"]: r["n"] for r in eng.store.read(spec.name).collect()}
+    recomputed = {
+        r["customer"]: r["n"]
+        for r in full_rollup(eng.store.read("active_entitlements"), spec).collect()
+    }
+    assert maintained == recomputed == {"cus_2": 1}
+
+
+# time travel across a bucket-key rewrite: _ensure_bucket_key rewrites a
+# legacy id-bucketed table to its declared parent-FK key; with retention
+# on, the pre-rewrite snapshot stays readable
+def test_time_travel_across_rebucketing(spark, tmp_path):
+    import time as _time
+
+    store = TableStore(spark, str(tmp_path / "wh_rb"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store, api=None)
+    # create a legacy id-bucketed subscription_items table directly
+    legacy = spark.createDataFrame(
+        [("si_x", "sub_x", False)], "id string, subscription string, deleted boolean"
+    )
+    store.write("subscription_items", legacy, key="id")
+    t_before = max(store.commits("subscription_items"))
+    assert store.table_bucket_key("subscription_items") == "id"
+    _time.sleep(0.01)
+    # any merge triggers the one-time rebucket to the declared parent FK
+    eng.api = None
+    process(
+        eng,
+        fx.event(
+            "customer.subscription.created",
+            fx.subscription(id="sub_y", items=[fx.sub_item(id="si_y", subscription="sub_y")]),
+            created=1_000,
+        ),
+    )
+    assert store.table_bucket_key("subscription_items") == "subscription"
+    now_ids = {r["id"] for r in store.read("subscription_items").collect()}
+    assert now_ids == {"si_x", "si_y"}
+    old = store.read("subscription_items", as_of_ms=t_before)
+    assert {r["id"] for r in old.collect()} == {"si_x"}
