@@ -438,8 +438,15 @@ class TableStore:
         tdir = self._dir(table)
         cutoff_ms = (time.time() - min_age_s) * 1000
         history = self.commits(table)
-        for ms in history[:-1]:
-            if ms <= cutoff_ms:
+        # A snapshot is prunable only once it has been REPLACED for min_age_s
+        # — i.e. the NEXT commit's timestamp is past the cutoff — never by its
+        # own age. Keying on own age would delete the sole snapshot of a
+        # slowly-updated table in the same vacuum that replaces it, breaking
+        # the "readable for vacuum_retain_s after replacement" contract and
+        # pulling files out from under in-flight readers of the prior
+        # manifest.
+        for ms, replaced_at in zip(history[:-1], history[1:]):
+            if replaced_at <= cutoff_ms:
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(os.path.join(tdir, "_history", f"{ms}.json"))
         protected = set(manifest["buckets"].values())

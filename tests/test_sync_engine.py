@@ -909,6 +909,30 @@ def test_time_travel_reads(spark, tmp_path):
     assert store.read("t", as_of_ms=t1 - 60_000) is None  # before the table existed
 
 
+# Retention is counted from REPLACEMENT, not from a snapshot's own commit
+# time: a version that was current for longer than the retention window must
+# stay readable for the full window after it is replaced. (Regression: the
+# old pruning keyed on the snapshot's own age, so the vacuum that runs at
+# replacement deleted it immediately for slowly-updated tables.)
+def test_retention_counted_from_replacement(spark, tmp_path):
+    import time as _time
+
+    store = TableStore(spark, str(tmp_path / "wh_ret_repl"), vacuum_retain_s=3600.0)
+    store.write("t", spark.createDataFrame([("a", 1)], "id string, v int"))
+    t1 = store.commits("t")[-1]
+    _time.sleep(1.2)  # version stays current for longer than the probe window
+    store.write("t", spark.createDataFrame([("a", 2)], "id string, v int"))
+    # Own age of snapshot t1 is > 1.0s, but it was replaced just now — a
+    # vacuum with a 1.0s window must NOT prune it.
+    store.vacuum_orphans("t", min_age_s=1.0)
+    assert t1 in store.commits("t")
+    assert {r["id"]: r["v"] for r in store.read("t", as_of_ms=t1).collect()} == {"a": 1}
+    # Once the REPLACEMENT itself ages past the window, it becomes prunable.
+    _time.sleep(1.2)
+    store.vacuum_orphans("t", min_age_s=1.0)
+    assert t1 not in store.commits("t")
+
+
 def test_time_travel_vacuumed_snapshot_raises(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "wh_ttv"), vacuum_retain_s=0.0)
     store.write("t", spark.createDataFrame([("a", 1)], "id string, v int"))
