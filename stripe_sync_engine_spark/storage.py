@@ -68,6 +68,12 @@ class TableStore:
         self.n_buckets = n_buckets
         self.vacuum_retain_s = vacuum_retain_s
         os.makedirs(root, exist_ok=True)
+        # INT96 (Spark's default parquet timestamp encoding) carries no
+        # usable footer min/max; TIMESTAMP_MICROS does. Data-skipping on
+        # timestamp columns (created/last_synced_at — the reference's most
+        # indexed predicates) needs the stats, so switch the dynamic conf.
+        with contextlib.suppress(Exception):
+            spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     # -- layout --------------------------------------------------------
     def _dir(self, table: str) -> str:
@@ -274,6 +280,210 @@ class TableStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
+    # -- per-bucket column statistics / data skipping -------------------
+    # The manifest records min/max/null-count per (bucket, column),
+    # harvested from the parquet footers of each committed version dir —
+    # Delta/Iceberg data skipping reduced to the same manifest, and the
+    # engine's analog of the reference's 20+ btree indexes on created /
+    # status / amount predicates (migrations/0016_add_invoice_indexes.sql).
+    # A merge only rewrites touched buckets, so only their footers are read
+    # at commit (O(batch) driver work); untouched buckets carry their stats
+    # forward. read_where() then skips every bucket whose stats exclude a
+    # conjunctive predicate — at 100 TB this turns "recent data" scans into
+    # reads of only recently-rewritten buckets. Stats are a few hundred
+    # bytes per bucket; at thousands of buckets you would restrict
+    # stats_columns to the indexed set, exactly like a lakehouse table
+    # property (delta.dataSkippingNumIndexedCols).
+
+    _STR_STAT_MAX = 64  # longer strings: keep truncated min (safe), drop max
+
+    @staticmethod
+    def _canon_stat(v):
+        """Canonicalize a stat/predicate value into the JSON-storable,
+        order-preserving domain: numbers stay numbers, timestamps become
+        epoch microseconds, dates ISO strings (ISO order == date order),
+        strings stay strings. None = not representable (no skipping)."""
+        import datetime as _dt
+
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, str):
+            return v
+        try:  # Decimal and friends
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return float(v)
+        except ImportError:  # pragma: no cover
+            pass
+        return None
+
+    def _version_stats(self, table: str, version: str) -> dict[str, dict]:
+        """Per-bucket stats of one version dir, from parquet footers.
+
+        ``{bucket: {"rows": n, "cols": {col: {"min": v, "max": v,
+        "nulls": n}}}}``. min/max may be absent (= unbounded, no skipping
+        on that side); an absent column means no stats. Driver-side and
+        O(files in the version) — the version only contains the buckets
+        this commit rewrote."""
+        import pyarrow.parquet as pq
+
+        vdir = os.path.join(self._dir(table), version)
+        out: dict[str, dict] = {}
+        if not os.path.isdir(vdir):
+            return out
+        for d in os.listdir(vdir):
+            if not d.startswith("_bucket="):
+                continue
+            b = d.split("=", 1)[1]
+            rows = 0
+            cols: dict[str, dict] = {}
+            unbounded: set[str] = set()  # columns with a stat-less chunk
+            for fn in os.listdir(os.path.join(vdir, d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(vdir, d, fn)).metadata
+                except Exception:
+                    return {}  # unreadable footer: commit without stats
+                rows += md.num_rows
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        ch = rgm.column(ci)
+                        name = ch.path_in_schema
+                        if "." in name:  # nested leaf — top-level cols only
+                            continue
+                        st = ch.statistics
+                        entry = cols.setdefault(name, {"nulls": 0})
+                        if st is None or st.null_count is None:
+                            entry["nulls"] = None  # unknown
+                        elif entry["nulls"] is not None:
+                            entry["nulls"] += st.null_count
+                        if st is not None and st.num_values == 0:
+                            # all-null chunk: contributes no values, so it
+                            # must not widen (or unbound) the bucket's range
+                            continue
+                        mn = mx = None
+                        if st is not None and st.has_min_max:
+                            try:
+                                mn = self._canon_stat(st.min)
+                                mx = self._canon_stat(st.max)
+                            except Exception:
+                                mn = mx = None  # e.g. decimal chunks
+                        if isinstance(mn, str) and len(mn) > self._STR_STAT_MAX:
+                            mn = mn[: self._STR_STAT_MAX]  # lower bound stays safe
+                        if isinstance(mx, str) and len(mx) > self._STR_STAT_MAX:
+                            mx = None  # truncating a max is unsafe
+                        for side, v in (("min", mn), ("max", mx)):
+                            if v is None:
+                                unbounded.add((name, side))
+                                continue
+                            cur = entry.get(side)
+                            num = (int, float)
+                            if cur is None:
+                                entry[side] = v
+                            elif (isinstance(cur, num) and isinstance(v, num)) or (
+                                isinstance(cur, str) and isinstance(v, str)
+                            ):
+                                if v < cur if side == "min" else v > cur:
+                                    entry[side] = v
+                            else:  # mixed domains across chunks: give up
+                                unbounded.add((name, side))
+            for name, side in unbounded:
+                cols.get(name, {}).pop(side, None)
+            out[b] = {"rows": rows, "cols": cols}
+        return out
+
+    @classmethod
+    def _bucket_may_match(cls, bstats: dict | None, col: str, op: str, val) -> bool:
+        """Whether a bucket's stats admit any row satisfying ``col op val``.
+        Conservative: missing stats ⇒ True (read the bucket)."""
+        if not bstats:
+            return True
+        cs = (bstats.get("cols") or {}).get(col)
+        if cs is None:
+            return True
+        rows, nulls = bstats.get("rows"), cs.get("nulls")
+        if rows is not None and nulls is not None and nulls >= rows and rows > 0:
+            return False  # all-null column: no comparison ever matches
+        mn, mx = cs.get("min"), cs.get("max")
+
+        def cmp_ok(a, b):  # only compare within one ordered domain
+            num = (int, float)
+            return (isinstance(a, num) and isinstance(b, num)) or (
+                isinstance(a, str) and isinstance(b, str)
+            )
+
+        vals = [cls._canon_stat(v) for v in (val if op == "in" else [val])]
+        if any(v is None for v in vals):
+            return True  # unrepresentable predicate value: no skipping
+        hits = []
+        for v in vals:
+            if op in (">=", ">"):
+                hits.append(mx is None or not cmp_ok(mx, v) or (mx >= v if op == ">=" else mx > v))
+            elif op in ("<=", "<"):
+                hits.append(mn is None or not cmp_ok(mn, v) or (mn <= v if op == "<=" else mn < v))
+            elif op in ("=", "==", "in"):
+                lo = mn is None or not cmp_ok(mn, v) or mn <= v
+                hi = mx is None or not cmp_ok(mx, v) or mx >= v
+                hits.append(lo and hi)
+            else:
+                raise ValueError(f"unsupported data-skipping op {op!r}")
+        return any(hits) if hits else False  # 'in ()' matches nothing
+
+    def prune_buckets(
+        self, table: str, where: list[tuple], manifest: dict | None = None
+    ) -> list[int] | None:
+        """Bucket ids that may hold rows matching ALL of ``where`` — the
+        data-skipping plan. ``where`` is a list of ``(column, op, value)``
+        with op in {=, ==, >=, <=, >, <, in}. Returns None if the table
+        does not exist."""
+        manifest = manifest or self._read_manifest(table)
+        if manifest is None:
+            return None
+        stats = manifest.get("stats", {})
+        keep = []
+        for b in manifest["buckets"]:
+            if all(self._bucket_may_match(stats.get(b), c, op, v) for c, op, v in where):
+                keep.append(int(b))
+        return sorted(keep)
+
+    def read_where(self, table: str, where: list[tuple]) -> DataFrame | None:
+        """Scan with data skipping: buckets whose stats exclude the
+        conjunctive predicate are never read; the predicate is then applied
+        exactly on the survivors (stats are a superset guard, so results
+        equal ``read(table).filter(...)``)."""
+        manifest = self._read_manifest(table)
+        if manifest is None:
+            return None
+        df = self.read_buckets(table, self.prune_buckets(table, where, manifest))
+        for col, op, val in where:
+            c = F.col(col)
+            if op == "in":
+                df = df.filter(c.isin(list(val)))
+            elif op in ("=", "=="):
+                df = df.filter(c == F.lit(val))
+            elif op == ">=":
+                df = df.filter(c >= F.lit(val))
+            elif op == "<=":
+                df = df.filter(c <= F.lit(val))
+            elif op == ">":
+                df = df.filter(c > F.lit(val))
+            elif op == "<":
+                df = df.filter(c < F.lit(val))
+            else:
+                raise ValueError(f"unsupported data-skipping op {op!r}")
+        return df
+
     # -- write ---------------------------------------------------------
     def _write_version(
         self, table: str, df: DataFrame, key: str, nb: int, pre_clustered: bool = False
@@ -301,9 +511,17 @@ class TableStore:
         out.write.partitionBy("_bucket").mode("overwrite").parquet(path)
         return version
 
-    def write(self, table: str, df: DataFrame, key: str = "id", pre_clustered: bool = False) -> None:
-        """Full-table write: every bucket re-points to the new version."""
-        nb = self._table_n_buckets(table)
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        key: str = "id",
+        pre_clustered: bool = False,
+        n_buckets: int | None = None,
+    ) -> None:
+        """Full-table write: every bucket re-points to the new version.
+        ``n_buckets`` overrides the table's recorded width (rebucket())."""
+        nb = n_buckets if n_buckets is not None else self._table_n_buckets(table)
         version = self._write_version(table, df, key, nb, pre_clustered=pre_clustered)
         vdir = os.path.join(self._dir(table), version)
         present = [
@@ -316,6 +534,7 @@ class TableStore:
             "bucket_key": key,
             "schema": json.loads(df.schema.json()),
             "buckets": {b: version for b in present},
+            "stats": self._version_stats(table, version),
         }
         with self._commit_lock(table):
             prior = self._read_manifest(table)
@@ -367,21 +586,29 @@ class TableStore:
             for d in (os.listdir(vdir) if os.path.exists(vdir) else [])
             if d.startswith("_bucket=")
         }
+        stats = self._version_stats(table, version)
         with self._commit_lock(table):
             # base the pointer swap on the LATEST manifest, not the one the
             # caller planned against — concurrent disjoint commits survive
             prior = self._read_manifest(table) or prior
             new_buckets = dict(prior["buckets"])
+            # untouched buckets carry their stats forward; rewritten buckets
+            # take the fresh footer stats (or LOSE stats if harvesting
+            # failed — stale bounds would skip wrongly)
+            new_stats = dict(prior.get("stats") or {})
             for b in buckets:
                 if str(b) in written:
                     new_buckets[str(b)] = version
+                    new_stats[str(b)] = stats.get(str(b))
                 else:
                     new_buckets.pop(str(b), None)  # bucket emptied by deletes
+                    new_stats.pop(str(b), None)
             manifest = {
                 "n_buckets": nb,
                 "bucket_key": key,
                 "schema": json.loads(df.schema.json()),
                 "buckets": new_buckets,
+                "stats": {k: v for k, v in new_stats.items() if v},
                 "created_ms": prior.get("created_ms", int(time.time() * 1000)),
             }
             self._commit_manifest(table, manifest)
@@ -467,6 +694,27 @@ class TableStore:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
                 removed.append(name)
         return removed
+
+    def rebucket(self, table: str, n_buckets: int) -> None:
+        """Online bucket-width change: rewrite the table at the new width
+        and swap the manifest — the operational path the 100 TB story needs
+        when a table outgrows its bucket count (docstring at top: "raise
+        n_buckets into the thousands"). One full rewrite (unavoidable: every
+        row's bucket id changes), one commit; readers of the old manifest
+        keep a consistent view, retained history snapshots still reference
+        the old-width version dirs, so time travel across the rebucket keeps
+        working, and every subsequent merge prunes at the new width (probes
+        read the width from the manifest, never from the store default)."""
+        m = self._read_manifest(table)
+        if m is None:
+            raise ValueError(f"cannot rebucket missing table {table!r}")
+        if int(m["n_buckets"]) == n_buckets:
+            return
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.write(
+            table, self.read(table), key=m.get("bucket_key", "id"), n_buckets=n_buckets
+        )
 
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------
     def _migrations_path(self) -> str:

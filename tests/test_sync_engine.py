@@ -909,6 +909,136 @@ def test_time_travel_reads(spark, tmp_path):
     assert store.read("t", as_of_ms=t1 - 60_000) is None  # before the table existed
 
 
+# ---------------------------------------------------------------------------
+# Data skipping: the manifest's per-bucket column stats (harvested from
+# parquet footers at commit) let read_where() skip buckets whose min/max
+# exclude the predicate — the engine's analog of the reference's btree
+# indexes on created/status/amount (migrations/0016_add_invoice_indexes.sql).
+def test_data_skipping_created_scan_reads_subset(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_skip"))
+    # 200 old rows (created < 1_000_000) spread across every bucket
+    old = spark.range(200).selectExpr(
+        "concat('ch_', id) AS id", "cast(id * 1000 as long) AS created", "'old' AS tag"
+    )
+    store.write("t", old)
+    m = store._read_manifest("t")
+    assert m["stats"], "commit must record per-bucket stats"
+    all_buckets = set(map(int, m["buckets"]))
+    # merge 3 recent rows — only their buckets' files are rewritten
+    recent = spark.createDataFrame(
+        [("ch_n1", 5_000_000, "new"), ("ch_n2", 5_000_100, "new"), ("ch_n3", 5_000_200, "new")],
+        "id string, created long, tag string",
+    )
+    touched = store.buckets_of(recent, table="t")
+    prior = store.read_buckets("t", touched)
+    store.write_buckets("t", prior.unionByName(recent), touched)
+
+    where = [("created", ">=", 2_000_000)]
+    pruned = store.prune_buckets("t", where)
+    # IO evidence: the skipping scan plans a STRICT subset of bucket files
+    assert set(pruned) == set(touched)
+    assert len(pruned) < len(all_buckets)
+    assert len(store._bucket_paths("t", store._read_manifest("t"), pruned)) == len(pruned)
+    # correctness: identical to the unpruned scan + filter
+    got = {r["id"] for r in store.read_where("t", where).collect()}
+    want = {r["id"] for r in store.read("t").filter("created >= 2000000").collect()}
+    assert got == want == {"ch_n1", "ch_n2", "ch_n3"}
+    # the other side of the range prunes nothing away that matches
+    low = store.read_where("t", [("created", "<", 5_000)]).count()
+    assert low == store.read("t").filter("created < 5000").count() == 5
+
+
+def test_data_skipping_is_conservative_without_stats(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_skip2"))
+    store.write("t", spark.createDataFrame([("a", 1), ("b", 9)], "id string, v int"))
+    m = store._read_manifest("t")
+    m.pop("stats", None)  # simulate a pre-stats manifest
+    store._commit_manifest("t", m)
+    assert set(store.prune_buckets("t", [("v", ">=", 100)])) == set(map(int, m["buckets"]))
+    assert store.read_where("t", [("v", ">=", 5)]).count() == 1
+
+
+def test_bucket_may_match_semantics():
+    bm = TableStore._bucket_may_match
+    st = {"rows": 10, "cols": {"v": {"min": 5, "max": 20, "nulls": 2}}}
+    assert bm(st, "v", ">=", 21) is False
+    assert bm(st, "v", ">=", 20) is True
+    assert bm(st, "v", "<", 5) is False
+    assert bm(st, "v", "<=", 5) is True
+    assert bm(st, "v", "=", 4) is False
+    assert bm(st, "v", "=", 12) is True
+    assert bm(st, "v", "in", [1, 2]) is False
+    assert bm(st, "v", "in", [1, 7]) is True
+    assert bm(st, "v", "in", []) is False
+    assert bm(st, "other", ">=", 0) is True  # no stats for the column
+    assert bm(None, "v", ">=", 0) is True  # no stats for the bucket
+    # all-null column never satisfies a comparison
+    allnull = {"rows": 4, "cols": {"v": {"nulls": 4}}}
+    assert bm(allnull, "v", ">=", 0) is False
+    # unknown domain / mismatched types: conservative
+    assert bm({"rows": 1, "cols": {"v": {"min": "a", "max": "b", "nulls": 0}}}, "v", ">=", 5)
+    assert bm(st, "v", ">=", object()) is True
+
+
+def test_data_skipping_timestamp_stats(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path / "wh_skip3"))
+    rows = [(f"e_{i}", dt.datetime(2024, 1, 1) + dt.timedelta(days=i)) for i in range(50)]
+    store.write("t", spark.createDataFrame(rows, "id string, ts timestamp"))
+    m = store._read_manifest("t")
+    some = next(iter(m["stats"].values()))
+    assert "min" in some["cols"]["ts"], "TIMESTAMP_MICROS writes must carry footer stats"
+    cut = dt.datetime(2024, 2, 10)
+    got = {r["id"] for r in store.read_where("t", [("ts", ">=", cut)]).collect()}
+    want = {r["id"] for r in store.read("t").filter(F.col("ts") >= F.lit(cut)).collect()}
+    assert got == want and got
+
+
+# Online rebucketing: TableStore.rebucket rewrites at a new bucket width in
+# one commit; merges prune at the new width afterwards and retained history
+# snapshots (old width) stay readable across the change.
+def test_rebucket_changes_width_and_keeps_history(spark, tmp_path):
+    import time as _time
+
+    store = TableStore(spark, str(tmp_path / "wh_rbw"), vacuum_retain_s=3600.0)
+    rows = spark.range(100).selectExpr("concat('ch_', id) AS id", "id AS v")
+    store.write("t", rows)
+    t_before = store.commits("t")[-1]
+    assert store._table_n_buckets("t") == store.n_buckets
+    _time.sleep(0.01)
+
+    store.rebucket("t", 8)
+    m = store._read_manifest("t")
+    assert int(m["n_buckets"]) == 8
+    assert len(m["buckets"]) <= 8
+    assert store.read("t").count() == 100
+    # fresh stats were harvested at the new width
+    assert set(m["stats"]) == set(m["buckets"])
+    # time travel to the pre-rebucket snapshot still reads the old layout
+    assert store.read("t", as_of_ms=t_before).count() == 100
+
+    # a merge after the rebucket probes and prunes at the NEW width
+    batch = spark.createDataFrame([("ch_5", 500), ("ch_new", 1)], "id string, v long")
+    touched = store.buckets_of(batch, table="t")
+    assert all(b < 8 for b in touched)
+    from stripe_sync_engine_spark.operators.merge import merge_upsert
+
+    prior = store.read_buckets("t", touched)
+    store.write_buckets("t", merge_upsert(prior, batch, key="id", ts_col=None), touched)
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got["ch_5"] == 500 and got["ch_new"] == 1 and len(got) == 101
+
+    # no-op and error paths
+    store.rebucket("t", 8)
+    with pytest.raises(ValueError):
+        store.rebucket("missing", 4)
+    with pytest.raises(ValueError):
+        store.rebucket("t", 0)
+
+
 # Retention is counted from REPLACEMENT, not from a snapshot's own commit
 # time: a version that was current for longer than the retention window must
 # stay readable for the full window after it is replaced. (Regression: the
