@@ -41,6 +41,63 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_header_decode",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 4 = 0 THEN 'png'
+                    WHEN doc_id % 4 = 1 THEN 'gif'
+                    WHEN doc_id % 4 = 2 THEN 'bmp'
+                    ELSE 'jpeg' END AS format,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height
+        FROM documents
+    """,
+    operators="TDP-multimodal-headers",
+)
+def mm_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode round-trip: synthesize valid PNG/GIF/BMP/JPEG
+    container headers (format by doc_id % 4, dims derived from doc_id) in
+    one mapInPandas stage, then parse them back through the pure-stdlib
+    decoder (functions/multimodal.decode_headers — no fake arithmetic).
+    Every 17th payload is truncated to 5 bytes to prove the decoder-failure
+    path yields NULL rows instead of failing the scan. The oracle states
+    the dims the headers were built with, so the parser itself is
+    value-checked end to end."""
+    from stripe_sync_engine_spark.functions.multimodal import decode_headers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import struct
+
+        import pandas as pd  # noqa: PLC0415 - worker-local import
+
+        def payload(doc_id: int) -> bytes:
+            w, h = doc_id % 640 + 1, doc_id % 480 + 1
+            kind = doc_id % 4
+            if kind == 0:
+                raw = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR" + struct.pack(">II", w, h)
+            elif kind == 1:
+                raw = b"GIF89a" + struct.pack("<HH", w, h)
+            elif kind == 2:
+                raw = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h)
+            else:
+                raw = b"\xff\xd8\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03"
+            return raw[:5] if doc_id % 17 == 0 else raw
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [payload(int(d)) for d in pdf["doc_id"]]}
+            )
+
+    built = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return decode_headers(built)
+
+
+@register(
     "mm_resize",
     oracle="""
         WITH dims AS (

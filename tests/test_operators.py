@@ -301,3 +301,51 @@ def test_clustered_merge_is_single_exchange(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "FullOuter" not in plan and "full_outer" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Real image-header decode (functions/multimodal.decode_real): pure-stdlib
+# PNG/GIF/BMP/JPEG container parsing — the former PIL/ffmpeg seam, closed
+# for header metadata. The mm_header_decode registry entry value-checks the
+# distributed path; these gate the parser itself.
+def test_decode_real_parses_all_formats():
+    import struct
+
+    from stripe_sync_engine_spark.functions.multimodal import decode_real
+
+    png = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR" + struct.pack(">II", 800, 600)
+    assert decode_real(png) == {"format": "png", "width": 800, "height": 600}
+    gif = b"GIF87a" + struct.pack("<HH", 12, 34)
+    assert decode_real(gif) == {"format": "gif", "width": 12, "height": 34}
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 64, -48)
+    assert decode_real(bmp) == {"format": "bmp", "width": 64, "height": 48}  # top-down DIB
+    # JPEG with an APP0 segment before the SOF0 frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+    assert decode_real(b"\xff\xd8" + app0 + sof0) == {
+        "format": "jpeg",
+        "width": 640,
+        "height": 480,
+    }
+
+
+def test_decode_real_rejects_truncated_and_unknown():
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.functions.multimodal import decode_real
+
+    for bad in (b"\x89PNG\r\n\x1a\n\x00\x00", b"GIF89a\x01", b"BM\x00\x00", b"\xff\xd8\xff\xdb", b"RIFF1234WAVE"):
+        with _pytest.raises(ValueError):
+            decode_real(bad)
+
+
+def test_decode_headers_yields_null_rows_for_bad_payloads(spark):
+    from stripe_sync_engine_spark.functions.multimodal import decode_headers
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a\x10\x00\x20\x00")), (2, bytearray(b"notanimage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: (r["format"], r["width"], r["height"]) for r in decode_headers(df).collect()}
+    assert rows[1] == ("gif", 16, 32)
+    assert rows[2] == (None, None, None)
