@@ -173,6 +173,21 @@ def merge_upsert_clustered(
     declare ``id text primary key``, which rejects NULL; dropping is the
     parity behavior, and run-boundary detection needs a total order on the
     key anyway.
+
+    CONTRACT — cluster consistency: every value of ``key`` must map to ONE
+    value of the columns feeding ``cluster_expr``. If a source row carries
+    a different cluster value than the stored row of the same key, the two
+    land in different window partitions and BOTH survive as duplicate keys
+    (and bucket pruning upstream would not even read the stored row). For
+    id-bucketed tables this holds trivially (``cluster_expr`` is a function
+    of ``key``); for parent-FK-bucketed tables
+    (``schemas/entities.py BUCKET_KEYS``) it holds because every declared
+    FK bucket key is an immutable attribute in Stripe's data model (a
+    subscription item never changes subscription, an entitlement never
+    changes customer); parent-set CHANGES flow through the replace-set /
+    reconcile paths, which delete from the old parent's bucket explicitly.
+    Declaring a mutable column as a bucket key would violate this contract
+    — that is a schema-design error, not a runtime state.
     """
     is_tgt = F.col("_is_tgt")
     source = source.where(F.col(key).isNotNull())

@@ -330,6 +330,12 @@ def entity_tables() -> list[str]:
 # an O(table) scan). Safe because a child never changes parent (Stripe
 # subscription items are bound to their subscription, entitlements to
 # their customer), so a row's bucket is stable for its lifetime.
+# INVARIANT: a declared FK bucket key must be an IMMUTABLE attribute of
+# the entity (in Stripe's model an item never changes subscription, an
+# entitlement never changes customer). The clustered merge and all bucket
+# pruning assume one key ↔ one bucket-key value
+# (operators/merge.py merge_upsert_clustered contract); parent-set changes
+# flow through replace-set/reconcile, never through a plain merge.
 BUCKET_KEYS: dict[str, str] = {
     "subscription_items": "subscription",
     "active_entitlements": "customer",

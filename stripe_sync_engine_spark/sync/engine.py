@@ -26,6 +26,7 @@ from __future__ import annotations
 import contextlib
 import itertools
 import json
+import os
 import threading
 import time
 from collections.abc import Callable, Iterable, Iterator
@@ -168,14 +169,45 @@ class StripeSparkSync:
         # commit's delta twice, silently corrupting the rollup
         if any(s.name == spec.name for specs in self._rollups.values() for s in specs):
             raise ValueError(f"rollup {spec.name!r} is already registered")
+        self._validate_additive_types(spec)
         self._rollups.setdefault(spec.entity, []).append(spec)
         if self.store.exists(spec.entity):
+            # registration always recomputes, which also heals any drift a
+            # crash left behind (maintenance lag is re-checked per commit)
             self.refresh_rollup(spec.name)
 
+    def _validate_additive_types(self, spec) -> None:
+        """Reject float/double ADDITIVE aggregates: their deltas are
+        independently-recomputed float sums whose difference need not
+        cancel, so no-op commits would drift the rollup. Decimal/integral
+        subtract exactly (cast in the expression: SUM(CAST(x AS
+        DECIMAL(18,2)))). Extrema are exempt — min/max of floats is exact."""
+        from pyspark.sql.types import DecimalType, IntegralType
+
+        from stripe_sync_engine_spark.operators.rollup import contributions
+
+        src = self.store.read(spec.entity)
+        if src is None:
+            try:
+                src = self.spark.createDataFrame([], entity_schema(spec.entity))
+            except KeyError:
+                return  # unknown table not yet written: validated on refresh
+        schema = contributions(src, spec).schema
+        bad = [
+            c
+            for c in spec.acols
+            if not isinstance(schema[c].dataType, (IntegralType, DecimalType))
+        ]
+        if bad:
+            raise ValueError(
+                f"additive aggregates must have integral/decimal types, got "
+                f"{[(c, schema[c].dataType.simpleString()) for c in bad]}; "
+                "cast to DECIMAL in the aggregate expression"
+            )
+
     def refresh_rollup(self, name: str) -> None:
-        """Full recompute of one rollup — initialization and drift repair
-        (maintenance is applied after the source commit, so a crash
-        between the two can leave the rollup one delta behind)."""
+        """Full recompute of one rollup — initialization, drift repair,
+        and the extrema fallback (refresh-on-invalidation)."""
         from stripe_sync_engine_spark.operators.rollup import full_rollup
 
         for specs in self._rollups.values():
@@ -187,7 +219,48 @@ class StripeSparkSync:
                         rows = self.store.read(spec.entity)
                         if rows is not None:
                             self.store.write(spec.name, full_rollup(rows, spec), key="_gk")
+                            src = self.store.commits(spec.entity)
+                            self._set_rollup_applied(spec.name, src[-1] if src else None)
                     return
+        raise KeyError(f"no registered rollup named {name!r}")
+
+    # -- rollup ↔ source coupling (crash-drift detection) ----------------
+    # The rollup delta is applied AFTER the source commit; a crash between
+    # the two would leave the rollup permanently one delta behind with
+    # nothing flagging it. Each rollup therefore records the source commit
+    # timestamp it has applied up to; before applying the next delta the
+    # engine checks that record against the commit the batch was planned
+    # on, and a mismatch (missed delta) triggers a refresh instead of a
+    # silent wrong-by-one apply.
+    def _rollup_state_path(self, name: str) -> str:
+        return os.path.join(self.store.root, name, "_rollup_state.json")
+
+    def _get_rollup_applied(self, name: str) -> int | None:
+        try:
+            with open(self._rollup_state_path(name)) as f:
+                return json.load(f).get("applied_source_commit_ms")
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _set_rollup_applied(self, name: str, ms: int | None) -> None:
+        path = self._rollup_state_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"applied_source_commit_ms": ms}, f)
+        os.replace(tmp, path)
+
+    def rollup_lag(self, name: str) -> int:
+        """Number of source commits the rollup has not applied (0 =
+        current). Exposed for ops; maintenance auto-refreshes on lag > 0."""
+        for specs in self._rollups.values():
+            for spec in specs:
+                if spec.name == name:
+                    applied = self._get_rollup_applied(name)
+                    commits = self.store.commits(spec.entity)
+                    if applied is None:
+                        return len(commits)
+                    return len([c for c in commits if c > applied])
         raise KeyError(f"no registered rollup named {name!r}")
 
     def _commit_buckets(
@@ -203,7 +276,10 @@ class StripeSparkSync:
 
         specs = self._rollups.get(table, ())
         pre = []
+        src_head = None
         if specs:
+            commits = self.store.commits(table)
+            src_head = commits[-1] if commits else None  # what this batch planned on
             # one read of the old touched-bucket state serves every spec;
             # each contribution is materialized BEFORE the commit (the
             # write's vacuum may reclaim the version dirs the lineage
@@ -221,25 +297,67 @@ class StripeSparkSync:
             self.store.write_buckets(table, df, touched, **kw)
         if not specs:
             return
+        src_ms = self.store.commits(table)[-1]
         new_rows = self.store.read_buckets(table, touched)
         for spec, old_contrib in zip(specs, pre):
-            # checkpoint the delta: its lineage (two aggregations) would
-            # otherwise execute once for the bucket probe and again inside
-            # the rollup write
-            d = R_.delta(old_contrib, R_.contributions(new_rows, spec), spec).localCheckpoint(
-                eager=True
-            )
-            keys = d.select(R_.group_key_col(spec).alias("_gk"))
-            if not self.store.exists(spec.name):
-                self.store.write(spec.name, R_.apply_delta(None, d, spec), key="_gk")
+            if self.store.exists(spec.name) and self._get_rollup_applied(spec.name) != src_head:
+                # a prior crash between source commit and rollup apply left
+                # this rollup behind — its delta is unrecoverable from here,
+                # so heal with a recompute (which also covers this commit)
+                self.refresh_rollup(spec.name)
                 continue
-            rtouched = self.store.buckets_of(keys, "_gk", table=spec.name)
-            if not rtouched:
-                continue  # zero delta — replay/stale batch
-            rollup_old = self.store.read_buckets(spec.name, rtouched).drop("_gk")
-            self.store.write_buckets(
-                spec.name, R_.apply_delta(rollup_old, d, spec), rtouched, key="_gk"
-            )
+            new_contrib = R_.contributions(new_rows, spec)
+            if spec.has_extrema:
+                self._apply_extrema_update(spec, old_contrib, new_contrib)
+            else:
+                self._apply_additive_delta(spec, old_contrib, new_contrib)
+            self._set_rollup_applied(spec.name, src_ms)
+
+    def _apply_additive_delta(self, spec, old_contrib, new_contrib) -> None:
+        from stripe_sync_engine_spark.operators import rollup as R_
+
+        # checkpoint the delta: its lineage (two aggregations) would
+        # otherwise execute once for the bucket probe and again inside
+        # the rollup write
+        d = R_.delta(old_contrib, new_contrib, spec).localCheckpoint(eager=True)
+        keys = d.select(R_.group_key_col(spec).alias("_gk"))
+        if not self.store.exists(spec.name):
+            self.store.write(spec.name, R_.apply_delta(None, d, spec), key="_gk")
+            return
+        rtouched = self.store.buckets_of(keys, "_gk", table=spec.name)
+        if not rtouched:
+            return  # zero delta — replay/stale batch
+        rollup_old = self.store.read_buckets(spec.name, rtouched).drop("_gk")
+        self.store.write_buckets(
+            spec.name, R_.apply_delta(rollup_old, d, spec), rtouched, key="_gk"
+        )
+
+    def _apply_extrema_update(self, spec, old_contrib, new_contrib) -> None:
+        """Min/max-bearing rollups: tighten incrementally; if any touched
+        group's stored extremum is endangered (operators/rollup.py module
+        docstring), fall back to a refresh — refresh-on-invalidation."""
+        from stripe_sync_engine_spark.operators import rollup as R_
+
+        new_contrib = new_contrib.localCheckpoint(eager=True)
+        # key set comes from the contributions (old ∪ new), not the additive
+        # delta: an update can move an extremum while leaving sums unchanged
+        keys = new_contrib.select(R_.group_key_col(spec).alias("_gk"))
+        if old_contrib is not None:
+            keys = keys.unionByName(old_contrib.select(R_.group_key_col(spec).alias("_gk")))
+        if not self.store.exists(spec.name):
+            updated, _ = R_.touched_group_update(None, old_contrib, new_contrib, spec)
+            self.store.write(spec.name, updated, key="_gk")
+            return
+        rtouched = self.store.buckets_of(keys.distinct(), "_gk", table=spec.name)
+        if not rtouched:
+            return  # nothing contributed — empty batch
+        rollup_old = self.store.read_buckets(spec.name, rtouched).drop("_gk")
+        updated, endangered = R_.touched_group_update(rollup_old, old_contrib, new_contrib, spec)
+        # bounded probe: one row decides; the refresh path re-aggregates
+        if endangered.limit(1).count() > 0:
+            self.refresh_rollup(spec.name)
+            return
+        self.store.write_buckets(spec.name, updated, rtouched, key="_gk")
 
     # ------------------------------------------------------------------
     # Parsing & projection

@@ -276,3 +276,35 @@ def test_replace_set_model(spark, target, source, extra_touched):
     )
     # sorted LISTS, not sets: a duplicated output row must fail
     assert got == want
+
+
+# Contract documentation test (operators/merge.py): merge_upsert_clustered
+# requires one key ↔ one cluster value. With a CONSISTENT cluster column the
+# clustered form equals the join-based merge; with an inconsistent one (a
+# violation of the declared invariant — impossible for the engine's
+# immutable FK bucket keys) keys duplicate, which is why mutable columns
+# must never be declared as bucket keys.
+def test_clustered_merge_cluster_consistency_contract(spark):
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.merge import merge_upsert, merge_upsert_clustered
+
+    tgt = spark.createDataFrame(
+        [("si_1", "sub_a", 1.0), ("si_2", "sub_b", 1.0)], "id string, parent string, ts double"
+    )
+    cluster = F.pmod(F.xxhash64(F.col("parent")), F.lit(8))
+    # consistent parent: clustered == join-based
+    src_ok = spark.createDataFrame([("si_1", "sub_a", 2.0)], "id string, parent string, ts double")
+    got = {
+        (r["id"], r["ts"])
+        for r in merge_upsert_clustered(tgt, src_ok, cluster, key="id", ts_col="ts").collect()
+    }
+    want = {
+        (r["id"], r["ts"])
+        for r in merge_upsert(tgt, src_ok, key="id", ts_col="ts").collect()
+    }
+    assert got == want == {("si_1", 2.0), ("si_2", 1.0)}
+    # violated invariant: same id, different parent → duplicate id survives
+    src_bad = spark.createDataFrame([("si_1", "sub_zz", 2.0)], "id string, parent string, ts double")
+    rows = merge_upsert_clustered(tgt, src_bad, cluster, key="id", ts_col="ts").collect()
+    assert sorted(r["id"] for r in rows) == ["si_1", "si_1", "si_2"]

@@ -1384,3 +1384,147 @@ def test_time_travel_across_rebucketing(spark, tmp_path):
     assert now_ids == {"si_x", "si_y"}
     old = store.read("subscription_items", as_of_ms=t_before)
     assert {r["id"] for r in old.collect()} == {"si_x"}
+
+
+# ---------------------------------------------------------------------------
+# Non-additive rollups (min/max): tightened incrementally, refreshed when a
+# stored extremum is endangered; equality with recompute must hold across
+# inserts, tightens, endangered updates, group migration, and replays.
+# ---------------------------------------------------------------------------
+
+
+def _extrema_spec():
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec
+
+    return RollupSpec(
+        name="rollup_charge_extremes",
+        entity="charges",
+        group_by={"status": "status"},
+        aggregates={"n_charges": "count(*)", "total_amount": "sum(amount)"},
+        count_col="n_charges",
+        min_aggregates={"min_amount": "amount"},
+        max_aggregates={"max_amount": "amount"},
+    )
+
+
+def _state(eng, spec):
+    rows = eng.store.read(spec.name)
+    cols = [*spec.acols, *spec.xcols]
+    return (
+        {}
+        if rows is None
+        else {
+            tuple(r[c] for c in spec.gcols): tuple(r[c] for c in cols) for r in rows.collect()
+        }
+    )
+
+
+def _recomputed_full(eng, spec):
+    from stripe_sync_engine_spark.operators.rollup import full_rollup
+
+    cols = [*spec.acols, *spec.xcols]
+    return {
+        tuple(r[c] for c in spec.gcols): tuple(r[c] for c in cols)
+        for r in full_rollup(eng.store.read(spec.entity), spec).collect()
+    }
+
+
+def test_minmax_rollup_matches_recompute_across_updates(spark, tmp_path):
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_mx")), api=None)
+    spec = _extrema_spec()
+    eng.register_rollup(spec)
+
+    def ch(i, amount, created, status="succeeded"):
+        return fx.event(
+            "charge.updated",
+            fx.charge(id=f"ch_{i}", amount=amount, status=status),
+            created=created,
+        )
+
+    # inserts establish extremes
+    process(eng, ch(1, 100, 1_000), ch(2, 900, 1_000), ch(3, 50, 1_000, "failed"))
+    assert _state(eng, spec) == _recomputed_full(eng, spec)
+    assert _state(eng, spec)[("succeeded",)] == (2, 1000, 100, 900)
+    # tighten: a new global max — pure incremental path
+    process(eng, ch(4, 2_000, 2_000))
+    assert _state(eng, spec) == _recomputed_full(eng, spec)
+    # non-extreme update: neither bound endangered
+    process(eng, ch(1, 150, 3_000))
+    assert _state(eng, spec) == _recomputed_full(eng, spec)
+    # ENDANGERED: the max holder's amount drops — the stored max can no
+    # longer be proven, so maintenance must refresh, not tighten
+    process(eng, ch(4, 10, 4_000))
+    assert _state(eng, spec) == _recomputed_full(eng, spec)
+    assert _state(eng, spec)[("succeeded",)][3] == 900  # true new max
+    # ENDANGERED min: the min holder rises
+    process(eng, ch(4, 500, 5_000))
+    assert _state(eng, spec) == _recomputed_full(eng, spec)
+    # group migration: the failed charge succeeds → failed group vanishes
+    process(eng, ch(3, 50, 6_000))
+    got = _state(eng, spec)
+    assert got == _recomputed_full(eng, spec)
+    assert ("failed",) not in got
+    # replay is a no-op
+    before = _state(eng, spec)
+    process(eng, ch(3, 50, 6_000))
+    assert _state(eng, spec) == before
+
+
+def test_register_rollup_rejects_float_additive_sums(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_fv")), api=None)
+    spec = RollupSpec(
+        name="rollup_bad_float",
+        entity="charges",
+        group_by={"status": "status"},
+        aggregates={"s": "sum(cast(amount as double))", "n": "count(*)"},
+        count_col="n",
+    )
+    with pytest.raises(ValueError, match="integral/decimal"):
+        eng.register_rollup(spec)
+    # the decimal form of the same rollup is accepted
+    ok = RollupSpec(
+        name="rollup_ok_decimal",
+        entity="charges",
+        group_by={"status": "status"},
+        aggregates={"s": "sum(cast(amount as decimal(18,2)))", "n": "count(*)"},
+        count_col="n",
+    )
+    eng.register_rollup(ok)
+
+
+def test_minmax_requires_count_col():
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec
+
+    with pytest.raises(ValueError, match="count_col"):
+        RollupSpec(
+            name="r",
+            entity="charges",
+            group_by={"status": "status"},
+            min_aggregates={"m": "amount"},
+        )
+
+
+# crash-drift: the delta is applied after the source commit; if a source
+# commit lands with no rollup apply (crash, or out-of-band write), the next
+# maintenance detects the missed delta via the applied-commit record and
+# refreshes instead of applying a wrong-by-one delta.
+def test_rollup_missed_delta_detected_and_healed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_dr")), api=None)
+    spec = _charge_rollup_spec()
+    eng.register_rollup(spec)
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_1", amount=100), created=1_000))
+    assert eng.rollup_lag(spec.name) == 0
+    # out-of-band source commit the rollup never saw (simulates the crash
+    # window between source commit and rollup apply)
+    src = eng.store.read("charges")
+    eng.store.write("charges", src.withColumn("amount", F.col("amount") + 5))
+    assert eng.rollup_lag(spec.name) == 1
+    assert _maintained(eng, spec) != _recomputed(eng, spec)  # genuinely behind
+    # next engine commit detects the gap and heals by refresh
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_2", amount=30), created=2_000))
+    assert eng.rollup_lag(spec.name) == 0
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
