@@ -1,14 +1,26 @@
 """Full projected-row fidelity on production-shaped webhook payloads.
 
-Each fixture (tests/fixtures_corpus.py — ported from the reference's e2e
-corpus, packages/fastify-app/src/test/stripe/, exercised there by
-test/webhooks.test.ts:64-168) is driven through the engine, and the merged
-table row is compared FIELD BY FIELD against an independent Python-side
-projection of the same payload implementing the declared contract:
-declared columns only, missing → NULL, unknown dropped, typed casts,
-nested objects stored as compact JSON text. This catches projection bugs
-that id-presence checks (the synthesized-fixture sweeps) cannot — e.g.
-a nested refunds envelope silently nulled or a boolean mis-cast.
+Every fixture of the reference's e2e corpus (tests/fixtures_corpus.py —
+all 71 of packages/fastify-app/src/test/stripe/, exercised there by
+test/webhooks.test.ts:64-200) is driven through the engine with an
+assertion per route action:
+
+* upsert events: the merged table row is compared FIELD BY FIELD against
+  an independent Python-side projection of the same payload implementing
+  the declared contract (declared columns only, missing → NULL, unknown
+  dropped, typed casts, nested objects stored as compact JSON text) —
+  stronger than the reference's id+timestamp row check.
+* delete events (the reference asserts 200-only): the row is absent.
+* customer.deleted: the soft-delete flag is set (partial-column merge).
+* entitlement summary: the customer's active-entitlement set equals the
+  payload's set (replace-set semantics).
+
+Many fixtures reuse one object id with IDENTICAL event.created and even
+event ids (charge_captured/failed/... all mutate one charge), so a single
+shared batch would be nondeterministic under last-write-wins. Fixtures
+are therefore partitioned into WAVES with no (entity, object id)
+collision; each wave gets its own engine/store and is processed as one
+batch.
 """
 
 from __future__ import annotations
@@ -27,26 +39,45 @@ from stripe_sync_engine_spark.sync import StripeSparkSync, SyncConfig
 from stripe_sync_engine_spark.sync import registry as R
 from tests.fixtures_corpus import CORPUS
 
-# fixture name → target table (via the event-route registry)
-CASES = sorted((name, R.EVENT_ROUTES[ev["type"]][0]) for name, ev in CORPUS.items())
+# fixture name → (table, action) via the event-route registry
+ROUTES = {name: R.EVENT_ROUTES[ev["type"]] for name, ev in CORPUS.items()}
+UPSERT_CASES = sorted(n for n, (_, a) in ROUTES.items() if a == R.UPSERT)
+DELETE_CASES = sorted(n for n, (_, a) in ROUTES.items() if a == R.DELETE)
+
+# wave partition: no two fixtures in a wave share (entity, object id)
+WAVES: list[list[str]] = []
+_seen: list[set] = []
+for _name in sorted(CORPUS):
+    _key = (ROUTES[_name][0], CORPUS[_name]["data"]["object"].get("id"))
+    for _w, _s in zip(WAVES, _seen):
+        if _key not in _s:
+            _w.append(_name)
+            _s.add(_key)
+            break
+    else:
+        WAVES.append([_name])
+        _seen.append({_key})
 
 
 @pytest.fixture(scope="module")
-def corpus_engine(spark, tmp_path_factory):
-    """One engine, all fixtures processed once (module-scoped: each case
-    then asserts on its own table). Expansion/backfill are disabled so the
-    stored row is the pure projection of the webhook payload."""
-    store = TableStore(spark, str(tmp_path_factory.mktemp("wh_corpus")))
-    eng = StripeSparkSync(
-        spark,
-        store,
-        api=InMemoryStripeAPI(),
-        config=SyncConfig(backfill_related_entities=False, auto_expand_lists=False),
-    )
-    eng.process_webhook_events(
-        eng.events_df_from_json([json.dumps(ev) for ev in CORPUS.values()])
-    )
-    return eng
+def corpus_engines(spark, tmp_path_factory):
+    """fixture name → the engine whose store processed it. Expansion and
+    backfill are disabled so each stored row is the pure projection of its
+    webhook payload."""
+    engines: dict[str, StripeSparkSync] = {}
+    for wi, names in enumerate(WAVES):
+        store = TableStore(spark, str(tmp_path_factory.mktemp(f"wh_corpus{wi}")))
+        eng = StripeSparkSync(
+            spark,
+            store,
+            api=InMemoryStripeAPI(),
+            config=SyncConfig(backfill_related_entities=False, auto_expand_lists=False),
+        )
+        eng.process_webhook_events(
+            eng.events_df_from_json([json.dumps(CORPUS[n]) for n in names])
+        )
+        engines.update({n: eng for n in names})
+    return engines
 
 
 def expected_row(entity: str, payload: dict, created: int) -> dict:
@@ -81,27 +112,63 @@ def expected_row(entity: str, payload: dict, created: int) -> dict:
     return exp
 
 
-@pytest.mark.parametrize("name,entity", CASES)
-def test_fixture_projects_exactly(corpus_engine, name, entity):
+@pytest.mark.parametrize("name", UPSERT_CASES)
+def test_fixture_projects_exactly(corpus_engines, name):
     ev = CORPUS[name]
+    entity = ROUTES[name][0]
     payload = ev["data"]["object"]
     want = expected_row(entity, payload, ev["created"])
-    df = corpus_engine.store.read(entity)
+    df = corpus_engines[name].store.read(entity)
     got_rows = [r.asDict() for r in df.where(df.id == payload["id"]).collect()]
     assert len(got_rows) == 1, f"{name}: expected exactly one row for {payload['id']}"
     got = got_rows[0]
-    diffs = {
-        k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]
-    }
+    diffs = {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
     assert not diffs, f"{name}/{entity}: field mismatches {diffs}"
 
 
-def test_subscription_items_side_write(corpus_engine):
+@pytest.mark.parametrize("name", DELETE_CASES)
+def test_fixture_delete_leaves_no_row(corpus_engines, name):
+    """The reference asserts only a 200 for these (webhooks.test.ts:170-
+    200); here the delete route's effect is asserted: no row remains."""
+    ev = CORPUS[name]
+    entity = ROUTES[name][0]
+    oid = ev["data"]["object"]["id"]
+    df = corpus_engines[name].store.read(entity)
+    assert df is None or df.where(df.id == oid).count() == 0, f"{name}: {oid} not deleted"
+
+
+def test_customer_deleted_sets_soft_flag(corpus_engines):
+    ev = CORPUS["customer_deleted"]
+    oid = ev["data"]["object"]["id"]
+    df = corpus_engines["customer_deleted"].store.read("customers")
+    rows = [r.asDict() for r in df.where(df.id == oid).collect()]
+    assert len(rows) == 1 and rows[0]["deleted"] is True
+
+
+def test_entitlement_summary_replaces_set(corpus_engines):
+    ev = CORPUS["active_entitlement_summary_updated"]
+    obj = ev["data"]["object"]
+    cust = obj["customer"]
+    want = {e["id"] for e in obj["entitlements"]["data"]}
+    df = corpus_engines["active_entitlement_summary_updated"].store.read("active_entitlements")
+    got = {r["id"] for r in df.where(df.customer == cust).collect()}
+    assert got == want
+
+
+def test_corpus_is_complete():
+    """Every reference fixture type is represented and routed."""
+    assert len(CORPUS) == 71
+    assert set(ROUTES) == set(CORPUS)
+    covered = {R.UPSERT, R.DELETE, R.CUSTOMER_DELETED, R.ENTITLEMENT_SUMMARY}
+    assert {a for _, a in ROUTES.values()} <= covered
+
+
+def test_subscription_items_side_write(corpus_engines):
     """The subscription fixture's embedded items land in subscription_items
     with the parent FK stamped and the price flattened to its id."""
     ev = CORPUS["subscription_created"]
     items = ev["data"]["object"]["items"]["data"]
-    df = corpus_engine.store.read("subscription_items")
+    df = corpus_engines["subscription_created"].store.read("subscription_items")
     rows = {r["id"]: r.asDict() for r in df.collect()}
     for item in items:
         assert item["id"] in rows, item["id"]

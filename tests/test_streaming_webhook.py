@@ -225,3 +225,92 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     q2.awaitTermination(120)
     m2, r2 = states()
     assert m2 == m1 == r2
+
+
+def test_streaming_continuous_mode_converges(spark, tmp_path):
+    """LIVE stream (available_now=False): files are written while the query
+    is running; the tables — and a registered rollup maintained on every
+    micro-batch — converge to each landing batch without restarting, and
+    the query survives idle periods between arrivals."""
+    import time
+
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec, full_rollup
+
+    landing = tmp_path / "landing_live"
+    ckpt = tmp_path / "ckpt_live"
+    os.makedirs(landing)
+    # concurrent readers (this test's poller) next to a live writer need a
+    # vacuum retention, exactly like a real deployment — retain=0 would
+    # delete replaced version dirs out from under the poller's scans
+    engine = StripeSparkSync(
+        spark, TableStore(spark, str(tmp_path / "wh_live"), vacuum_retain_s=3600.0), api=None,
+        config=SyncConfig(backfill_related_entities=False),
+    )
+    spec = RollupSpec(
+        name="rollup_live_status",
+        entity="charges",
+        group_by={"status": "status"},
+        aggregates={"total_amount": "sum(amount)", "n": "count(*)"},
+        count_col="n",
+    )
+    engine.register_rollup(spec)
+    q = start_webhook_stream(engine, str(landing), str(ckpt), available_now=False)
+
+    def wait_for(pred, deadline_s=90.0):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    def charge_amounts():
+        df = engine.store.read("charges")
+        return {} if df is None else {r["id"]: r["amount"] for r in df.collect()}
+
+    try:
+        # batch 1 arrives while the query is live
+        (landing / "live1.jsonl").write_text(
+            "\n".join(
+                [
+                    fx.event("charge.succeeded", fx.charge(id="ch_l1", amount=100), created=2_000),
+                    fx.event("charge.succeeded", fx.charge(id="ch_l2", amount=200), created=2_000),
+                ]
+            )
+        )
+        assert wait_for(lambda: charge_amounts() == {"ch_l1": 100, "ch_l2": 200}), (
+            f"stream did not ingest batch 1: {charge_amounts()}"
+        )
+        # batch 2, after an idle gap: an update + a stale no-op
+        time.sleep(1.0)
+        (landing / "live2.jsonl").write_text(
+            "\n".join(
+                [
+                    fx.event("charge.updated", fx.charge(id="ch_l1", amount=150), created=3_000),
+                    fx.event("charge.updated", fx.charge(id="ch_l2", amount=1), created=1_000),
+                ]
+            )
+        )
+        assert wait_for(lambda: charge_amounts() == {"ch_l1": 150, "ch_l2": 200}), (
+            f"stream did not converge on batch 2: {charge_amounts()}"
+        )
+        # the rollup delta is applied AFTER the source commit; wait for
+        # maintenance to catch up too before stopping (stopping inside that
+        # window is the crash scenario the drift-heal covers, not this
+        # test's subject)
+        assert wait_for(lambda: engine.rollup_lag(spec.name) == 0), "rollup never caught up"
+        assert q.isActive  # still live after both batches and the idle gap
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    # rollup maintenance rode every live micro-batch
+    maintained = {
+        tuple(r[c] for c in spec.gcols): tuple(r[c] for c in spec.acols)
+        for r in engine.store.read(spec.name).collect()
+    }
+    recomputed = {
+        tuple(r[c] for c in spec.gcols): tuple(r[c] for c in spec.acols)
+        for r in full_rollup(engine.store.read("charges"), spec).collect()
+    }
+    assert maintained == recomputed
+    assert sum(v[0] for v in maintained.values()) == 150 + 200
