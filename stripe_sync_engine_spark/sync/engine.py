@@ -566,12 +566,18 @@ class StripeSparkSync:
         stripeSync.ts:1360-1399,:1480-1482)."""
         keys = self._project(entity, subset).select("id")
         with self._table_write_lock(entity):
-            if self.store.exists(entity):
-                touched = self.store.buckets_of(keys, "id", table=entity)
+            exists = self.store.exists(entity)
+            # the bucket probe doubles as the row accounting (same trick as
+            # _merge_plan) — one job over the keys, no separate post-commit
+            # count() re-executing the parse→project lineage
+            probe = self.store.bucket_counts(keys, "id", table=entity if exists else None)
+            n = int(sum(c for _, c in probe))
+            if exists:
+                touched = [b for b, _ in probe]
                 target = self.store.read_buckets(entity, touched)
-                if target is not None:
+                if target is not None and touched:
                     self._commit_buckets(entity, delete_by_keys(target, keys), touched)
-        return keys.count()
+        return n
 
     def _handle_entitlement_summary(self, subset: DataFrame) -> int:
         """entitlements.active_entitlement_summary.updated → replace-set of
