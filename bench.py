@@ -31,11 +31,14 @@ from stripe_sync_engine_spark.plans import REGISTRY  # noqa: E402
 from stripe_sync_engine_spark.session import get_spark  # noqa: E402
 
 
-def _bench_sync_ingest(spark, n_events: int) -> float:
+def _bench_sync_ingest(spark, n_events: int) -> dict[str, float]:
     """Merge throughput: n synthetic charge/customer webhook events through
     the full ingest pipeline (parse → route → project → validate →
     timestamp-protected merge into the bucketed store), as two batches so
-    the second exercises merge-against-existing + bucket pruning."""
+    the second exercises merge-against-existing + bucket pruning. A third
+    tiny "recent" batch then times the data-skipping read path: a
+    ``created >=`` scan via manifest stats (reads only the buckets the
+    recent batch rewrote) vs the same predicate over the full scan."""
     import shutil
     import tempfile
 
@@ -58,6 +61,7 @@ def _bench_sync_ingest(spark, n_events: int) -> float:
                         "id": f"ch_{i % 3001}",
                         "object": "charge",
                         "amount": i,
+                        "created": 1_700_000_000 + i,
                         "customer": f"cus_{i % 997}",
                         "status": "succeeded",
                     }
@@ -78,7 +82,46 @@ def _bench_sync_ingest(spark, n_events: int) -> float:
         t0 = time.perf_counter()
         engine.process_webhook_events(engine.events_df_from_json(batch(0, half)))
         engine.process_webhook_events(engine.events_df_from_json(batch(half, n_events - half)))
-        return time.perf_counter() - t0
+        ingest_s = time.perf_counter() - t0
+
+        # recent micro-batch: 5 new charges far in the future — the shape of
+        # "what changed since the last run" after a day of CDC (recent
+        # commits touch few buckets; stats exclude the rest)
+        cut = 1_900_000_000
+        recent = [
+            json.dumps(
+                {
+                    "id": f"evt_recent_{i}",
+                    "object": "event",
+                    "type": "charge.updated",
+                    "created": cut + i,
+                    "data": {
+                        "object": {
+                            "id": f"ch_recent_{i}",
+                            "object": "charge",
+                            "amount": i,
+                            "created": cut + i,
+                            "status": "succeeded",
+                        }
+                    },
+                }
+            )
+            for i in range(5)
+        ]
+        engine.process_webhook_events(engine.events_df_from_json(recent))
+        t0 = time.perf_counter()
+        full = engine.store.read("charges").where(f"created >= {cut}")
+        full.write.format("noop").mode("overwrite").save()
+        full_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        skipped = engine.store.read_where("charges", [("created", ">=", cut)])
+        skipped.write.format("noop").mode("overwrite").save()
+        skip_s = time.perf_counter() - t0
+        return {
+            "sync_ingest_5k_events": round(ingest_s, 3),
+            "sync_scan_recent_full": round(full_s, 3),
+            "sync_scan_recent_skipped": round(skip_s, 3),
+        }
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -111,7 +154,7 @@ def main() -> None:
         # cache.
         spark.catalog.clearCache()
 
-    times["sync_ingest_5k_events"] = round(_bench_sync_ingest(spark, n_events=5000), 3)
+    times.update(_bench_sync_ingest(spark, n_events=5000))
 
     total = round(sum(times.values()), 3)
     print(

@@ -89,6 +89,103 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3  # word-gram size for the rolling fingerprint
+WINNOW_W = 4  # winnowing window (MOSS-style: one fingerprint per window)
+
+# md5-hex → int64 bridge, identical to the dedup family's h32 (DuckDB has
+# no conv(); strpos-per-nibble reproduces Spark's conv(md5,16,10) exactly)
+_SQL_H32_OF = lambda var: " + ".join(  # noqa: E731
+    f"CAST(strpos('0123456789abcdef', substr(md5({var}), {i}, 1)) - 1 AS BIGINT) * {16 ** (8 - i)}"
+    for i in range(1, 9)
+)
+
+
+@register(
+    "txt_winnow_fingerprint",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {WINNOW_K}
+                        THEN list_transform(
+                                 generate_series(1, len(toks) - {WINNOW_K - 1}),
+                                 i -> array_to_string(toks[i:i+{WINNOW_K - 1}], ' '))
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM t
+        ),
+        h AS (SELECT doc_id, list_transform(grams, g -> {_SQL_H32_OF('g')}) AS hs FROM g),
+        w AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= 1
+                        THEN list_transform(
+                                 generate_series(1, len(hs) - least({WINNOW_W}, len(hs)) + 1),
+                                 j -> list_min(hs[j:j+least({WINNOW_W}, len(hs))-1]))
+                        ELSE CAST([] AS BIGINT[]) END AS wins
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+               md5(array_to_string(list_transform(list_sort(list_distinct(wins)),
+                                                  v -> CAST(v AS VARCHAR)), ',')) AS fp_sig
+        FROM w
+    """,
+    operators="TDP-fingerprint-winnow",
+)
+def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, MOSS-style): hash
+    every word {WINNOW_K}-gram in ORDER, slide a {WINNOW_W}-window over the
+    hash sequence, keep each window's minimum — the classic
+    position-robust near-dup signature (insertions shift positions but
+    local minima survive).
+
+    Physical shape: doc-local work in an Arrow-batched ``mapInPandas`` —
+    ZERO shuffle at any scale (the explode+window formulation would
+    shuffle every gram to order it per doc). NOT higher-order functions:
+    interpreted HOF lambdas re-evaluate the referenced hash-array
+    expression per window, turning the O(n·w) algorithm into O(n²) md5
+    calls (measured 18s vs <1s at sf0.001) — the same HOF-vs-worker
+    tradeoff plans/similarity.py measured, here on hashing instead of
+    arithmetic. The worker closure is stdlib-only and self-contained."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    k, w = WINNOW_K, WINNOW_W
+
+    def winnow(batches):
+        import hashlib
+
+        import pandas as pd  # noqa: PLC0415 - worker-local import
+
+        def fingerprints(text: str) -> tuple[int, str]:
+            toks = text.split(" ")
+            grams = [
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            ]
+            hs = [
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams
+            ]
+            if not hs:
+                sel: list[int] = []
+            else:
+                wl = min(w, len(hs))
+                # O(n·w) sliding min; a deque-based O(n) pass is the next
+                # step if w ever grows — at w=4 the md5s dominate regardless
+                sel = sorted({min(hs[j : j + wl]) for j in range(len(hs) - wl + 1)})
+            digest = hashlib.md5(",".join(str(v) for v in sel).encode()).hexdigest()
+            return len(sel), digest
+
+        for pdf in batches:
+            out = [fingerprints(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_fingerprints": [n for n, _ in out],
+                    "fp_sig": [s for _, s in out],
+                }
+            )
+
+    return docs.mapInPandas(winnow, schema="doc_id long, n_fingerprints long, fp_sig string")
+
+
 BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
