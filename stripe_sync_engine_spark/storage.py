@@ -457,15 +457,45 @@ class TableStore:
                 keep.append(int(b))
         return sorted(keep)
 
-    def read_where(self, table: str, where: list[tuple]) -> DataFrame | None:
+    def read_where(
+        self, table: str, where: list[tuple], as_of_ms: int | None = None
+    ) -> DataFrame | None:
         """Scan with data skipping: buckets whose stats exclude the
         conjunctive predicate are never read; the predicate is then applied
         exactly on the survivors (stats are a superset guard, so results
-        equal ``read(table).filter(...)``)."""
+        equal ``read(table).filter(...)``). With ``as_of_ms``, the skip
+        plans against the retained history snapshot (stats are part of
+        every snapshotted manifest), so time-travel scans prune too."""
+        if as_of_ms is not None:
+            df = self.read(table, as_of_ms=as_of_ms)
+            if df is None:
+                return None
+            eligible = [c for c in self.commits(table) if c <= as_of_ms]
+            with open(
+                os.path.join(self._dir(table), "_history", f"{eligible[-1]}.json")
+            ) as f:
+                manifest = json.load(f)
+            keep = set(self.prune_buckets(table, where, manifest))
+            paths = [
+                os.path.join(self._dir(table), v, f"_bucket={b}")
+                for b, v in manifest["buckets"].items()
+                if int(b) in keep
+            ]
+            schema = StructType.fromJson(manifest["schema"])
+            df = (
+                self.spark.createDataFrame([], schema)
+                if not paths
+                else self.spark.read.schema(schema).parquet(*paths)
+            )
+            return self._apply_where(df, where)
         manifest = self._read_manifest(table)
         if manifest is None:
             return None
         df = self.read_buckets(table, self.prune_buckets(table, where, manifest))
+        return self._apply_where(df, where)
+
+    @staticmethod
+    def _apply_where(df: DataFrame, where: list[tuple]) -> DataFrame:
         for col, op, val in where:
             c = F.col(col)
             if op == "in":

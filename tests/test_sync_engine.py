@@ -997,6 +997,26 @@ def test_data_skipping_timestamp_stats(spark, tmp_path):
     assert got == want and got
 
 
+def test_data_skipping_with_time_travel(spark, tmp_path):
+    import time as _time
+
+    store = TableStore(spark, str(tmp_path / "wh_skip_tt"), vacuum_retain_s=3600.0)
+    old = spark.range(100).selectExpr("concat('x_', id) AS id", "cast(id as long) AS v")
+    store.write("t", old)
+    t1 = store.commits("t")[-1]
+    _time.sleep(0.01)
+    batch = spark.createDataFrame([("x_new", 10_000)], "id string, v long")
+    touched = store.buckets_of(batch, table="t")
+    store.write_buckets("t", store.read_buckets("t", touched).unionByName(batch), touched)
+    # as-of the FIRST commit: the snapshot has no row matching v >= 5000
+    assert store.read_where("t", [("v", ">=", 5_000)], as_of_ms=t1).count() == 0
+    # current state: the pruned time-travel-free scan sees the new row
+    assert {r["id"] for r in store.read_where("t", [("v", ">=", 5_000)]).collect()} == {"x_new"}
+    # snapshot scan with a matching predicate equals unpruned filter
+    got = store.read_where("t", [("v", "<", 5)], as_of_ms=t1).count()
+    assert got == store.read("t", as_of_ms=t1).filter("v < 5").count() == 5
+
+
 # Online rebucketing: TableStore.rebucket rewrites at a new bucket width in
 # one commit; merges prune at the new width afterwards and retained history
 # snapshots (old width) stay readable across the change.
