@@ -155,11 +155,42 @@ def test_webhook_corpus_sweep_over_http(router, engine):
     for name, ev in sorted(CORPUS.items()):
         status, body = signed_post(router, _json.dumps(ev))
         assert (status, body) == (200, {"received": True}), name
+    # Expected final state per (entity, id) under the engine's declared
+    # semantics: sequential posts, timestamp-protected upserts (stored
+    # last_synced_at = max applied event.created), hard deletes remove the
+    # row, and a later upsert re-inserts it. Several fixtures share one id
+    # (e.g. the five charge_* events mutate one charge), so assertions are
+    # on the fold of the whole sweep, not per event.
+    expected_ts: dict[tuple[str, str], int] = {}
+    seen: set[tuple[str, str]] = set()
+    summary = None
     for name, ev in sorted(CORPUS.items()):
-        entity = R.EVENT_ROUTES[ev["type"]][0]
+        entity, action = R.EVENT_ROUTES[ev["type"]]
         obj = ev["data"]["object"]
-        rows = table_rows(engine, entity)
-        assert obj["id"] in rows, f"{name}: {obj['id']} not in {entity}"
-        got_ts = rows[obj["id"]]["last_synced_at"]
-        want_ts = _dt.datetime.fromtimestamp(ev["created"], tz=_dt.timezone.utc).replace(tzinfo=None)
-        assert got_ts == want_ts, f"{name}: last_synced_at {got_ts} != event.created {want_ts}"
+        if action == R.ENTITLEMENT_SUMMARY:
+            summary = obj
+            continue
+        key = (entity, obj["id"])
+        seen.add(key)
+        if action == R.DELETE:
+            expected_ts.pop(key, None)
+        else:
+            expected_ts[key] = max(expected_ts.get(key, 0), ev["created"])
+    by_entity: dict[str, dict] = {}
+    for entity, oid in seen:
+        by_entity.setdefault(entity, table_rows(engine, entity))
+    for (entity, oid), created in expected_ts.items():
+        rows = by_entity[entity]
+        assert oid in rows, f"{oid} not in {entity}"
+        want_ts = _dt.datetime.fromtimestamp(created, tz=_dt.timezone.utc).replace(tzinfo=None)
+        assert rows[oid]["last_synced_at"] == want_ts, (entity, oid)
+    for entity, oid in seen - set(expected_ts):
+        assert oid not in by_entity[entity], f"{oid} should be deleted from {entity}"
+    # the entitlement summary replaced the customer's set
+    assert summary is not None
+    ents = table_rows(engine, "active_entitlements")
+    want_ids = {e["id"] for e in summary["entitlements"]["data"]}
+    got_ids = {
+        i for i, r in ents.items() if r.get("customer") == summary["customer"]
+    }
+    assert got_ids == want_ids
