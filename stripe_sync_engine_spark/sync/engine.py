@@ -990,6 +990,47 @@ class StripeSparkSync:
             counts[entity] = self._fetch_and_upsert(entity, created)
         return counts
 
+    def sync_backfill_windows(
+        self, entity: str, created: dict, n_windows: int = 4
+    ) -> int:
+        """Parallel backfill by ``created``-range windows — the reference's
+        own guidance for >10k objects (README.md:99-100: split large
+        backfills into created ranges). A cursor API is inherently serial
+        WITHIN a window, so this is where list-scan parallelism comes from:
+        the range [lo, hi) splits into ``n_windows`` disjoint windows whose
+        page fetches overlap in a thread pool (API latency is the real
+        bottleneck), while merges serialize per table on the engine's write
+        lock — each object falls in exactly ONE window and the merge is
+        keyed + timestamp-protected, so the final state is identical to the
+        serial scan's. Requires both bounds (an open range cannot be
+        split)."""
+        lo, hi = self._window_bounds(created)
+        if n_windows < 2 or hi - lo < n_windows:
+            return self._fetch_and_upsert(entity, created)
+        edges = [lo + (hi - lo) * i // n_windows for i in range(n_windows + 1)]
+        windows = [
+            {"gte": a, "lt": b} for a, b in zip(edges[:-1], edges[1:]) if a < b
+        ]
+        with ThreadPoolExecutor(max_workers=len(windows)) as pool:
+            return sum(pool.map(lambda w: self._fetch_and_upsert(entity, w), windows))
+
+    @staticmethod
+    def _window_bounds(created: dict) -> tuple[int, int]:
+        """Normalize a {gt,gte,lt,lte} range to half-open [lo, hi)."""
+        if "gte" in created:
+            lo = int(created["gte"])
+        elif "gt" in created:
+            lo = int(created["gt"]) + 1
+        else:
+            raise ValueError("windowed backfill needs a lower created bound (gt/gte)")
+        if "lt" in created:
+            hi = int(created["lt"])
+        elif "lte" in created:
+            hi = int(created["lte"]) + 1
+        else:
+            raise ValueError("windowed backfill needs an upper created bound (lt/lte)")
+        return lo, hi
+
     def _fetch_and_upsert(self, entity: str, created: dict | None) -> int:
         """S1 paginated scan: buffer pages into FLUSH_CHUNK batches, each
         flushed through the merge pipeline (stripeSync.ts:1033-1058)."""

@@ -997,6 +997,35 @@ def test_data_skipping_timestamp_stats(spark, tmp_path):
     assert got == want and got
 
 
+# Windowed backfill: the created range splits into disjoint windows whose
+# fetches run concurrently; final table state is identical to the serial
+# scan (each object falls in exactly one window; merges serialize per
+# table on the engine write lock).
+def test_backfill_windows_matches_serial(spark, tmp_path):
+    objs = [fx.product(id=f"prod_{i:04d}", created=1_000 + i) for i in range(300)]
+    engines = {}
+    for mode in ("serial", "windowed"):
+        api = InMemoryStripeAPI()
+        for o in objs:
+            api.put("products", o)
+        engines[mode] = StripeSparkSync(
+            spark, TableStore(spark, str(tmp_path / f"wh_bw_{mode}")), api=api
+        )
+    span = {"gte": 1_050, "lt": 1_250}
+    n_serial = engines["serial"].sync_backfill("products", created=span)["products"]
+    n_win = engines["windowed"].sync_backfill_windows("products", span, n_windows=4)
+    assert n_win == n_serial == 200
+    s = {r["id"] for r in engines["serial"].store.read("products").collect()}
+    w = {r["id"] for r in engines["windowed"].store.read("products").collect()}
+    assert s == w and len(s) == 200
+    # degenerate ranges fall back to one serial scan; open ranges refuse
+    assert engines["windowed"].sync_backfill_windows("products", {"gte": 1_050, "lt": 1_052}, 4) == 2
+    with pytest.raises(ValueError, match="lower created bound"):
+        engines["windowed"].sync_backfill_windows("products", {"lt": 2_000}, 4)
+    with pytest.raises(ValueError, match="upper created bound"):
+        engines["windowed"].sync_backfill_windows("products", {"gte": 1_000}, 4)
+
+
 def test_data_skipping_with_time_travel(spark, tmp_path):
     import time as _time
 
