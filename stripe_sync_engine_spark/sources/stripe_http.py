@@ -102,7 +102,7 @@ class HTTPStripeAPI:
     ):
         self.api_key = api_key
         self.base_url = base_url.rstrip("/")
-        self.max_retries = max_retries
+        self.max_retries = max(1, max_retries)  # at least the initial attempt
         self.backoff_s = backoff_s
         self.timeout_s = timeout_s
         self.api_version = api_version
