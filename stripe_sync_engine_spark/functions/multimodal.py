@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image_meta`` computes deterministic fake features from the raw
-bytes behind the same UDF signature, schema, and batch shape a real
-decoder (PIL/ffmpeg) would use — swap ``_fake_decode`` for the real
-library call and nothing else changes. ``decode_real`` raises
-NotImplementedError by design.
+Two decode tiers:
+
+* ``decode_real`` / ``decode_headers`` — REAL pure-stdlib container-header
+  parsing (PNG/GIF/BMP/JPEG format + dimensions; no dependencies).
+* ``decode_binary_meta`` and the resize/frame/feature family — the full
+  pixel/sample decode still needs PIL/ffmpeg (absent from this
+  container), so these compute deterministic fake features from the raw
+  bytes behind the same UDF signature, schema, and batch shape the real
+  library call would use — swap the fake for the library call and nothing
+  else changes.
 
 Scale shape: mapInPandas streams Arrow record batches through one Python
 worker per partition — decode parallelism == partition count, bytes never

@@ -207,7 +207,13 @@ def touched_group_update(
     The detection is sound because stored extrema bound contribution
     extrema: stored_min <= old_contrib_min always (global min over a
     superset of rows), so the only information loss is when equality held
-    and the new contribution retreats."""
+    and the new contribution retreats.
+
+    The three-way join base is ``localCheckpoint``-ed eagerly: the caller
+    runs TWO actions over it (the bounded endangered probe, then the
+    rollup write), and without the checkpoint the join/aggregation lineage
+    would execute twice per commit — the same reason the additive path
+    checkpoints its delta."""
     o = old_contrib if old_contrib is not None else new_contrib.limit(0)
     c = _outer_merge(o, new_contrib, spec, "_o", "_n")
     r = rollup_old if rollup_old is not None else None
@@ -231,6 +237,7 @@ def touched_group_update(
             *[F.col(f"c._o{c_}").alias(f"_o{c_}") for c_ in (*spec.acols, *spec.xcols)],
             *[F.col(f"c._n{c_}").alias(f"_n{c_}") for c_ in (*spec.acols, *spec.xcols)],
         )
+    base = base.localCheckpoint(eager=True)
     add = [
         (
             F.coalesce(F.col(f"_r{a}"), F.lit(0))

@@ -80,10 +80,11 @@ RETRY_STATUS = {429, 500, 502, 503, 504}
 
 
 class StripeHTTPError(RuntimeError):
-    def __init__(self, status: int, message: str):
+    def __init__(self, status: int, message: str, code: str | None = None):
         super().__init__(f"HTTP {status}: {message}")
         self.status = status
         self.message = message
+        self.code = code  # Stripe error code, e.g. "resource_missing"
 
 
 class HTTPStripeAPI:
@@ -125,16 +126,19 @@ class HTTPStripeAPI:
             except urllib.error.HTTPError as e:
                 body = e.read().decode("utf-8", "replace")
                 try:
-                    msg = json.loads(body).get("error", {}).get("message", body)
+                    err = json.loads(body).get("error", {})
+                    msg, code = err.get("message", body), err.get("code")
                 except (json.JSONDecodeError, AttributeError):
-                    msg = body
-                last = StripeHTTPError(e.code, msg)
+                    msg, code = body, None
+                last = StripeHTTPError(e.code, msg, code)
                 if e.code not in RETRY_STATUS:
                     raise last from None
                 retry_after = e.headers.get("Retry-After")
             except urllib.error.URLError as e:  # connection reset / DNS / timeout
                 last = StripeHTTPError(0, str(e.reason))
                 retry_after = None
+            if attempt == self.max_retries - 1:
+                break  # no retry remains: surface the error immediately
             delay = self.backoff_s * (2**attempt)
             if retry_after:
                 try:
@@ -169,7 +173,12 @@ class HTTPStripeAPI:
         try:
             return self._request(self._path(entity) + "/" + urllib.parse.quote(obj_id))
         except StripeHTTPError as e:
-            if e.status == 404:  # resource_missing → treated as deleted
+            # ONLY Stripe's explicit resource_missing means "this object no
+            # longer exists" (the signal read-repair maps to a delete —
+            # reference stripeSync.ts:267-273). A bare 404 from a proxy,
+            # a wrong base_url, or a routing blip must surface as an error,
+            # or infrastructure trouble would hard-delete live rows.
+            if e.status == 404 and e.code == "resource_missing":
                 return None
             raise
 

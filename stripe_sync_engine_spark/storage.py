@@ -72,6 +72,13 @@ class TableStore:
         # usable footer min/max; TIMESTAMP_MICROS does. Data-skipping on
         # timestamp columns (created/last_synced_at — the reference's most
         # indexed predicates) needs the stats, so switch the dynamic conf.
+        # Deliberately SESSION-WIDE (there is no per-write option for this
+        # conf) — TIMESTAMP_MICROS is the lakehouse-standard encoding and
+        # strictly better than INT96 for any co-tenant writer. If a future
+        # Spark refuses the set, the only effect is missing timestamp
+        # stats: skipping degrades to reading every bucket (conservative,
+        # never wrong), which is why the failure is tolerated rather than
+        # fatal at construction.
         with contextlib.suppress(Exception):
             spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
@@ -228,6 +235,15 @@ class TableStore:
         silently returning partial data."""
         if as_of_ms is None:
             return self.read_buckets(table, None)
+        manifest = self._resolve_snapshot(table, as_of_ms)
+        if manifest is None:
+            return None
+        return self._scan_manifest(table, manifest, buckets=None)
+
+    def _resolve_snapshot(self, table: str, as_of_ms: int) -> dict | None:
+        """The manifest snapshot current at ``as_of_ms`` (None = table did
+        not exist then; raises when the snapshot aged out of retention or
+        references vacuumed versions — loud, never partial data)."""
         eligible = [c for c in self.commits(table) if c <= as_of_ms]
         if not eligible:
             m = self._read_manifest(table)
@@ -244,17 +260,23 @@ class TableStore:
             )
         with open(os.path.join(self._dir(table), "_history", f"{eligible[-1]}.json")) as f:
             manifest = json.load(f)
-        schema = StructType.fromJson(manifest["schema"])
-        paths = []
         for b, version in manifest["buckets"].items():
-            p = os.path.join(self._dir(table), version, f"_bucket={b}")
-            if not os.path.exists(p):
+            if not os.path.exists(os.path.join(self._dir(table), version, f"_bucket={b}")):
                 raise FileNotFoundError(
                     f"snapshot {eligible[-1]} of {table!r} references vacuumed "
                     f"version {version!r} (bucket {b}); raise vacuum_retain_s "
                     "to keep older snapshots readable"
                 )
-            paths.append(p)
+        return manifest
+
+    def _scan_manifest(
+        self, table: str, manifest: dict, buckets: list[int] | None
+    ) -> DataFrame:
+        """Scan (a subset of) the buckets of ONE specific manifest — the
+        plan and the paths come from the same snapshot, so a concurrent
+        commit between planning and reading cannot mix states."""
+        schema = StructType.fromJson(manifest["schema"])
+        paths = self._bucket_paths(table, manifest, buckets)
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
@@ -311,7 +333,14 @@ class TableStore:
             return v
         if isinstance(v, _dt.datetime):
             if v.tzinfo is None:
-                v = v.replace(tzinfo=_dt.timezone.utc)
+                # naive predicate datetimes must canonicalize the way the
+                # exact filter will evaluate them: F.lit interprets naive
+                # values in the SESSION timezone (default = JVM/system
+                # local), so assume system-local, not UTC — a UTC
+                # assumption on a non-UTC session would skip buckets whose
+                # rows the real predicate matches. (astimezone() on a naive
+                # datetime attaches the system-local zone.)
+                v = v.astimezone()
             return int(v.timestamp() * 1_000_000)
         if isinstance(v, _dt.date):
             return v.isoformat()
@@ -466,33 +495,18 @@ class TableStore:
         equal ``read(table).filter(...)``). With ``as_of_ms``, the skip
         plans against the retained history snapshot (stats are part of
         every snapshotted manifest), so time-travel scans prune too."""
-        if as_of_ms is not None:
-            df = self.read(table, as_of_ms=as_of_ms)
-            if df is None:
-                return None
-            eligible = [c for c in self.commits(table) if c <= as_of_ms]
-            with open(
-                os.path.join(self._dir(table), "_history", f"{eligible[-1]}.json")
-            ) as f:
-                manifest = json.load(f)
-            keep = set(self.prune_buckets(table, where, manifest))
-            paths = [
-                os.path.join(self._dir(table), v, f"_bucket={b}")
-                for b, v in manifest["buckets"].items()
-                if int(b) in keep
-            ]
-            schema = StructType.fromJson(manifest["schema"])
-            df = (
-                self.spark.createDataFrame([], schema)
-                if not paths
-                else self.spark.read.schema(schema).parquet(*paths)
-            )
-            return self._apply_where(df, where)
-        manifest = self._read_manifest(table)
+        manifest = (
+            self._resolve_snapshot(table, as_of_ms)
+            if as_of_ms is not None
+            else self._read_manifest(table)
+        )
         if manifest is None:
             return None
-        df = self.read_buckets(table, self.prune_buckets(table, where, manifest))
-        return self._apply_where(df, where)
+        # plan AND read against this one manifest: re-reading the manifest
+        # for the scan would let a concurrent commit swap it between
+        # pruning and reading, silently dropping rows of rewritten buckets
+        keep = self.prune_buckets(table, where, manifest)
+        return self._apply_where(self._scan_manifest(table, manifest, keep), where)
 
     @staticmethod
     def _apply_where(df: DataFrame, where: list[tuple]) -> DataFrame:

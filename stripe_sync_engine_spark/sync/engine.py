@@ -121,6 +121,7 @@ class StripeSparkSync:
         self.config = config or SyncConfig()
         # entity table -> registered RollupSpecs maintained on its commits
         self._rollups: dict[str, list] = {}
+        self._validated_rollups: set[str] = set()
         # Per-table write locks guarding every read-merge-write critical
         # section. The store's commit lock only serializes the manifest
         # POINTER swap — two writers that both planned against the same
@@ -181,7 +182,13 @@ class StripeSparkSync:
         independently-recomputed float sums whose difference need not
         cancel, so no-op commits would drift the rollup. Decimal/integral
         subtract exactly (cast in the expression: SUM(CAST(x AS
-        DECIMAL(18,2)))). Extrema are exempt — min/max of floats is exact."""
+        DECIMAL(18,2)))). Extrema are exempt — min/max of floats is exact.
+
+        Types come from the source schema, so a spec on a table that does
+        not exist yet (and has no declared entity schema) cannot be checked
+        at registration — validation then runs at the first refresh or
+        maintenance pass instead (``_ensure_spec_validated``), never
+        silently skipped."""
         from pyspark.sql.types import DecimalType, IntegralType
 
         from stripe_sync_engine_spark.operators.rollup import contributions
@@ -191,7 +198,7 @@ class StripeSparkSync:
             try:
                 src = self.spark.createDataFrame([], entity_schema(spec.entity))
             except KeyError:
-                return  # unknown table not yet written: validated on refresh
+                return  # no schema yet: deferred to _ensure_spec_validated
         schema = contributions(src, spec).schema
         bad = [
             c
@@ -204,6 +211,13 @@ class StripeSparkSync:
                 f"{[(c, schema[c].dataType.simpleString()) for c in bad]}; "
                 "cast to DECIMAL in the aggregate expression"
             )
+        self._validated_rollups.add(spec.name)
+
+    def _ensure_spec_validated(self, spec) -> None:
+        """Run the deferred type check once the source table exists (first
+        refresh or first maintained commit)."""
+        if spec.name not in self._validated_rollups:
+            self._validate_additive_types(spec)
 
     def refresh_rollup(self, name: str) -> None:
         """Full recompute of one rollup — initialization, drift repair,
@@ -218,6 +232,7 @@ class StripeSparkSync:
                     with self._table_write_lock(spec.entity):
                         rows = self.store.read(spec.entity)
                         if rows is not None:
+                            self._ensure_spec_validated(spec)
                             self.store.write(spec.name, full_rollup(rows, spec), key="_gk")
                             src = self.store.commits(spec.entity)
                             self._set_rollup_applied(spec.name, src[-1] if src else None)
@@ -300,6 +315,7 @@ class StripeSparkSync:
         src_ms = self.store.commits(table)[-1]
         new_rows = self.store.read_buckets(table, touched)
         for spec, old_contrib in zip(specs, pre):
+            self._ensure_spec_validated(spec)  # deferred check: source exists now
             if self.store.exists(spec.name) and self._get_rollup_applied(spec.name) != src_head:
                 # a prior crash between source commit and rollup apply left
                 # this rollup behind — its delta is unrecoverable from here,

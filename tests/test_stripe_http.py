@@ -164,6 +164,26 @@ def test_4xx_does_not_retry_and_404_returns_none(stub):
     assert len([r for r in stub.requests if "cus_1" in r]) == 1  # no retry on 4xx
 
 
+def test_bare_404_without_resource_missing_raises(stub):
+    """Only Stripe's explicit resource_missing code maps to None (deleted);
+    an infrastructure 404 (proxy, wrong base path) must surface — the
+    engine's read-repair would otherwise hard-delete live rows."""
+    # no /v1/products collection registered → the stub's unknown-path 404
+    # carries no error code, like a misrouted gateway response
+    with pytest.raises(StripeHTTPError) as ei:
+        client(stub).retrieve("products", "prod_1")
+    assert ei.value.status == 404 and ei.value.code is None
+
+
+def test_no_sleep_after_final_attempt(stub):
+    stub.failures = [(503, {"Retry-After": "60"})] * 2
+    delays = []
+    with pytest.raises(StripeHTTPError):
+        client(stub, max_retries=2, sleep=delays.append).retrieve("customers", "cus_1")
+    # one sleep between the two attempts, none after the final failure
+    assert len(delays) == 1
+
+
 def test_parent_fanout_and_subresources(stub):
     stub.collections["/v1/payment_methods"] = [
         {"id": "pm_1", "customer": "cus_a", "created": 1},

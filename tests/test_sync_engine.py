@@ -1577,3 +1577,25 @@ def test_rollup_missed_delta_detected_and_healed(spark, tmp_path):
     process(eng, fx.event("charge.updated", fx.charge(id="ch_2", amount=30), created=2_000))
     assert eng.rollup_lag(spec.name) == 0
     assert _maintained(eng, spec) == _recomputed(eng, spec)
+
+
+def test_rollup_float_validation_deferred_to_first_refresh(spark, tmp_path):
+    """A spec on a table with no schema yet cannot be type-checked at
+    registration; the check must still run at first refresh/maintenance,
+    never be silently skipped."""
+    from stripe_sync_engine_spark.operators.rollup import RollupSpec
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_defer")), api=None)
+    spec = RollupSpec(
+        name="rollup_custom_float",
+        entity="custom_metrics",  # not an entity table, not stored yet
+        group_by={"k": "k"},
+        aggregates={"s": "sum(v)", "n": "count(*)"},
+        count_col="n",
+    )
+    eng.register_rollup(spec)  # deferred — no schema to check against
+    eng.store.write(
+        "custom_metrics", spark.createDataFrame([("a", 1.5)], "k string, v double"), key="k"
+    )
+    with pytest.raises(ValueError, match="integral/decimal"):
+        eng.refresh_rollup("rollup_custom_float")
