@@ -67,6 +67,13 @@ class TableStore:
         self.root = root
         self.n_buckets = n_buckets
         self.vacuum_retain_s = vacuum_retain_s
+        # (table, commit_ms) → version dirs that snapshot references.
+        # History snapshot files are IMMUTABLE once written (write-once,
+        # named by their ms), so caching amortizes the per-commit vacuum's
+        # reference scan to one file read per snapshot EVER — without it, a
+        # table committing every second under a 24h retention would re-open
+        # ~86k snapshot files on every commit.
+        self._history_ref_cache: dict[tuple[str, int], frozenset] = {}
         os.makedirs(root, exist_ok=True)
         # INT96 (Spark's default parquet timestamp encoding) carries no
         # usable footer min/max; TIMESTAMP_MICROS does. Data-skipping on
@@ -363,74 +370,94 @@ class TableStore:
         on that side); an absent column means no stats. Driver-side and
         O(files in the version) — the version only contains the buckets
         this commit rewrote."""
-        import pyarrow.parquet as pq
-
         vdir = os.path.join(self._dir(table), version)
         out: dict[str, dict] = {}
         if not os.path.isdir(vdir):
             return out
-        for d in os.listdir(vdir):
-            if not d.startswith("_bucket="):
-                continue
-            b = d.split("=", 1)[1]
-            rows = 0
-            cols: dict[str, dict] = {}
-            unbounded: set[str] = set()  # columns with a stat-less chunk
-            for fn in os.listdir(os.path.join(vdir, d)):
-                if not fn.endswith(".parquet"):
-                    continue
-                try:
-                    md = pq.ParquetFile(os.path.join(vdir, d, fn)).metadata
-                except Exception:
-                    return {}  # unreadable footer: commit without stats
-                rows += md.num_rows
-                for rg in range(md.num_row_groups):
-                    rgm = md.row_group(rg)
-                    for ci in range(rgm.num_columns):
-                        ch = rgm.column(ci)
-                        name = ch.path_in_schema
-                        if "." in name:  # nested leaf — top-level cols only
-                            continue
-                        st = ch.statistics
-                        entry = cols.setdefault(name, {"nulls": 0})
-                        if st is None or st.null_count is None:
-                            entry["nulls"] = None  # unknown
-                        elif entry["nulls"] is not None:
-                            entry["nulls"] += st.null_count
-                        if st is not None and st.num_values == 0:
-                            # all-null chunk: contributes no values, so it
-                            # must not widen (or unbound) the bucket's range
-                            continue
-                        mn = mx = None
-                        if st is not None and st.has_min_max:
-                            try:
-                                mn = self._canon_stat(st.min)
-                                mx = self._canon_stat(st.max)
-                            except Exception:
-                                mn = mx = None  # e.g. decimal chunks
-                        if isinstance(mn, str) and len(mn) > self._STR_STAT_MAX:
-                            mn = mn[: self._STR_STAT_MAX]  # lower bound stays safe
-                        if isinstance(mx, str) and len(mx) > self._STR_STAT_MAX:
-                            mx = None  # truncating a max is unsafe
-                        for side, v in (("min", mn), ("max", mx)):
-                            if v is None:
-                                unbounded.add((name, side))
-                                continue
-                            cur = entry.get(side)
-                            num = (int, float)
-                            if cur is None:
-                                entry[side] = v
-                            elif (isinstance(cur, num) and isinstance(v, num)) or (
-                                isinstance(cur, str) and isinstance(v, str)
-                            ):
-                                if v < cur if side == "min" else v > cur:
-                                    entry[side] = v
-                            else:  # mixed domains across chunks: give up
-                                unbounded.add((name, side))
-            for name, side in unbounded:
-                cols.get(name, {}).pop(side, None)
-            out[b] = {"rows": rows, "cols": cols}
+        bucket_dirs = [d for d in os.listdir(vdir) if d.startswith("_bucket=")]
+        # footer reads are tiny IO-bound requests; at thousands of buckets a
+        # serial driver loop would add seconds per full-table commit, so
+        # harvest concurrently (merges touch few buckets and pay ~nothing)
+        if len(bucket_dirs) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                for b, stats in pool.map(
+                    lambda d: self._bucket_dir_stats(os.path.join(vdir, d), d.split("=", 1)[1]),
+                    bucket_dirs,
+                ):
+                    if stats is None:
+                        return {}  # unreadable footer: commit without stats
+                    out[b] = stats
+            return out
+        for d in bucket_dirs:
+            b, stats = self._bucket_dir_stats(os.path.join(vdir, d), d.split("=", 1)[1])
+            if stats is None:
+                return {}
+            out[b] = stats
         return out
+
+    def _bucket_dir_stats(self, bdir: str, b: str) -> tuple[str, dict | None]:
+        """Footer stats of one bucket dir; None stats = unreadable footer."""
+        import pyarrow.parquet as pq
+
+        rows = 0
+        cols: dict[str, dict] = {}
+        unbounded: set[str] = set()  # columns with a stat-less chunk
+        for fn in os.listdir(bdir):
+            if not fn.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
+            except Exception:
+                return b, None  # unreadable footer
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    ch = rgm.column(ci)
+                    name = ch.path_in_schema
+                    if "." in name:  # nested leaf — top-level cols only
+                        continue
+                    st = ch.statistics
+                    entry = cols.setdefault(name, {"nulls": 0})
+                    if st is None or st.null_count is None:
+                        entry["nulls"] = None  # unknown
+                    elif entry["nulls"] is not None:
+                        entry["nulls"] += st.null_count
+                    if st is not None and st.num_values == 0:
+                        # all-null chunk: contributes no values, so it
+                        # must not widen (or unbound) the bucket's range
+                        continue
+                    mn = mx = None
+                    if st is not None and st.has_min_max:
+                        try:
+                            mn = self._canon_stat(st.min)
+                            mx = self._canon_stat(st.max)
+                        except Exception:
+                            mn = mx = None  # e.g. decimal chunks
+                    if isinstance(mn, str) and len(mn) > self._STR_STAT_MAX:
+                        mn = mn[: self._STR_STAT_MAX]  # lower bound stays safe
+                    if isinstance(mx, str) and len(mx) > self._STR_STAT_MAX:
+                        mx = None  # truncating a max is unsafe
+                    for side, v in (("min", mn), ("max", mx)):
+                        if v is None:
+                            unbounded.add((name, side))
+                            continue
+                        cur = entry.get(side)
+                        num = (int, float)
+                        if cur is None:
+                            entry[side] = v
+                        elif (isinstance(cur, num) and isinstance(v, num)) or (
+                            isinstance(cur, str) and isinstance(v, str)
+                        ):
+                            if v < cur if side == "min" else v > cur:
+                                entry[side] = v
+                        else:  # mixed domains across chunks: give up
+                            unbounded.add((name, side))
+        for name, side in unbounded:
+            cols.get(name, {}).pop(side, None)
+        return b, {"rows": rows, "cols": cols}
 
     @classmethod
     def _bucket_may_match(cls, bstats: dict | None, col: str, op: str, val) -> bool:
@@ -683,15 +710,28 @@ class TableStore:
         self.vacuum_orphans(table, min_age_s=max(self.vacuum_retain_s, self.ORPHAN_GRACE_S))
 
     def _history_refs(self, table: str) -> set[str]:
-        """Version dirs referenced by any retained history snapshot."""
+        """Version dirs referenced by any retained history snapshot.
+        Snapshot files are immutable, so each is read once per process and
+        served from the cache afterwards (cache keys for pruned snapshots
+        are dropped here too, bounding the cache to the retained set)."""
         refs: set[str] = set()
         hdir = os.path.join(self._dir(table), "_history")
-        for ms in self.commits(table):
-            try:
-                with open(os.path.join(hdir, f"{ms}.json")) as f:
-                    refs.update(json.load(f)["buckets"].values())
-            except (FileNotFoundError, json.JSONDecodeError, KeyError):
-                continue
+        live = self.commits(table)
+        for ms in live:
+            key = (table, ms)
+            cached = self._history_ref_cache.get(key)
+            if cached is None:
+                try:
+                    with open(os.path.join(hdir, f"{ms}.json")) as f:
+                        cached = frozenset(json.load(f)["buckets"].values())
+                except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                    continue
+                self._history_ref_cache[key] = cached
+            refs |= cached
+        keep = set(live)
+        for t, ms in [k for k in self._history_ref_cache if k[0] == table]:
+            if ms not in keep:
+                del self._history_ref_cache[(t, ms)]
         return refs
 
     def vacuum_orphans(self, table: str, min_age_s: float = 3600.0) -> list[str]:

@@ -1263,6 +1263,11 @@ def test_retention_protects_long_lived_replaced_versions(spark, tmp_path):
     _shutil.rmtree(_os.path.join(tdir, real_version))
     t_before = newest_hist
     __import__("time").sleep(0.01)
+    # the file munging above rewrote a history snapshot IN PLACE, which
+    # real commits never do (snapshots are write-once) — use a fresh store
+    # so the immutability-based history-ref cache starts cold, as it would
+    # after a process restart
+    store = TableStore(spark, str(tmp_path / "wh_ret"), vacuum_retain_s=3600.0)
     # replace it
     store.write("t", spark.createDataFrame([("a", 2)], "id string, v int"))
     assert _os.path.isdir(_os.path.join(tdir, old_name))  # survived vacuum
