@@ -216,7 +216,7 @@ def touched_group_update(
     checkpoints its delta."""
     o = old_contrib if old_contrib is not None else new_contrib.limit(0)
     c = _outer_merge(o, new_contrib, spec, "_o", "_n")
-    r = rollup_old if rollup_old is not None else None
+    r = rollup_old
     if r is None:
         base = c.select(
             *spec.gcols,

@@ -202,8 +202,8 @@ class HTTPStripeAPI:
         return [item for page in self._paginate(path, {}) for item in page]
 
     def list_by_parent(self, entity: str, parent_field: str, parent_id: str) -> list[dict]:
-        return [
-            item
-            for page in self._paginate(self._path(entity), {parent_field: parent_id})
-            for item in page
-        ]
+        # same extra params as list(): e.g. subscriptions need status=all or
+        # Stripe's default filter silently excludes canceled ones — the
+        # in-memory API (and the reference) returns them
+        params = dict(EXTRA_LIST_PARAMS.get(entity, {}), **{parent_field: parent_id})
+        return [item for page in self._paginate(self._path(entity), params) for item in page]

@@ -628,6 +628,7 @@ class TableStore:
         buckets: list[int],
         key: str = "id",
         pre_clustered: bool = False,
+        planned_n_buckets: int | None = None,
     ) -> None:
         """Partial write: ``df`` holds the full new contents of exactly the
         given buckets; only their manifest entries move. Buckets in the
@@ -638,13 +639,25 @@ class TableStore:
         UNDER THE COMMIT LOCK, so two writers touching DISJOINT buckets
         both land. Two writers touching the SAME bucket are last-commit-
         wins (the engine partitions write work by table, matching the
-        reference's one-sync-worker-per-account model)."""
+        reference's one-sync-worker-per-account model).
+
+        ``planned_n_buckets``: the bucket width the caller computed
+        ``buckets`` (and ``df``'s contents) against. If a rebucket landed
+        since, the touched ids and the merged bucket contents are stale —
+        committing them would replace whole new-width buckets with only
+        this batch's rows — so the write fails loudly for the caller to
+        re-plan."""
         prior = self._read_manifest(table)
         if prior is None:
             # table does not exist yet — a partial write of its only data
             # is simply its first full version
             return self.write(table, df, key=key, pre_clustered=pre_clustered)
         nb = int(prior["n_buckets"])
+        if planned_n_buckets is not None and planned_n_buckets != nb:
+            raise RuntimeError(
+                f"{table!r} was rebucketed ({planned_n_buckets} → {nb}) after this "
+                "write was planned; re-read the manifest and re-plan the batch"
+            )
         # the table's recorded bucket key wins over the argument: a partial
         # write with a different key would scatter rows across buckets the
         # manifest doesn't re-point. Manifests that predate the bucket_key
@@ -662,6 +675,18 @@ class TableStore:
             # base the pointer swap on the LATEST manifest, not the one the
             # caller planned against — concurrent disjoint commits survive
             prior = self._read_manifest(table) or prior
+            if int(prior["n_buckets"]) != nb:
+                # a rebucket landed between this write's planning and its
+                # commit: the data was bucketed at the OLD width, so
+                # re-pointing new-width bucket ids would replace buckets
+                # with only this batch's rows. Fail loudly; the caller must
+                # re-plan at the new width (the engine serializes rebucket
+                # against merges via its table lock — rebucket_entity — so
+                # this only trips for out-of-band TableStore users).
+                raise RuntimeError(
+                    f"{table!r} was rebucketed ({nb} → {prior['n_buckets']}) during "
+                    "this write; re-read the manifest and re-plan the batch"
+                )
             new_buckets = dict(prior["buckets"])
             # untouched buckets carry their stats forward; rewritten buckets
             # take the fresh footer stats (or LOSE stats if harvesting
@@ -788,7 +813,12 @@ class TableStore:
         keep a consistent view, retained history snapshots still reference
         the old-width version dirs, so time travel across the rebucket keeps
         working, and every subsequent merge prunes at the new width (probes
-        read the width from the manifest, never from the store default)."""
+        read the width from the manifest, never from the store default).
+        A partial write whose planning straddles the rebucket fails loudly
+        at its commit (width check in ``write_buckets``) instead of
+        silently replacing rebucketed buckets with only its batch; engines
+        additionally serialize the two on their table lock
+        (``StripeSparkSync.rebucket_entity``)."""
         m = self._read_manifest(table)
         if m is None:
             raise ValueError(f"cannot rebucket missing table {table!r}")

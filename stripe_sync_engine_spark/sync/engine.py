@@ -307,6 +307,7 @@ class StripeSparkSync:
                     else R_.contributions(old, spec).localCheckpoint(eager=True)
                 )
         if touched is None:
+            kw.pop("planned_n_buckets", None)  # full write: no stale-plan risk
             self.store.write(table, df, **kw)
         else:
             self.store.write_buckets(table, df, touched, **kw)
@@ -355,6 +356,16 @@ class StripeSparkSync:
         from stripe_sync_engine_spark.operators import rollup as R_
 
         new_contrib = new_contrib.localCheckpoint(eager=True)
+        # replay/no-op batches leave the touched buckets' contributions
+        # byte-identical — skip the rollup commit entirely (the extrema
+        # analog of the additive path's zero-delta skip); both sides are
+        # tiny checkpointed aggregates, so the probe is two light actions
+        if (
+            old_contrib is not None
+            and old_contrib.count() == new_contrib.count()
+            and new_contrib.exceptAll(old_contrib).isEmpty()
+        ):
+            return
         # key set comes from the contributions (old ∪ new), not the additive
         # delta: an update can move an extremum while leaving sums unchanged
         keys = new_contrib.select(R_.group_key_col(spec).alias("_gk"))
@@ -364,7 +375,9 @@ class StripeSparkSync:
             updated, _ = R_.touched_group_update(None, old_contrib, new_contrib, spec)
             self.store.write(spec.name, updated, key="_gk")
             return
-        rtouched = self.store.buckets_of(keys.distinct(), "_gk", table=spec.name)
+        # no distinct(): bucket_counts aggregates by bucket id anyway, so a
+        # pre-distinct would only add a second full exchange of the keys
+        rtouched = self.store.buckets_of(keys, "_gk", table=spec.name)
         if not rtouched:
             return  # nothing contributed — empty batch
         rollup_old = self.store.read_buckets(spec.name, rtouched).drop("_gk")
@@ -980,17 +993,37 @@ class StripeSparkSync:
             merged = merged.drop(*tiebreaks)
         return merged, touched, bkey, n_rows, pre_clustered
 
+    def rebucket_entity(self, entity: str, n_buckets: int) -> None:
+        """Online rebucket serialized against this engine's merges: the
+        table write lock guarantees no merge is between its bucket probe
+        and its commit while the width changes (a straddling out-of-band
+        write still fails loudly at the store's width check rather than
+        corrupting)."""
+        with self._table_write_lock(entity):
+            self.store.rebucket(entity, n_buckets)
+
     def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
         # the PLAN reads the current bucket state, so plan+write must sit
         # inside the same critical section (cross-batch writers racing on
         # a bucket would otherwise be last-commit-wins)
         with self._table_write_lock(entity):
+            # width the plan is about to compute its probe/merge at — an
+            # out-of-band rebucket between here and the commit then fails
+            # the write loudly instead of corrupting buckets
+            nb_planned = self.store._table_n_buckets(entity)
             merged, touched, bkey, n_rows, pre_clustered = self._merge_plan(entity, rows, update_cols)
             # An empty batch touches no buckets — skip the write job unless
             # the table doesn't exist yet (first write materializes the
             # schema).
             if touched or not self.store.exists(entity):
-                self._commit_buckets(entity, merged, touched, key=bkey, pre_clustered=pre_clustered)
+                self._commit_buckets(
+                    entity,
+                    merged,
+                    touched,
+                    key=bkey,
+                    pre_clustered=pre_clustered,
+                    planned_n_buckets=nb_planned,
+                )
         return n_rows
 
     # ------------------------------------------------------------------

@@ -64,6 +64,12 @@ def corpus_engines(spark, tmp_path_factory):
     """fixture name → the engine whose store processed it. Expansion and
     backfill are disabled so each stored row is the pure projection of its
     webhook payload."""
+    seed_types = {
+        "products": "product.created",
+        "prices": "price.created",
+        "plans": "plan.created",
+        "tax_ids": "customer.tax_id.created",
+    }
     engines: dict[str, StripeSparkSync] = {}
     for wi, names in enumerate(WAVES):
         store = TableStore(spark, str(tmp_path_factory.mktemp(f"wh_corpus{wi}")))
@@ -73,6 +79,30 @@ def corpus_engines(spark, tmp_path_factory):
             api=InMemoryStripeAPI(),
             config=SyncConfig(backfill_related_entities=False, auto_expand_lists=False),
         )
+        # Seed a row for every delete fixture in this wave (its matching
+        # upsert fixture lives in ANOTHER wave by construction), so the
+        # delete assertions exercise an actual deletion rather than
+        # absence from a store that never held the row.
+        seeds = [
+            json.dumps(
+                {
+                    "id": f"evt_seed_{wi}_{i}",
+                    "object": "event",
+                    "type": seed_types[ROUTES[n][0]],
+                    "created": 1,
+                    "data": {"object": dict(CORPUS[n]["data"]["object"], deleted=False)},
+                }
+            )
+            for i, n in enumerate(names)
+            if ROUTES[n][1] == R.DELETE
+        ]
+        if seeds:
+            eng.process_webhook_events(eng.events_df_from_json(seeds))
+            for n in names:  # the seed really landed before the delete runs
+                if ROUTES[n][1] == R.DELETE:
+                    df = eng.store.read(ROUTES[n][0])
+                    oid = CORPUS[n]["data"]["object"]["id"]
+                    assert df.where(df.id == oid).count() == 1
         eng.process_webhook_events(
             eng.events_df_from_json([json.dumps(CORPUS[n]) for n in names])
         )
@@ -129,7 +159,8 @@ def test_fixture_projects_exactly(corpus_engines, name):
 @pytest.mark.parametrize("name", DELETE_CASES)
 def test_fixture_delete_leaves_no_row(corpus_engines, name):
     """The reference asserts only a 200 for these (webhooks.test.ts:170-
-    200); here the delete route's effect is asserted: no row remains."""
+    200); here the delete route's effect is asserted: the row — seeded
+    into the wave's store before the batch (corpus_engines) — is gone."""
     ev = CORPUS[name]
     entity = ROUTES[name][0]
     oid = ev["data"]["object"]["id"]

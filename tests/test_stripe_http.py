@@ -243,3 +243,16 @@ def test_engine_backfill_through_http(spark, tmp_path, stub):
         h = {r["id"] for r in http_eng.store.read(table).collect()}
         m = {r["id"] for r in mem_eng.store.read(table).collect()}
         assert h == m
+
+
+def test_list_by_parent_carries_extra_list_params(stub):
+    """Parent fan-out must apply the same extra params as list() —
+    subscriptions without status=all would silently exclude canceled ones,
+    diverging from the in-memory API and the reference."""
+    stub.collections["/v1/subscriptions"] = [
+        {"id": "sub_c", "customer": "cus_a", "status": "canceled", "created": 1},
+        {"id": "sub_a", "customer": "cus_a", "status": "active", "created": 2},
+    ]
+    got = {o["id"] for o in client(stub).list_by_parent("subscriptions", "customer", "cus_a")}
+    assert got == {"sub_a", "sub_c"}
+    assert any("status=all" in r and "customer=cus_a" in r for r in stub.requests)

@@ -1604,3 +1604,41 @@ def test_rollup_float_validation_deferred_to_first_refresh(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="integral/decimal"):
         eng.refresh_rollup("rollup_custom_float")
+
+
+# A partial write whose planning straddles a concurrent rebucket must fail
+# loudly at commit (its batch was bucketed at the old width; re-pointing
+# new-width ids would replace whole buckets with just the batch), never
+# silently corrupt. Engines serialize the two via rebucket_entity.
+def test_write_straddling_rebucket_fails_loudly(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.merge import merge_upsert
+
+    # retention keeps the old-width files readable so the straddling write
+    # reaches its COMMIT (at retain=0 the rebucket's vacuum would already
+    # fail the write's read job — loud too, but not the check under test)
+    store = TableStore(spark, str(tmp_path / "wh_rbrace"), vacuum_retain_s=3600.0)
+    store.write("t", spark.range(100).selectExpr("concat('x_', id) AS id", "id AS v"))
+    batch = spark.createDataFrame([("x_1", 999)], "id string, v long")
+    nb_planned = store._table_n_buckets("t")  # planned at width 32
+    touched = store.buckets_of(batch, table="t")
+    merged = merge_upsert(store.read_buckets("t", touched), batch, key="id", ts_col=None)
+    store.rebucket("t", 8)  # lands between the plan and the commit
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        store.write_buckets("t", merged, touched, planned_n_buckets=nb_planned)
+    # table state is intact at the new width; a re-planned write succeeds
+    assert store.read("t").count() == 100
+    touched2 = store.buckets_of(batch, table="t")
+    merged2 = merge_upsert(store.read_buckets("t", touched2), batch, key="id", ts_col=None)
+    store.write_buckets("t", merged2, touched2)
+    assert {r["v"] for r in store.read("t").where("id = 'x_1'").collect()} == {999}
+
+
+def test_engine_rebucket_entity_serializes_with_merges(spark, tmp_path):
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_rbe")), api=None)
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_rb", amount=5), created=1_000))
+    eng.rebucket_entity("charges", 4)
+    assert eng.store._table_n_buckets("charges") == 4
+    # merges keep working at the new width
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_rb", amount=7), created=2_000))
+    rows = {r["id"]: r["amount"] for r in eng.store.read("charges").collect()}
+    assert rows["ch_rb"] == 7
