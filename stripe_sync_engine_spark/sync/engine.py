@@ -1039,6 +1039,37 @@ class StripeSparkSync:
             counts[entity] = self._fetch_and_upsert(entity, created)
         return counts
 
+    def sync_backfill_parallel(
+        self, created: dict | None = None, max_workers: int = 4
+    ) -> dict[str, int]:
+        """Dependency-LEVELED parallel 'all' backfill: the reference's
+        serial order (stripeSync.ts:686-702) exists only so parents land
+        before children; entities whose parents are all in earlier levels
+        have no mutual ordering constraint and their cursor scans can
+        overlap. Levels derive from BACKFILL_PARENTS (level 0: products,
+        customers, …; level 1: prices, subscriptions, …), each level runs
+        in a bounded thread pool, and per-table merge serialization comes
+        from the engine's write locks — the final state equals the serial
+        scan's."""
+        levels: dict[str, int] = {}
+
+        def level(e: str) -> int:
+            if e not in levels:
+                parents = [p for _, p in R.BACKFILL_PARENTS.get(e, []) if p in R.BACKFILL_ORDER]
+                levels[e] = 1 + max((level(p) for p in parents), default=-1)
+            return levels[e]
+
+        by_level: dict[int, list[str]] = {}
+        for e in R.BACKFILL_ORDER:
+            by_level.setdefault(level(e), []).append(e)
+        counts: dict[str, int] = {}
+        for lv in sorted(by_level):
+            group = by_level[lv]
+            with ThreadPoolExecutor(max_workers=min(max_workers, len(group))) as pool:
+                for e, n in zip(group, pool.map(lambda e: self._fetch_and_upsert(e, created), group)):
+                    counts[e] = n
+        return counts
+
     def sync_backfill_windows(
         self, entity: str, created: dict, n_windows: int = 4
     ) -> int:

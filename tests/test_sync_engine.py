@@ -1642,3 +1642,41 @@ def test_engine_rebucket_entity_serializes_with_merges(spark, tmp_path):
     process(eng, fx.event("charge.updated", fx.charge(id="ch_rb", amount=7), created=2_000))
     rows = {r["id"]: r["amount"] for r in eng.store.read("charges").collect()}
     assert rows["ch_rb"] == 7
+
+
+# Dependency-leveled parallel backfill: same final state as the serial
+# dependency-ordered scan; parents always land before their children's
+# level starts.
+def test_backfill_parallel_matches_serial(spark, tmp_path):
+    def load(api):
+        for i in range(3):
+            api.put("products", fx.product(id=f"prod_{i}", created=100 + i))
+            api.put("customers", fx.customer(id=f"cus_{i}", created=100 + i))
+            api.put("prices", fx.price(id=f"price_{i}", product=f"prod_{i}", created=200 + i))
+            api.put(
+                "subscriptions",
+                fx.subscription(id=f"sub_{i}", customer=f"cus_{i}", created=300 + i),
+            )
+            api.put(
+                "invoices",
+                fx.invoice(id=f"in_{i}", customer=f"cus_{i}", created=400 + i),
+            )
+            api.put(
+                "charges",
+                fx.charge(id=f"ch_{i}", customer=f"cus_{i}", invoice=f"in_{i}", created=500 + i),
+            )
+
+    engines = {}
+    for mode in ("serial", "parallel"):
+        api = InMemoryStripeAPI()
+        load(api)
+        engines[mode] = StripeSparkSync(
+            spark, TableStore(spark, str(tmp_path / f"wh_bp_{mode}")), api=api
+        )
+    counts_s = engines["serial"].sync_backfill("all")
+    counts_p = engines["parallel"].sync_backfill_parallel()
+    for e in ("products", "customers", "prices", "subscriptions", "invoices", "charges"):
+        assert counts_p.get(e) == counts_s.get(e), e
+        s = {r["id"] for r in engines["serial"].store.read(e).collect()}
+        p = {r["id"] for r in engines["parallel"].store.read(e).collect()}
+        assert s == p, e
