@@ -35,6 +35,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,10 @@ class TableStore:
         # table committing every second under a 24h retention would re-open
         # ~86k snapshot files on every commit.
         self._history_ref_cache: dict[tuple[str, int], frozenset] = {}
+        # commits to DIFFERENT tables vacuum concurrently (threaded webhook
+        # front door, parallel backfill) and share this dict; the lock
+        # guards its iteration/mutation — never held across file IO
+        self._history_ref_cache_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
         # INT96 (Spark's default parquet timestamp encoding) carries no
         # usable footer min/max; TIMESTAMP_MICROS does. Data-skipping on
@@ -744,19 +749,22 @@ class TableStore:
         live = self.commits(table)
         for ms in live:
             key = (table, ms)
-            cached = self._history_ref_cache.get(key)
+            with self._history_ref_cache_lock:
+                cached = self._history_ref_cache.get(key)
             if cached is None:
                 try:
                     with open(os.path.join(hdir, f"{ms}.json")) as f:
                         cached = frozenset(json.load(f)["buckets"].values())
                 except (FileNotFoundError, json.JSONDecodeError, KeyError):
                     continue
-                self._history_ref_cache[key] = cached
+                with self._history_ref_cache_lock:
+                    self._history_ref_cache[key] = cached
             refs |= cached
         keep = set(live)
-        for t, ms in [k for k in self._history_ref_cache if k[0] == table]:
-            if ms not in keep:
-                del self._history_ref_cache[(t, ms)]
+        with self._history_ref_cache_lock:
+            for t, ms in [k for k in self._history_ref_cache if k[0] == table]:
+                if ms not in keep:
+                    del self._history_ref_cache[(t, ms)]
         return refs
 
     def vacuum_orphans(self, table: str, min_age_s: float = 3600.0) -> list[str]:

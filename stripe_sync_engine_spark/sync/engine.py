@@ -317,10 +317,19 @@ class StripeSparkSync:
         new_rows = self.store.read_buckets(table, touched)
         for spec, old_contrib in zip(specs, pre):
             self._ensure_spec_validated(spec)  # deferred check: source exists now
-            if self.store.exists(spec.name) and self._get_rollup_applied(spec.name) != src_head:
-                # a prior crash between source commit and rollup apply left
-                # this rollup behind — its delta is unrecoverable from here,
-                # so heal with a recompute (which also covers this commit)
+            rollup_exists = self.store.exists(spec.name)
+            if (not rollup_exists and src_head is not None) or (
+                rollup_exists and self._get_rollup_applied(spec.name) != src_head
+            ):
+                # Behind (missed delta after a crash between source commit
+                # and rollup apply) or MISSING despite the source having
+                # pre-existing commits (the init write itself was lost):
+                # either way this commit's delta alone cannot reconstruct
+                # the state — heal with a recompute, which also covers this
+                # commit. The apply paths' init-from-contributions branches
+                # are therefore only reached when the source table was born
+                # this commit (src_head is None), where contributions ARE
+                # the full rollup.
                 self.refresh_rollup(spec.name)
                 continue
             new_contrib = R_.contributions(new_rows, spec)
@@ -341,12 +350,17 @@ class StripeSparkSync:
         if not self.store.exists(spec.name):
             self.store.write(spec.name, R_.apply_delta(None, d, spec), key="_gk")
             return
+        nb_planned = self.store._table_n_buckets(spec.name)
         rtouched = self.store.buckets_of(keys, "_gk", table=spec.name)
         if not rtouched:
             return  # zero delta — replay/stale batch
         rollup_old = self.store.read_buckets(spec.name, rtouched).drop("_gk")
         self.store.write_buckets(
-            spec.name, R_.apply_delta(rollup_old, d, spec), rtouched, key="_gk"
+            spec.name,
+            R_.apply_delta(rollup_old, d, spec),
+            rtouched,
+            key="_gk",
+            planned_n_buckets=nb_planned,
         )
 
     def _apply_extrema_update(self, spec, old_contrib, new_contrib) -> None:
@@ -356,27 +370,35 @@ class StripeSparkSync:
         from stripe_sync_engine_spark.operators import rollup as R_
 
         new_contrib = new_contrib.localCheckpoint(eager=True)
+        if not self.store.exists(spec.name):
+            # only reachable when the source was born this commit (caller
+            # refreshes otherwise), so contributions ARE the full rollup
+            updated, _ = R_.touched_group_update(None, old_contrib, new_contrib, spec)
+            self.store.write(spec.name, updated, key="_gk")
+            return
         # replay/no-op batches leave the touched buckets' contributions
         # byte-identical — skip the rollup commit entirely (the extrema
-        # analog of the additive path's zero-delta skip); both sides are
-        # tiny checkpointed aggregates, so the probe is two light actions
-        if (
-            old_contrib is not None
-            and old_contrib.count() == new_contrib.count()
-            and new_contrib.exceptAll(old_contrib).isEmpty()
-        ):
-            return
+        # analog of the additive path's zero-delta skip). ONE action over
+        # the two tiny checkpointed aggregates: each side holds one row per
+        # group, so the multisets are equal iff every full row of the union
+        # appears exactly twice.
+        if old_contrib is not None:
+            parity = (
+                old_contrib.unionByName(new_contrib)
+                .groupBy(*old_contrib.columns)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") != 2)
+            )
+            if parity.isEmpty():
+                return
         # key set comes from the contributions (old ∪ new), not the additive
         # delta: an update can move an extremum while leaving sums unchanged
         keys = new_contrib.select(R_.group_key_col(spec).alias("_gk"))
         if old_contrib is not None:
             keys = keys.unionByName(old_contrib.select(R_.group_key_col(spec).alias("_gk")))
-        if not self.store.exists(spec.name):
-            updated, _ = R_.touched_group_update(None, old_contrib, new_contrib, spec)
-            self.store.write(spec.name, updated, key="_gk")
-            return
         # no distinct(): bucket_counts aggregates by bucket id anyway, so a
         # pre-distinct would only add a second full exchange of the keys
+        nb_planned = self.store._table_n_buckets(spec.name)
         rtouched = self.store.buckets_of(keys, "_gk", table=spec.name)
         if not rtouched:
             return  # nothing contributed — empty batch
@@ -386,7 +408,9 @@ class StripeSparkSync:
         if endangered.limit(1).count() > 0:
             self.refresh_rollup(spec.name)
             return
-        self.store.write_buckets(spec.name, updated, rtouched, key="_gk")
+        self.store.write_buckets(
+            spec.name, updated, rtouched, key="_gk", planned_n_buckets=nb_planned
+        )
 
     # ------------------------------------------------------------------
     # Parsing & projection
@@ -596,6 +620,7 @@ class StripeSparkSync:
         keys = self._project(entity, subset).select("id")
         with self._table_write_lock(entity):
             exists = self.store.exists(entity)
+            nb_planned = self.store._table_n_buckets(entity)
             # the bucket probe doubles as the row accounting (same trick as
             # _merge_plan) — one job over the keys, no separate post-commit
             # count() re-executing the parse→project lineage
@@ -605,7 +630,12 @@ class StripeSparkSync:
                 touched = [b for b, _ in probe]
                 target = self.store.read_buckets(entity, touched)
                 if target is not None and touched:
-                    self._commit_buckets(entity, delete_by_keys(target, keys), touched)
+                    self._commit_buckets(
+                        entity,
+                        delete_by_keys(target, keys),
+                        touched,
+                        planned_n_buckets=nb_planned,
+                    )
         return n
 
     def _handle_entitlement_summary(self, subset: DataFrame) -> int:
@@ -668,11 +698,14 @@ class StripeSparkSync:
         revoke-all summary has zero rows but must still clear its set.
         Caller holds the table write lock."""
         bkey = self._ensure_bucket_key("active_entitlements")
+        nb_planned = self.store._table_n_buckets("active_entitlements")
         custs = summaries.select("customer").distinct()
         touched = self.store.buckets_of(custs, bkey, table="active_entitlements")
         bucket_target = self.store.read_buckets("active_entitlements", touched)
         merged = replace_set(bucket_target, rows, partition_key="customer", touched=custs)
-        self._commit_buckets("active_entitlements", merged, touched, key=bkey)
+        self._commit_buckets(
+            "active_entitlements", merged, touched, key=bkey, planned_n_buckets=nb_planned
+        )
         return rows.count()
 
     # -- child tables ----------------------------------------------------
@@ -715,6 +748,7 @@ class StripeSparkSync:
         # full-table scan, and the deleted flags ride the same version
         # commit as the upsert (one write per batch instead of two).
         with self._table_write_lock("subscription_items"):
+            nb_planned = self.store._table_n_buckets("subscription_items")
             merged, touched, bkey, _n, pre_clustered = self._merge_plan("subscription_items", rows)
             if not touched and self.store.exists("subscription_items"):
                 return  # batch had no items — nothing to merge or reconcile
@@ -725,7 +759,12 @@ class StripeSparkSync:
             # one-shuffle write.
             marked = soft_delete_reconcile(merged, current, partition_key="subscription")
             self._commit_buckets(
-                "subscription_items", marked, touched, key=bkey, pre_clustered=pre_clustered
+                "subscription_items",
+                marked,
+                touched,
+                key=bkey,
+                pre_clustered=pre_clustered,
+                planned_n_buckets=nb_planned,
             )
 
     def _sync_checkout_line_items(self, session_rows: DataFrame) -> None:
@@ -826,10 +865,13 @@ class StripeSparkSync:
         with self._table_write_lock(entity):
             if not self.store.exists(entity):
                 return
+            nb_planned = self.store._table_n_buckets(entity)
             touched = self.store.buckets_of(keys, "id", table=entity)
             target = self.store.read_buckets(entity, touched)
             if target is not None:
-                self._commit_buckets(entity, delete_by_keys(target, keys), touched)
+                self._commit_buckets(
+                    entity, delete_by_keys(target, keys), touched, planned_n_buckets=nb_planned
+                )
 
     def _expanded_parts(self, entity: str, subset: DataFrame) -> Iterator[DataFrame]:
         """autoExpandLists (reference expandEntity, stripeSync.ts:1736-1760):
@@ -883,18 +925,27 @@ class StripeSparkSync:
             # column (an id absent from its bucket is missing by
             # definition). Falls back to a full read only if a parent table
             # were bucketed by a non-id key (none are today).
-            parent_df = None
-            if self.store.exists(parent):
-                if self.store.table_bucket_key(parent) == "id":
-                    probe = self.store.buckets_of(ids, "id", table=parent)
-                    parent_df = self.store.read_buckets(parent, probe)
-                else:  # pragma: no cover
-                    parent_df = self.store.read(parent)
-            missing = (
-                ids if parent_df is None
-                else ids.join(parent_df.select("id"), "id", "left_anti")
-            )
-            missing_ids = (r["id"] for r in missing.toLocalIterator())
+            # The missing-id probe MATERIALIZES under the parent's write
+            # lock: a sibling thread (parallel backfill level, threaded
+            # webhook batch) merging the same parent would otherwise commit
+            # and — at vacuum_retain_s=0 — reclaim the version dirs this
+            # probe's lazily-executed scan still references. The id list is
+            # bounded by the batch's distinct FKs. API fetches then run
+            # OUTSIDE the lock (they dominate wall time and touch no store
+            # state).
+            with self._table_write_lock(parent):
+                parent_df = None
+                if self.store.exists(parent):
+                    if self.store.table_bucket_key(parent) == "id":
+                        probe = self.store.buckets_of(ids, "id", table=parent)
+                        parent_df = self.store.read_buckets(parent, probe)
+                    else:  # pragma: no cover
+                        parent_df = self.store.read(parent)
+                missing = (
+                    ids if parent_df is None
+                    else ids.join(parent_df.select("id"), "id", "left_anti")
+                )
+                missing_ids = [r["id"] for r in missing.toLocalIterator()]
             fetched = [
                 json.dumps(obj)
                 for obj in _concurrent_fetch(lambda mid: api.retrieve(parent, mid), missing_ids)

@@ -1680,3 +1680,40 @@ def test_backfill_parallel_matches_serial(spark, tmp_path):
         s = {r["id"] for r in engines["serial"].store.read(e).collect()}
         p = {r["id"] for r in engines["parallel"].store.read(e).collect()}
         assert s == p, e
+
+
+# If the rollup table is MISSING while its source already has commits (the
+# init write itself was lost to a crash), the next maintenance pass must
+# recompute — initializing from one batch's contributions would silently
+# drop every earlier group forever.
+def test_rollup_lost_init_healed_by_refresh(spark, tmp_path):
+    import shutil as _shutil
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_li")), api=None)
+    spec = _charge_rollup_spec()
+    eng.register_rollup(spec)  # source doesn't exist yet — no init
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_a", amount=100), created=1_000))
+    assert _maintained(eng, spec) == _recomputed(eng, spec)
+    # crash simulation: the rollup table (and its applied-state) vanish
+    # while the source retains batch 1
+    _shutil.rmtree(str(tmp_path / "wh_li" / spec.name))
+    # next commit detects the missing-but-should-exist rollup and refreshes
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_b", amount=50), created=2_000))
+    got = _maintained(eng, spec)
+    assert got == _recomputed(eng, spec)
+    assert sum(v[0] for v in got.values()) == 150  # batch-1 groups survived
+
+
+def test_minmax_rollup_lost_init_healed_by_refresh(spark, tmp_path):
+    import shutil as _shutil
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_lix")), api=None)
+    spec = _extrema_spec()
+    eng.register_rollup(spec)
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_a", amount=100), created=1_000))
+    _shutil.rmtree(str(tmp_path / "wh_lix" / spec.name))
+    # the healing commit is a REPLAY (same event) — the no-op skip must not
+    # mask the missing table
+    process(eng, fx.event("charge.updated", fx.charge(id="ch_a", amount=100), created=1_000))
+    assert _state(eng, spec) == _recomputed_full(eng, spec)
+    assert _state(eng, spec)[("succeeded",)] == (1, 100, 100, 100)
