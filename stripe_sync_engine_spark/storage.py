@@ -838,6 +838,52 @@ class TableStore:
             table, self.read(table), key=m.get("bucket_key", "id"), n_buckets=n_buckets
         )
 
+    def compact(
+        self, table: str, max_files_per_bucket: int = 1, sort_col: str | None = None
+    ) -> list[int]:
+        """Lakehouse OPTIMIZE, reduced to a bucket-pruned partial commit.
+
+        Without ``sort_col``: rewrite ONLY buckets whose current version
+        holds more than ``max_files_per_bucket`` parquet files (AQE
+        skew-splits of a bulk load; merges self-heal since they rewrite
+        whole buckets, so steady-state CDC never accumulates small files —
+        this is for the buckets CDC doesn't touch). With ``sort_col``:
+        rewrite EVERY bucket with rows ordered by the column inside each
+        bucket, tightening parquet row-group min/max so Spark's own filter
+        pushdown prunes row groups within the files the manifest-level
+        skipping already selected — the Z-ORDER-lite companion to
+        ``read_where``. Returns the bucket ids rewritten."""
+        m = self._read_manifest(table)
+        if m is None:
+            return []
+        nb, key = int(m["n_buckets"]), m.get("bucket_key", "id")
+        if sort_col is not None:
+            target = sorted(int(b) for b in m["buckets"])
+        else:
+            target = []
+            for b, version in m["buckets"].items():
+                p = os.path.join(self._dir(table), version, f"_bucket={b}")
+                files = (
+                    [f for f in os.listdir(p) if f.endswith(".parquet")]
+                    if os.path.isdir(p)
+                    else []
+                )
+                if len(files) > max_files_per_bucket:
+                    target.append(int(b))
+            target.sort()
+        if not target:
+            return []
+        df = self.read_buckets(table, target)
+        # one task per bucket (pre_clustered write skips the rebalance);
+        # sortWithinPartitions survives because no exchange follows it
+        clustered = df.repartition(len(target), self.bucket_expr(key, nb))
+        if sort_col is not None:
+            clustered = clustered.sortWithinPartitions(sort_col)
+        self.write_buckets(
+            table, clustered, target, key=key, pre_clustered=True, planned_n_buckets=nb
+        )
+        return target
+
     # -- DDL / migration-runner analog (SURVEY S13) -------------------------
     def _migrations_path(self) -> str:
         return os.path.join(self.root, "_migrations.json")

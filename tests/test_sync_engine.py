@@ -1717,3 +1717,43 @@ def test_minmax_rollup_lost_init_healed_by_refresh(spark, tmp_path):
     process(eng, fx.event("charge.updated", fx.charge(id="ch_a", amount=100), created=1_000))
     assert _state(eng, spec) == _recomputed_full(eng, spec)
     assert _state(eng, spec)[("succeeded",)] == (1, 100, 100, 100)
+
+
+# compact(): small-file cleanup as a bucket-pruned partial commit, plus the
+# sort_col variant that orders rows inside each bucket (row-group pruning
+# companion to manifest-level data skipping).
+def test_compact_merges_small_files_and_sorts(spark, tmp_path):
+    import glob as _glob
+
+    store = TableStore(spark, str(tmp_path / "wh_cp"))
+    rows = spark.range(400).selectExpr("concat('k_', id) AS id", "id AS v")
+    # scatter every bucket's rows over many tasks: pre_clustered=True skips
+    # the rebalance, so each bucket dir collects one file per task
+    store.write("t", rows.repartition(8), pre_clustered=True)
+
+    def files_per_bucket():
+        m = store._read_manifest("t")
+        return {
+            b: len(_glob.glob(
+                f"{store._dir('t')}/{v}/_bucket={b}/*.parquet"
+            ))
+            for b, v in m["buckets"].items()
+        }
+
+    before = files_per_bucket()
+    assert max(before.values()) > 1  # the fragmentation compact targets
+    rewritten = store.compact("t")
+    assert rewritten  # only oversized buckets rewrote
+    after = files_per_bucket()
+    assert max(after.values()) == 1
+    assert store.read("t").count() == 400
+    assert store.compact("t") == []  # idempotent: nothing left to do
+
+    # sort_col variant rewrites everything, keeps data + stats intact
+    rewritten = store.compact("t", sort_col="v")
+    assert set(rewritten) == {int(b) for b in store._read_manifest("t")["buckets"]}
+    assert store.read("t").count() == 400
+    m = store._read_manifest("t")
+    assert set(m["stats"]) == set(m["buckets"])  # stats re-harvested
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got["k_7"] == 7 and len(got) == 400
