@@ -64,11 +64,25 @@ def _now_ms() -> int:
 
 
 class Router:
-    """Transport-independent request handling for the sync engine."""
+    """Transport-independent request handling for the sync engine.
 
-    def __init__(self, engine: StripeSparkSync, api_key: str | None = None):
+    ``landing_dir`` switches ``POST /webhooks`` to the high-throughput
+    path: after the same HMAC check, the raw body + signature land as one
+    signed-envelope file in the streaming landing zone (pipeline
+    ``ENVELOPE_TYPE``) and the route returns immediately — a running
+    ``start_webhook_stream(..., secret=...)`` consumes, re-verifies, and
+    merges in micro-batches. Without it (default), each POST runs the
+    per-event merge inline, the reference's own per-request shape."""
+
+    def __init__(
+        self,
+        engine: StripeSparkSync,
+        api_key: str | None = None,
+        landing_dir: str | None = None,
+    ):
         self.engine = engine
         self.api_key = api_key
+        self.landing_dir = landing_dir
 
     # -- helpers -------------------------------------------------------
     def _unauthorized(self, headers: dict[str, str]) -> bool:
@@ -114,10 +128,29 @@ class Router:
             payload = body.decode()
             if not verify_signature(self.engine.config.webhook_secret, signature, payload):
                 raise ValueError("signature verification failed")
-            self.engine.process_webhook_events(self.engine.events_df_from_json([payload]))
+            if self.landing_dir is not None:
+                self._land(payload, signature)
+            else:
+                self.engine.process_webhook_events(self.engine.events_df_from_json([payload]))
         except Exception as err:  # reference returns 400 with the message
             return 400, f"Webhook Error: {err}"
         return 200, {"received": True}
+
+    def _land(self, payload: str, signature: str) -> None:
+        """Append one signed envelope to the landing zone as its OWN file:
+        Spark's file source discovers new FILES, never appended content, so
+        per-request files are the correct granularity (the stream is the
+        batcher). Written to a dot-prefixed temp name first — the file
+        source ignores dot-files, so a half-written envelope is never
+        listed — then atomically renamed visible."""
+        import os
+
+        os.makedirs(self.landing_dir, exist_ok=True)
+        name = f"{time.monotonic_ns()}_{threading.get_ident()}.jsonl"
+        tmp = os.path.join(self.landing_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"payload": payload, "signature": signature}) + "\n")
+        os.replace(tmp, os.path.join(self.landing_dir, name))
 
     def _sync(self, headers: dict[str, str], body: bytes) -> tuple[int, Any]:
         if self._unauthorized(headers):
@@ -176,10 +209,12 @@ def serve(
     api_key: str | None = None,
     host: str = "127.0.0.1",
     port: int = 8080,
+    landing_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Start the HTTP server on a daemon thread; returns the server (call
-    ``.shutdown()`` to stop). Mirrors the reference's ``server.ts`` boot."""
-    router = Router(engine, api_key=api_key)
+    ``.shutdown()`` to stop). Mirrors the reference's ``server.ts`` boot.
+    ``landing_dir`` enables the streaming webhook path (see Router)."""
+    router = Router(engine, api_key=api_key, landing_dir=landing_dir)
     handler = type("BoundHandler", (_Handler,), {"router": router})
     server = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()

@@ -194,3 +194,37 @@ def test_webhook_corpus_sweep_over_http(router, engine):
         i for i, r in ents.items() if r.get("customer") == summary["customer"]
     }
     assert got_ids == want_ids
+
+
+def test_webhook_landing_mode_streams_to_store(spark, tmp_path, engine):
+    """High-throughput webhook path: POSTs land signed envelopes as files
+    (HMAC still checked inline — bad signatures get a 400 and land
+    nothing), and the streaming pipeline consumes, re-verifies, and merges
+    them in micro-batches."""
+    import os as _os
+
+    from stripe_sync_engine_spark.streaming.pipeline import start_webhook_stream
+
+    landing = str(tmp_path / "landing_http")
+    r = Router(engine, api_key=API_KEY, landing_dir=landing)
+    e1 = fx.event("charge.succeeded", fx.charge(id="ch_land1", amount=111), created=1_000)
+    e2 = fx.event("charge.updated", fx.charge(id="ch_land1", amount=222), created=2_000)
+    for payload in (e1, e2):
+        header = sign_header(SECRET, int(time.time()), payload)
+        status, body = r.handle("POST", "/webhooks", {"Stripe-Signature": header}, payload.encode())
+        assert (status, body) == (200, {"received": True})
+    # bad signature: 400, nothing landed
+    status, _ = r.handle(
+        "POST", "/webhooks", {"Stripe-Signature": "t=1,v1=" + "0" * 64}, e1.encode()
+    )
+    assert status == 400
+    assert engine.store.read("charges") is None  # nothing processed inline
+    files = [f for f in _os.listdir(landing) if not f.startswith(".")]
+    assert len(files) == 2  # one envelope file per accepted POST
+    # the stream drains the landing zone with re-verification
+    q = start_webhook_stream(
+        engine, landing, str(tmp_path / "ckpt_http"), available_now=True, secret=SECRET
+    )
+    q.awaitTermination(120)
+    rows = table_rows(engine, "charges")
+    assert rows["ch_land1"]["amount"] == 222  # last-write-wins across POSTs
