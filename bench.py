@@ -16,6 +16,11 @@ absence as regressions):
   txt_doc_profile (one scan).
 * r5: dd_minhash_bands folded into dd_minhash_lsh_pairs (bands is its
   only input; bands-stage parity lives in tests/test_operators.py).
+* r6: sim_lsh_buckets folded into sim_lsh_ann (assignment stage is its
+  input; bucket-stage parity in tests/test_operators.py);
+  txt_winnow_fingerprint folded into txt_fingerprint (same scan, union
+  of oracles). Both keep the registry within the driver's
+  one-row-per-entry correctness window.
 """
 
 from __future__ import annotations

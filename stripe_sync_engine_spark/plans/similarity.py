@@ -193,9 +193,7 @@ def _sql_plane_values() -> str:
     return ", ".join(rows)
 
 
-@register(
-    "sim_lsh_buckets",
-    oracle=f"""
+SQL_LSH_BUCKETS = f"""
         WITH planes(p, d, w) AS (VALUES {_sql_plane_values()}),
         comps AS (
             SELECT vec_id,
@@ -211,14 +209,20 @@ def _sql_plane_values() -> str:
         SELECT vec_id,
                string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
         FROM signs GROUP BY vec_id
-    """,
-    operators="TDP-ann-lsh",
-)
+"""
+
+
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment: 8 deterministic ±1 planes →
     8 sign bits → bucket string. Entirely map-side per vector — no shuffle
     until a candidate join on ``bucket`` (numpy matmul inside mapInPandas;
-    see _buckets_and_quant for why that beats JVM HOF lambdas here)."""
+    see _buckets_and_quant for why that beats JVM HOF lambdas here).
+
+    Folded out of the registry in round 6 (pure intermediate of
+    sim_lsh_ann / dd_embed_cosine, whose oracles mirror this stage); its
+    own value-level oracle parity stays checked in
+    tests/test_operators.py::test_lsh_buckets_parity via
+    ``SQL_LSH_BUCKETS``."""
     return _buckets_and_quant(spark, sf_dir).select("vec_id", "bucket")
 
 

@@ -68,27 +68,6 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "txt_fingerprint",
-    oracle="""
-        SELECT doc_id,
-               md5(text) AS content_fp,
-               md5(lower(trim(text))) AS normalized_fp
-        FROM documents
-    """,
-    operators="TDP-fingerprint",
-)
-def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting: raw + normalized md5 (both engines emit the
-    same lowercase hex)."""
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("content_fp"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("normalized_fp"),
-    )
-
-
 WINNOW_K = 3  # word-gram size for the rolling fingerprint
 WINNOW_W = 4  # winnowing window (MOSS-style: one fingerprint per window)
 
@@ -101,9 +80,9 @@ _SQL_H32_OF = lambda var: " + ".join(  # noqa: E731
 
 
 @register(
-    "txt_winnow_fingerprint",
+    "txt_fingerprint",
     oracle=f"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         g AS (
             SELECT doc_id,
                    CASE WHEN len(toks) >= {WINNOW_K}
@@ -123,20 +102,26 @@ _SQL_H32_OF = lambda var: " + ".join(  # noqa: E731
                         ELSE CAST([] AS BIGINT[]) END AS wins
             FROM h
         )
-        SELECT doc_id,
-               CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
-               md5(array_to_string(list_transform(list_sort(list_distinct(wins)),
+        SELECT t.doc_id,
+               md5(t.text) AS content_fp,
+               md5(lower(trim(t.text))) AS normalized_fp,
+               CAST(len(list_distinct(w.wins)) AS BIGINT) AS n_fingerprints,
+               md5(array_to_string(list_transform(list_sort(list_distinct(w.wins)),
                                                   v -> CAST(v AS VARCHAR)), ',')) AS fp_sig
-        FROM w
+        FROM w JOIN t USING (doc_id)
     """,
-    operators="TDP-fingerprint-winnow",
+    operators="TDP-fingerprint,TDP-fingerprint-winnow",
 )
-def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprinting (winnowing, MOSS-style): hash
-    every word {WINNOW_K}-gram in ORDER, slide a {WINNOW_W}-window over the
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting in ONE scan: exact content hashes (raw +
+    normalized md5 — JVM expressions, both engines emit the same lowercase
+    hex) AND the rolling-hash winnowing signature (MOSS-style): hash every
+    word {WINNOW_K}-gram in ORDER, slide a {WINNOW_W}-window over the
     hash sequence, keep each window's minimum — the classic
     position-robust near-dup signature (insertions shift positions but
-    local minima survive).
+    local minima survive). Subsumes the former separate txt_fingerprint /
+    txt_winnow_fingerprint registry entries (same input scan, union of
+    their oracles — a consolidation, not a coverage cut).
 
     Physical shape: doc-local work in an Arrow-batched ``mapInPandas`` —
     ZERO shuffle at any scale (the explode+window formulation would
@@ -146,7 +131,12 @@ def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     calls (measured 18s vs <1s at sf0.001) — the same HOF-vs-worker
     tradeoff plans/similarity.py measured, here on hashing instead of
     arithmetic. The worker closure is stdlib-only and self-contained."""
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        F.md5(F.col("text")).alias("content_fp"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("normalized_fp"),
+    )
 
     k, w = WINNOW_K, WINNOW_W
 
@@ -178,12 +168,20 @@ def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "content_fp": pdf["content_fp"],  # JVM md5s pass through
+                    "normalized_fp": pdf["normalized_fp"],
                     "n_fingerprints": [n for n, _ in out],
                     "fp_sig": [s for _, s in out],
                 }
             )
 
-    return docs.mapInPandas(winnow, schema="doc_id long, n_fingerprints long, fp_sig string")
+    return docs.mapInPandas(
+        winnow,
+        schema=(
+            "doc_id long, content_fp string, normalized_fp string, "
+            "n_fingerprints long, fp_sig string"
+        ),
+    )
 
 
 BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"

@@ -349,3 +349,15 @@ def test_decode_headers_yields_null_rows_for_bad_payloads(spark):
     rows = {r["doc_id"]: (r["format"], r["width"], r["height"]) for r in decode_headers(df).collect()}
     assert rows[1] == ("gif", 16, 32)
     assert rows[2] == (None, None, None)
+
+
+def test_lsh_buckets_parity(spark, sf_dir):
+    """The LSH bucket-assignment stage was folded out of the registry (it
+    is a pure intermediate of sim_lsh_ann / dd_embed_cosine); this keeps
+    its value-level oracle parity checked here instead."""
+    from stripe_sync_engine_spark.plans.similarity import SQL_LSH_BUCKETS, sim_lsh_buckets
+    from tests.oracle import compare, run_oracle
+
+    df = sim_lsh_buckets(spark, sf_dir)
+    want = run_oracle(SQL_LSH_BUCKETS, sf_dir)
+    compare(df, want, "lsh_buckets")
