@@ -193,23 +193,12 @@ def _sql_plane_values() -> str:
     return ", ".join(rows)
 
 
-SQL_LSH_BUCKETS = f"""
-        WITH planes(p, d, w) AS (VALUES {_sql_plane_values()}),
-        comps AS (
-            SELECT vec_id,
-                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS vi,
-                   unnest(generate_series(1, {N_DIMS})) AS d
-            FROM embeddings
-        ),
-        signs AS (
-            SELECT c.vec_id, pl.p, CAST(SUM(c.vi * pl.w) AS BIGINT) AS s
-            FROM comps c JOIN planes pl ON pl.d = c.d
-            GROUP BY c.vec_id, pl.p
-        )
-        SELECT vec_id,
-               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-        FROM signs GROUP BY vec_id
-"""
+# Parity query for the folded bucket-assignment stage: DERIVED from the
+# same SQL_BUCKETS fragment every ANN/dedup oracle builds on (defined
+# below), so the stage the pytest checks can never silently diverge from
+# what the registry oracles assume. Placeholder assigned here for reading
+# order; the real value is set right after SQL_BUCKETS.
+SQL_LSH_BUCKETS: str
 
 
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +258,11 @@ SQL_BUCKETS = f"""
         SELECT vec_id, list(vi ORDER BY d) AS qv FROM qcomps GROUP BY vec_id
     )
 """
+
+# the derivation promised above: the folded stage's parity query IS the
+# shared fragment plus a projection of its buckets CTE (unused CTEs are
+# legal), so editing SQL_BUCKETS updates the pytest parity check too
+SQL_LSH_BUCKETS = f"{SQL_BUCKETS} SELECT vec_id, bucket FROM buckets"
 
 SQL_EXACT_COSINE = """
     list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
