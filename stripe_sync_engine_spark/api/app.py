@@ -142,11 +142,18 @@ class Router:
         per-request files are the correct granularity (the stream is the
         batcher). Written to a dot-prefixed temp name first — the file
         source ignores dot-files, so a half-written envelope is never
-        listed — then atomically renamed visible."""
+        listed — then atomically renamed visible.
+
+        Names must be unique ACROSS PROCESS RESTARTS: a monotonic clock
+        restarts at boot, so a post-restart name colliding with an earlier
+        envelope would either clobber an unprocessed file via os.replace or
+        be silently ignored by Spark's file source (which dedups by path).
+        wall-clock ns + uuid4 makes collisions impossible in practice."""
         import os
+        import uuid
 
         os.makedirs(self.landing_dir, exist_ok=True)
-        name = f"{time.monotonic_ns()}_{threading.get_ident()}.jsonl"
+        name = f"{time.time_ns()}_{uuid.uuid4().hex}.jsonl"
         tmp = os.path.join(self.landing_dir, f".{name}.tmp")
         with open(tmp, "w") as f:
             f.write(json.dumps({"payload": payload, "signature": signature}) + "\n")
