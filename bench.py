@@ -47,12 +47,17 @@ def _bench_sync_ingest(spark, n_events: int) -> dict[str, float]:
     import shutil
     import tempfile
 
-    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.storage import INDEXED_STATS_COLUMNS, TableStore
     from stripe_sync_engine_spark.sync import StripeSparkSync
 
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     try:
-        engine = StripeSparkSync(spark, TableStore(spark, wh))
+        # the recommended production config: footer-stat harvesting
+        # restricted to the indexed predicate set, so per-commit stats work
+        # and manifest size are O(indexed columns), not O(table width)
+        engine = StripeSparkSync(
+            spark, TableStore(spark, wh, stats_columns=list(INDEXED_STATS_COLUMNS))
+        )
         half = n_events // 2
 
         def batch(start: int, n: int) -> list[str]:

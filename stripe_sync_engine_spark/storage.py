@@ -46,6 +46,26 @@ from stripe_sync_engine_spark.schemas.entities import bucket_key, entity_schema,
 
 DEFAULT_N_BUCKETS = 32
 
+# The predicate columns the reference indexes with btrees (created /
+# status / amount family, migrations/0016_add_invoice_indexes.sql and 20+
+# siblings) plus the merge key and sync stamp — the recommended
+# ``stats_columns`` set for entity tables, keeping footer harvesting and
+# manifest size independent of table width.
+INDEXED_STATS_COLUMNS = (
+    "id",
+    "created",
+    "last_synced_at",
+    "updated_at",
+    "status",
+    "amount",
+    "amount_total",
+    "amount_paid",
+    "amount_due",
+    "total",
+    "subtotal",
+    "customer",
+)
+
 
 class TableStore:
     """Bucketed parquet datasets with an atomic per-bucket manifest."""
@@ -56,6 +76,7 @@ class TableStore:
         root: str,
         n_buckets: int = DEFAULT_N_BUCKETS,
         vacuum_retain_s: float = 0.0,
+        stats_columns: list[str] | None = None,
     ):
         """``vacuum_retain_s``: minimum age before an UNREFERENCED version
         dir is deleted. A reader plans its scan against the manifest it
@@ -63,11 +84,21 @@ class TableStore:
         immediately would delete files out from under that in-flight scan.
         Locally (single-writer tests, short queries) 0 is fine; a real
         deployment sets this beyond the longest expected query, exactly
-        like Delta's VACUUM retention."""
+        like Delta's VACUUM retention.
+
+        ``stats_columns``: restrict per-bucket footer-stat harvesting to
+        these columns (the analog of delta.dataSkippingNumIndexedCols).
+        None = all top-level columns — correct for any table but makes
+        per-commit footer work and manifest size scale with table width;
+        a production deployment over 40-column entity tables passes the
+        indexed predicate set (``INDEXED_STATS_COLUMNS``) so both stay
+        O(indexed columns). Predicates on unharvested columns simply read
+        every bucket (conservative, never wrong)."""
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.vacuum_retain_s = vacuum_retain_s
+        self.stats_columns = frozenset(stats_columns) if stats_columns is not None else None
         # (table, commit_ms) → version dirs that snapshot references.
         # History snapshot files are IMMUTABLE once written (write-once,
         # named by their ms), so caching amortizes the per-commit vacuum's
@@ -325,18 +356,27 @@ class TableStore:
     # forward. read_where() then skips every bucket whose stats exclude a
     # conjunctive predicate — at 100 TB this turns "recent data" scans into
     # reads of only recently-rewritten buckets. Stats are a few hundred
-    # bytes per bucket; at thousands of buckets you would restrict
-    # stats_columns to the indexed set, exactly like a lakehouse table
-    # property (delta.dataSkippingNumIndexedCols).
+    # bytes per bucket; at thousands of buckets restrict ``stats_columns``
+    # to the indexed set (INDEXED_STATS_COLUMNS) so footer work and
+    # manifest size stop scaling with table width, exactly like a
+    # lakehouse table property (delta.dataSkippingNumIndexedCols).
 
     _STR_STAT_MAX = 64  # longer strings: keep truncated min (safe), drop max
 
     @staticmethod
-    def _canon_stat(v):
+    def _canon_stat(v, naive_tz=None):
         """Canonicalize a stat/predicate value into the JSON-storable,
         order-preserving domain: numbers stay numbers, timestamps become
         epoch microseconds, dates ISO strings (ISO order == date order),
-        strings stay strings. None = not representable (no skipping)."""
+        strings stay strings. None = not representable (no skipping).
+
+        ``naive_tz``: the timezone a NAIVE datetime is interpreted in
+        (None = system-local via astimezone; the string ``"noskip"`` =
+        not canonicalizable, return None so the bucket is read). Callers
+        must pass whatever zone the EXACT filter will use for the same
+        value — ``read_where`` removes the ambiguity entirely by pinning
+        naive predicate values to tz-aware instants before either side
+        sees them (see ``_resolve_where_tz``)."""
         import datetime as _dt
 
         if isinstance(v, bool):
@@ -345,14 +385,9 @@ class TableStore:
             return v
         if isinstance(v, _dt.datetime):
             if v.tzinfo is None:
-                # naive predicate datetimes must canonicalize the way the
-                # exact filter will evaluate them: F.lit interprets naive
-                # values in the SESSION timezone (default = JVM/system
-                # local), so assume system-local, not UTC — a UTC
-                # assumption on a non-UTC session would skip buckets whose
-                # rows the real predicate matches. (astimezone() on a naive
-                # datetime attaches the system-local zone.)
-                v = v.astimezone()
+                if naive_tz == "noskip":
+                    return None
+                v = v.replace(tzinfo=naive_tz) if naive_tz is not None else v.astimezone()
             return int(v.timestamp() * 1_000_000)
         if isinstance(v, _dt.date):
             return v.isoformat()
@@ -403,9 +438,16 @@ class TableStore:
         return out
 
     def _bucket_dir_stats(self, bdir: str, b: str) -> tuple[str, dict | None]:
-        """Footer stats of one bucket dir; None stats = unreadable footer."""
+        """Footer stats of one bucket dir; None stats = unreadable footer.
+        Naive footer datetimes only occur for TIMESTAMP_NTZ columns (tz
+        columns are adjusted-to-UTC and come back aware), so they
+        canonicalize as UTC wall-clock — session-independent, matching
+        how prune_buckets canonicalizes NTZ predicate values."""
+        import datetime as _dt
+
         import pyarrow.parquet as pq
 
+        _utc = _dt.timezone.utc
         rows = 0
         cols: dict[str, dict] = {}
         unbounded: set[str] = set()  # columns with a stat-less chunk
@@ -424,6 +466,8 @@ class TableStore:
                     name = ch.path_in_schema
                     if "." in name:  # nested leaf — top-level cols only
                         continue
+                    if self.stats_columns is not None and name not in self.stats_columns:
+                        continue  # unindexed column: no stats, reads stay conservative
                     st = ch.statistics
                     entry = cols.setdefault(name, {"nulls": 0})
                     if st is None or st.null_count is None:
@@ -437,8 +481,8 @@ class TableStore:
                     mn = mx = None
                     if st is not None and st.has_min_max:
                         try:
-                            mn = self._canon_stat(st.min)
-                            mx = self._canon_stat(st.max)
+                            mn = self._canon_stat(st.min, _utc)
+                            mx = self._canon_stat(st.max, _utc)
                         except Exception:
                             mn = mx = None  # e.g. decimal chunks
                     if isinstance(mn, str) and len(mn) > self._STR_STAT_MAX:
@@ -464,8 +508,28 @@ class TableStore:
             cols.get(name, {}).pop(side, None)
         return b, {"rows": rows, "cols": cols}
 
+    def _session_tz(self):
+        """tzinfo of spark.sql.session.timeZone — the zone F.lit uses for
+        naive datetime literals against TIMESTAMP columns. None when the
+        conf is unset/unparseable (caller falls back to system-local,
+        which is also Spark's own default for the conf)."""
+        try:
+            name = self.spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            return None
+        if not name:
+            return None
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(name)
+        except Exception:
+            return None
+
     @classmethod
-    def _bucket_may_match(cls, bstats: dict | None, col: str, op: str, val) -> bool:
+    def _bucket_may_match(
+        cls, bstats: dict | None, col: str, op: str, val, naive_tz=None
+    ) -> bool:
         """Whether a bucket's stats admit any row satisfying ``col op val``.
         Conservative: missing stats ⇒ True (read the bucket)."""
         if not bstats:
@@ -484,7 +548,7 @@ class TableStore:
                 isinstance(a, str) and isinstance(b, str)
             )
 
-        vals = [cls._canon_stat(v) for v in (val if op == "in" else [val])]
+        vals = [cls._canon_stat(v, naive_tz) for v in (val if op == "in" else [val])]
         if any(v is None for v in vals):
             return True  # unrepresentable predicate value: no skipping
         hits = []
@@ -512,9 +576,41 @@ class TableStore:
         if manifest is None:
             return None
         stats = manifest.get("stats", {})
+        # Naive datetime predicate values: for a TIMESTAMP column assume
+        # the SESSION timezone (the semantics read_where pins explicitly —
+        # direct prune_buckets callers get the same convention); for
+        # TIMESTAMP_NTZ, naive-vs-wall-clock comparison semantics depend
+        # on how the caller will evaluate the exact filter, so never skip
+        # ("noskip" → _canon_stat None → bucket is read). The engine's own
+        # tables carry no NTZ columns.
+        import datetime as _dt
+
+        ntz_cols = None
+        session_tz = ("unset",)
+
+        def naive_tz_of(c, op, v):
+            nonlocal ntz_cols, session_tz
+            vals = v if op == "in" else [v]
+            if not any(isinstance(x, _dt.datetime) and x.tzinfo is None for x in vals):
+                return None
+            if ntz_cols is None:
+                try:
+                    fields = StructType.fromJson(manifest["schema"]).fields
+                    ntz_cols = {f.name for f in fields if f.dataType.typeName() == "timestamp_ntz"}
+                except Exception:
+                    ntz_cols = set()
+            if c in ntz_cols:
+                return "noskip"
+            if session_tz == ("unset",):
+                session_tz = self._session_tz()
+            return session_tz
+
         keep = []
         for b in manifest["buckets"]:
-            if all(self._bucket_may_match(stats.get(b), c, op, v) for c, op, v in where):
+            if all(
+                self._bucket_may_match(stats.get(b), c, op, v, naive_tz_of(c, op, v))
+                for c, op, v in where
+            ):
                 keep.append(int(b))
         return sorted(keep)
 
@@ -537,8 +633,50 @@ class TableStore:
         # plan AND read against this one manifest: re-reading the manifest
         # for the scan would let a concurrent commit swap it between
         # pruning and reading, silently dropping rows of rewritten buckets
+        where = self._resolve_where_tz(where, manifest)
         keep = self.prune_buckets(table, where, manifest)
         return self._apply_where(self._scan_manifest(table, manifest, keep), where)
+
+    def _resolve_where_tz(self, where: list[tuple], manifest: dict) -> list[tuple]:
+        """Pin naive datetime predicate values on TIMESTAMP columns to
+        explicit tz-aware instants in the SESSION timezone, BEFORE either
+        the skip plan or the exact filter sees them.
+
+        Why: a naive datetime is ambiguous, and the two consumers resolve
+        the ambiguity differently — ``F.lit`` converts naive values
+        Python-side in the SYSTEM-local zone (measured; not the session
+        zone, unlike a SQL string literal), while footer stats are
+        absolute instants. Whatever convention one assumes, a session
+        pinned elsewhere diverges and the plan can skip buckets whose rows
+        the filter matches. Pinning the instant here makes both sides
+        agree BY CONSTRUCTION and gives read_where the SQL-literal
+        semantics (naive = session timezone). NTZ columns are left
+        untouched (wall-clock semantics; prune_buckets declines to skip
+        on them)."""
+        import datetime as _dt
+
+        try:
+            ts_cols = {
+                f.name
+                for f in StructType.fromJson(manifest["schema"]).fields
+                if f.dataType.typeName() == "timestamp"
+            }
+        except Exception:
+            return where
+        tz = None
+        out = []
+        for c, op, v in where:
+
+            def pin(x, _c=c):
+                nonlocal tz
+                if isinstance(x, _dt.datetime) and x.tzinfo is None and _c in ts_cols:
+                    if tz is None:
+                        tz = self._session_tz() or _dt.datetime.now().astimezone().tzinfo
+                    return x.replace(tzinfo=tz)
+                return x
+
+            out.append((c, op, tuple(pin(x) for x in v) if op == "in" else pin(v)))
+        return out
 
     @staticmethod
     def _apply_where(df: DataFrame, where: list[tuple]) -> DataFrame:
@@ -634,6 +772,7 @@ class TableStore:
         key: str = "id",
         pre_clustered: bool = False,
         planned_n_buckets: int | None = None,
+        planned_versions: dict[str, str] | None = None,
     ) -> None:
         """Partial write: ``df`` holds the full new contents of exactly the
         given buckets; only their manifest entries move. Buckets in the
@@ -651,7 +790,17 @@ class TableStore:
         since, the touched ids and the merged bucket contents are stale —
         committing them would replace whole new-width buckets with only
         this batch's rows — so the write fails loudly for the caller to
-        re-plan."""
+        re-plan.
+
+        ``planned_versions``: optimistic-concurrency precondition — the
+        ``bucket → version`` map (manifest["buckets"]) the caller READ the
+        target buckets' contents from. Verified under the commit lock: if
+        any targeted bucket's version moved since planning, a concurrent
+        writer's rows are baked into neither ``df`` nor the new version,
+        so committing would silently erase them (lost update). Used by
+        read-modify-write maintenance (``compact``) that runs outside the
+        engine's table write locks; merges serialized by the engine don't
+        need it."""
         prior = self._read_manifest(table)
         if prior is None:
             # table does not exist yet — a partial write of its only data
@@ -692,6 +841,18 @@ class TableStore:
                     f"{table!r} was rebucketed ({nb} → {prior['n_buckets']}) during "
                     "this write; re-read the manifest and re-plan the batch"
                 )
+            if planned_versions is not None:
+                moved = [
+                    b
+                    for b in buckets
+                    if prior["buckets"].get(str(b)) != planned_versions.get(str(b))
+                ]
+                if moved:
+                    raise RuntimeError(
+                        f"buckets {moved} of {table!r} were rewritten by a concurrent "
+                        "commit after this write was planned; committing would lose "
+                        "that writer's rows — re-read and re-plan"
+                    )
             new_buckets = dict(prior["buckets"])
             # untouched buckets carry their stats forward; rewritten buckets
             # take the fresh footer stats (or LOSE stats if harvesting
@@ -852,7 +1013,16 @@ class TableStore:
         bucket, tightening parquet row-group min/max so Spark's own filter
         pushdown prunes row groups within the files the manifest-level
         skipping already selected — the Z-ORDER-lite companion to
-        ``read_where``. Returns the bucket ids rewritten."""
+        ``read_where``. Returns the bucket ids rewritten.
+
+        Concurrency: compact is a read-modify-write over current bucket
+        contents, so it plans, scans, AND commits against ONE manifest and
+        passes that manifest's bucket→version map as the commit
+        precondition — a concurrent merge rewriting a targeted bucket
+        between compact's read and its commit makes the commit fail loudly
+        (RuntimeError) instead of silently erasing the merge's rows. On a
+        live engine prefer ``StripeSparkSync.compact_entity``, which takes
+        the table write lock and cannot conflict at all."""
         m = self._read_manifest(table)
         if m is None:
             return []
@@ -873,14 +1043,23 @@ class TableStore:
             target.sort()
         if not target:
             return []
-        df = self.read_buckets(table, target)
+        # scan the SAME manifest the plan (and the commit precondition)
+        # came from — read_buckets would re-read it, racing a concurrent
+        # commit between planning and scanning
+        df = self._scan_manifest(table, m, target)
         # one task per bucket (pre_clustered write skips the rebalance);
         # sortWithinPartitions survives because no exchange follows it
         clustered = df.repartition(len(target), self.bucket_expr(key, nb))
         if sort_col is not None:
             clustered = clustered.sortWithinPartitions(sort_col)
         self.write_buckets(
-            table, clustered, target, key=key, pre_clustered=True, planned_n_buckets=nb
+            table,
+            clustered,
+            target,
+            key=key,
+            pre_clustered=True,
+            planned_n_buckets=nb,
+            planned_versions=dict(m["buckets"]),
         )
         return target
 

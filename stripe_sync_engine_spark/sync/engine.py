@@ -1053,6 +1053,20 @@ class StripeSparkSync:
         with self._table_write_lock(entity):
             self.store.rebucket(entity, n_buckets)
 
+    def compact_entity(
+        self, entity: str, max_files_per_bucket: int = 1, sort_col: str | None = None
+    ) -> list[int]:
+        """Small-file compaction serialized against this engine's merges
+        (mirrors ``rebucket_entity``): compact is a read-modify-write of
+        current bucket contents, so running it concurrently with a merge
+        to the same table would be a lost update without the lock. The
+        store's own ``planned_versions`` precondition additionally guards
+        out-of-band writers this lock can't see."""
+        with self._table_write_lock(entity):
+            return self.store.compact(
+                entity, max_files_per_bucket=max_files_per_bucket, sort_col=sort_col
+            )
+
     def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
         # the PLAN reads the current bucket state, so plan+write must sit
         # inside the same critical section (cross-batch writers racing on

@@ -1757,3 +1757,151 @@ def test_compact_merges_small_files_and_sorts(spark, tmp_path):
     assert set(m["stats"]) == set(m["buckets"])  # stats re-harvested
     got = {r["id"]: r["v"] for r in store.read("t").collect()}
     assert got["k_7"] == 7 and len(got) == 400
+
+
+# ---------------------------------------------------------------------------
+# Round-7 storage hardening: stats-column restriction, session-tz-correct
+# pruning, and compact's optimistic concurrency guard.
+def test_stats_columns_restriction_bounds_harvest(spark, tmp_path):
+    """With stats_columns set, footers are harvested ONLY for the indexed
+    set (manifest size/commit work stop scaling with table width); reads
+    predicated on unindexed columns stay exact — just unpruned."""
+    store = TableStore(spark, str(tmp_path / "wh_scols"), stats_columns=["created"])
+    rows = spark.range(200).selectExpr(
+        "concat('k_', id) AS id", "cast(id * 1000 as long) AS created", "id AS v"
+    )
+    store.write("t", rows)
+    m = store._read_manifest("t")
+    assert m["stats"]
+    harvested = {c for b in m["stats"].values() for c in b["cols"]}
+    assert harvested == {"created"}
+    # indexed predicate prunes...
+    pruned = store.prune_buckets("t", [("created", ">=", 190_000)])
+    assert len(pruned) < len(m["buckets"])
+    got = {r["id"] for r in store.read_where("t", [("created", ">=", 190_000)]).collect()}
+    assert got == {f"k_{i}" for i in range(190, 200)}
+    # ...unindexed predicate reads every bucket but stays exact
+    assert set(store.prune_buckets("t", [("v", ">=", 150)])) == set(map(int, m["buckets"]))
+    assert store.read_where("t", [("v", ">=", 150)]).count() == 50
+
+
+def test_data_skipping_respects_session_timezone(spark, tmp_path):
+    """A naive datetime predicate on a TIMESTAMP column gets SQL-literal
+    semantics: interpreted in the SESSION timezone, and — because
+    read_where pins the instant before building either the skip plan or
+    the exact filter — plan and filter agree by construction. (F.lit
+    alone resolves naive values in the SYSTEM zone, measured; relying on
+    it made skipping silently session-dependent.) Rows are pinned to
+    absolute instants, the session moves off system-local, and a ``<=``
+    cut falls between the two interpretations — the shape where a wrong
+    assumption skips buckets the filter matches."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from pyspark.sql import functions as F
+
+    utc = dt.timezone.utc
+    store = TableStore(spark, str(tmp_path / "wh_tz"))
+    # instants at 14:00 UTC (matches a 12:00-naive-NY cut = 17:00 UTC, but
+    # NOT a 12:00-UTC cut) plus decoys well outside the window
+    rows = [(f"m_{i}", dt.datetime(2024, 1, 1, 14, i, tzinfo=utc)) for i in range(5)]
+    rows += [(f"d_{i}", dt.datetime(2024, 1, 2, 9, i, tzinfo=utc)) for i in range(5)]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        store.write("t", spark.createDataFrame(rows, "id string, ts timestamp"))
+        cut = dt.datetime(2024, 1, 1, 12, 0)  # naive → session (NY) → 17:00 UTC
+        got = {r["id"] for r in store.read_where("t", [("ts", "<=", cut)]).collect()}
+        # the spec: the same cut as an explicit session-zone instant
+        pinned = cut.replace(tzinfo=ZoneInfo("America/New_York"))
+        want = {r["id"] for r in store.read("t").filter(F.col("ts") <= F.lit(pinned)).collect()}
+        assert got == want == {f"m_{i}" for i in range(5)}
+        # and the pruning really skipped the decoys' buckets
+        resolved = store._resolve_where_tz(
+            [("ts", "<=", cut)], store._read_manifest("t")
+        )
+        pruned = store.prune_buckets("t", resolved)
+        assert len(pruned) < len(store._read_manifest("t")["buckets"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_write_buckets_version_precondition_detects_conflict(spark, tmp_path):
+    """planned_versions is the optimistic-concurrency guard: a concurrent
+    commit moving a targeted bucket's version after planning makes the
+    commit fail loudly instead of silently erasing the concurrent rows."""
+    store = TableStore(spark, str(tmp_path / "wh_occ"))
+    store.write("t", spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int"))
+    m = store._read_manifest("t")
+    planned = dict(m["buckets"])
+    target = sorted(map(int, planned))
+    stale = store.read_buckets("t", target)
+    # concurrent writer lands between the plan and the commit
+    extra = spark.createDataFrame([("c", 3)], "id string, v int")
+    touched = store.buckets_of(extra, table="t")
+    store.write_buckets("t", store.read_buckets("t", touched).unionByName(extra), touched)
+    with pytest.raises(RuntimeError, match="concurrent"):
+        store.write_buckets("t", stale, target, planned_versions=planned)
+    # nothing was lost
+    assert {r["id"] for r in store.read("t").collect()} == {"a", "b", "c"}
+
+
+def test_compact_aborts_on_concurrent_merge(spark, tmp_path):
+    """compact() passes its planning manifest's versions as the commit
+    precondition, so a merge racing between its read and its commit makes
+    compact raise — never a lost update (ADVICE r6)."""
+    root = str(tmp_path / "wh_cmp_race")
+    store = TableStore(spark, root)
+    rows = spark.range(100).selectExpr("concat('k_', id) AS id", "id AS v")
+    store.write("t", rows.repartition(6), pre_clustered=True)  # fragment buckets
+    side = TableStore(spark, root)  # the concurrent writer's handle
+    real_write_version = store._write_version
+    fired = {}
+
+    def racing_write_version(table, df, key, nb, pre_clustered=False):
+        if not fired:  # inject one concurrent commit mid-compact
+            fired["x"] = True
+            extra = spark.createDataFrame([("zz_new", 999)], "id string, v int")
+            touched = side.buckets_of(extra, table="t")
+            side.write_buckets(
+                "t", side.read_buckets("t", touched).unionByName(extra), touched
+            )
+        return real_write_version(table, df, key, nb, pre_clustered=pre_clustered)
+
+    store._write_version = racing_write_version
+    try:
+        with pytest.raises(RuntimeError, match="concurrent"):
+            store.compact("t")
+    finally:
+        store._write_version = real_write_version
+    got = {r["id"] for r in store.read("t").collect()}
+    assert "zz_new" in got and len(got) == 101  # the merge survived intact
+
+
+def test_compact_entity_serializes_with_merges(engine):
+    """compact_entity mirrors rebucket_entity: it runs under the table
+    write lock, so interleaved engine merges and compactions converge with
+    no loss and the table ends fully compacted."""
+    import threading
+
+    fx_events = [fx.charge_event(f"ch_cmp{i}", amount=100 + i) for i in range(40)]
+    engine.process_webhook_events(engine.events_df_from_json(fx_events[:20]))
+    errs = []
+
+    def mergers():
+        try:
+            for i in range(20, 40, 5):
+                engine.process_webhook_events(
+                    engine.events_df_from_json(fx_events[i : i + 5])
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=mergers)
+    t.start()
+    for _ in range(3):
+        engine.compact_entity("charges")
+    t.join()
+    assert not errs
+    ids = {r["id"] for r in engine.store.read("charges").collect()}
+    assert {f"ch_cmp{i}" for i in range(40)} <= ids
