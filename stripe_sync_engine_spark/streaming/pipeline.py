@@ -130,3 +130,76 @@ def start_webhook_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vacuum_landing_zone(landing_dir: str, checkpoint_dir: str) -> list[str]:
+    """Delete envelope files the stream has durably committed past.
+
+    The HTTP edge lands ONE file per webhook (api/app.py Router._land) and
+    the file source never deletes its inputs, so a long-lived deployment
+    accumulates envelopes without bound (and file listing slows with them).
+    Retention is keyed to the stream's OWN checkpoint — the only safe
+    source of truth:
+
+    * ``<ckpt>/commits/<batchId>`` marks batches whose effects are durable
+      (foreachBatch completed and the commit log was written);
+    * ``<ckpt>/sources/0/<batchId>[.compact]`` is the file-source log
+      naming exactly which files each batch read (compact files carry
+      per-entry batchIds).
+
+    A file is reclaimed only when it appears in the source log with a
+    batchId ≤ the newest committed batch — an envelope that has been
+    listed but not yet committed survives, so a crash between listing and
+    commit loses nothing (the restarted stream re-reads it). Files outside
+    ``landing_dir`` are never touched. Returns the paths deleted.
+
+    Idempotent and safe to run from cron/a maintenance thread while the
+    stream is live: Spark's file source tracks seen files by its log, not
+    by directory contents, so deleting consumed envelopes never causes
+    re-processing or loss on restart."""
+    import json
+    import os
+    from urllib.parse import unquote, urlparse
+
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    src_dir = os.path.join(checkpoint_dir, "sources", "0")
+    if not (os.path.isdir(commits_dir) and os.path.isdir(src_dir)):
+        return []
+    committed = [int(n) for n in os.listdir(commits_dir) if n.isdigit()]
+    if not committed:
+        return []
+    last = max(committed)
+    consumed: set[str] = set()
+    for name in os.listdir(src_dir):
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        if not base.isdigit():
+            continue
+        try:
+            with open(os.path.join(src_dir, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue  # version header / blank
+                    try:
+                        entry = json.loads(line)
+                    except ValueError:
+                        continue
+                    if not isinstance(entry, dict) or "path" not in entry:
+                        continue
+                    if int(entry.get("batchId", base)) <= last:
+                        consumed.add(entry["path"])
+        except OSError:
+            continue
+    root = os.path.realpath(landing_dir)
+    removed = []
+    for p in consumed:
+        local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
+        local = os.path.realpath(local)
+        if os.path.commonpath([local, root]) != root:
+            continue  # never touch files outside the landing zone
+        try:
+            os.unlink(local)
+            removed.append(local)
+        except FileNotFoundError:
+            pass  # already vacuumed
+    return removed
