@@ -5,12 +5,14 @@ Two decode tiers:
 
 * ``decode_real`` / ``decode_headers`` — REAL pure-stdlib container-header
   parsing (PNG/GIF/BMP/JPEG format + dimensions; no dependencies).
-* ``decode_binary_meta`` and the resize/frame/feature family — the full
-  pixel/sample decode still needs PIL/ffmpeg (absent from this
-  container), so these compute deterministic fake features from the raw
-  bytes behind the same UDF signature, schema, and batch shape the real
-  library call would use — swap the fake for the library call and nothing
-  else changes.
+* ``decode_binary_meta`` and the resize/frame/feature family — the pixel
+  decode is RUNTIME-OPTIONAL: each worker tries ``import PIL`` once and,
+  when present, emits real decoded dimensions (failure rows → NULL);
+  when absent (this container), deterministic fakes computed from the
+  raw bytes behind the same UDF signature, schema, and Arrow batch shape
+  — so the oracles stay exact here and a PIL-equipped cluster gets real
+  pixels with zero code change. Frame/feature extraction remains the
+  ffmpeg/encoder seam (deterministic stand-ins).
 
 Scale shape: mapInPandas streams Arrow record batches through one Python
 worker per partition — decode parallelism == partition count, bytes never
@@ -120,6 +122,52 @@ def decode_headers(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payloa
     return df.mapInPandas(decode, schema=HEADER_META_SCHEMA)
 
 
+def _build_meta_decoder(id_col: str, bin_col: str):
+    """Worker body for ``decode_binary_meta``, built as a nested function
+    (pickled by value; executors never import this package). The pixel
+    seam is RUNTIME-OPTIONAL: each worker process tries ``import PIL``
+    once — when present, the width/height columns carry the REAL decoded
+    dimensions (undecodable payloads → NULL dims, the failure-row
+    convention of ``decode_headers``); when absent (this container), the
+    deterministic byte-length fake keeps the oracles exact. Deploy PIL
+    uniformly across executors — the branch is per worker process."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        try:  # the optional pixel decoder — resolved once per worker
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def real_dims(payload: bytes):
+                with _Image.open(_io.BytesIO(payload)) as img:
+                    return img.size
+        except ImportError:
+            real_dims = None
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                payload = bytes(payload)
+                n = len(payload)
+                sha = _hl.md5(payload).digest()[0]
+                if real_dims is None:
+                    # deterministic stand-in: dims from the byte length
+                    rows.append((doc_id, n, sha, n % 640, (n * 7) % 480))
+                else:
+                    try:
+                        w, h = real_dims(payload)
+                        rows.append((doc_id, n, sha, w, h))
+                    except Exception:
+                        rows.append((doc_id, n, sha, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "content_sha", "fake_width", "fake_height"]
+            )
+
+    return decode
+
+
 def decode_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """binary column → typed metadata rows via mapInPandas (Arrow batches).
 
@@ -127,28 +175,10 @@ def decode_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
     body in this module is a nested function referencing no module-level
     helpers, so cloudpickle ships it by value and executors never need this
     package importable on their own sys.path (a fresh driver session from
-    any cwd works)."""
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_decode(payload: bytes) -> dict:
-            # Deterministic stand-in for an image decoder; the real one is
-            # img = PIL.Image.open(io.BytesIO(payload)) → its size.
-            n = len(payload)
-            digest = hashlib.md5(payload).digest()
-            return {
-                "n_bytes": n,
-                "content_sha": digest[0],
-                "fake_width": n % 640,
-                "fake_height": (n * 7) % 480,
-            }
-
-        for pdf in batches:
-            metas = [fake_decode(b) for b in pdf[bin_col]]
-            out = pd.DataFrame(metas)
-            out.insert(0, "doc_id", pdf[id_col].values)
-            yield out
-
-    return df.mapInPandas(decode, schema=DECODED_META_SCHEMA)
+    any cwd works). With PIL installed on the workers the ``fake_*`` dim
+    columns carry real decoded dimensions (see ``_build_meta_decoder``);
+    the column names stay stable so both branches share one schema."""
+    return df.mapInPandas(_build_meta_decoder(id_col, bin_col), schema=DECODED_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -170,20 +200,39 @@ FEATURES_SCHEMA = (
 )
 
 
-def resize_binary(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """Keep-aspect 'resize' into RESIZE_BOX via mapInPandas. The fake
-    decoder supplies (w, h) from the byte length (as in ``_fake_decode``);
-    a real implementation calls PIL ``img.thumbnail(RESIZE_BOX)`` and
-    re-encodes. Degenerate dims (0) yield NULL output dims, mirroring a
-    decoder failure row — downstream filters on ``out_w IS NOT NULL``."""
+def _build_resizer(id_col: str, bin_col: str):
+    """Worker body for ``resize_binary`` (nested → pickled by value).
+    Runtime-optional pixel seam, same contract as ``_build_meta_decoder``:
+    with PIL the source dims are the REAL decoded size (undecodable →
+    NULL row); without, the deterministic byte-length fake. The keep-
+    aspect scale math is shared by both branches, so the plan, schema and
+    downstream consumers are identical either way."""
     max_w, max_h = RESIZE_BOX
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def real_dims(payload: bytes):
+                with _Image.open(_io.BytesIO(payload)) as img:
+                    return img.size
+        except ImportError:
+            real_dims = None
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                payload = bytes(payload)
                 n = len(payload)
-                w, h = n % 640, (n * 7) % 480
+                if real_dims is None:
+                    w, h = n % 640, (n * 7) % 480
+                else:
+                    try:
+                        w, h = real_dims(payload)
+                    except Exception:
+                        w, h = 0, 0  # decoder failure → NULL output dims
                 if w == 0 or h == 0:
                     rows.append((doc_id, w, h, None, None, None))
                     continue
@@ -194,7 +243,18 @@ def resize_binary(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
                 rows, columns=["doc_id", "src_w", "src_h", "out_w", "out_h", "out_bytes"]
             )
 
-    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+    return resize
+
+
+def resize_binary(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Keep-aspect 'resize' into RESIZE_BOX via mapInPandas. With PIL on
+    the workers the source dims come from the real decoder (and a real
+    implementation would call ``img.thumbnail(RESIZE_BOX)`` on the decoded
+    image — the scale math here IS that computation); without it, the
+    deterministic byte-length fake. Degenerate dims (0) yield NULL output
+    dims, mirroring a decoder failure row — downstream filters on
+    ``out_w IS NOT NULL``."""
+    return df.mapInPandas(_build_resizer(id_col, bin_col), schema=RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:

@@ -361,3 +361,127 @@ def test_lsh_buckets_parity(spark, sf_dir):
     df = sim_lsh_buckets(spark, sf_dir)
     want = run_oracle(SQL_LSH_BUCKETS, sf_dir)
     compare(df, want, "lsh_buckets")
+
+
+# ---------------------------------------------------------------------------
+# Runtime-optional pixel decode (r7): with PIL importable in the worker the
+# meta/resize family emits REAL decoded dimensions; without it (this
+# container) the deterministic fakes keep the oracles exact.
+def _tiny_png(w: int = 8, h: int = 6) -> bytes:
+    """A fully valid RGB PNG built with stdlib zlib — decodable by any
+    real image library, not just our header parser."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))  # filter 0 + black rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _stub_pil(monkeypatch, dims_by_len):
+    """Install a PIL stand-in into sys.modules so the worker body's
+    ``from PIL import Image`` resolves — exercises the real-pixel branch
+    logic in-process without the dependency."""
+    import sys
+    import types
+
+    image_mod = types.ModuleType("PIL.Image")
+
+    class _Img:
+        def __init__(self, payload):
+            if len(payload) not in dims_by_len:
+                raise OSError("cannot identify image file")
+            self.size = dims_by_len[len(payload)]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    image_mod.open = lambda fobj: _Img(fobj.read())
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_meta_decoder_real_branch(monkeypatch):
+    """The worker body is a plain generator over pandas batches — drive it
+    directly with a stubbed PIL: real dims flow into the dim columns,
+    undecodable payloads become NULL-dim failure rows."""
+    import pandas as pd
+
+    from stripe_sync_engine_spark.functions.multimodal import (
+        _build_meta_decoder,
+        _build_resizer,
+    )
+
+    good, bad = b"\x01" * 100, b"junk"
+    _stub_pil(monkeypatch, {100: (640, 480)})
+    out = pd.concat(
+        _build_meta_decoder("doc_id", "payload")(
+            iter([pd.DataFrame({"doc_id": [1, 2], "payload": [good, bad]})])
+        )
+    )
+    by_id = out.set_index("doc_id")
+    assert (by_id.loc[1, "fake_width"], by_id.loc[1, "fake_height"]) == (640, 480)
+    assert pd.isna(by_id.loc[2, "fake_width"]) and by_id.loc[2, "n_bytes"] == 4
+    rout = pd.concat(
+        _build_resizer("doc_id", "payload")(
+            iter([pd.DataFrame({"doc_id": [1, 2], "payload": [good, bad]})])
+        )
+    ).set_index("doc_id")
+    # 640x480 keep-aspect into (320, 240) → 320x240
+    assert (rout.loc[1, "src_w"], rout.loc[1, "out_w"], rout.loc[1, "out_h"]) == (640, 320, 240)
+    assert pd.isna(rout.loc[2, "out_w"])  # decoder failure row
+
+
+def test_meta_decoder_fake_branch_without_pil():
+    """Without PIL (this container) the deterministic byte-length fake is
+    bit-identical to the oracle formulation."""
+    import importlib.util
+
+    import pandas as pd
+    import pytest
+
+    from stripe_sync_engine_spark.functions.multimodal import _build_meta_decoder
+
+    if importlib.util.find_spec("PIL") is not None:  # pragma: no cover
+        pytest.skip("PIL present: fake branch not reachable")
+    payload = b"\x02" * 123
+    out = pd.concat(
+        _build_meta_decoder("doc_id", "payload")(
+            iter([pd.DataFrame({"doc_id": [7], "payload": [payload]})])
+        )
+    )
+    assert tuple(out.iloc[0][["fake_width", "fake_height"]]) == (123 % 640, (123 * 7) % 480)
+
+
+def test_real_pixel_decode_with_pil(spark):  # pragma: no cover
+    """On a PIL-equipped deployment the full Spark path decodes real
+    pixels: a valid generated PNG yields its true dimensions."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("PIL") is None:
+        pytest.skip("PIL not installed in this container (runtime-optional seam)")
+    from stripe_sync_engine_spark.functions.multimodal import decode_binary_meta
+
+    df = spark.createDataFrame([(1, _tiny_png(8, 6))], "doc_id long, payload binary")
+    row = decode_binary_meta(df).collect()[0]
+    assert (row["fake_width"], row["fake_height"]) == (8, 6)
