@@ -213,6 +213,15 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return os.path.exists(self._manifest_path(table))
 
+    def tables(self) -> list[str]:
+        """Every table with a committed manifest under this store root —
+        entity tables, child tables, rollups, audit tables alike."""
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if os.path.exists(self._manifest_path(n)))
+
     # -- bucketing -----------------------------------------------------
     def bucket_expr(self, key: str, n_buckets: int):
         """Stable bucket id of a key column (JVM-side, seed-stable)."""

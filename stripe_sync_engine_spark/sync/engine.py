@@ -1053,6 +1053,44 @@ class StripeSparkSync:
         with self._table_write_lock(entity):
             self.store.rebucket(entity, n_buckets)
 
+    def create_views(self, prefix: str = "stripe_") -> list[str]:
+        """Expose every synced table to Spark SQL users — the reference's
+        stated purpose for the synced schema (README.md:18-20: the tables
+        exist to be queried with ordinary SQL and joined against business
+        data; its 20+ btree indexes exist to serve those predicates).
+
+        Each table with a committed manifest becomes a temp view over the
+        ``stripe_store`` Python DataSource, so
+        ``spark.sql("SELECT ... FROM stripe_charges WHERE created >= ...")``
+        gets MANIFEST-STAT BUCKET PRUNING: the WHERE reaches the reader's
+        pushFilters, buckets whose stats exclude it are never scanned
+        (input partitions == surviving buckets), and Spark re-applies the
+        exact predicate above the scan so results are identical to
+        ``store.read(table).filter(...)``. Views always reflect the
+        CURRENT manifest — planning re-reads it per query, so a merge
+        landing between two queries is visible to the second.
+
+        Returns the view names registered. Call again after creating new
+        tables (e.g. a first webhook for a new entity) to pick them up."""
+        from stripe_sync_engine_spark.sources.store_datasource import build_store_datasource
+
+        # the Python-datasource pushdown path is conf-gated; planning
+        # fails loudly without it, so flip it here (dynamic conf)
+        self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        self.spark.dataSource.register(build_store_datasource())
+        views = []
+        for table in self.store.tables():
+            df = (
+                self.spark.read.format("stripe_store")
+                .option("root", self.store.root)
+                .option("table", table)
+                .load()
+            )
+            name = f"{prefix}{table}"
+            df.createOrReplaceTempView(name)
+            views.append(name)
+        return views
+
     def compact_entity(
         self, entity: str, max_files_per_bucket: int = 1, sort_col: str | None = None
     ) -> list[int]:
