@@ -99,15 +99,26 @@ class HTTPStripeAPI:
         backoff_s: float = 0.5,
         timeout_s: float = 30.0,
         api_version: str | None = None,
+        total_deadline_s: float | None = 300.0,
         sleep=time.sleep,
+        clock=time.monotonic,
     ):
+        """``total_deadline_s``: hard cap on the TOTAL wall-clock one
+        request may spend across retries INCLUDING backoff sleeps. The
+        attempt-count cap alone is unbounded in time — a throttling proxy
+        sending ``Retry-After: 3600`` would park a long backfill for hours
+        per request; the deadline surfaces the last error loudly instead,
+        and individual sleeps are clipped to the remaining budget. None
+        disables the cap (attempt count still bounds)."""
         self.api_key = api_key
         self.base_url = base_url.rstrip("/")
         self.max_retries = max(1, max_retries)  # at least the initial attempt
         self.backoff_s = backoff_s
         self.timeout_s = timeout_s
         self.api_version = api_version
+        self.total_deadline_s = total_deadline_s
         self._sleep = sleep  # injectable for tests
+        self._clock = clock  # injectable for tests (advanced by fake sleep)
 
     # -- transport -----------------------------------------------------
     def _request(self, path: str, params: dict | None = None) -> dict:
@@ -118,6 +129,9 @@ class HTTPStripeAPI:
         if self.api_version:
             headers["Stripe-Version"] = self.api_version
         last: StripeHTTPError | None = None
+        deadline = (
+            self._clock() + self.total_deadline_s if self.total_deadline_s is not None else None
+        )
         for attempt in range(self.max_retries):
             req = urllib.request.Request(url, headers=headers)
             try:
@@ -145,8 +159,13 @@ class HTTPStripeAPI:
                     delay = max(delay, float(retry_after))
                 except ValueError:
                     pass
+            if deadline is not None:
+                remaining = deadline - self._clock()
+                if remaining <= 0:
+                    break  # budget spent: surface the last error loudly
+                delay = min(delay, remaining)  # never sleep past the deadline
             self._sleep(delay)
-        raise last  # retries exhausted
+        raise last  # retries/deadline exhausted
 
     def _paginate(self, path: str, params: dict) -> Iterator[list[dict]]:
         """Cursor pagination: follow ``starting_after`` while ``has_more``.

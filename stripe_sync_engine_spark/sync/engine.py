@@ -1174,7 +1174,7 @@ class StripeSparkSync:
         return counts
 
     def sync_backfill_windows(
-        self, entity: str, created: dict, n_windows: int = 4
+        self, entity: str, created: dict, n_windows: int = 4, on_progress=None
     ) -> int:
         """Parallel backfill by ``created``-range windows — the reference's
         own guidance for >10k objects (README.md:99-100: split large
@@ -1186,16 +1186,27 @@ class StripeSparkSync:
         lock — each object falls in exactly ONE window and the merge is
         keyed + timestamp-protected, so the final state is identical to the
         serial scan's. Requires both bounds (an open range cannot be
-        split)."""
+        split).
+
+        ``on_progress``: optional callable receiving
+        ``{"entity", "created": <window>, "synced": <so far in window>}``
+        after every flush of every window — a long backfill is no longer
+        silent until a window completes. Invoked from the pool's worker
+        threads; make it thread-safe (a print / log call is)."""
         lo, hi = self._window_bounds(created)
         if n_windows < 2 or hi - lo < n_windows:
-            return self._fetch_and_upsert(entity, created)
+            return self._fetch_and_upsert(entity, created, on_progress=on_progress)
         edges = [lo + (hi - lo) * i // n_windows for i in range(n_windows + 1)]
         windows = [
             {"gte": a, "lt": b} for a, b in zip(edges[:-1], edges[1:]) if a < b
         ]
         with ThreadPoolExecutor(max_workers=len(windows)) as pool:
-            return sum(pool.map(lambda w: self._fetch_and_upsert(entity, w), windows))
+            return sum(
+                pool.map(
+                    lambda w: self._fetch_and_upsert(entity, w, on_progress=on_progress),
+                    windows,
+                )
+            )
 
     @staticmethod
     def _window_bounds(created: dict) -> tuple[int, int]:
@@ -1214,9 +1225,15 @@ class StripeSparkSync:
             raise ValueError("windowed backfill needs an upper created bound (lt/lte)")
         return lo, hi
 
-    def _fetch_and_upsert(self, entity: str, created: dict | None) -> int:
+    def _fetch_and_upsert(
+        self, entity: str, created: dict | None, on_progress=None
+    ) -> int:
         """S1 paginated scan: buffer pages into FLUSH_CHUNK batches, each
-        flushed through the merge pipeline (stripeSync.ts:1033-1058)."""
+        flushed through the merge pipeline (stripeSync.ts:1033-1058).
+        ``on_progress``, when given, is called after every flush with
+        ``{"entity", "created", "synced"}`` — the reference logs progress
+        every 1,000 items (stripeSync.ts:1045); flush granularity (250)
+        is this engine's natural cadence."""
         if self.api is None:
             return 0
         synced = 0
@@ -1236,6 +1253,8 @@ class StripeSparkSync:
             self._merge(entity, rows)
             synced += len(buffer)
             buffer.clear()
+            if on_progress is not None:
+                on_progress({"entity": entity, "created": created, "synced": synced})
 
         for page in self.api.list(entity, created):
             buffer.extend(page)

@@ -256,3 +256,86 @@ def test_list_by_parent_carries_extra_list_params(stub):
     got = {o["id"] for o in client(stub).list_by_parent("subscriptions", "customer", "cus_a")}
     assert got == {"sub_a", "sub_c"}
     assert any("status=all" in r and "customer=cus_a" in r for r in stub.requests)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 hardening: a total wall-clock deadline bounds retrying (attempt
+# caps alone are unbounded in TIME when Retry-After is large), and windowed
+# backfills report per-flush progress instead of staying silent.
+def test_total_deadline_bounds_retry_time(stub):
+    """An always-429 window with a huge Retry-After: the deadline clips
+    each sleep to the remaining budget and surfaces the last 429 loudly —
+    total simulated wall time never exceeds the budget."""
+    stub.failures = [(429, {"Retry-After": "3600"})] * 100
+
+    class FakeTime:
+        t = 0.0
+
+        def sleep(self, s):
+            self.t += s
+
+        def clock(self):
+            return self.t
+
+    ft = FakeTime()
+    api = client(
+        stub, max_retries=50, total_deadline_s=10.0, sleep=ft.sleep, clock=ft.clock
+    )
+    with pytest.raises(StripeHTTPError) as ei:
+        api.retrieve("customers", "cus_x")
+    assert ei.value.status == 429
+    assert ft.t <= 10.0 + 1e-9  # never slept past the budget
+    # far fewer than max_retries attempts were made before the budget won
+    assert 1 < len(stub.requests) < 50
+
+
+def test_total_deadline_none_preserves_attempt_cap(stub):
+    stub.failures = [(503, {})] * 4
+    with pytest.raises(StripeHTTPError):
+        client(stub, max_retries=4, total_deadline_s=None).retrieve("customers", "c")
+    assert len(stub.requests) == 4
+
+
+def test_windowed_backfill_reports_progress(spark, tmp_path, stub):
+    """sync_backfill_windows(on_progress=...) fires after every flush of
+    every window with a monotonically growing per-window count summing to
+    the total — a long backfill is observable while it runs."""
+    import threading as _threading
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync import StripeSparkSync, SyncConfig
+    from stripe_sync_engine_spark.sync.engine import FLUSH_CHUNK
+
+    stub.collections["/v1/products"] = [
+        {"id": f"prod_{i:04d}", "object": "product", "created": 1000 + i} for i in range(600)
+    ]
+    engine = StripeSparkSync(
+        spark,
+        TableStore(spark, str(tmp_path / "wh_prog")),
+        api=client(stub),
+        config=SyncConfig(backfill_related_entities=False),
+    )
+    events, lock = [], _threading.Lock()
+
+    def on_progress(ev):
+        with lock:
+            events.append(dict(ev))
+
+    total = engine.sync_backfill_windows(
+        "products", {"gte": 1000, "lt": 1600}, n_windows=3, on_progress=on_progress
+    )
+    assert total == 600
+    assert all(e["entity"] == "products" for e in events)
+    windows = {json.dumps(e["created"], sort_keys=True) for e in events}
+    assert len(windows) == 3  # every window reported
+    by_window: dict[str, list[int]] = {}
+    for e in events:
+        by_window.setdefault(json.dumps(e["created"], sort_keys=True), []).append(e["synced"])
+    for counts in by_window.values():
+        assert counts == sorted(counts)  # monotone within a window
+        assert len(counts) >= 1
+    assert sum(c[-1] for c in by_window.values()) == 600
+    # flush cadence: a 200-object window reports at FLUSH_CHUNK granularity
+    assert any(c == FLUSH_CHUNK for counts in by_window.values() for c in counts) or (
+        FLUSH_CHUNK > 200
+    )
