@@ -46,6 +46,7 @@ def start_webhook_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     secret: str | None = None,
+    vacuum_landing_every: int | None = None,
 ) -> StreamingQuery:
     """File-source stream of JSON-lines Stripe events → foreachBatch.
 
@@ -59,6 +60,13 @@ def start_webhook_stream(
     processEvent sees the body). Rows failing verification never reach the
     merge pipeline; they are appended to ``_rejected_webhooks`` for audit
     (the batch analog of the reference's 401 response).
+
+    ``vacuum_landing_every=N`` runs :func:`vacuum_landing_zone` every N
+    micro-batches from inside ``foreachBatch`` — landing-zone retention
+    rides the stream itself, no external scheduler. Safe by construction:
+    the vacuum keys off the COMMITS log, and the in-flight batch has not
+    committed yet when its foreachBatch runs, so only strictly older,
+    durably-committed batches' envelopes are reclaimed.
     """
     spark: SparkSession = engine.spark
     raw = (
@@ -67,6 +75,8 @@ def start_webhook_stream(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if vacuum_landing_every and batch_id % vacuum_landing_every == 0:
+            vacuum_landing_zone(landing_dir, checkpoint_dir)
         if batch_df.isEmpty():
             return
         events = batch_df

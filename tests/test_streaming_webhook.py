@@ -421,3 +421,30 @@ def test_streaming_restart_recovers_from_mid_ingest_crash(spark, tmp_path):
     start_webhook_stream(engine, str(landing), str(ckpt)).awaitTermination()
     got2 = {r["id"]: (r["amount"], r["paid"]) for r in engine.store.read("charges").collect()}
     assert got2 == got
+
+
+def test_stream_self_vacuums_landing_zone(spark, tmp_path):
+    """vacuum_landing_every: retention rides the stream — a later run's
+    foreachBatch reclaims envelopes committed by earlier runs, while the
+    current (uncommitted) batch's files survive until a subsequent run."""
+    landing = tmp_path / "landing_sv"
+    ckpt = tmp_path / "ckpt_sv"
+    os.makedirs(landing)
+    engine = StripeSparkSync(
+        spark, TableStore(spark, str(tmp_path / "wh_sv")), api=None,
+        config=SyncConfig(backfill_related_entities=False),
+    )
+    (landing / "a.jsonl").write_text(
+        fx.event("charge.succeeded", fx.charge(id="ch_sv1", amount=1), created=2_000)
+    )
+    start_webhook_stream(engine, str(landing), str(ckpt), vacuum_landing_every=1).awaitTermination()
+    # run 1 committed batch 0; its OWN foreachBatch ran pre-commit, so a.jsonl
+    # still exists until the NEXT run's batch fires the vacuum
+    assert (landing / "a.jsonl").exists()
+    (landing / "b.jsonl").write_text(
+        fx.event("charge.succeeded", fx.charge(id="ch_sv2", amount=2), created=2_000)
+    )
+    start_webhook_stream(engine, str(landing), str(ckpt), vacuum_landing_every=1).awaitTermination()
+    assert not (landing / "a.jsonl").exists()  # reclaimed by run 2's batch
+    assert (landing / "b.jsonl").exists()  # run 2's own batch: not yet committed when vacuumed
+    assert {r["id"] for r in engine.store.read("charges").collect()} == {"ch_sv1", "ch_sv2"}
