@@ -128,17 +128,48 @@ def build_store_datasource():
         def __init__(self, path: str):
             self.path = path
 
+    def _load_manifest(tdir: str, as_of_ms: int | None) -> dict:
+        # current manifest, or — with as_of_ms — the newest retained
+        # history snapshot at or before it (compact mirror of
+        # TableStore._resolve_snapshot: loud on pruned/vacuumed history,
+        # never partial data)
+        import json
+        import os
+
+        if as_of_ms is None:
+            with open(os.path.join(tdir, "MANIFEST.json")) as f:
+                return json.load(f)
+        hdir = os.path.join(tdir, "_history")
+        commits = sorted(
+            int(n[:-5])
+            for n in (os.listdir(hdir) if os.path.isdir(hdir) else [])
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+        eligible = [c for c in commits if c <= as_of_ms]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no retained snapshot of {tdir!r} at {as_of_ms} (before table "
+                "creation, or history pruned; raise vacuum_retain_s)"
+            )
+        with open(os.path.join(hdir, f"{eligible[-1]}.json")) as f:
+            manifest = json.load(f)
+        for b, version in manifest["buckets"].items():
+            if not os.path.exists(os.path.join(tdir, version, f"_bucket={b}")):
+                raise FileNotFoundError(
+                    f"snapshot {eligible[-1]} references vacuumed version "
+                    f"{version!r} (bucket {b}); raise vacuum_retain_s"
+                )
+        return manifest
+
     class StoreReader(DataSourceReader):
-        def __init__(self, root: str, table: str):
-            import json
+        def __init__(self, root: str, table: str, as_of_ms: int | None = None):
             import os
 
             self._dir = os.path.join(root, table)
             # ONE manifest read per scan: planning (pushFilters/partitions)
             # and the file list come from the same snapshot, the same
             # consistency contract as TableStore.read_where
-            with open(os.path.join(self._dir, "MANIFEST.json")) as f:
-                self._manifest = json.load(f)
+            self._manifest = _load_manifest(self._dir, as_of_ms)
             self._table = table
             self._where: list[tuple] = []
 
@@ -210,22 +241,27 @@ def build_store_datasource():
     class StoreDataSource(DataSource):
         """``spark.read.format("stripe_store").option("root", ...)
         .option("table", ...)`` — a current-manifest scan with pushdown-
-        driven bucket pruning."""
+        driven bucket pruning. Optional ``.option("as_of_ms", <epoch ms>)``
+        plans against the retained history snapshot instead (Delta
+        ``TIMESTAMP AS OF`` semantics; snapshotted stats prune too)."""
 
         @classmethod
         def name(cls):
             return "stripe_store"
 
+        def _as_of(self):
+            v = self.options.get("as_of_ms")
+            return int(v) if v is not None else None
+
         def schema(self):
-            import json
             import os
 
-            with open(
-                os.path.join(self.options["root"], self.options["table"], "MANIFEST.json")
-            ) as f:
-                return StructType.fromJson(json.load(f)["schema"])
+            manifest = _load_manifest(
+                os.path.join(self.options["root"], self.options["table"]), self._as_of()
+            )
+            return StructType.fromJson(manifest["schema"])
 
         def reader(self, schema):
-            return StoreReader(self.options["root"], self.options["table"])
+            return StoreReader(self.options["root"], self.options["table"], self._as_of())
 
     return StoreDataSource

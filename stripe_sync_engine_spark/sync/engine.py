@@ -1053,7 +1053,7 @@ class StripeSparkSync:
         with self._table_write_lock(entity):
             self.store.rebucket(entity, n_buckets)
 
-    def create_views(self, prefix: str = "stripe_") -> list[str]:
+    def create_views(self, prefix: str = "stripe_", as_of_ms: int | None = None) -> list[str]:
         """Expose every synced table to Spark SQL users — the reference's
         stated purpose for the synced schema (README.md:18-20: the tables
         exist to be queried with ordinary SQL and joined against business
@@ -1071,7 +1071,15 @@ class StripeSparkSync:
         landing between two queries is visible to the second.
 
         Returns the view names registered. Call again after creating new
-        tables (e.g. a first webhook for a new entity) to pick them up."""
+        tables (e.g. a first webhook for a new entity) to pick them up.
+
+        ``as_of_ms`` pins every view to the retained history snapshot
+        current at that epoch-ms instant (Delta ``TIMESTAMP AS OF``
+        semantics; requires a vacuum retention, like
+        ``TableStore.read(as_of_ms=...)``) — pass a distinct ``prefix``
+        (e.g. ``"stripe_asof_"``) to query a snapshot next to the live
+        views. Tables with no retained snapshot at that instant are
+        skipped (they did not exist yet, or history was pruned)."""
         from stripe_sync_engine_spark.sources.store_datasource import build_store_datasource
 
         # the Python-datasource pushdown path is conf-gated; planning
@@ -1080,14 +1088,19 @@ class StripeSparkSync:
         self.spark.dataSource.register(build_store_datasource())
         views = []
         for table in self.store.tables():
-            df = (
+            if as_of_ms is not None and not [
+                c for c in self.store.commits(table) if c <= as_of_ms
+            ]:
+                continue  # no snapshot at that instant: table didn't exist
+            reader = (
                 self.spark.read.format("stripe_store")
                 .option("root", self.store.root)
                 .option("table", table)
-                .load()
             )
+            if as_of_ms is not None:
+                reader = reader.option("as_of_ms", str(as_of_ms))
             name = f"{prefix}{table}"
-            df.createOrReplaceTempView(name)
+            reader.load().createOrReplaceTempView(name)
             views.append(name)
         return views
 

@@ -2031,3 +2031,100 @@ def test_create_views_sql_parity_and_pruning(engine):
     )
     n = spark.sql("SELECT count(*) AS n FROM stripe_charges WHERE created >= 1900000000").collect()
     assert n[0]["n"] == 1
+
+
+def test_create_views_as_of_snapshot(spark, tmp_path):
+    """as_of_ms pins views to the retained snapshot (TIMESTAMP AS OF):
+    the snapshot view serves the old state next to the live view, with
+    the snapshot's own stats still pruning."""
+    import time as _time
+
+    store = TableStore(spark, str(tmp_path / "wh_asof_v"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store, api=None)
+    store.write("charges", spark.createDataFrame([("ch_1", 100)], "id string, amount long"))
+    _time.sleep(0.01)
+    t1 = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    touched = store.buckets_of(
+        spark.createDataFrame([("ch_2",)], "id string"), table="charges"
+    )
+    store.write_buckets(
+        "charges",
+        store.read_buckets("charges", touched).unionByName(
+            spark.createDataFrame([("ch_2", 200)], "id string, amount long")
+        ),
+        touched,
+    )
+    assert "stripe_charges" in eng.create_views()
+    assert eng.create_views(prefix="stripe_asof_", as_of_ms=t1) == ["stripe_asof_charges"]
+    live = {r["id"] for r in spark.sql("SELECT id FROM stripe_charges").collect()}
+    old = {r["id"] for r in spark.sql("SELECT id FROM stripe_asof_charges").collect()}
+    assert live == {"ch_1", "ch_2"} and old == {"ch_1"}
+    # before the table existed: no view registered
+    assert eng.create_views(prefix="x_", as_of_ms=t1 - 10_000_000) == []
+
+
+def test_datasource_prune_equivalence_property(spark, tmp_path):
+    """Hypothesis pin: the DataSource's compact _may_match agrees with
+    TableStore._bucket_may_match on every generated (stats, predicate)
+    for the value domains a pushed filter carries — the guard that keeps
+    the deliberate duplication from drifting."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    store = TableStore(spark, str(tmp_path / "wh_prop"))
+    store.write("t", spark.createDataFrame([("a", 1)], "id string, v int"))
+    # the check is only reachable through partitions() (nested closure), so
+    # drive equivalence at the OUTCOME level: plant generated stats on a
+    # one-bucket manifest and compare keep/skip decisions
+    num = st.one_of(st.integers(-1000, 1000), st.floats(-1e6, 1e6, allow_nan=False))
+    stat = st.fixed_dictionaries(
+        {
+            "rows": st.integers(0, 100),
+            "cols": st.fixed_dictionaries(
+                {
+                    "v": st.fixed_dictionaries(
+                        {"nulls": st.one_of(st.none(), st.integers(0, 100))},
+                        optional={"min": num, "max": num},
+                    )
+                }
+            ),
+        }
+    )
+    ops = st.sampled_from([">=", ">", "<=", "<", "="])
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    fcls = {
+        ">=": GreaterThanOrEqual,
+        ">": GreaterThan,
+        "<=": LessThanOrEqual,
+        "<": LessThan,
+        "=": EqualTo,
+    }
+
+    @settings(max_examples=200, deadline=None)
+    @given(bstats=st.one_of(st.none(), stat), op=ops, val=num)
+    def check(bstats, op, val):
+        want = TableStore._bucket_may_match(bstats, "v", op, val)
+        # outcome-level: plant the stats on the real manifest's buckets and
+        # compare the reader's keep-set against prune_buckets
+        reader = _store_reader(store, "t")
+        reader._manifest = {
+            "n_buckets": 1,
+            "buckets": {"0": "v0"},
+            "stats": {"0": bstats},
+            "schema": store._read_manifest("t")["schema"],
+        }
+        reader._dir = str(tmp_path / "nonexistent")
+        reader.pushFilters([fcls[op](("v",), val)])
+        kept = [p for p in reader.partitions() if p.path]
+        assert bool(kept) == want, (bstats, op, val)
+
+    check()
