@@ -127,10 +127,20 @@ def _bench_sync_ingest(spark, n_events: int) -> dict[str, float]:
         skipped = engine.store.read_where("charges", [("created", ">=", cut)])
         skipped.write.format("noop").mode("overwrite").save()
         skip_s = time.perf_counter() - t0
+        # the same predicate through the SQL front door (stripe_store
+        # Python DataSource): pushFilters prunes to the identical bucket
+        # set; measures the per-query planning (manifest re-read in the
+        # planning worker) + Python-worker scan of the surviving buckets
+        engine.create_views()
+        t0 = time.perf_counter()
+        via_sql = spark.sql(f"SELECT * FROM stripe_charges WHERE created >= {cut}")
+        via_sql.write.format("noop").mode("overwrite").save()
+        sql_s = time.perf_counter() - t0
         return {
             "sync_ingest_5k_events": round(ingest_s, 3),
             "sync_scan_recent_full": round(full_s, 3),
             "sync_scan_recent_skipped": round(skip_s, 3),
+            "sync_scan_recent_sql_view": round(sql_s, 3),
         }
     finally:
         shutil.rmtree(wh, ignore_errors=True)
