@@ -547,7 +547,12 @@ class TableStore:
         if cs is None:
             return True
         rows, nulls = bstats.get("rows"), cs.get("nulls")
-        if rows is not None and nulls is not None and nulls >= rows and rows > 0:
+        all_null = rows is not None and nulls is not None and nulls >= rows and rows > 0
+        if op == "isnull":
+            return nulls is None or nulls > 0  # zero recorded nulls: skip
+        if op == "isnotnull":
+            return not all_null
+        if all_null:
             return False  # all-null column: no comparison ever matches
         mn, mx = cs.get("min"), cs.get("max")
 
@@ -579,8 +584,9 @@ class TableStore:
     ) -> list[int] | None:
         """Bucket ids that may hold rows matching ALL of ``where`` — the
         data-skipping plan. ``where`` is a list of ``(column, op, value)``
-        with op in {=, ==, >=, <=, >, <, in}. Returns None if the table
-        does not exist."""
+        with op in {=, ==, >=, <=, >, <, in, isnull, isnotnull} (the null
+        ops ignore ``value``; they prune via the per-bucket null counts).
+        Returns None if the table does not exist."""
         manifest = manifest or self._read_manifest(table)
         if manifest is None:
             return None
@@ -691,7 +697,11 @@ class TableStore:
     def _apply_where(df: DataFrame, where: list[tuple]) -> DataFrame:
         for col, op, val in where:
             c = F.col(col)
-            if op == "in":
+            if op == "isnull":
+                df = df.filter(c.isNull())
+            elif op == "isnotnull":
+                df = df.filter(c.isNotNull())
+            elif op == "in":
                 df = df.filter(c.isin(list(val)))
             elif op in ("=", "=="):
                 df = df.filter(c == F.lit(val))

@@ -2128,3 +2128,23 @@ def test_datasource_prune_equivalence_property(spark, tmp_path):
         assert bool(kept) == want, (bstats, op, val)
 
     check()
+
+
+def test_data_skipping_null_ops(spark, tmp_path):
+    """isnull/isnotnull predicates prune via per-bucket null counts: a
+    bucket with zero recorded nulls is skipped by isnull, an all-null
+    bucket by isnotnull — and results equal the unpruned filter."""
+    store = TableStore(spark, str(tmp_path / "wh_nulls"))
+    rows = spark.range(100).selectExpr(
+        "concat('k_', id) AS id",
+        "CASE WHEN id < 10 THEN NULL ELSE cast(id AS long) END AS v",
+    )
+    store.write("t", rows)
+    m = store._read_manifest("t")
+    want_null = {r["id"] for r in store.read("t").filter("v IS NULL").collect()}
+    got_null = {r["id"] for r in store.read_where("t", [("v", "isnull", None)]).collect()}
+    assert got_null == want_null and len(got_null) == 10
+    pruned = store.prune_buckets("t", [("v", "isnull", None)])
+    assert len(pruned) < len(m["buckets"])  # zero-null buckets skipped
+    got_nn = store.read_where("t", [("v", "isnotnull", None)]).count()
+    assert got_nn == 90
