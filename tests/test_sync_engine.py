@@ -2148,3 +2148,43 @@ def test_data_skipping_null_ops(spark, tmp_path):
     assert len(pruned) < len(m["buckets"])  # zero-null buckets skipped
     got_nn = store.read_where("t", [("v", "isnotnull", None)]).count()
     assert got_nn == 90
+
+
+def _mp_lock_worker(root, counter, n):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(None, root)
+    for _ in range(n):
+        with store._commit_lock("t"):
+            with open(counter) as f:
+                v = int(f.read())
+            with open(counter, "w") as f:
+                f.write(str(v + 1))
+
+
+def test_commit_lock_mutual_exclusion_across_processes(tmp_path):
+    """The commit lock is an O_CREAT|O_EXCL lock FILE precisely so that
+    writers in different PROCESSES serialize (the threading locks only
+    cover one driver). Four processes hammer a non-atomic read-modify-
+    write under the lock; the counter is exact iff mutual exclusion
+    held. (TableStore is constructed sparkless — the lock never touches
+    the session.)"""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "wh_mplock")
+    counter = str(tmp_path / "counter.txt")
+    with open(counter, "w") as f:
+        f.write("0")
+
+    ctx = mp.get_context("spawn")  # no forked-JVM state
+    procs = [ctx.Process(target=_mp_lock_worker, args=(root, counter, 25)) for _ in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    with open(counter) as f:
+        assert int(f.read()) == 100
