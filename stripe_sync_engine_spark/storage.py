@@ -723,7 +723,14 @@ class TableStore:
     ) -> str:
         tdir = self._dir(table)
         os.makedirs(tdir, exist_ok=True)
-        version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        # ms + pid + per-process monotonic ns: two commits of one table
+        # inside the SAME millisecond (a hot JVM does this) must not share
+        # a version dir name — they'd overwrite each other's files while
+        # both manifest entries point at the survivor, and the OCC
+        # precondition (planned_versions) couldn't even see the swap.
+        # vacuum_orphans parses the leading ms for the age floor; the
+        # extra suffix is opaque to it (split('_', 1)).
+        version = f"v{int(time.time() * 1000)}_{os.getpid()}_{time.monotonic_ns()}"
         path = os.path.join(tdir, version)
         out = df.withColumn("_bucket", self.bucket_expr(key, nb))
         if not pre_clustered:

@@ -1826,6 +1826,18 @@ def test_data_skipping_respects_session_timezone(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def _id_in_bucket(spark, store, table, bucket, prefix="c"):
+    """An id whose store bucket equals ``bucket`` — crafted so concurrency
+    tests conflict deterministically instead of by hash luck."""
+    nb = store._table_n_buckets(table)
+    cands = spark.createDataFrame(
+        [(f"{prefix}{i}",) for i in range(4 * nb)], "id string"
+    ).withColumn("b", store.bucket_expr("id", nb))
+    row = cands.where(f"b = {bucket}").limit(1).collect()
+    assert row, f"no candidate id hashed into bucket {bucket}"
+    return row[0]["id"]
+
+
 def test_write_buckets_version_precondition_detects_conflict(spark, tmp_path):
     """planned_versions is the optimistic-concurrency guard: a concurrent
     commit moving a targeted bucket's version after planning makes the
@@ -1836,14 +1848,17 @@ def test_write_buckets_version_precondition_detects_conflict(spark, tmp_path):
     planned = dict(m["buckets"])
     target = sorted(map(int, planned))
     stale = store.read_buckets("t", target)
-    # concurrent writer lands between the plan and the commit
-    extra = spark.createDataFrame([("c", 3)], "id string, v int")
+    # concurrent writer lands between the plan and the commit — its id is
+    # CRAFTED to hash into a targeted bucket (an id landing in a bucket
+    # outside the stale write's target set conflicts with nothing)
+    cid = _id_in_bucket(spark, store, "t", target[0], prefix="c")
+    extra = spark.createDataFrame([(cid, 3)], "id string, v int")
     touched = store.buckets_of(extra, table="t")
     store.write_buckets("t", store.read_buckets("t", touched).unionByName(extra), touched)
     with pytest.raises(RuntimeError, match="concurrent"):
         store.write_buckets("t", stale, target, planned_versions=planned)
     # nothing was lost
-    assert {r["id"] for r in store.read("t").collect()} == {"a", "b", "c"}
+    assert {r["id"] for r in store.read("t").collect()} == {"a", "b", cid}
 
 
 def test_compact_aborts_on_concurrent_merge(spark, tmp_path):
@@ -1859,15 +1874,19 @@ def test_compact_aborts_on_concurrent_merge(spark, tmp_path):
     fired = {}
 
     def racing_write_version(table, df, key, nb, pre_clustered=False):
-        if not fired:  # inject one concurrent commit mid-compact
+        if "x" not in fired:  # inject one concurrent commit mid-compact
             fired["x"] = True
-            extra = spark.createDataFrame([("zz_new", 999)], "id string, v int")
+            extra = spark.createDataFrame([(fired["cid"], 999)], "id string, v int")
             touched = side.buckets_of(extra, table="t")
             side.write_buckets(
                 "t", side.read_buckets("t", touched).unionByName(extra), touched
             )
         return real_write_version(table, df, key, nb, pre_clustered=pre_clustered)
 
+    # the racer's id must land in a bucket compact WILL rewrite, or there
+    # is no conflict; compute a targeted (fragmented) bucket up front
+    m0 = store._read_manifest("t")
+    fired["cid"] = _id_in_bucket(spark, store, "t", sorted(map(int, m0["buckets"]))[0], "zz")
     store._write_version = racing_write_version
     try:
         with pytest.raises(RuntimeError, match="concurrent"):
@@ -1875,7 +1894,7 @@ def test_compact_aborts_on_concurrent_merge(spark, tmp_path):
     finally:
         store._write_version = real_write_version
     got = {r["id"] for r in store.read("t").collect()}
-    assert "zz_new" in got and len(got) == 101  # the merge survived intact
+    assert fired["cid"] in got and len(got) == 101  # the merge survived intact
 
 
 def test_compact_entity_serializes_with_merges(engine):
