@@ -133,10 +133,13 @@ def _bench_sync_ingest(spark, n_events: int) -> dict[str, float]:
         # planning worker) + Python-worker scan of the surviving buckets
         engine.create_views()
         # warm the Python-datasource path (planning worker + executor
-        # python workers) so the timed run measures steady-state per-query
-        # cost — the full/skipped probes above run against an already-warm
-        # JVM scan path, so this keeps the comparison like-for-like
-        spark.sql("SELECT count(*) AS n FROM stripe_charges").collect()
+        # python workers) with the SAME plan shape so the timed run
+        # measures steady-state per-query cost — the full/skipped probes
+        # above run against an already-warm JVM scan path, so this keeps
+        # the comparison like-for-like
+        spark.sql(
+            f"SELECT * FROM stripe_charges WHERE created >= {cut - 100}"
+        ).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         via_sql = spark.sql(f"SELECT * FROM stripe_charges WHERE created >= {cut}")
         via_sql.write.format("noop").mode("overwrite").save()
