@@ -154,6 +154,42 @@ def _bench_sync_ingest(spark, n_events: int) -> dict[str, float]:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _bench_incremental_dedup(spark, sf_dir: str) -> dict[str, float]:
+    """Incremental corpus dedup: register the documents corpus' exact
+    fingerprints once (the setup a deployment amortizes over its life),
+    then time ONE arriving batch — half replayed corpus docs, half new —
+    gated against the persisted store. The timed path is the operator's
+    steady state: bucket probe, anti-join over touched buckets only,
+    partial commit of the survivors (operators/incremental_dedup.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.tables import load_table
+
+    wh = tempfile.mkdtemp(prefix="bench_inc_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dd = IncrementalDeduper(TableStore(spark, wh))
+        dd.filter_new(docs)  # corpus registration (untimed setup)
+        replay = docs.limit(500)
+        fresh = docs.limit(500).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("NEW:"), F.col("text")).alias("text"),
+        )
+        batch = replay.unionByName(fresh).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        n_new = dd.filter_new(batch).count()
+        dt = time.perf_counter() - t0
+        assert n_new == 500, f"expected 500 survivors, got {n_new}"
+        return {"dd_incremental_batch": round(dt, 3)}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -183,6 +219,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     times.update(_bench_sync_ingest(spark, n_events=5000))
+    times.update(_bench_incremental_dedup(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(

@@ -485,3 +485,58 @@ def test_real_pixel_decode_with_pil(spark):  # pragma: no cover
     df = spark.createDataFrame([(1, _tiny_png(8, 6))], "doc_id long, payload binary")
     row = decode_binary_meta(df).collect()[0]
     assert (row["fake_width"], row["fake_height"]) == (8, 6)
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (r7): batches gate against a persisted,
+# fingerprint-bucketed store table — O(batch ∩ buckets) per batch, replay-
+# idempotent (operators/incremental_dedup.py).
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_inc"))
+    dd = IncrementalDeduper(store, content_col="text", id_col="doc_id")
+    b1 = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "beta", "en"), (7, "alpha", "de")],  # 7 dups 1 in-batch
+        "doc_id long, text string, lang string",
+    )
+    got1 = {(r["doc_id"], r["text"], r["lang"]) for r in dd.filter_new(b1).collect()}
+    assert got1 == {(1, "alpha", "en"), (2, "beta", "en")}  # min-id wins, schema intact
+    assert dd.seen_count() == 2
+
+    b2 = spark.createDataFrame(
+        [(3, "alpha", "fr"), (4, "gamma", "en"), (5, "beta", "en"), (6, "delta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got2 = {r["doc_id"] for r in dd.filter_new(b2).collect()}
+    assert got2 == {4, 6}  # alpha/beta already in the corpus
+    assert dd.seen_count() == 4
+
+    # replay of batch 2 (at-least-once delivery): zero survivors, zero
+    # commits — the manifest's version map is unchanged
+    before = store._read_manifest(dd.table)["buckets"]
+    assert dd.filter_new(b2).isEmpty()
+    assert store._read_manifest(dd.table)["buckets"] == before
+
+    # the probe is bucket-pruned: a one-row batch touches fewer buckets
+    # than the fingerprint table holds
+    b3 = spark.createDataFrame([(9, "epsilon", "en")], "doc_id long, text string, lang string")
+    fps = dd._fingerprints(b3)
+    touched = store.buckets_of(fps, key="fingerprint", table=dd.table)
+    assert len(touched) == 1
+    assert {r["doc_id"] for r in dd.filter_new(b3).collect()} == {9}
+
+
+def test_incremental_dedup_registers_provenance(spark, tmp_path):
+    """The fingerprint table records the FIRST registrant's id — the
+    provenance answer to 'which document made this one a duplicate'."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_inc2"))
+    dd = IncrementalDeduper(store)
+    dd.filter_new(spark.createDataFrame([(10, "same text")], "doc_id long, text string"))
+    dd.filter_new(spark.createDataFrame([(99, "same text")], "doc_id long, text string"))
+    rows = store.read(dd.table).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 10
