@@ -128,3 +128,126 @@ class IncrementalDeduper:
         """Registered distinct-content count (corpus cardinality)."""
         df = self.store.read(self.table)
         return 0 if df is None else df.count()
+
+
+class IncrementalNearDeduper:
+    """NEAR-dup gate over a persisted MinHash-LSH band index — the
+    incremental counterpart of ``plans/dedup.dd_minhash_lsh_pairs``.
+
+    The store table holds one row per (document, band): the LSH band key
+    plus the full 12-component signature, BUCKETED BY BAND KEY. An
+    arriving batch computes its own signatures (the exact column pipeline
+    the corpus plans use — ``plans/dedup.minhash_sigs_for``), probes ONLY
+    the buckets its band keys hash into, and joins on (band, band_key) to
+    find corpus candidates; each candidate's Jaccard is ESTIMATED as the
+    fraction of agreeing signature components (the standard MinHash
+    estimator — the corpus text is not stored, its 96-byte sketch is).
+    Batch docs with any candidate at or above the threshold are dropped;
+    survivors' band rows are registered in one OCC-guarded partial
+    commit.
+
+    Replay idempotence: a replayed batch finds its own registered rows as
+    estimate-1.0 candidates, so it yields zero survivors and commits
+    nothing. Intra-batch near-dups are admitted TOGETHER by design (the
+    gate compares batch vs corpus; batch-internal pairs are the one-shot
+    ``dd_minhash_lsh_pairs``'s job, and once registered the next batch is
+    gated against both) — a periodic corpus re-cluster catches residuals,
+    matching how production pipelines stage exact-gate → near-gate →
+    offline re-cluster.
+
+    At 100 TB: the index is ~4 rows × ~130 bytes per document (a <0.1%
+    shadow), and a batch's IO is bounded by its own band keys' buckets —
+    never a corpus scan. Docs too short to shingle (< SHINGLE_W words)
+    have no bands: they bypass the near gate (compose with
+    ``IncrementalDeduper`` for the exact gate first, which is also what
+    keeps identical texts from ever reaching this index twice)."""
+
+    def __init__(
+        self,
+        store,
+        table: str = "_band_index",
+        content_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+    ):
+        self.store = store
+        self.table = table
+        self.content_col = content_col
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def _band_rows(self, batch: DataFrame) -> DataFrame:
+        from stripe_sync_engine_spark.plans.dedup import band_rows_of_sigs, minhash_sigs_for
+
+        return band_rows_of_sigs(
+            minhash_sigs_for(batch, id_col=self.id_col, text_col=self.content_col)
+        )
+
+    def candidates(self, batch: DataFrame) -> DataFrame:
+        """(doc_id, seen_doc_id, est_jaccard) — corpus near-candidates of
+        the batch, est_jaccard = mean signature-component agreement.
+        Bucket-pruned: only the batch's own band-key buckets are read."""
+        rows = self._band_rows(batch)
+        store, table = self.store, self.table
+        if not store.exists(table):
+            return rows.select(
+                F.col("doc_id"),
+                F.col("doc_id").alias("seen_doc_id"),
+                F.lit(0.0).alias("est_jaccard"),
+            ).limit(0)
+        touched = store.buckets_of(rows, key="band_key", table=table)
+        return self._candidates_against(rows, store.read_buckets(table, touched))
+
+    def filter_new(self, batch: DataFrame) -> DataFrame:
+        """Batch rows with NO corpus near-candidate at ``threshold``
+        (original schema); survivors' band rows are durably registered."""
+        rows = self._band_rows(batch)
+        store, table = self.store, self.table
+        if not store.exists(table):
+            store.write(table, rows, key="band_key")
+            return batch
+        # plan, read, and commit against ONE manifest (OCC precondition,
+        # same contract as IncrementalDeduper.filter_new)
+        manifest = store._read_manifest(table)
+        touched = store.buckets_of(rows, key="band_key", table=table)
+        index = store._scan_manifest(table, manifest, touched)
+        dup_ids = (
+            self._candidates_against(rows, index)
+            .where(F.col("est_jaccard") >= self.threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = batch.join(
+            dup_ids.withColumnRenamed("doc_id", self.id_col), self.id_col, "left_anti"
+        )
+        fresh_rows = rows.join(
+            dup_ids, "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)  # pre-commit lineage cut (vacuum)
+        if not fresh_rows.isEmpty():
+            store.write_buckets(
+                table,
+                index.unionByName(fresh_rows),
+                touched,
+                key="band_key",
+                planned_versions=dict(manifest["buckets"]),
+            )
+        return survivors
+
+    def _candidates_against(self, rows: DataFrame, index: DataFrame) -> DataFrame:
+        from stripe_sync_engine_spark.plans.dedup import MINHASH_SEEDS
+
+        agree = sum(
+            F.when(F.col(f"m{s}") == F.col(f"i_m{s}"), 1).otherwise(0)
+            for s in range(MINHASH_SEEDS)
+        )
+        renamed = index.select(
+            F.col("band"),
+            F.col("band_key"),
+            F.col("doc_id").alias("seen_doc_id"),
+            *[F.col(f"m{s}").alias(f"i_m{s}") for s in range(MINHASH_SEEDS)],
+        )
+        return (
+            rows.join(renamed, ["band", "band_key"])
+            .groupBy("doc_id", "seen_doc_id")
+            .agg((F.max(agree) / F.lit(float(MINHASH_SEEDS))).alias("est_jaccard"))
+        )

@@ -233,38 +233,59 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def _minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc LSH band keys with ONE md5 per shingle: h = int64 of the
-    first 8 hex chars of md5(shingle), then the per-seed MinHash is
-    ``min((a_s·h + b_s) mod p)`` — a textbook universal-hash MinHash.
+def minhash_sigs_for(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, m0..m11) MinHash signatures of ANY (id, text) DataFrame —
+    the DF-generic core shared by the corpus-wide plans below and the
+    incremental gate (``operators/incremental_dedup.IncrementalNearDeduper``).
 
-    Physical shape: explode shingles → whole-stage-codegen'd h32 → ONE hash
-    aggregation computing all 12 seed minima as parallel ``min`` columns.
-    Every stage is codegen (an earlier all-higher-order-function version was
-    shuffle-free but 10× slower: HOF lambdas evaluate interpreted). The
-    aggregation is map-side combinable and — since each document's shingles
-    come from a single input row — partial aggregation collapses them
-    BEFORE the exchange, so the shuffle carries one 13-column row per
-    document regardless of corpus size."""
-    base = _doc_shingle_arrays(spark, sf_dir)
+    One md5 per shingle: h = int64 of the first 8 hex chars of
+    md5(shingle), then the per-seed MinHash is ``min((a_s·h + b_s) mod p)``
+    — a textbook universal-hash MinHash. Physical shape: explode shingles
+    → whole-stage-codegen'd h32 → ONE hash aggregation computing all 12
+    seed minima as parallel ``min`` columns. Every stage is codegen (an
+    earlier all-higher-order-function version was shuffle-free but 10×
+    slower: HOF lambdas evaluate interpreted). The aggregation is
+    map-side combinable and — since each document's shingles come from a
+    single input row — partial aggregation collapses them BEFORE the
+    exchange, so the shuffle carries one 13-column row per document
+    regardless of corpus size. Docs with fewer than SHINGLE_W words have
+    no shingles and are absent from the output."""
+    words = docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words"))
+    base = words.select("doc_id", shingles_of_words(F.col("words")).alias("sh_arr"))
     ex = base.select("doc_id", F.explode("sh_arr").alias("shingle"))
     h = ex.select("doc_id", F.conv(F.md5("shingle").substr(1, 8), 16, 10).cast("long").alias("h32"))
-    sigs = h.groupBy("doc_id").agg(
+    return h.groupBy("doc_id").agg(
         *[
             F.min((F.lit(MH_A[s]) * (F.col("h32") % MH_PRIME) + F.lit(MH_B[s])) % MH_PRIME).alias(f"m{s}")
             for s in range(MINHASH_SEEDS)
         ]
     )
+
+
+def band_rows_of_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key, m0..m11) LSH band rows from a signature
+    DataFrame: band_key = md5 of the band's row-concatenated sig values.
+    The sig columns ride along so consumers (the incremental near-dup
+    index) can estimate Jaccard from component agreement without a second
+    pass."""
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"m{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]))
             for b in range(LSH_BANDS)
         ]
     )
-    return (
-        sigs.select("doc_id", F.posexplode(bands).alias("band", "band_key"))
-        .select("doc_id", F.col("band").cast("int").alias("band"), "band_key")
+    sig_cols = [f"m{s}" for s in range(MINHASH_SEEDS)]
+    return sigs.select("doc_id", F.posexplode(bands).alias("band", "band_key"), *sig_cols).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "band_key", *sig_cols
     )
+
+
+def _minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LSH band keys of the documents table (see
+    ``minhash_sigs_for`` for the physical-shape notes; the corpus plans
+    only need the keys, so the sig columns are dropped here)."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return band_rows_of_sigs(minhash_sigs_for(docs)).select("doc_id", "band", "band_key")
 
 
 SQL_SEEDS = ", ".join(f"({s}, {MH_A[s]}, {MH_B[s]})" for s in range(MINHASH_SEEDS))

@@ -540,3 +540,65 @@ def test_incremental_dedup_registers_provenance(spark, tmp_path):
     dd.filter_new(spark.createDataFrame([(99, "same text")], "doc_id long, text string"))
     rows = store.read(dd.table).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 10
+
+
+def test_incremental_near_dedup_gate(spark, tmp_path):
+    """Near-dup gating against the persisted band index: a batch doc
+    sharing most shingles with a registered doc is dropped, an unrelated
+    doc passes, replays commit nothing, and candidates() reports the
+    estimated Jaccard of the match."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalNearDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = base + " extra"  # shares almost every 5-shingle with base
+    other = "completely different words compose this second document about spark engines and parquet files"
+    store = TableStore(spark, str(tmp_path / "wh_near"))
+    nd = IncrementalNearDeduper(store, threshold=0.5)
+
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert {r["doc_id"] for r in nd.filter_new(b1).collect()} == {1}
+
+    b2 = spark.createDataFrame([(2, near), (3, other)], "doc_id long, text string")
+    cands = {(r["doc_id"], r["seen_doc_id"]): r["est_jaccard"] for r in nd.candidates(b2).collect()}
+    assert cands.get((2, 1), 0.0) >= 0.5  # near-dup candidate with high estimate
+    got2 = {r["doc_id"] for r in nd.filter_new(b2).collect()}
+    assert got2 == {3}  # 2 gated out as near-dup of 1
+
+    # replay: self-candidates at estimate 1.0 → zero survivors, no commit
+    before = store._read_manifest(nd.table)["buckets"]
+    assert nd.filter_new(b2).isEmpty()
+    assert store._read_manifest(nd.table)["buckets"] == before
+
+    # too-short doc: no shingles, bypasses the near gate by contract
+    b3 = spark.createDataFrame([(9, "tiny text")], "doc_id long, text string")
+    assert {r["doc_id"] for r in nd.filter_new(b3).collect()} == {9}
+
+    # the index stores one row per (doc, band): 4 bands per indexed doc
+    from stripe_sync_engine_spark.plans.dedup import LSH_BANDS
+
+    n_rows = store.read(nd.table).count()
+    assert n_rows == 2 * LSH_BANDS  # docs 1 and 3 registered; 2 and 9 not
+
+
+def test_incremental_near_dedup_probe_is_bucket_pruned(spark, tmp_path):
+    """The candidate probe reads only the batch's own band-key buckets."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalNearDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_near2"))
+    nd = IncrementalNearDeduper(store)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    corpus = spark.createDataFrame(
+        [(i, " ".join(words[i % 5 :] + words[: i % 5]) + f" tail{i} more{i} pad{i} word{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    nd.filter_new(corpus)
+    from stripe_sync_engine_spark.plans.dedup import LSH_BANDS
+
+    one = spark.createDataFrame([(100, "one single probe document with enough words to shingle fully")], "doc_id long, text string")
+    rows = nd._band_rows(one)
+    touched = store.buckets_of(rows, key="band_key", table=nd.table)
+    total = len(store._read_manifest(nd.table)["buckets"])
+    assert 0 < len(touched) <= LSH_BANDS  # ≤ one bucket per band key
+    assert len(touched) < total or total <= 4
