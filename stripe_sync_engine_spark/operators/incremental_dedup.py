@@ -1,34 +1,56 @@
-"""Incremental corpus dedup: new batches against a persisted fingerprint
-store — the 100 TB shape of exact dedup.
+"""Incremental corpus dedup: new batches against persisted gate state —
+the 100 TB shape of dedup.
 
 ``plans/dedup.py`` runs GLOBAL dedup over a static corpus (the driver-
 gated dd_* family). A production training-data pipeline doesn't re-run a
-global pass per arriving batch: it keeps a FINGERPRINT TABLE and asks,
-per batch, "which of these documents has the corpus never seen?" This
-operator is that question expressed on the bucketed store:
+global pass per arriving batch: it keeps gate state and asks, per batch,
+"which of these documents has the corpus never seen?" Two gates, both on
+the bucketed store:
 
-* fingerprints (md5 of the content column — same formula as ``dd_exact``,
-  JVM-side) live in a store table BUCKETED BY FINGERPRINT, so a batch's
-  membership probe prunes to the buckets its own hashes touch —
+* **Exact** (``IncrementalDeduper``): md5 content fingerprints (the
+  ``dd_exact`` formula, JVM-side) in a table BUCKETED BY FINGERPRINT —
+  a batch's membership probe prunes to the buckets its own hashes touch,
   O(batch ∩ buckets) IO per batch, never O(corpus), exactly like the
-  engine's CDC merges;
-* the probe is a broadcast-friendly left-anti join of the batch against
-  ONLY those buckets (Catalyst broadcasts the batch side when small);
-* registering the survivors' fingerprints is the store's idempotent
-  partial commit: replaying a batch after a crash re-registers nothing
-  and returns zero new documents — at-least-once delivery degrades to
-  exactly-once effects, the same argument as the webhook merge
-  (storage.py write_buckets; SURVEY §2.9 T2).
+  engine's CDC merges. The probe is a broadcast-friendly left-anti join
+  over only those buckets.
+* **Near** (``IncrementalNearDeduper``): a MinHash-LSH band index —
+  one row per (document, band) holding the band key + the full
+  12-component signature, BUCKETED BY BAND KEY. Batch signatures come
+  from the exact column pipeline the corpus plans use
+  (``plans/dedup.minhash_sigs_for``); candidates join on (band,
+  band_key) and Jaccard is ESTIMATED as the fraction of agreeing
+  signature components (the standard MinHash estimator — corpus text is
+  not stored, its ~96-byte sketch is).
 
-Within-batch duplicates are also collapsed (keep the smallest doc_id,
-deterministic) so a batch containing the same text twice yields one
-survivor, matching ``dd_exact``'s keep-min-id convention.
+Both gates are TWO-PHASE so callers control crash ordering:
 
-At 100 TB: the fingerprint table is 16-byte hashes + ids — a ~0.1% shadow
-of the corpus — bucketed into thousands of buckets; each arriving batch
-touches only its hash-prefix buckets and the anti-join ships only those.
-Reference analog: none (the reference has no dedup layer); this is the
-training-data-pipeline extension the engine exists for.
+* ``select_new(batch)`` is PURE — survivors in the batch's original
+  schema, no state mutated;
+* ``register(docs)`` durably records fingerprints / band rows,
+  idempotently (already-recorded content registers nothing) and
+  OCC-guarded (a concurrent writer racing the commit fails loudly);
+* ``filter_new(batch)`` = select_new then register(survivors) — the
+  one-call form when the caller's sink is the registration itself.
+
+The streaming pipeline (``streaming/documents.py``) orders sink-merge
+BETWEEN select and register, so an at-least-once replay after any crash
+converges: unregistered survivors pass the gate again and the keyed sink
+merge drops them; registered ones never re-pass.
+
+Intra-batch semantics: the exact gate collapses within-batch duplicates
+to the min-id row (``dd_exact``'s convention); the near gate admits
+intra-batch near-dups TOGETHER by design (batch-internal pairs are the
+one-shot ``dd_minhash_lsh_pairs``'s job; once registered, the next batch
+is gated against all of them) — production pipelines stage exact-gate →
+near-gate → periodic offline re-cluster. Docs too short to shingle
+(< SHINGLE_W words) have no bands and bypass the near gate by contract.
+
+At 100 TB: the fingerprint table is 16-byte hashes + ids and the band
+index ~4 rows × ~130 bytes per document — together a <0.2% shadow of the
+corpus, bucketed into thousands of buckets; each arriving batch touches
+only its own hash-prefix buckets. Reference analog: none (the reference
+has no dedup layer); this is the training-data-pipeline extension the
+engine exists for.
 """
 
 from __future__ import annotations
@@ -40,13 +62,7 @@ FINGERPRINT_COL = "fingerprint"
 
 
 class IncrementalDeduper:
-    """Exact-dedup gate over a persisted fingerprint table.
-
-    ``filter_new(batch)`` returns the batch rows whose content the corpus
-    has not seen (within-batch duplicates collapsed to the min-id row)
-    and durably registers their fingerprints, so a later batch — or a
-    replay of this one — treats them as seen.
-    """
+    """Exact-dedup gate over a persisted fingerprint table."""
 
     def __init__(
         self,
@@ -69,59 +85,79 @@ class IncrementalDeduper:
             F.md5(F.col(self.content_col)).alias(FINGERPRINT_COL),
         )
 
-    def filter_new(self, batch: DataFrame) -> DataFrame:
-        """Rows of ``batch`` with never-seen content, original schema.
-
-        One bounded probe job (bucket ids of the batch's hashes), one
-        anti-join over only those buckets, one partial commit. The commit
-        records (fingerprint, doc_id of the first registrant) — the
-        provenance a curation pipeline needs to answer "which document
-        made this one a duplicate"."""
+    def _fresh_fps(self, batch: DataFrame) -> DataFrame:
+        """(fingerprint, min doc_id) of batch content the store has not
+        seen — the pure core of both phases. Probes only the buckets the
+        batch's hashes touch."""
         fps = self._fingerprints(batch)
         store, table = self.store, self.table
+        if store.exists(table):
+            touched = store.buckets_of(fps, key=FINGERPRINT_COL, table=table)
+            known = store.read_buckets(table, touched)
+            fps = fps.join(known.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti")
+        return fps.groupBy(FINGERPRINT_COL).agg(F.min("doc_id").alias("doc_id"))
+
+    def select_new(self, batch: DataFrame) -> DataFrame:
+        """PURE: rows of ``batch`` with never-seen content (within-batch
+        duplicates collapsed to the min-id row), original schema. No
+        state is mutated — pair with ``register`` for durability."""
+        return self._originals(batch, self._fresh_fps(batch))
+
+    def register(self, docs: DataFrame) -> None:
+        """Durably record ``docs``' fingerprints. Idempotent: content the
+        table already holds registers nothing (so replays are no-ops and
+        calling it with a superset of earlier registrations is safe). One
+        OCC-guarded partial commit into only the touched buckets; a pure
+        replay skips the commit entirely. The committed (fingerprint,
+        first registrant id) rows are the provenance a curation pipeline
+        needs to answer "which document made this one a duplicate"."""
+        store, table = self.store, self.table
         if not store.exists(table):
-            # first batch: collapse within-batch dups, register, done
-            fresh_fps = fps.groupBy(FINGERPRINT_COL).agg(F.min("doc_id").alias("doc_id"))
-            store.write(table, fresh_fps, key=FINGERPRINT_COL)
-            return self._originals(batch, fresh_fps)
+            store.write(table, self._fresh_fps(docs), key=FINGERPRINT_COL)
+            return
+        fps = self._fingerprints(docs)
         # plan, read, and commit against ONE manifest; the version map is
-        # the commit's OCC precondition, so a concurrent deduper racing on
+        # the commit's OCC precondition, so a concurrent writer racing on
         # the same buckets fails loudly instead of losing registrations
-        # (serialize concurrent dedupers externally; batches are the unit)
+        # (serialize concurrent registrars externally; batches are the unit)
         manifest = store._read_manifest(table)
         touched = store.buckets_of(fps, key=FINGERPRINT_COL, table=table)
         known = store._scan_manifest(table, manifest, touched)
-        fresh_fps = (
+        fresh = (
             fps.join(known.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti")
             .groupBy(FINGERPRINT_COL)
             .agg(F.min("doc_id").alias("doc_id"))
             # materialize BEFORE the commit: the lineage reads the
             # pre-commit bucket files, which the commit's vacuum deletes
-            # (retain=0) — re-evaluating it afterwards in _originals
-            # would scan vanished paths
+            # (retain=0) — later re-evaluation would scan vanished paths
             .localCheckpoint(eager=True)
         )
-        # register survivors: union into ONLY the touched buckets. An
-        # empty survivor set (pure replay) skips the commit entirely.
-        if fresh_fps.isEmpty():
-            return self._originals(batch, fresh_fps)
+        if fresh.isEmpty():
+            return
         store.write_buckets(
             table,
-            known.unionByName(fresh_fps),
+            known.unionByName(fresh),
             touched,
             key=FINGERPRINT_COL,
             planned_versions=dict(manifest["buckets"]),
         )
-        return self._originals(batch, fresh_fps)
+
+    def filter_new(self, batch: DataFrame) -> DataFrame:
+        """select_new + register in one call: survivors (original schema),
+        durably registered so a later batch — or a replay of this one —
+        treats them as seen."""
+        survivors = self.select_new(batch).localCheckpoint(eager=True)
+        self.register(survivors)
+        return survivors
 
     def _originals(self, batch: DataFrame, fresh_fps: DataFrame) -> DataFrame:
         """Survivor rows in the batch's ORIGINAL schema (semi-join on the
-        registered (fingerprint, doc_id) pairs, so within-batch duplicate
-        rows beyond the min-id registrant are excluded too)."""
+        surviving (fingerprint, doc_id) pairs, so within-batch duplicate
+        rows beyond the min-id keeper are excluded too)."""
         keyed = batch.withColumn(FINGERPRINT_COL, F.md5(F.col(self.content_col)))
-        registered = fresh_fps.withColumnRenamed("doc_id", self.id_col)
+        keepers = fresh_fps.withColumnRenamed("doc_id", self.id_col)
         return keyed.join(
-            registered, [FINGERPRINT_COL, self.id_col], "left_semi"
+            keepers, [FINGERPRINT_COL, self.id_col], "left_semi"
         ).drop(FINGERPRINT_COL)
 
     def seen_count(self) -> int:
@@ -131,36 +167,11 @@ class IncrementalDeduper:
 
 
 class IncrementalNearDeduper:
-    """NEAR-dup gate over a persisted MinHash-LSH band index — the
-    incremental counterpart of ``plans/dedup.dd_minhash_lsh_pairs``.
-
-    The store table holds one row per (document, band): the LSH band key
-    plus the full 12-component signature, BUCKETED BY BAND KEY. An
-    arriving batch computes its own signatures (the exact column pipeline
-    the corpus plans use — ``plans/dedup.minhash_sigs_for``), probes ONLY
-    the buckets its band keys hash into, and joins on (band, band_key) to
-    find corpus candidates; each candidate's Jaccard is ESTIMATED as the
-    fraction of agreeing signature components (the standard MinHash
-    estimator — the corpus text is not stored, its 96-byte sketch is).
-    Batch docs with any candidate at or above the threshold are dropped;
-    survivors' band rows are registered in one OCC-guarded partial
-    commit.
-
-    Replay idempotence: a replayed batch finds its own registered rows as
-    estimate-1.0 candidates, so it yields zero survivors and commits
-    nothing. Intra-batch near-dups are admitted TOGETHER by design (the
-    gate compares batch vs corpus; batch-internal pairs are the one-shot
-    ``dd_minhash_lsh_pairs``'s job, and once registered the next batch is
-    gated against both) — a periodic corpus re-cluster catches residuals,
-    matching how production pipelines stage exact-gate → near-gate →
-    offline re-cluster.
-
-    At 100 TB: the index is ~4 rows × ~130 bytes per document (a <0.1%
-    shadow), and a batch's IO is bounded by its own band keys' buckets —
-    never a corpus scan. Docs too short to shingle (< SHINGLE_W words)
-    have no bands: they bypass the near gate (compose with
-    ``IncrementalDeduper`` for the exact gate first, which is also what
-    keeps identical texts from ever reaching this index twice)."""
+    """Near-dup gate over a persisted MinHash-LSH band index (module
+    docstring has the design; same two-phase contract as the exact
+    gate). Self-matches never gate (see ``select_new``) — replay
+    suppression is the exact gate's job; ``register`` replays are
+    no-ops either way."""
 
     def __init__(
         self,
@@ -198,39 +209,60 @@ class IncrementalNearDeduper:
         touched = store.buckets_of(rows, key="band_key", table=table)
         return self._candidates_against(rows, store.read_buckets(table, touched))
 
-    def filter_new(self, batch: DataFrame) -> DataFrame:
-        """Batch rows with NO corpus near-candidate at ``threshold``
-        (original schema); survivors' band rows are durably registered."""
-        rows = self._band_rows(batch)
+    def select_new(self, batch: DataFrame) -> DataFrame:
+        """PURE: batch rows with no corpus near-candidate at
+        ``threshold`` (original schema). No state is mutated.
+
+        SELF-matches (an index row with the same doc id) never gate: a
+        document is not a near-dup of itself — it is a REPLAY, and replay
+        suppression belongs to the exact gate / the caller's keyed sink,
+        not here. This is what makes the streaming pipeline's
+        sink → near.register → exact.register ordering fully convergent
+        across a crash between the two registrations (module docstring).
+        Consequence: the near gate ALONE does not suppress identical-id
+        replays — compose it behind the exact gate (which also keeps
+        identical text from reaching this index twice)."""
+        dup_ids = (
+            self.candidates(batch)
+            .where(
+                (F.col("est_jaccard") >= self.threshold)
+                & (F.col("seen_doc_id") != F.col("doc_id"))
+            )
+            .select("doc_id")
+            .distinct()
+            .withColumnRenamed("doc_id", self.id_col)
+        )
+        return batch.join(dup_ids, self.id_col, "left_anti")
+
+    def register(self, docs: DataFrame) -> None:
+        """Durably record ``docs``' band rows, idempotently (rows for
+        already-indexed doc ids register nothing) with the same
+        OCC-guarded single partial commit as the exact gate."""
+        rows = self._band_rows(docs)
         store, table = self.store, self.table
         if not store.exists(table):
             store.write(table, rows, key="band_key")
-            return batch
-        # plan, read, and commit against ONE manifest (OCC precondition,
-        # same contract as IncrementalDeduper.filter_new)
+            return
         manifest = store._read_manifest(table)
         touched = store.buckets_of(rows, key="band_key", table=table)
         index = store._scan_manifest(table, manifest, touched)
-        dup_ids = (
-            self._candidates_against(rows, index)
-            .where(F.col("est_jaccard") >= self.threshold)
-            .select("doc_id")
-            .distinct()
-        )
-        survivors = batch.join(
-            dup_ids.withColumnRenamed("doc_id", self.id_col), self.id_col, "left_anti"
-        )
-        fresh_rows = rows.join(
-            dup_ids, "doc_id", "left_anti"
+        fresh = rows.join(
+            index.select("doc_id").distinct(), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)  # pre-commit lineage cut (vacuum)
-        if not fresh_rows.isEmpty():
-            store.write_buckets(
-                table,
-                index.unionByName(fresh_rows),
-                touched,
-                key="band_key",
-                planned_versions=dict(manifest["buckets"]),
-            )
+        if fresh.isEmpty():
+            return
+        store.write_buckets(
+            table,
+            index.unionByName(fresh),
+            touched,
+            key="band_key",
+            planned_versions=dict(manifest["buckets"]),
+        )
+
+    def filter_new(self, batch: DataFrame) -> DataFrame:
+        """select_new + register in one call."""
+        survivors = self.select_new(batch).localCheckpoint(eager=True)
+        self.register(survivors)
         return survivors
 
     def _candidates_against(self, rows: DataFrame, index: DataFrame) -> DataFrame:

@@ -1,0 +1,117 @@
+"""Streaming document ingestion with incremental dedup gates.
+
+The training-data counterpart of the webhook stream: document batches
+land as JSON-lines files, and each micro-batch runs the curation gates
+(``operators/incremental_dedup``) before surviving rows are merged into
+a corpus table — the 100 TB steady-state shape where dedup is a per-batch
+gate against persisted state, not a periodic global job.
+
+Crash-safety ordering (foreachBatch is at-least-once):
+SELECT (pure) → SINK MERGE (keyed by doc_id: bucket-pruned anti-join
+append, replays re-insert nothing) → near.register → exact.register.
+Replays converge after a crash at ANY point:
+
+* before the sink merge             → replay redoes everything;
+* between sink and near.register    → replay's selects PASS the same
+  docs (nothing registered; near self-matches never gate), the keyed
+  sink merge drops them as present, then both registrations complete;
+* between near- and exact-register  → same: exact.select passes (not
+  yet fingerprinted), near.select passes (self-matches excluded —
+  the reason that rule exists), sink no-op, near.register no-op,
+  exact.register completes;
+* after exact.register              → exact.select yields zero
+  survivors; the batch is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from stripe_sync_engine_spark.operators.incremental_dedup import (
+    IncrementalDeduper,
+    IncrementalNearDeduper,
+)
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+CORPUS_TABLE = "corpus_documents"
+
+
+def _merge_documents(store, table: str, rows: DataFrame) -> int:
+    """Keyed idempotent append: insert rows whose doc_id the sink has not
+    seen, rewriting only the touched buckets (the REJECTED_TABLE pattern
+    from the webhook stream). Returns inserted count."""
+    if not store.exists(table):
+        store.write(table, rows, key="doc_id")
+        return store.read(table).count()
+    touched = store.buckets_of(rows, key="doc_id", table=table)
+    prior = store.read_buckets(table, touched)
+    fresh = rows.join(prior.select("doc_id"), "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )  # pre-commit materialization: the commit vacuums the files this lineage reads
+    n = fresh.count()
+    if n:
+        store.write_buckets(table, prior.unionByName(fresh), touched, key="doc_id")
+    return n
+
+
+def start_document_stream(
+    store,
+    landing_dir: str,
+    checkpoint_dir: str,
+    corpus_table: str = CORPUS_TABLE,
+    near_threshold: float | None = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """JSON-lines document files → exact gate → (optional) near gate →
+    keyed merge into ``corpus_table``.
+
+    ``near_threshold=None`` disables the near gate (exact only). The
+    gates' state tables (``_document_fingerprints``, ``_band_index``)
+    live in the same store and ride the same retention/vacuum policy."""
+    spark = store.spark
+    exact = IncrementalDeduper(store)
+    near = IncrementalNearDeduper(store, threshold=near_threshold or 0.5)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.where(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        ).localCheckpoint(eager=True)  # one deterministic snapshot feeds every gate
+        if docs.isEmpty():
+            return
+        # SELECT (pure, pre-batch gate state) → SINK MERGE → REGISTER —
+        # the crash-ordering argument in the module docstring. Survivors
+        # are materialized once so registration (which mutates + vacuums
+        # the gate tables) never re-evaluates a lineage over them.
+        survivors = exact.select_new(docs)
+        if near_threshold is not None:
+            survivors = near.select_new(survivors)
+        survivors = survivors.localCheckpoint(eager=True)
+        _merge_documents(store, corpus_table, survivors)
+        # exact LAST: its select governs replay passage, so everything
+        # before it must already be idempotent when it finally commits
+        if near_threshold is not None:
+            near.register(survivors)
+        exact.register(survivors)
+
+    raw = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .json(landing_dir)
+    )
+    writer = raw.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

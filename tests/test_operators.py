@@ -565,9 +565,12 @@ def test_incremental_near_dedup_gate(spark, tmp_path):
     got2 = {r["doc_id"] for r in nd.filter_new(b2).collect()}
     assert got2 == {3}  # 2 gated out as near-dup of 1
 
-    # replay: self-candidates at estimate 1.0 → zero survivors, no commit
+    # replay: self-matches never GATE (a doc is not a near-dup of itself
+    # — replay suppression is the exact gate's/keyed sink's job), but the
+    # registration is a no-op: 3 passes again, 2 stays gated by 1, and
+    # the manifest's version map is unchanged
     before = store._read_manifest(nd.table)["buckets"]
-    assert nd.filter_new(b2).isEmpty()
+    assert {r["doc_id"] for r in nd.filter_new(b2).collect()} == {3}
     assert store._read_manifest(nd.table)["buckets"] == before
 
     # too-short doc: no shingles, bypasses the near gate by contract

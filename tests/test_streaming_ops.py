@@ -199,3 +199,92 @@ def test_dedupe_stream_batch_fallback(spark):
         [(1, "a"), (1, "a"), (2, "b")], "event_id long, payload string"
     )
     assert dedupe_stream(df, key_cols=("event_id",)).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming document ingestion with incremental dedup gates (r7):
+# streaming/documents.py — select → keyed sink merge → register, convergent
+# across crash-replay at any point.
+def test_document_stream_dedups_across_batches(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import start_document_stream
+
+    landing = tmp_path / "docs_landing"
+    ckpt = tmp_path / "docs_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_docs"))
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+
+    land("b1.jsonl", [
+        {"doc_id": 1, "text": base, "source": "web"},
+        {"doc_id": 2, "text": base, "source": "web"},          # exact dup of 1 (in batch)
+        {"doc_id": 3, "text": "totally different content about spark parquet engines running distributed queries", "source": "web"},
+    ])
+    start_document_stream(store, str(landing), str(ckpt)).awaitTermination()
+    corpus = {r["doc_id"] for r in store.read("corpus_documents").collect()}
+    assert corpus == {1, 3}  # in-batch exact dup collapsed to min id
+
+    land("b2.jsonl", [
+        {"doc_id": 10, "text": base, "source": "crawl"},        # exact dup of corpus
+        {"doc_id": 11, "text": base + " extra", "source": "crawl"},  # near dup of 1
+        {"doc_id": 12, "text": "fresh unrelated words describing completely novel subject matter entirely here today", "source": "crawl"},
+    ])
+    start_document_stream(store, str(landing), str(ckpt)).awaitTermination()
+    corpus = {r["doc_id"] for r in store.read("corpus_documents").collect()}
+    assert corpus == {1, 3, 12}  # exact AND near dups gated
+
+
+def test_document_stream_crash_between_sink_and_register_converges(spark, tmp_path):
+    """Crash AFTER the sink merge but BEFORE registration — the widest
+    at-least-once window — then restart: the replayed batch re-selects
+    the same docs, the keyed sink drops them, registration completes,
+    and a third batch is gated correctly against the healed state."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming import documents as docmod
+
+    landing = tmp_path / "docs_landing_c"
+    ckpt = tmp_path / "docs_ckpt_c"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_docs_c"))
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    (landing / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": base, "source": "web"})
+    )
+    real_register = IncrementalDeduper.register
+
+    def crash_register(self, docs):
+        raise RuntimeError("injected crash before exact registration")
+
+    IncrementalDeduper.register = crash_register
+    try:
+        q = docmod.start_document_stream(store, str(landing), str(ckpt))
+        with _pytest.raises(StreamingQueryException):
+            q.awaitTermination()
+    finally:
+        IncrementalDeduper.register = real_register
+    # sink has the doc, fingerprints do not — the crash window
+    assert store.read("corpus_documents").count() == 1
+    assert store.read("_document_fingerprints") is None
+    # restart: replay converges, then a near-dup batch is gated correctly
+    (landing / "b2.jsonl").write_text(
+        _json.dumps({"doc_id": 5, "text": base + " extra", "source": "crawl"})
+    )
+    docmod.start_document_stream(store, str(landing), str(ckpt)).awaitTermination()
+    corpus = {r["doc_id"] for r in store.read("corpus_documents").collect()}
+    assert corpus == {1}  # replay re-inserted nothing; near-dup 5 gated
+    assert store.read("_document_fingerprints").count() == 1  # healed
