@@ -288,8 +288,18 @@ def _buckets_and_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (plane list, ints) so it pickles by value — executors never
     import this package."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return buckets_and_quant_for(emb)
+
+
+def buckets_and_quant_for(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """DF-generic core of ``_buckets_and_quant`` (same arithmetic, any
+    (id, vector) DataFrame) — shared with the incremental embedding index
+    (``operators/embedding_index.py``)."""
     planes = lsh_planes()
     quant = QUANT
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
 
     def assign(batches):
         import numpy as np
@@ -306,7 +316,7 @@ def _buckets_and_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"].values, "bucket": buckets, "qv": list(q)}
             )
 
-    return emb.mapInPandas(assign, schema="vec_id long, bucket string, qv array<long>")
+    return src.mapInPandas(assign, schema="vec_id long, bucket string, qv array<long>")
 
 
 @register(

@@ -605,3 +605,31 @@ def test_incremental_near_dedup_probe_is_bucket_pruned(spark, tmp_path):
     total = len(store._read_manifest(nd.table)["buckets"])
     assert 0 < len(touched) <= LSH_BANDS  # ≤ one bucket per band key
     assert len(touched) < total or total <= 4
+
+
+def test_incremental_embedding_index_gate(spark, tmp_path):
+    """Embedding near-dup gating against the persisted LSH index: a
+    batch vector nearly parallel to an indexed one is gated, an
+    orthogonal-ish one passes, registration is replay-idempotent, and
+    neighbors() reports the exact quantized cosine."""
+    from stripe_sync_engine_spark.operators.embedding_index import IncrementalEmbeddingIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    dim = 64
+    base = [0.1] * dim
+    near = [0.1] * (dim - 1) + [0.1001]        # cosine ~1 with base
+    anti = [-0.1] * dim                         # cosine -1: opposite bucket
+    store = TableStore(spark, str(tmp_path / "wh_emb"))
+    ix = IncrementalEmbeddingIndex(store, threshold=0.92)
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    assert ix.filter_new(mk([(1, base)])).count() == 1
+    cands = {(r["vec_id"], r["seen_vec_id"]): r["cosine"] for r in ix.neighbors(mk([(2, near)])).collect()}
+    assert cands.get((2, 1), 0.0) > 0.99
+    got = {r["vec_id"] for r in ix.filter_new(mk([(2, near), (3, anti)])).collect()}
+    assert got == {3}  # 2 gated as near-dup of 1; 3 (different bucket) passes
+    # replay of an already-indexed id: self-matches don't gate, register no-ops
+    before = store._read_manifest(ix.table)["buckets"]
+    assert {r["vec_id"] for r in ix.filter_new(mk([(3, anti)])).collect()} == {3}
+    assert store._read_manifest(ix.table)["buckets"] == before
+    assert store.read(ix.table).count() == 2  # vectors 1 and 3 indexed once each
