@@ -71,18 +71,27 @@ def start_document_stream(
     corpus_table: str = CORPUS_TABLE,
     near_threshold: float | None = 0.5,
     available_now: bool = True,
+    vacuum_landing_every: int | None = None,
 ) -> StreamingQuery:
     """JSON-lines document files → exact gate → (optional) near gate →
     keyed merge into ``corpus_table``.
 
     ``near_threshold=None`` disables the near gate (exact only). The
     gates' state tables (``_document_fingerprints``, ``_band_index``)
-    live in the same store and ride the same retention/vacuum policy."""
+    live in the same store and ride the same retention/vacuum policy.
+    ``vacuum_landing_every=N`` reclaims committed-past landing files
+    every N micro-batches, same contract as the webhook stream
+    (``pipeline.vacuum_landing_zone``: the in-flight batch is never
+    committed when its vacuum fires)."""
     spark = store.spark
     exact = IncrementalDeduper(store)
     near = IncrementalNearDeduper(store, threshold=near_threshold or 0.5)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if vacuum_landing_every and batch_id % vacuum_landing_every == 0:
+            from stripe_sync_engine_spark.streaming.pipeline import vacuum_landing_zone
+
+            vacuum_landing_zone(landing_dir, checkpoint_dir)
         if batch_df.isEmpty():
             return
         docs = batch_df.where(

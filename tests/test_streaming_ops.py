@@ -288,3 +288,27 @@ def test_document_stream_crash_between_sink_and_register_converges(spark, tmp_pa
     corpus = {r["doc_id"] for r in store.read("corpus_documents").collect()}
     assert corpus == {1}  # replay re-inserted nothing; near-dup 5 gated
     assert store.read("_document_fingerprints").count() == 1  # healed
+
+
+def test_document_stream_self_vacuums(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import start_document_stream
+
+    landing = tmp_path / "docs_landing_v"
+    ckpt = tmp_path / "docs_ckpt_v"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_docs_v"))
+    (landing / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "w1 w2 w3 w4 w5 w6 w7 w8", "source": "s"})
+    )
+    start_document_stream(store, str(landing), str(ckpt), vacuum_landing_every=1).awaitTermination()
+    assert (landing / "a.jsonl").exists()  # own batch not yet committed at vacuum time
+    (landing / "b.jsonl").write_text(
+        _json.dumps({"doc_id": 2, "text": "x1 x2 x3 x4 x5 x6 x7 x8", "source": "s"})
+    )
+    start_document_stream(store, str(landing), str(ckpt), vacuum_landing_every=1).awaitTermination()
+    assert not (landing / "a.jsonl").exists() and (landing / "b.jsonl").exists()
+    assert {r["doc_id"] for r in store.read("corpus_documents").collect()} == {1, 2}
