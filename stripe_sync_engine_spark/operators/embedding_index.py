@@ -17,21 +17,52 @@ gates: pure ``neighbors``/``select_new``, idempotent OCC-guarded
 ``register``, ``filter_new`` composing both; self-matches (same vec_id)
 never gate.
 
-Recall matches the one-shot ``dd_embed_cosine``'s single-band LSH; at
-100 TB recall is tuned by adding independent bands (OR of several plane
-sets), which multiplies index rows — not candidate work per band — just
-like the MinHash band index. The index is ~8 + 8·64 bytes per vector, a
-<1% shadow of fp32 embeddings.
+Recall is tunable with ``n_bands``: band 0 is the corpus plans' plane
+set (a 1-band index reproduces ``dd_embed_cosine``'s candidate
+semantics), and each added band is an independent hyperplane draw OR'd
+into candidate generation — a near pair split by one band's planes is
+recovered by another (tested), the standard LSH amplification. Index
+rows grow linearly with bands; per-candidate scoring does not (pairs
+dedup before the cosine). The index is ~bands × (8 + 8·64) bytes per
+vector, a ~1%-per-band shadow of fp32 embeddings.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def band_planes(band: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for one band. Band 0 IS the corpus
+    plans' plane set (``plans/similarity.lsh_planes`` — parity pinned in
+    tests); higher bands namespace the md5 seed, giving independent
+    plane draws: each added band is an OR over a fresh partition of the
+    sphere, the standard LSH recall amplification."""
+    from stripe_sync_engine_spark.plans.similarity import N_DIMS, N_PLANES, lsh_planes
+
+    if band == 0:
+        return lsh_planes()
+    return [
+        [
+            1 if int(hashlib.md5(f"b{band}/{p}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for d in range(N_DIMS)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
 class IncrementalEmbeddingIndex:
-    """LSH-bucketed near-duplicate gate for an ``array<float>`` column."""
+    """LSH-bucketed near-duplicate gate for an ``array<float>`` column.
+
+    ``n_bands`` > 1 amplifies recall: every band is an independent
+    hyperplane set, a pair is a candidate if ANY band co-buckets it, and
+    index size grows linearly with bands while per-candidate scoring
+    cost does not (pairs are deduped before the cosine). Band 0 equals
+    the corpus plans' planes, so a 1-band index reproduces
+    ``dd_embed_cosine``'s candidate semantics exactly."""
 
     def __init__(
         self,
@@ -40,17 +71,58 @@ class IncrementalEmbeddingIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         threshold: float = 0.92,
+        n_bands: int = 1,
     ):
         self.store = store
         self.table = table
         self.vec_col = vec_col
         self.id_col = id_col
         self.threshold = threshold
+        self.n_bands = max(1, n_bands)
 
     def _bq(self, batch: DataFrame) -> DataFrame:
-        from stripe_sync_engine_spark.plans.similarity import buckets_and_quant_for
+        """(vec_id, bucket, qv), one row per (vector, band); bucket is
+        ``"{band}|{bits}"``. ONE Arrow pass computes every band: the
+        (n, 64) @ (64, 8·bands) matmul is the same microseconds-per-batch
+        shape as the corpus plans' single-band assignment (the measured
+        numpy-over-HOF decision, plans/similarity._buckets_and_quant),
+        and the quantization is bit-identical (float64, ×1e7, floor,
+        int64). Worker closes over plain literals only."""
+        from stripe_sync_engine_spark.plans.similarity import QUANT
 
-        return buckets_and_quant_for(batch, id_col=self.id_col, vec_col=self.vec_col)
+        all_planes = [band_planes(b) for b in range(self.n_bands)]
+        quant = QUANT
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            stacked = np.array(
+                [row for planes in all_planes for row in planes], dtype=np.int64
+            )  # (bands*8, 64)
+            n_planes = len(all_planes[0])
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                q = np.floor(v * quant).astype(np.int64)
+                signs = q @ stacked.T > 0  # (n, bands*8)
+                ids, buckets, qvs = [], [], []
+                for i, vid in enumerate(pdf[id_col].values):
+                    for b in range(len(all_planes)):
+                        bits = "".join(
+                            "1" if s else "0"
+                            for s in signs[i, b * n_planes : (b + 1) * n_planes]
+                        )
+                        ids.append(vid)
+                        buckets.append(f"{b}|{bits}")
+                        qvs.append(q[i])
+                yield pd.DataFrame({"vec_id": ids, "bucket": buckets, "qv": qvs})
+
+        return batch.select(self.id_col, self.vec_col).mapInPandas(
+            assign, schema="vec_id long, bucket string, qv array<long>"
+        )
 
     def neighbors(self, batch: DataFrame) -> DataFrame:
         """(vec_id, seen_vec_id, cosine) — indexed vectors sharing the
@@ -93,6 +165,10 @@ class IncrementalEmbeddingIndex:
                     "cosine"
                 ),
             )
+            # a pair co-bucketed by several bands scores identically in
+            # each; collapse to one row per pair
+            .groupBy("vec_id", "seen_vec_id")
+            .agg(F.max("cosine").alias("cosine"))
         )
 
     def select_new(self, batch: DataFrame) -> DataFrame:

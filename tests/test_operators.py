@@ -633,3 +633,72 @@ def test_incremental_embedding_index_gate(spark, tmp_path):
     assert {r["vec_id"] for r in ix.filter_new(mk([(3, anti)])).collect()} == {3}
     assert store._read_manifest(ix.table)["buckets"] == before
     assert store.read(ix.table).count() == 2  # vectors 1 and 3 indexed once each
+
+
+def test_embedding_index_multiband_recovers_split_pair(spark, tmp_path):
+    """LSH recall amplification: construct a high-cosine pair that band
+    0's planes SPLIT (different buckets) but band 1 co-buckets — a
+    1-band index misses it, a 2-band index gates it. The pair is found
+    by deterministic search with the exact index arithmetic (float64,
+    ×1e7, floor, int64, sign of plane dot)."""
+    import numpy as np
+
+    from stripe_sync_engine_spark.operators.embedding_index import (
+        IncrementalEmbeddingIndex,
+        band_planes,
+    )
+    from stripe_sync_engine_spark.plans.similarity import QUANT
+    from stripe_sync_engine_spark.storage import TableStore
+
+    p0 = np.array(band_planes(0), dtype=np.int64)
+    p1 = np.array(band_planes(1), dtype=np.int64)
+
+    def bits(v, planes):
+        q = np.floor(v.astype(np.float64) * QUANT).astype(np.int64)
+        return tuple(q @ planes.T > 0)
+
+    def cosine(a, b):
+        qa = np.floor(a.astype(np.float64) * QUANT).astype(np.int64)
+        qb = np.floor(b.astype(np.float64) * QUANT).astype(np.int64)
+        return float(qa @ qb) / (np.sqrt(qa @ qa) * np.sqrt(qb @ qb))
+
+    rng = np.random.RandomState(7)
+    found = None
+    for _ in range(2000):
+        v1 = rng.randn(64).astype(np.float32)
+        # nudge along the band-0 plane the vector is closest to, scaled to
+        # just cross it; keep nudging size small so cosine stays high
+        q = np.floor(v1.astype(np.float64) * QUANT).astype(np.int64)
+        margins = (q @ p0.T) / np.linalg.norm(q)
+        j = int(np.argmin(np.abs(margins)))
+        step = -(margins[j] * 1.2) / np.linalg.norm(p0[j])
+        v2 = (v1.astype(np.float64) + step * p0[j]).astype(np.float32)
+        if (
+            bits(v1, p0) != bits(v2, p0)
+            and bits(v1, p1) == bits(v2, p1)
+            and cosine(v1, v2) >= 0.995
+        ):
+            found = (v1, v2)
+            break
+    assert found is not None, "no band-split pair found in 2000 draws"
+    v1, v2 = found
+    mk = lambda vid, v: spark.createDataFrame(
+        [(vid, [float(x) for x in v])], "vec_id long, embedding array<float>"
+    )
+    one = IncrementalEmbeddingIndex(
+        TableStore(spark, str(tmp_path / "wh_b1")), threshold=0.99, n_bands=1
+    )
+    one.register(mk(1, v1))
+    assert one.select_new(mk(2, v2)).count() == 1  # band 0 split: missed
+    two = IncrementalEmbeddingIndex(
+        TableStore(spark, str(tmp_path / "wh_b2")), threshold=0.99, n_bands=2
+    )
+    two.register(mk(1, v1))
+    assert two.select_new(mk(2, v2)).count() == 0  # band 1 recovers it
+    # parity pin: band 0 of the multiband assignment IS the corpus plane set
+    from stripe_sync_engine_spark.plans.similarity import buckets_and_quant_for
+
+    emb = mk(5, v1)
+    ref = buckets_and_quant_for(emb).collect()[0]
+    got = [r for r in two._bq(emb).collect() if r["bucket"].startswith("0|")][0]
+    assert got["bucket"] == "0|" + ref["bucket"] and list(got["qv"]) == list(ref["qv"])
