@@ -1104,6 +1104,36 @@ class StripeSparkSync:
             views.append(name)
         return views
 
+    def maintain(
+        self,
+        max_files_per_bucket: int = 1,
+        orphan_min_age_s: float = 3600.0,
+        landing: tuple[str, str] | None = None,
+    ) -> dict:
+        """One scheduled-maintenance entry point — the engine's analog of
+        Postgres autovacuum, which the reference gets for free. For every
+        committed table: lock-serialized small-file compaction (only
+        fragmented buckets rewrite; steady-state CDC is a no-op) and
+        orphan/history reclamation past ``orphan_min_age_s``. With
+        ``landing=(landing_dir, checkpoint_dir)``, also vacuums the
+        streaming landing zone past its checkpoint. Safe to run from cron
+        next to live merges: compaction holds the table write lock,
+        vacuum honors the retention contract, and the landing sweep only
+        touches durably-committed envelopes. Returns per-table counts."""
+        report: dict = {"compacted": {}, "orphans_removed": {}, "landing_removed": 0}
+        for table in self.store.tables():
+            rewritten = self.compact_entity(table, max_files_per_bucket=max_files_per_bucket)
+            if rewritten:
+                report["compacted"][table] = len(rewritten)
+            removed = self.store.vacuum_orphans(table, min_age_s=orphan_min_age_s)
+            if removed:
+                report["orphans_removed"][table] = len(removed)
+        if landing is not None:
+            from stripe_sync_engine_spark.streaming.pipeline import vacuum_landing_zone
+
+            report["landing_removed"] = len(vacuum_landing_zone(*landing))
+        return report
+
     def compact_entity(
         self, entity: str, max_files_per_bucket: int = 1, sort_col: str | None = None
     ) -> list[int]:

@@ -2207,3 +2207,31 @@ def test_commit_lock_mutual_exclusion_across_processes(tmp_path):
         assert p.exitcode == 0
     with open(counter) as f:
         assert int(f.read()) == 100
+
+
+def test_engine_maintain_compacts_and_reports(spark, tmp_path):
+    """maintain() = compaction + orphan/history reclamation + optional
+    landing vacuum in one cron-able call, safe next to live merges."""
+    import os as _os
+
+    store = TableStore(spark, str(tmp_path / "wh_maint"))
+    eng = StripeSparkSync(spark, store, api=None)
+    # fragment a table (pre_clustered skips the rebalance, so each bucket
+    # collects one file per task)
+    rows = spark.range(200).selectExpr("concat('k_', id) AS id", "id AS v")
+    store.write("t", rows.repartition(6), pre_clustered=True)
+    # plant a FRESH orphan version dir (crash leftover): compaction's own
+    # commit-time vacuum spares it (ORPHAN_GRACE_S), so it is maintain()'s
+    # explicit min_age_s=0 sweep that must reclaim it
+    import time as _time
+
+    orphan = _os.path.join(store._dir("t"), f"v{int(_time.time() * 1000)}_1")
+    _os.makedirs(orphan)
+    report = eng.maintain(orphan_min_age_s=0.0)
+    assert report["compacted"].get("t", 0) > 0
+    assert report["orphans_removed"].get("t", 0) >= 1
+    assert not _os.path.exists(orphan)
+    assert store.read("t").count() == 200
+    # steady state: nothing left to do
+    report2 = eng.maintain(orphan_min_age_s=0.0)
+    assert report2["compacted"] == {}
