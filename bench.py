@@ -21,6 +21,11 @@ absence as regressions):
   txt_winnow_fingerprint folded into txt_fingerprint (same scan, union
   of oracles). Both keep the registry within the driver's
   one-row-per-entry correctness window.
+* r7: mm_decode_meta + mm_resize + mm_features folded into
+  mm_asset_profile (same binary-column scan, union of their oracles,
+  ONE Arrow pass instead of three; stage parity in
+  tests/test_operators.py test_asset_profile_fold_matches_stages) —
+  freeing window slots for txt_contamination and txt_pii_redact.
 """
 
 from __future__ import annotations

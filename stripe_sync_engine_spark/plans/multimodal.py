@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stripe_sync_engine_spark.functions.multimodal import decode_binary_meta
 from stripe_sync_engine_spark.plans.registry import register
 from stripe_sync_engine_spark.tables import load_table
 
@@ -17,27 +16,55 @@ _HEX = "0123456789abcdef"
 
 
 @register(
-    "mm_decode_meta",
+    "mm_asset_profile",
     oracle=f"""
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        WITH dims AS (
+            SELECT doc_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 640 AS BIGINT) AS src_w,
+                   CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS src_h
+            FROM documents
+        )
+        SELECT doc_id, n_bytes,
                CAST((strpos('{_HEX}', substr(md5(text), 1, 1)) - 1) * 16
                     + (strpos('{_HEX}', substr(md5(text), 2, 1)) - 1) AS INTEGER) AS content_sha,
-               CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-               CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height
-        FROM documents
+               src_w, src_h,
+               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
+                    ELSE CAST(floor(src_w * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) END AS out_w,
+               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
+                    ELSE CAST(floor(src_h * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) END AS out_h,
+               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
+                    ELSE CAST(floor(src_w * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT)
+                         * CAST(floor(src_h * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) * 3 END AS out_bytes,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+               CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_lower,
+               CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_space,
+               CAST(n_bytes
+                    - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                    - (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                    - (length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
+                    - (length(text) - length(regexp_replace(text, '[ ]', '', 'g'))) AS BIGINT) AS n_other
+        FROM dims
     """,
-    operators="TDP-multimodal",
+    operators="TDP-multimodal,TDP-multimodal-resize,TDP-multimodal-features",
 )
-def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode plumbing: encode text → binary payload column →
-    Arrow-batched mapInPandas decode → metadata. The decode itself is a
-    deterministic stub (see functions/multimodal.py); the Spark plan is
-    the production shape."""
+def mm_asset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset profile in ONE Arrow pass: decode metadata (byte count,
+    content signature, source dims), keep-aspect resize planning, and the
+    byte-class feature histogram — the folded form of the former
+    mm_decode_meta / mm_resize / mm_features registry entries (same input
+    scan, union of their oracles — a consolidation, not a coverage cut;
+    stage parity is pytest-gated in tests/test_operators.py). One scan is
+    a third of the I/O at 100 TB, and the pixel seam stays
+    runtime-optional: PIL on the workers → real decoded dims, absent →
+    the deterministic byte-length fake the oracle mirrors."""
+    from stripe_sync_engine_spark.functions.multimodal import profile_assets
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return decode_binary_meta(docs)
+    return profile_assets(docs)
 
 
 @register(
@@ -98,39 +125,6 @@ def mm_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm_resize",
-    oracle="""
-        WITH dims AS (
-            SELECT doc_id,
-                   CAST(octet_length(encode(text)) % 640 AS BIGINT) AS src_w,
-                   CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS src_h
-            FROM documents
-        )
-        SELECT doc_id, src_w, src_h,
-               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
-                    ELSE CAST(floor(src_w * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) END AS out_w,
-               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
-                    ELSE CAST(floor(src_h * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) END AS out_h,
-               CASE WHEN src_w = 0 OR src_h = 0 THEN NULL
-                    ELSE CAST(floor(src_w * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT)
-                         * CAST(floor(src_h * least(1.0, 320.0 / src_w, 240.0 / src_h)) AS BIGINT) * 3 END AS out_bytes
-        FROM dims
-    """,
-    operators="TDP-multimodal-resize",
-)
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-aspect resize plumbing (fake decoder dims; real swap = PIL
-    thumbnail). mapInPandas, Arrow batches, NULL rows for degenerate
-    dims."""
-    from stripe_sync_engine_spark.functions.multimodal import resize_binary
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return resize_binary(docs)
-
-
-@register(
     "mm_frame_sample",
     oracle=f"""
         WITH f AS (
@@ -161,32 +155,3 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs)
 
 
-@register(
-    "mm_features",
-    oracle="""
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
-               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
-               CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_lower,
-               CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_space,
-               CAST(octet_length(encode(text))
-                    - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                    - (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
-                    - (length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
-                    - (length(text) - length(regexp_replace(text, '[ ]', '', 'g'))) AS BIGINT) AS n_other
-        FROM documents
-    """,
-    operators="TDP-multimodal-features",
-)
-def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction plumbing: payload → fixed-length numeric feature
-    row (byte-class histogram as the deterministic stand-in for an
-    embedding model batch). Same Arrow-batched shape a CLIP/wav2vec
-    encoder would use."""
-    from stripe_sync_engine_spark.functions.multimodal import extract_features
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return extract_features(docs)

@@ -184,6 +184,210 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_N = 3  # word-gram size; production benchmark decontamination uses 8-13
+EVAL_MOD = 97  # every 97th doc stands in for the held-out benchmark set
+
+
+@register(
+    "txt_contamination",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= {CONTAM_N}
+                        THEN list_transform(generate_series(1, len(toks) - {CONTAM_N - 1}),
+                                            i -> array_to_string(toks[i:i+{CONTAM_N - 1}], ' '))
+                        ELSE CAST([] AS VARCHAR[]) END) AS grams
+            FROM t
+        ),
+        eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+        hits AS (
+            SELECT x.doc_id, count(*) AS n_hit
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM g) x
+            JOIN eg USING (gram)
+            GROUP BY x.doc_id
+        )
+        SELECT g.doc_id,
+               CAST(len(g.grams) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+               CASE WHEN len(g.grams) = 0 THEN NULL
+                    ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(g.grams) END AS contamination,
+               g.doc_id % {EVAL_MOD} = 0 AS is_eval
+        FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    """,
+    operators="TDP-contamination,J2,A4",
+)
+def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: the fraction of each document's
+    distinct word {CONTAM_N}-grams that also occur in a held-out eval set
+    (here: every {EVAL_MOD}th document stands in for the benchmark; a real
+    pipeline unions its actual eval suites). The classic decontamination
+    gate run before training — docs above a threshold are dropped or
+    reported.
+
+    100 TB shape: benchmark suites are MBs while the corpus is TBs, so the
+    eval gram set is built once, deduplicated, and BROADCAST — the corpus
+    side never shuffles for the join. Gram explosion stays partition-local
+    and the per-doc count is map-side partial-aggregated before the one
+    groupBy(doc_id) exchange (rows arrive at the shuffle already reduced
+    to ~one per doc). All gram construction is JVM-side (split /
+    transform / slice / array_join) — zero Python in the hot path."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (CONTAM_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, CONTAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        "doc_id", F.array_distinct(grams).alias("grams")
+    )
+    eval_grams = (
+        per_doc.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exploded = per_doc.select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gram")
+    )
+    joined = exploded.join(F.broadcast(eval_grams), "gram", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_grams"),
+        ).alias("contamination"),
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+    )
+
+
+# PII patterns: explicit character classes (no \\d / \\b) so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE = r"\+1-[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_SSN = r"[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_IP = r"10\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+@register(
+    "txt_pii_redact",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 4 IN (0, 1)
+                           THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@corp-'
+                                || CAST(doc_id % 7 AS VARCHAR) || '.example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 1
+                           THEN ' call +1-' || CAST(doc_id % 400 + 500 AS VARCHAR)
+                                || '-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 2
+                           THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                                || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id % 250 AS VARCHAR)
+                                || '.' || CAST(doc_id % 100 AS VARCHAR)
+                           ELSE '' END AS atext
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, atext,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       atext,
+                       '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g'),
+                       '{PII_SSN}', '[SSN]', 'g'),
+                       '{PII_IP}', '[IP]', 'g') AS rtext
+            FROM aug
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(atext, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(atext, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(atext, '{PII_SSN}')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(atext, '{PII_IP}')) AS BIGINT) AS n_ip,
+               CAST(length(atext) - length(rtext) AS BIGINT) AS chars_redacted,
+               md5(rtext) AS redacted_fp
+        FROM red
+    """,
+    operators="TDP-pii,§2.8",
+)
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing pass every training-data
+    pipeline runs before a corpus ships. Four detector classes (email,
+    NANP phone, SSN, internal IPv4), per-class counts on the raw text and
+    a chained-regexp_replace redaction whose output is value-checked via
+    md5 + removed-char count.
+
+    The synthetic corpus is digit-free word soup, so deterministic PII
+    spans are INJECTED from doc_id (the mm_header_decode pattern: build →
+    process → oracle states what was built), making the detectors and the
+    redaction end-to-end value-checked rather than trivially zero: %4∈
+    {{0,1}} docs gain an email, %4==1 adds a phone, %4==2 an SSN + IP,
+    %4==3 stays clean (the negative case).
+
+    100 TB shape: pure per-row JVM regexps (regexp_extract_all /
+    regexp_replace) inside whole-stage codegen — zero shuffle, zero
+    Python, linear scan; the detector set extends by adding patterns, not
+    passes."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(
+        F.lit(" reach user"), s(did), F.lit("@corp-"), s(did % 7), F.lit(".example.com now")
+    )
+    phone = F.concat(
+        F.lit(" call +1-"), s(did % 400 + 500),
+        F.lit("-"), s(did % 900 + 100),
+        F.lit("-"), s(did % 9000 + 1000),
+    )
+    ssn_ip = F.concat(
+        F.lit(" ssn "), s(did % 900 + 100),
+        F.lit("-"), s(did % 90 + 10),
+        F.lit("-"), s(did % 9000 + 1000),
+        F.lit(" from 10."), s(did % 256), F.lit("."), s(did % 250), F.lit("."), s(did % 100),
+    )
+    m = did % 4
+    atext = F.concat(
+        F.col("text"),
+        F.when(m.isin(0, 1), email).otherwise(F.lit("")),
+        F.when(m == 1, phone).otherwise(F.lit("")),
+        F.when(m == 2, ssn_ip).otherwise(F.lit("")),
+    )
+    rtext = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(atext, PII_EMAIL, "[EMAIL]"),
+                PII_PHONE, "[PHONE]",
+            ),
+            PII_SSN, "[SSN]",
+        ),
+        PII_IP, "[IP]",
+    )
+    n_of = lambda pat: F.size(F.regexp_extract_all(atext, F.lit(pat), F.lit(0))).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n_of(PII_EMAIL).alias("n_email"),
+        n_of(PII_PHONE).alias("n_phone"),
+        n_of(PII_SSN).alias("n_ssn"),
+        n_of(PII_IP).alias("n_ip"),
+        (F.length(atext) - F.length(rtext)).cast("long").alias("chars_redacted"),
+        F.md5(rtext).alias("redacted_fp"),
+    )
+
+
 BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 

@@ -450,6 +450,37 @@ def test_meta_decoder_real_branch(monkeypatch):
     assert pd.isna(rout.loc[2, "out_w"])  # decoder failure row
 
 
+def test_asset_profile_fold_matches_stages(spark, sf_dir):
+    """mm_asset_profile (one Arrow pass) is column-for-column identical to
+    the three standalone stages it folded (decode_binary_meta /
+    resize_binary / extract_features) — the registry consolidation is a
+    physical fold, not a semantic change. fake_width/fake_height in the
+    meta stage are the fold's src_w/src_h (same arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.functions.multimodal import (
+        decode_binary_meta,
+        extract_features,
+        profile_assets,
+        resize_binary,
+    )
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    fold = {r["doc_id"]: r.asDict() for r in profile_assets(docs).collect()}
+    meta = {r["doc_id"]: r.asDict() for r in decode_binary_meta(docs).collect()}
+    rsz = {r["doc_id"]: r.asDict() for r in resize_binary(docs).collect()}
+    feat = {r["doc_id"]: r.asDict() for r in extract_features(docs).collect()}
+    assert set(fold) == set(meta) == set(rsz) == set(feat)
+    for did, row in fold.items():
+        assert (row["n_bytes"], row["content_sha"]) == (meta[did]["n_bytes"], meta[did]["content_sha"])
+        assert (row["src_w"], row["src_h"]) == (meta[did]["fake_width"], meta[did]["fake_height"])
+        assert all(row[c] == rsz[did][c] for c in ("src_w", "src_h", "out_w", "out_h", "out_bytes"))
+        assert all(row[c] == feat[did][c] for c in ("n_digit", "n_upper", "n_lower", "n_space", "n_other"))
+
+
 def test_meta_decoder_fake_branch_without_pil():
     """Without PIL (this container) the deterministic byte-length fake is
     bit-identical to the oracle formulation."""
