@@ -34,6 +34,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
 
 def band_planes(band: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes for one band. Band 0 IS the corpus
@@ -156,7 +158,10 @@ class IncrementalEmbeddingIndex:
             F.sqrt(_idot(F.col("qv"), F.col("qv")).cast("double")).alias("nb"),
         )
         return (
-            left.join(right, "bucket")
+            # batch rows are the broadcastable side; the index scan stays
+            # map-side at any store size
+            F.broadcast(left)
+            .join(right, "bucket")
             .where(F.col("vec_id") != F.col("seen_vec_id"))
             .select(
                 "vec_id",
@@ -181,7 +186,8 @@ class IncrementalEmbeddingIndex:
             .distinct()
             .withColumnRenamed("vec_id", self.id_col)
         )
-        return batch.join(dup_ids, self.id_col, "left_anti")
+        # ≤|batch| behind a join+agg: hint the broadcast (see text gates)
+        return batch.join(F.broadcast(dup_ids), self.id_col, "left_anti")
 
     def register(self, batch: DataFrame) -> None:
         """Durably index ``batch``'s vectors, idempotently (already-
@@ -194,9 +200,9 @@ class IncrementalEmbeddingIndex:
         manifest = store._read_manifest(table)
         touched = store.buckets_of(rows, key="bucket", table=table)
         index = store._scan_manifest(table, manifest, touched)
-        fresh = rows.join(
-            index.select("vec_id").distinct(), "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)  # pre-commit lineage cut (vacuum)
+        fresh = anti_probe(rows, index, ["vec_id"]).localCheckpoint(
+            eager=True
+        )  # pre-commit lineage cut (vacuum)
         if fresh.isEmpty():
             return
         store.write_buckets(

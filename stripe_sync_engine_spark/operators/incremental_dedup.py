@@ -61,6 +61,25 @@ from pyspark.sql import functions as F
 FINGERPRINT_COL = "fingerprint"
 
 
+def anti_probe(batch: DataFrame, indexed: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``batch`` whose keys are absent from ``indexed``, with the
+    indexed side never shuffled OR broadcast.
+
+    A plain ``batch.join(indexed, keys, "left_anti")`` can only build its
+    hash table from ``indexed`` (the anti's right side) — fine while a
+    batch's touched buckets fit the broadcast threshold, but past it the
+    plan collapses to a sort-merge that shuffles the whole bucket-pruned
+    store scan PER BATCH. Flipping the probe keeps both joins broadcast
+    at any store size: scan ``indexed`` once map-side against the
+    broadcast batch keys (left-semi, build right), then anti-join the
+    ≤|batch| matches back into ``batch``. The gates' contract is that
+    batches are micro-batch sized (bulk loads belong to the one-shot
+    corpus plans), so both broadcasts are bounded by the batch."""
+    probe = F.broadcast(batch.select(*keys).distinct())
+    seen = indexed.join(probe, keys, "left_semi").select(*keys).distinct()
+    return batch.join(F.broadcast(seen), keys, "left_anti")
+
+
 class IncrementalDeduper:
     """Exact-dedup gate over a persisted fingerprint table."""
 
@@ -94,7 +113,7 @@ class IncrementalDeduper:
         if store.exists(table):
             touched = store.buckets_of(fps, key=FINGERPRINT_COL, table=table)
             known = store.read_buckets(table, touched)
-            fps = fps.join(known.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti")
+            fps = anti_probe(fps, known, [FINGERPRINT_COL])
         return fps.groupBy(FINGERPRINT_COL).agg(F.min("doc_id").alias("doc_id"))
 
     def select_new(self, batch: DataFrame) -> DataFrame:
@@ -124,7 +143,7 @@ class IncrementalDeduper:
         touched = store.buckets_of(fps, key=FINGERPRINT_COL, table=table)
         known = store._scan_manifest(table, manifest, touched)
         fresh = (
-            fps.join(known.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti")
+            anti_probe(fps, known, [FINGERPRINT_COL])
             .groupBy(FINGERPRINT_COL)
             .agg(F.min("doc_id").alias("doc_id"))
             # materialize BEFORE the commit: the lineage reads the
@@ -157,7 +176,8 @@ class IncrementalDeduper:
         keyed = batch.withColumn(FINGERPRINT_COL, F.md5(F.col(self.content_col)))
         keepers = fresh_fps.withColumnRenamed("doc_id", self.id_col)
         return keyed.join(
-            keepers, [FINGERPRINT_COL, self.id_col], "left_semi"
+            # keepers ≤ |batch| behind a join+agg: hint the broadcast
+            F.broadcast(keepers), [FINGERPRINT_COL, self.id_col], "left_semi"
         ).drop(FINGERPRINT_COL)
 
     def seen_count(self) -> int:
@@ -232,7 +252,9 @@ class IncrementalNearDeduper:
             .distinct()
             .withColumnRenamed("doc_id", self.id_col)
         )
-        return batch.join(dup_ids, self.id_col, "left_anti")
+        # dup_ids is ≤|batch| but sits behind a join+agg whose size Spark
+        # can't estimate — hint the broadcast rather than risk a sort-merge
+        return batch.join(F.broadcast(dup_ids), self.id_col, "left_anti")
 
     def register(self, docs: DataFrame) -> None:
         """Durably record ``docs``' band rows, idempotently (rows for
@@ -246,9 +268,9 @@ class IncrementalNearDeduper:
         manifest = store._read_manifest(table)
         touched = store.buckets_of(rows, key="band_key", table=table)
         index = store._scan_manifest(table, manifest, touched)
-        fresh = rows.join(
-            index.select("doc_id").distinct(), "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)  # pre-commit lineage cut (vacuum)
+        fresh = anti_probe(rows, index, ["doc_id"]).localCheckpoint(
+            eager=True
+        )  # pre-commit lineage cut (vacuum)
         if fresh.isEmpty():
             return
         store.write_buckets(
@@ -279,7 +301,10 @@ class IncrementalNearDeduper:
             *[F.col(f"m{s}").alias(f"i_m{s}") for s in range(MINHASH_SEEDS)],
         )
         return (
-            rows.join(renamed, ["band", "band_key"])
+            # batch band rows are the broadcastable side; the index scan
+            # stays map-side at any store size
+            F.broadcast(rows)
+            .join(renamed, ["band", "band_key"])
             .groupBy("doc_id", "seen_doc_id")
             .agg((F.max(agree) / F.lit(float(MINHASH_SEEDS))).alias("est_jaccard"))
         )

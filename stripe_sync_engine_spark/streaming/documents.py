@@ -33,6 +33,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from stripe_sync_engine_spark.operators.incremental_dedup import (
     IncrementalDeduper,
     IncrementalNearDeduper,
+    anti_probe,
 )
 
 DOCUMENT_SCHEMA = StructType(
@@ -55,7 +56,7 @@ def _merge_documents(store, table: str, rows: DataFrame) -> int:
         return store.read(table).count()
     touched = store.buckets_of(rows, key="doc_id", table=table)
     prior = store.read_buckets(table, touched)
-    fresh = rows.join(prior.select("doc_id"), "doc_id", "left_anti").localCheckpoint(
+    fresh = anti_probe(rows, prior, ["doc_id"]).localCheckpoint(
         eager=True
     )  # pre-commit materialization: the commit vacuums the files this lineage reads
     n = fresh.count()

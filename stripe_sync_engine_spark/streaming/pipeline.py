@@ -114,9 +114,13 @@ def start_webhook_stream(
                             rejected, "value", table=REJECTED_TABLE
                         )
                         prior = engine.store.read_buckets(REJECTED_TABLE, touched)
-                        fresh = rejected.join(
-                            prior.select(*dedup_keys), dedup_keys, "left_anti"
+                        # batch-side broadcast probe: the store scan is
+                        # never shuffled (operators/incremental_dedup)
+                        from stripe_sync_engine_spark.operators.incremental_dedup import (
+                            anti_probe,
                         )
+
+                        fresh = anti_probe(rejected, prior, dedup_keys)
                         engine.store.write_buckets(
                             REJECTED_TABLE,
                             prior.unionByName(fresh),

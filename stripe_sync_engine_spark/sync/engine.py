@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
 from stripe_sync_engine_spark.operators.merge import (
     delete_by_keys,
     latest_by_key,
@@ -943,7 +944,9 @@ class StripeSparkSync:
                         parent_df = self.store.read(parent)
                 missing = (
                     ids if parent_df is None
-                    else ids.join(parent_df.select("id"), "id", "left_anti")
+                    # batch-side broadcast probe: the parent scan is never
+                    # shuffled (operators/incremental_dedup.anti_probe)
+                    else anti_probe(ids, parent_df, ["id"])
                 )
                 missing_ids = [r["id"] for r in missing.toLocalIterator()]
             fetched = [
