@@ -522,6 +522,30 @@ def test_real_pixel_decode_with_pil(spark):  # pragma: no cover
 # Incremental corpus dedup (r7): batches gate against a persisted,
 # fingerprint-bucketed store table — O(batch ∩ buckets) per batch, replay-
 # idempotent (operators/incremental_dedup.py).
+def test_anti_probe_equals_left_anti(spark):
+    """anti_probe (the broadcast batch-key probe every gate/sink uses) must
+    be row-identical to a plain left-anti — including null keys (never
+    match on either side), within-batch duplicates (all survive or none),
+    and composite keys."""
+    import random
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
+    rng = random.Random(7)
+    small = [
+        (rng.choice([None, *range(6)]), rng.choice(["x", "y", None]), i) for i in range(40)
+    ]
+    big = [(rng.choice([None, *range(8)]), rng.choice(["x", "y", "z", None])) for _ in range(60)]
+    sdf = spark.createDataFrame(small, "k1 int, k2 string, payload int")
+    bdf = spark.createDataFrame(big, "k1 int, k2 string")
+    from collections import Counter
+
+    for keys in (["k1"], ["k1", "k2"]):
+        expected = Counter(map(tuple, sdf.join(bdf.select(*keys), keys, "left_anti").collect()))
+        got = Counter(map(tuple, anti_probe(sdf, bdf, keys).collect()))
+        assert got == expected, keys
+
+
 def test_incremental_dedup_across_batches(spark, tmp_path):
     from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
     from stripe_sync_engine_spark.storage import TableStore
