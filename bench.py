@@ -210,6 +210,12 @@ def main() -> None:
     # queries, not session bootstrap.
     warm = REGISTRY["q09_distinct_custkeys"].spark(spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
+    # ...and the Python/Arrow daemon path: otherwise the suite's first
+    # mapInPandas query absorbs worker spawn for every core (measured
+    # ~5s at 32 cores) — a session artifact, not that query's cost.
+    spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):

@@ -34,7 +34,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe, commit_fresh
 
 
 def band_planes(band: int) -> list[list[int]]:
@@ -205,13 +205,7 @@ class IncrementalEmbeddingIndex:
         )  # pre-commit lineage cut (vacuum)
         if fresh.isEmpty():
             return
-        store.write_buckets(
-            table,
-            index.unionByName(fresh),
-            touched,
-            key="bucket",
-            planned_versions=dict(manifest["buckets"]),
-        )
+        commit_fresh(store, table, fresh, "bucket", manifest)
 
     def filter_new(self, batch: DataFrame) -> DataFrame:
         """select_new + register in one call."""

@@ -80,6 +80,27 @@ def anti_probe(batch: DataFrame, indexed: DataFrame, keys: list[str]) -> DataFra
     return batch.join(F.broadcast(seen), keys, "left_anti")
 
 
+def commit_fresh(store, table: str, fresh: DataFrame, key: str, manifest: dict) -> None:
+    """Commit ``fresh`` (materialized, non-empty) rows into ONLY the
+    buckets they land in. The membership probe touches every bucket the
+    BATCH hashes into, but replay-heavy batches leave most of those
+    unchanged — rewriting them is pure wasted IO, and at thousands of
+    buckets the write set shrinks to ~|fresh| buckets. OCC over the write
+    set alone is sufficient: a key's freshness verdict can only be
+    invalidated by a concurrent commit to that key's OWN bucket (keys hash
+    to exactly one), which is in the write set whenever the key is
+    written."""
+    write_set = store.buckets_of(fresh, key=key, table=table)
+    base = store._scan_manifest(table, manifest, write_set)
+    store.write_buckets(
+        table,
+        base.unionByName(fresh),
+        write_set,
+        key=key,
+        planned_versions=dict(manifest["buckets"]),
+    )
+
+
 class IncrementalDeduper:
     """Exact-dedup gate over a persisted fingerprint table."""
 
@@ -153,13 +174,7 @@ class IncrementalDeduper:
         )
         if fresh.isEmpty():
             return
-        store.write_buckets(
-            table,
-            known.unionByName(fresh),
-            touched,
-            key=FINGERPRINT_COL,
-            planned_versions=dict(manifest["buckets"]),
-        )
+        commit_fresh(store, table, fresh, FINGERPRINT_COL, manifest)
 
     def filter_new(self, batch: DataFrame) -> DataFrame:
         """select_new + register in one call: survivors (original schema),
@@ -273,13 +288,7 @@ class IncrementalNearDeduper:
         )  # pre-commit lineage cut (vacuum)
         if fresh.isEmpty():
             return
-        store.write_buckets(
-            table,
-            index.unionByName(fresh),
-            touched,
-            key="band_key",
-            planned_versions=dict(manifest["buckets"]),
-        )
+        commit_fresh(store, table, fresh, "band_key", manifest)
 
     def filter_new(self, batch: DataFrame) -> DataFrame:
         """select_new + register in one call."""

@@ -34,6 +34,7 @@ from stripe_sync_engine_spark.operators.incremental_dedup import (
     IncrementalDeduper,
     IncrementalNearDeduper,
     anti_probe,
+    commit_fresh,
 )
 
 DOCUMENT_SCHEMA = StructType(
@@ -54,14 +55,17 @@ def _merge_documents(store, table: str, rows: DataFrame) -> int:
     if not store.exists(table):
         store.write(table, rows, key="doc_id")
         return store.read(table).count()
+    manifest = store._read_manifest(table)
     touched = store.buckets_of(rows, key="doc_id", table=table)
-    prior = store.read_buckets(table, touched)
+    prior = store._scan_manifest(table, manifest, touched)
     fresh = anti_probe(rows, prior, ["doc_id"]).localCheckpoint(
         eager=True
     )  # pre-commit materialization: the commit vacuums the files this lineage reads
     n = fresh.count()
     if n:
-        store.write_buckets(table, prior.unionByName(fresh), touched, key="doc_id")
+        # only the buckets gaining rows are rewritten; replay-only buckets
+        # stay untouched (operators/incremental_dedup.commit_fresh)
+        commit_fresh(store, table, fresh, "doc_id", manifest)
     return n
 
 

@@ -583,6 +583,35 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert {r["doc_id"] for r in dd.filter_new(b3).collect()} == {9}
 
 
+def test_register_rewrites_only_fresh_buckets(spark, tmp_path):
+    """A mixed replay+fresh batch commits ONLY the buckets gaining rows;
+    buckets the probe touched but left unchanged keep their version (no
+    wasted rewrite IO — commit_fresh's contract)."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_fb"), n_buckets=16)
+    dd = IncrementalDeduper(store)
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(200)], "doc_id long, text string"
+    )
+    dd.filter_new(corpus)
+    before = dict(store._read_manifest(dd.table)["buckets"])
+
+    batch = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(150)]  # replays: many buckets probed
+        + [(1000, "brand new")],  # one fresh doc: one bucket gains a row
+        "doc_id long, text string",
+    )
+    assert {r["doc_id"] for r in dd.filter_new(batch).collect()} == {1000}
+    after = store._read_manifest(dd.table)["buckets"]
+    fresh_bucket = store.buckets_of(
+        dd._fingerprints(batch.where("doc_id = 1000")), key="fingerprint", table=dd.table
+    )
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert changed == {str(b) for b in fresh_bucket} and len(changed) == 1
+
+
 def test_incremental_dedup_registers_provenance(spark, tmp_path):
     """The fingerprint table records the FIRST registrant's id — the
     provenance answer to 'which document made this one a duplicate'."""
