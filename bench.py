@@ -195,6 +195,68 @@ def _bench_incremental_dedup(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _bench_incremental_near_and_ann(spark, sf_dir: str) -> dict[str, float]:
+    """The other two incremental gates, same steady-state shape as
+    ``dd_incremental_batch``: persisted index registered once (untimed),
+    then ONE mixed replay+fresh batch timed through select+register.
+    ``dd_incremental_near_batch`` gates text against the MinHash-LSH band
+    index; ``sim_incremental_index_batch`` gates vectors against the
+    hyperplane-bucketed embedding index."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.embedding_index import IncrementalEmbeddingIndex
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalNearDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.tables import load_table
+
+    out: dict[str, float] = {}
+    wh = tempfile.mkdtemp(prefix="bench_near_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        near = IncrementalNearDeduper(TableStore(spark, wh))
+        near.register(docs)  # corpus band index (untimed setup)
+        batch = (
+            docs.limit(500)  # replays: self-matches never gate, all pass
+            .unionByName(
+                docs.limit(500).select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                    # word-level shuffle-free edit: near-dup of the corpus doc
+                    F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        near.filter_new(batch).count()
+        out["dd_incremental_near_batch"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    wh = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = IncrementalEmbeddingIndex(TableStore(spark, wh))
+        idx.register(vecs)  # corpus index (untimed setup)
+        batch = (
+            vecs.limit(500)
+            .unionByName(
+                vecs.limit(500).select(
+                    (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        idx.filter_new(batch).count()
+        out["sim_incremental_index_batch"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -231,6 +293,7 @@ def main() -> None:
 
     times.update(_bench_sync_ingest(spark, n_events=5000))
     times.update(_bench_incremental_dedup(spark, sf_dir))
+    times.update(_bench_incremental_near_and_ann(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(
