@@ -583,6 +583,36 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert {r["doc_id"] for r in dd.filter_new(b3).collect()} == {9}
 
 
+def test_gate_probe_stays_broadcast_without_auto(spark, tmp_path):
+    """The gate's membership probe must stay a broadcast plan even when
+    the store side is too big for auto-broadcast (simulated by disabling
+    the threshold): the store scan is the SEMI side probed map-side
+    against the broadcast batch keys, never a shuffled sort-merge — the
+    reason anti_probe exists."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_bc"))
+    dd = IncrementalDeduper(store)
+    dd.register(
+        spark.createDataFrame([(i, f"t{i}") for i in range(500)], "doc_id long, text string")
+    )
+    batch = spark.createDataFrame([(900, "t3"), (901, "zzz")], "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = dd.select_new(batch)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the store-probing semi must build from the broadcast batch keys
+        import re
+
+        semis = [l for l in plan.splitlines() if "LeftSemi" in l and "fingerprint" in l]
+        assert any("BroadcastHashJoin" in l for l in semis), plan
+        assert {r["doc_id"] for r in dd.select_new(batch).collect()} == {901}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_register_rewrites_only_fresh_buckets(spark, tmp_path):
     """A mixed replay+fresh batch commits ONLY the buckets gaining rows;
     buckets the probe touched but left unchanged keep their version (no
