@@ -34,7 +34,11 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe, commit_fresh
+from stripe_sync_engine_spark.operators.incremental_dedup import (
+    anti_probe,
+    commit_fresh,
+    with_occ_retry,
+)
 
 
 def band_planes(band: int) -> list[list[int]]:
@@ -81,6 +85,24 @@ class IncrementalEmbeddingIndex:
         self.id_col = id_col
         self.threshold = threshold
         self.n_bands = max(1, n_bands)
+        self._format_checked = False
+
+    def _ensure_band_format(self) -> None:
+        """Fail LOUDLY on an index whose bucket keys predate the
+        ``{band}|{bits}`` format (early builds stored raw bit strings):
+        probing it with banded keys would silently never match — every
+        already-indexed vector would re-register and near-dups would pass
+        the gate. One ``limit(1)`` scan per instance."""
+        if self._format_checked:
+            return
+        if self.store.exists(self.table):
+            row = self.store.read(self.table).select("bucket").first()
+            if row is not None and "|" not in row["bucket"]:
+                raise RuntimeError(
+                    f"{self.table!r} holds pre-band bucket keys (no '|'); rebuild the "
+                    "index (drop the table and re-register the corpus) before probing"
+                )
+        self._format_checked = True
 
     def _bq(self, batch: DataFrame) -> DataFrame:
         """(vec_id, bucket, qv), one row per (vector, band); bucket is
@@ -133,6 +155,7 @@ class IncrementalEmbeddingIndex:
         buckets are read. Self-pairs excluded."""
         from stripe_sync_engine_spark.plans.similarity import _idot
 
+        self._ensure_band_format()
         rows = self._bq(batch)
         store, table = self.store, self.table
         if not store.exists(table):
@@ -191,7 +214,18 @@ class IncrementalEmbeddingIndex:
 
     def register(self, batch: DataFrame) -> None:
         """Durably index ``batch``'s vectors, idempotently (already-
-        indexed ids register nothing); one OCC-guarded partial commit."""
+        indexed (vector, band) rows register nothing); one OCC-guarded
+        partial commit. Freshness is per (vec_id, BAND), not per vec_id:
+        after raising ``n_bands``, re-registering an already-indexed
+        vector writes exactly its missing higher-band rows — the recall
+        upgrade back-fills incrementally instead of silently applying
+        only to vectors registered after the switch. Out-of-band writers
+        (``engine.maintain()`` compacting the index) re-plan via
+        ``with_occ_retry``, same as the text gates."""
+        with_occ_retry(lambda: self._register_once(batch))
+
+    def _register_once(self, batch: DataFrame) -> None:
+        self._ensure_band_format()
         rows = self._bq(batch)
         store, table = self.store, self.table
         if not store.exists(table):
@@ -200,9 +234,16 @@ class IncrementalEmbeddingIndex:
         manifest = store._read_manifest(table)
         touched = store.buckets_of(rows, key="bucket", table=table)
         index = store._scan_manifest(table, manifest, touched)
-        fresh = anti_probe(rows, index, ["vec_id"]).localCheckpoint(
-            eager=True
-        )  # pre-commit lineage cut (vacuum)
+        band_of = F.split(F.col("bucket"), r"\|").getItem(0).alias("band")
+        fresh = (
+            anti_probe(
+                rows.withColumn("band", band_of),
+                index.withColumn("band", band_of),
+                ["vec_id", "band"],
+            )
+            .drop("band")
+            .localCheckpoint(eager=True)  # pre-commit lineage cut (vacuum)
+        )
         if fresh.isEmpty():
             return
         commit_fresh(store, table, fresh, "bucket", manifest)

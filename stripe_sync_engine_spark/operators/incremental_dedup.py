@@ -80,6 +80,30 @@ def anti_probe(batch: DataFrame, indexed: DataFrame, keys: list[str]) -> DataFra
     return batch.join(F.broadcast(seen), keys, "left_anti")
 
 
+def with_occ_retry(body, attempts: int = 3):
+    """Run a re-plannable read-modify-write ``body`` (a zero-arg callable
+    that re-reads the manifest itself), re-planning on an OCC abort.
+
+    The gates' registers and the document sink merge are idempotent and
+    plan against the manifest they read, so losing an optimistic-
+    concurrency race to an out-of-band writer — ``engine.maintain()``
+    compacting a gate table is the expected one — is not an error, just a
+    stale plan: re-running the body re-reads the manifest and converges.
+    Without this, a cron ``maintain()`` landing between a live stream's
+    plan and its commit would kill the streaming query. Deterministic
+    conflicts (e.g. an actual lost-update bug) still surface: retries are
+    bounded and the final failure propagates."""
+    for i in range(attempts):
+        try:
+            return body()
+        except RuntimeError as e:
+            msg = str(e)
+            if i == attempts - 1 or not (
+                "concurrent commit" in msg or "rebucketed" in msg
+            ):
+                raise
+
+
 def commit_fresh(store, table: str, fresh: DataFrame, key: str, manifest: dict) -> None:
     """Commit ``fresh`` (materialized, non-empty) rows into ONLY the
     buckets they land in. The membership probe touches every bucket the
@@ -150,7 +174,15 @@ class IncrementalDeduper:
         OCC-guarded partial commit into only the touched buckets; a pure
         replay skips the commit entirely. The committed (fingerprint,
         first registrant id) rows are the provenance a curation pipeline
-        needs to answer "which document made this one a duplicate"."""
+        needs to answer "which document made this one a duplicate".
+
+        Out-of-band writers (``engine.maintain()`` compacting the gate
+        table under a live stream) are tolerated by re-planning on the
+        OCC abort (``with_occ_retry``); concurrent REGISTRARS still
+        serialize externally — batches are the unit."""
+        with_occ_retry(lambda: self._register_once(docs))
+
+    def _register_once(self, docs: DataFrame) -> None:
         store, table = self.store, self.table
         if not store.exists(table):
             store.write(table, self._fresh_fps(docs), key=FINGERPRINT_COL)
@@ -274,7 +306,11 @@ class IncrementalNearDeduper:
     def register(self, docs: DataFrame) -> None:
         """Durably record ``docs``' band rows, idempotently (rows for
         already-indexed doc ids register nothing) with the same
-        OCC-guarded single partial commit as the exact gate."""
+        OCC-guarded single partial commit — and the same out-of-band
+        re-plan tolerance — as the exact gate."""
+        with_occ_retry(lambda: self._register_once(docs))
+
+    def _register_once(self, docs: DataFrame) -> None:
         rows = self._band_rows(docs)
         store, table = self.store, self.table
         if not store.exists(table):

@@ -35,6 +35,7 @@ from stripe_sync_engine_spark.operators.incremental_dedup import (
     IncrementalNearDeduper,
     anti_probe,
     commit_fresh,
+    with_occ_retry,
 )
 
 DOCUMENT_SCHEMA = StructType(
@@ -55,18 +56,23 @@ def _merge_documents(store, table: str, rows: DataFrame) -> int:
     if not store.exists(table):
         store.write(table, rows, key="doc_id")
         return store.read(table).count()
-    manifest = store._read_manifest(table)
-    touched = store.buckets_of(rows, key="doc_id", table=table)
-    prior = store._scan_manifest(table, manifest, touched)
-    fresh = anti_probe(rows, prior, ["doc_id"]).localCheckpoint(
-        eager=True
-    )  # pre-commit materialization: the commit vacuums the files this lineage reads
-    n = fresh.count()
-    if n:
-        # only the buckets gaining rows are rewritten; replay-only buckets
-        # stay untouched (operators/incremental_dedup.commit_fresh)
-        commit_fresh(store, table, fresh, "doc_id", manifest)
-    return n
+
+    def attempt() -> int:
+        manifest = store._read_manifest(table)
+        touched = store.buckets_of(rows, key="doc_id", table=table)
+        prior = store._scan_manifest(table, manifest, touched)
+        fresh = anti_probe(rows, prior, ["doc_id"]).localCheckpoint(
+            eager=True
+        )  # pre-commit materialization: the commit vacuums the files this lineage reads
+        n = fresh.count()
+        if n:
+            # only the buckets gaining rows are rewritten; replay-only
+            # buckets stay untouched (incremental_dedup.commit_fresh)
+            commit_fresh(store, table, fresh, "doc_id", manifest)
+        return n
+
+    # re-plan if an out-of-band maintain() compaction lands mid-merge
+    return with_occ_retry(attempt)
 
 
 def start_document_stream(
@@ -90,7 +96,11 @@ def start_document_stream(
     committed when its vacuum fires)."""
     spark = store.spark
     exact = IncrementalDeduper(store)
-    near = IncrementalNearDeduper(store, threshold=near_threshold or 0.5)
+    # explicit None check: a caller's threshold of 0.0 (gate on ANY
+    # candidate) must not silently become 0.5
+    near = IncrementalNearDeduper(
+        store, threshold=0.5 if near_threshold is None else near_threshold
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if vacuum_landing_every and batch_id % vacuum_landing_every == 0:

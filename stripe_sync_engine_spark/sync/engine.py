@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe, with_occ_retry
 from stripe_sync_engine_spark.operators.merge import (
     delete_by_keys,
     latest_by_key,
@@ -1120,12 +1120,33 @@ class StripeSparkSync:
         orphan/history reclamation past ``orphan_min_age_s``. With
         ``landing=(landing_dir, checkpoint_dir)``, also vacuums the
         streaming landing zone past its checkpoint. Safe to run from cron
-        next to live merges: compaction holds the table write lock,
-        vacuum honors the retention contract, and the landing sweep only
-        touches durably-committed envelopes. Returns per-table counts."""
-        report: dict = {"compacted": {}, "orphans_removed": {}, "landing_removed": 0}
+        next to live merges AND live streams: compaction holds the table
+        write lock against engine merges; streaming gate tables commit
+        outside engine locks, so both sides re-plan or concede on the OCC
+        race — the stream's register retries (``with_occ_retry``), and a
+        compaction that keeps losing skips the table (``compact_skipped``
+        in the report) for the next pass. Vacuum honors the retention
+        contract, and the landing sweep only touches durably-committed
+        envelopes. Returns per-table counts."""
+        report: dict = {"compacted": {}, "compact_skipped": {}, "orphans_removed": {}, "landing_removed": 0}
         for table in self.store.tables():
-            rewritten = self.compact_entity(table, max_files_per_bucket=max_files_per_bucket)
+            # Streaming gate tables commit outside the engine's table
+            # locks; their registers re-plan when THIS compaction wins the
+            # OCC race (with_occ_retry), and when they win, compaction
+            # concedes: losing a race to a live writer means the table is
+            # being actively rewritten anyway — skip it, report it, and
+            # let the next cron pass pick it up.
+            try:
+                rewritten = with_occ_retry(
+                    lambda t=table: self.compact_entity(
+                        t, max_files_per_bucket=max_files_per_bucket
+                    )
+                )
+            except RuntimeError as e:
+                if "concurrent commit" not in str(e) and "rebucketed" not in str(e):
+                    raise
+                report["compact_skipped"][table] = str(e)
+                continue
             if rewritten:
                 report["compacted"][table] = len(rewritten)
             removed = self.store.vacuum_orphans(table, min_age_s=orphan_min_age_s)

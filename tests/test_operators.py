@@ -604,8 +604,6 @@ def test_gate_probe_stays_broadcast_without_auto(spark, tmp_path):
         plan = dd.select_new(batch)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         # the store-probing semi must build from the broadcast batch keys
-        import re
-
         semis = [l for l in plan.splitlines() if "LeftSemi" in l and "fingerprint" in l]
         assert any("BroadcastHashJoin" in l for l in semis), plan
         assert {r["doc_id"] for r in dd.select_new(batch).collect()} == {901}
@@ -747,6 +745,115 @@ def test_incremental_embedding_index_gate(spark, tmp_path):
     assert {r["vec_id"] for r in ix.filter_new(mk([(3, anti)])).collect()} == {3}
     assert store._read_manifest(ix.table)["buckets"] == before
     assert store.read(ix.table).count() == 2  # vectors 1 and 3 indexed once each
+
+
+def test_embedding_index_band_upgrade_backfills(spark, tmp_path):
+    """Raising n_bands on an existing index back-fills the missing
+    higher-band rows when a vector is re-registered: freshness is per
+    (vec_id, band), not per vec_id."""
+    from stripe_sync_engine_spark.operators.embedding_index import IncrementalEmbeddingIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_emb_up"))
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vec = [0.1] * 64
+    IncrementalEmbeddingIndex(store, n_bands=1).register(mk([(1, vec)]))
+    assert store.read("_embedding_index").count() == 1  # band-0 row only
+
+    up = IncrementalEmbeddingIndex(store, n_bands=2)
+    up.register(mk([(1, vec)]))  # re-register after the upgrade
+    rows = store.read("_embedding_index").collect()
+    bands = sorted(r["bucket"].split("|")[0] for r in rows)
+    assert bands == ["0", "1"]  # band-1 back-filled, band-0 not duplicated
+
+    # replay at 2 bands: nothing fresh, no commit
+    before = store._read_manifest("_embedding_index")["buckets"]
+    up.register(mk([(1, vec)]))
+    assert store._read_manifest("_embedding_index")["buckets"] == before
+
+
+def test_embedding_index_rejects_pre_band_format(spark, tmp_path):
+    """An index whose bucket keys predate the '{band}|{bits}' format must
+    fail loudly instead of silently never matching."""
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.embedding_index import IncrementalEmbeddingIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_emb_legacy"))
+    legacy = spark.createDataFrame(
+        [(1, "01100110", [7] * 64)], "vec_id long, bucket string, qv array<long>"
+    )
+    store.write("_embedding_index", legacy, key="bucket")
+    ix = IncrementalEmbeddingIndex(store)
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(RuntimeError, match="pre-band"):
+        ix.neighbors(mk([(2, [0.1] * 64)]))
+    with _pytest.raises(RuntimeError, match="pre-band"):
+        ix.register(mk([(2, [0.1] * 64)]))
+
+
+def test_register_replans_on_occ_race(spark, tmp_path, monkeypatch):
+    """A register that loses the OCC race to an out-of-band writer (a
+    maintain() compaction under a live stream) re-plans and converges
+    instead of propagating the abort into the streaming query."""
+    from stripe_sync_engine_spark.operators import incremental_dedup as mod
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_occ"))
+    dd = mod.IncrementalDeduper(store)
+    dd.register(spark.createDataFrame([(1, "one")], "doc_id long, text string"))
+
+    real = mod.commit_fresh
+    fails = {"left": 1}
+
+    def flaky(*a, **kw):
+        if fails["left"]:
+            fails["left"] -= 1
+            raise RuntimeError(
+                "buckets [3] of '_document_fingerprints' were rewritten by a "
+                "concurrent commit after this write was planned"
+            )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mod, "commit_fresh", flaky)
+    dd.register(spark.createDataFrame([(2, "two")], "doc_id long, text string"))
+    assert fails["left"] == 0 and dd.seen_count() == 2
+
+    # a non-OCC error is NOT retried
+    def always(*a, **kw):
+        raise RuntimeError("disk on fire")
+
+    monkeypatch.setattr(mod, "commit_fresh", always)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="disk on fire"):
+        dd.register(spark.createDataFrame([(3, "three")], "doc_id long, text string"))
+
+
+def test_document_stream_zero_near_threshold_respected(spark, tmp_path, monkeypatch):
+    """near_threshold=0.0 must reach the near gate as 0.0 (gate on ANY
+    candidate), not be silently replaced by the 0.5 default."""
+    import stripe_sync_engine_spark.streaming.documents as docs_mod
+    from stripe_sync_engine_spark.storage import TableStore
+
+    captured = {}
+    real = docs_mod.IncrementalNearDeduper
+
+    class Spy(real):
+        def __init__(self, store, **kw):
+            captured.update(kw)
+            super().__init__(store, **kw)
+
+    monkeypatch.setattr(docs_mod, "IncrementalNearDeduper", Spy)
+    store = TableStore(spark, str(tmp_path / "wh_zt"))
+    landing = tmp_path / "landing_zt"
+    landing.mkdir()
+    q = docs_mod.start_document_stream(
+        store, str(landing), str(tmp_path / "ckpt_zt"), near_threshold=0.0
+    )
+    q.awaitTermination()
+    assert captured["threshold"] == 0.0
 
 
 def test_embedding_index_multiband_recovers_split_pair(spark, tmp_path):
