@@ -40,7 +40,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from stripe_sync_engine_spark.schemas.entities import bucket_key, entity_schema, entity_tables
 
@@ -353,6 +353,104 @@ class TableStore:
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- change data feed ----------------------------------------------
+    def _align_to(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Project ``df`` onto ``schema``: common columns cast to the target
+        type, missing columns as typed NULLs, extra columns dropped — how
+        an old snapshot's rows are lifted into the current schema so a
+        pure retype/add-column migration diffs as zero changes."""
+        have = {f.name for f in df.schema.fields}
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def read_changes(
+        self, table: str, since_ms: int, until_ms: int | None = None
+    ) -> DataFrame | None:
+        """Row-level NET change feed between two retained snapshots: the
+        table state current at ``since_ms`` (exclusive) vs at ``until_ms``
+        (inclusive; None = the current manifest). Returns the table's
+        columns plus ``_change_type`` ∈ {'insert', 'update', 'delete'} —
+        post-image rows for insert/update, the pre-image for delete — or
+        None when the table existed at neither bound. A consumer that
+        stores the commit timestamp it last read (``commits()[-1]`` at
+        read time) and passes it back as ``since_ms`` sees every later
+        change exactly once: the store's answer to Postgres logical
+        decoding / Delta's change data feed, reduced to a snapshot diff.
+
+        Cost is O(changed buckets), not O(table): only buckets whose
+        manifest pointer moved between the two snapshots are read (both
+        sides), then diffed row-wise on the table's bucket key. The
+        row-wise diff is what keeps maintenance invisible — a compact()
+        or rebucket() re-points every bucket it rewrites but leaves rows
+        byte-equal, so the feed stays empty. NET means intra-window
+        churn collapses (insert+delete of the same key within the window
+        is absent; multiple updates fold to one) — the right contract
+        for downstream incremental materialization.
+
+        Requirements: the since-side snapshot must still be retained
+        (``vacuum_retain_s`` beyond the maximal consumer lag — aged-out
+        snapshots raise loudly, never return partial data), and the
+        bucket key is unique per row (the store's merge contract)."""
+        new_manifest = (
+            self._read_manifest(table)
+            if until_ms is None
+            else self._resolve_snapshot(table, until_ms)
+        )
+        old_manifest = self._resolve_snapshot(table, since_ms)
+        if new_manifest is None and old_manifest is None:
+            return None
+        schema = StructType.fromJson((new_manifest or old_manifest)["schema"])
+        # fresh field list — StructType.add mutates the list it was built on
+        out_schema = StructType(
+            list(schema.fields) + [StructField("_change_type", StringType())]
+        )
+        key = ((new_manifest or old_manifest).get("bucket_key")) or "id"
+
+        def side(manifest, buckets):
+            if manifest is None:
+                return self.spark.createDataFrame([], schema)
+            df = self._scan_manifest(table, manifest, buckets)
+            return self._align_to(df, schema)
+
+        if old_manifest is None or new_manifest is None:
+            changed = None  # birth (all inserts) or absence: diff everything
+        elif int(old_manifest["n_buckets"]) != int(new_manifest["n_buckets"]):
+            changed = None  # rebucketed: bucket ids are incomparable
+        else:
+            obk, nbk = old_manifest["buckets"], new_manifest["buckets"]
+            changed = [int(b) for b in set(obk) | set(nbk) if obk.get(b) != nbk.get(b)]
+            if not changed:
+                return self.spark.createDataFrame([], out_schema)
+        cols = [f.name for f in schema.fields]
+        old = side(old_manifest, changed).select(
+            F.col(key).alias("_k"), F.struct(*cols).alias("_old")
+        )
+        new = side(new_manifest, changed).select(
+            F.col(key).alias("_k"), F.struct(*cols).alias("_new")
+        )
+        # full-outer on the unique bucket key; both sides hold only the
+        # changed buckets, so the exchange is bounded by the window's
+        # write volume. to_json comparison is conservative: it can emit a
+        # spurious no-op update for a map whose entry order changed, but
+        # never misses a real change.
+        j = old.join(new, "_k", "full_outer").withColumn(
+            "_change_type",
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(F.to_json("_old") != F.to_json("_new"), F.lit("update")),
+        )
+        return (
+            j.where(F.col("_change_type").isNotNull())
+            .select(F.coalesce("_new", "_old").alias("_row"), "_change_type")
+            .select("_row.*", "_change_type")
+        )
 
     # -- per-bucket column statistics / data skipping -------------------
     # The manifest records min/max/null-count per (bucket, column),

@@ -1107,6 +1107,65 @@ class StripeSparkSync:
             views.append(name)
         return views
 
+    # ------------------------------------------------------------------
+    # Change data feed (storage.read_changes) + durable consumer cursors
+    # ------------------------------------------------------------------
+    def changes(self, entity: str, since_ms: int, until_ms: int | None = None):
+        """Row-level net changes of one synced table between two retained
+        snapshots — ``TableStore.read_changes`` with the entity's table
+        name. The reference's consumers poll the Postgres tables (or bolt
+        logical decoding onto them) to feed downstream marts; this is
+        that capability native to the store: O(changed buckets), with
+        compaction/rebucketing invisible. See ``consume_changes`` for
+        the managed-cursor form."""
+        return self.store.read_changes(entity, since_ms, until_ms=until_ms)
+
+    def _cursor_path(self, consumer: str) -> str:
+        return os.path.join(self.store.root, "_cursors", f"{consumer}.json")
+
+    def _read_cursors(self, consumer: str) -> dict:
+        try:
+            with open(self._cursor_path(consumer)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def consume_changes(self, consumer: str, entity: str):
+        """At-least-once incremental consumption with a durable cursor:
+        returns ``(changes_df, cursor_ms)`` — every change after the
+        consumer's acknowledged position, up to and including the commit
+        current when this call planned (later commits wait for the next
+        poll, so the DataFrame and the returned cursor always agree).
+        The caller processes the batch, then calls ``ack_changes(consumer,
+        entity, cursor_ms)``; a crash before the ack simply re-delivers
+        the same window (net-change batches are idempotent to re-apply).
+        A first-time consumer (no cursor) receives the whole current
+        table as inserts — the initial load. One writer per consumer
+        name; the cursor survives engine restarts (a JSON file under the
+        store root). Retention contract: ``vacuum_retain_s`` must exceed
+        the consumer's maximal lag, or the since-snapshot ages out and
+        the read raises loudly."""
+        cursors = self._read_cursors(consumer)
+        since = int(cursors.get(entity, 0))
+        commits = self.store.commits(entity)
+        until = commits[-1] if commits else None
+        if until is None:
+            return None, since  # table has never committed
+        return self.store.read_changes(entity, since, until_ms=until), until
+
+    def ack_changes(self, consumer: str, entity: str, cursor_ms: int) -> None:
+        """Durably advance ``consumer``'s cursor on ``entity`` to
+        ``cursor_ms`` (the value ``consume_changes`` returned). Atomic
+        replace; per-consumer file, so distinct consumers never contend."""
+        path = self._cursor_path(consumer)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cursors = self._read_cursors(consumer)
+        cursors[entity] = int(cursor_ms)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cursors, f)
+        os.replace(tmp, path)
+
     def maintain(
         self,
         max_files_per_bucket: int = 1,
