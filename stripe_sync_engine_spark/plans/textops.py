@@ -9,7 +9,7 @@ identical integer inputs on both engines, so value hashes are stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stripe_sync_engine_spark.plans.registry import register
@@ -390,24 +390,57 @@ def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
+# Sequence packing (training-batch assembly): docs are concatenated in
+# deterministic order and cut every PACK_BUDGET subword tokens — the
+# standard pretraining "concat and chunk" layout. Packing is per SHARD
+# (md5-bucket of doc_id), not global: a global cumulative sum is a
+# single-partition window (the 100 TB anti-pattern), while N_PACK_SHARDS
+# independent windows run in parallel and each shard's packs are
+# self-contained. Locally 8 shards; at cluster scale raise it to
+# O(executors) — pack semantics are per-shard either way.
+PACK_BUDGET = 2048
+N_PACK_SHARDS = 8
+
 
 @register(
     "txt_bpe_tokens",
-    oracle=r"""
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
-               CAST(list_sum(list_transform(
-                    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
-                    x -> (length(x) + 3) // 4)) AS BIGINT) AS n_subwords
-        FROM documents
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
+                   CAST(list_sum(list_transform(
+                        regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+                        x -> (length(x) + 3) // 4)) AS BIGINT) AS n_subwords,
+                   (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % {N_PACK_SHARDS} AS shard
+            FROM documents
+        ), c AS (
+            SELECT *,
+                   CAST(COALESCE(SUM(n_subwords) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM toks
+        )
+        SELECT doc_id, n_pieces, n_subwords, shard,
+               start // {PACK_BUDGET} AS pack_id,
+               start % {PACK_BUDGET} AS pack_offset,
+               ((start + GREATEST(n_subwords, 1) - 1) // {PACK_BUDGET})
+                 - (start // {PACK_BUDGET}) + 1 AS packs_spanned
+        FROM c
     """,
-    operators="TDP-text-bpe",
+    operators="TDP-text-bpe,TDP-packing",
 )
 def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting: GPT-style pre-tokenizer regex (letter runs,
-    single digits, punctuation) plus a ceil(len/4) subword estimate per
-    piece — all JVM-side (regexp_extract_all + higher-order aggregate),
-    zero shuffle, zero Python."""
+    """BPE-ish token counting + sequence packing. Counting: GPT-style
+    pre-tokenizer regex (letter runs, single digits, punctuation) plus a
+    ceil(len/4) subword estimate per piece — all JVM-side
+    (regexp_extract_all + higher-order aggregate), zero Python. Packing:
+    concat-and-chunk training layout — docs concatenate in doc_id order
+    within their md5 shard and cut every PACK_BUDGET tokens; each doc
+    learns its pack id, its offset inside the pack, and how many packs it
+    spans (boundary docs straddle). One shuffle total (the per-shard
+    window's exchange); the cumulative sum never crosses shards, so
+    parallelism is N_PACK_SHARDS regardless of corpus size."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
     subwords = F.aggregate(
@@ -415,8 +448,34 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
+    shard = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 2), 16, 10).cast("long")
+        % N_PACK_SHARDS
+    )
+    toks = docs.select(
         "doc_id",
         F.size(pieces).cast("long").alias("n_pieces"),
         subwords.alias("n_subwords"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_subwords").over(w), F.lit(0).cast("long"))
+    return toks.select(
+        "doc_id",
+        "n_pieces",
+        "n_subwords",
+        "shard",
+        F.floor(start / PACK_BUDGET).cast("long").alias("pack_id"),
+        (start % PACK_BUDGET).cast("long").alias("pack_offset"),
+        (
+            F.floor((start + F.greatest(F.col("n_subwords"), F.lit(1)) - 1) / PACK_BUDGET)
+            - F.floor(start / PACK_BUDGET)
+            + 1
+        )
+        .cast("long")
+        .alias("packs_spanned"),
     )

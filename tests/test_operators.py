@@ -923,3 +923,27 @@ def test_embedding_index_multiband_recovers_split_pair(spark, tmp_path):
     ref = buckets_and_quant_for(emb).collect()[0]
     got = [r for r in two._bq(emb).collect() if r["bucket"].startswith("0|")][0]
     assert got["bucket"] == "0|" + ref["bucket"] and list(got["qv"]) == list(ref["qv"])
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """txt_bpe_tokens' packing columns obey the concat-and-chunk layout:
+    within a shard, consecutive docs tile the token stream with no gaps
+    (offset arithmetic), packs never exceed the budget except via a
+    straddling doc, and straddle accounting matches the doc's length."""
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+    from stripe_sync_engine_spark.plans.textops import PACK_BUDGET
+
+    rows = REGISTRY["txt_bpe_tokens"].spark(spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # sharded, not a single global window
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        start = 0
+        for r in docs:
+            assert r["pack_id"] == start // PACK_BUDGET
+            assert r["pack_offset"] == start % PACK_BUDGET
+            end = start + max(r["n_subwords"], 1) - 1
+            assert r["packs_spanned"] == end // PACK_BUDGET - r["pack_id"] + 1
+            start += r["n_subwords"]
