@@ -137,28 +137,47 @@ def q31_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SAMPLE_PCT = 20  # keep rows whose id-hash bucket (0..99) is below this
+SAMPLE_PCT = 20  # default keep-rate: id-hash bucket (0..99) below this
+
+# Stratified mixture weights — per-source keep-rates, the way training
+# mixes are rebalanced (upsample rare high-value strata, downsample bulk
+# telemetry). Strata absent from the map fall back to SAMPLE_PCT.
+MIXTURE_PCT = {"purchase": 80, "signup": 50, "click": 10, "view": 10}
 
 
 @register(
     "q32_deterministic_sample",
     oracle=f"""
-        SELECT event_id, event_type, user_id
-        FROM events
-        WHERE (CAST(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
-               + CAST(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
-              < {SAMPLE_PCT}
+        WITH weights(event_type, pct) AS (
+            VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIXTURE_PCT.items()))}
+        )
+        SELECT e.event_id, e.event_type, e.user_id
+        FROM events e LEFT JOIN weights w USING (event_type)
+        WHERE (CAST(strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+               + CAST(strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
+              < COALESCE(w.pct, {SAMPLE_PCT})
     """,
-    operators="P2,TDP-sample",
+    operators="P2,TDP-sample,TDP-mixture",
 )
 def q32_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~{SAMPLE_PCT}% sample: keep rows whose md5(id) first
-    byte lands in a fixed bucket range. Unlike ``df.sample()`` (seeded
-    per-partition RNG — resplitting the input changes the sample), the
-    hash sample is a pure row predicate: reproducible across runs,
-    cluster layouts, and engines, composable with stratification (hash
-    within group), and it pushes down as an ordinary filter. This is how
-    training sets are cut reproducibly at 100 TB."""
+    """Deterministic stratified mixture sample: keep rows whose md5(id)
+    bucket (0..99) falls below their stratum's keep-rate — per-source
+    mixture weighting (MIXTURE_PCT, default SAMPLE_PCT) the way training
+    corpora are rebalanced. Unlike ``df.sample()`` (seeded per-partition
+    RNG — resplitting the input changes the sample), the hash sample is a
+    pure row predicate: reproducible across runs, cluster layouts, and
+    engines, and membership is stable under weight changes (raising a
+    stratum's rate strictly grows its sample — buckets nest). The weights
+    ride a BROADCAST dim join (the production shape for a weights table
+    maintained outside the code), so the plan stays a map-side filter —
+    no shuffle on the 100 TB fact side."""
     events = load_table(spark, sf_dir, "events")
+    weights = spark.createDataFrame(
+        sorted(MIXTURE_PCT.items()), "event_type string, pct int"
+    )
     bucket = F.conv(F.md5(F.col("event_id").cast("string")).substr(1, 2), 16, 10).cast("long") % 100
-    return events.where(bucket < SAMPLE_PCT).select("event_id", "event_type", "user_id")
+    return (
+        events.join(F.broadcast(weights), "event_type", "left")
+        .where(bucket < F.coalesce(F.col("pct"), F.lit(SAMPLE_PCT)))
+        .select("event_id", "event_type", "user_id")
+    )
