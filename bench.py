@@ -159,6 +159,63 @@ def _bench_sync_ingest(spark, n_events: int) -> dict[str, float]:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _bench_changefeed(spark, n_events: int = 3000) -> dict[str, float]:
+    """Change-data-feed read: ingest a base batch, then an overlapping
+    delta batch, and time ``read_changes`` across the delta window — a
+    snapshot diff that reads only the buckets the delta rewrote on both
+    sides. Runs on its own store with a vacuum retention (the feed's
+    contract: since-side snapshots must survive)."""
+    import shutil
+    import tempfile
+
+    from stripe_sync_engine_spark.storage import INDEXED_STATS_COLUMNS, TableStore
+    from stripe_sync_engine_spark.sync import StripeSparkSync
+
+    wh = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        engine = StripeSparkSync(
+            spark,
+            TableStore(
+                spark, wh, vacuum_retain_s=3600.0, stats_columns=list(INDEXED_STATS_COLUMNS)
+            ),
+        )
+
+        def batch(start: int, n: int) -> list[str]:
+            return [
+                json.dumps(
+                    {
+                        "id": f"evt_cdc_{i:08d}",
+                        "object": "event",
+                        "type": "charge.updated",
+                        "created": 1_700_000_000 + i,
+                        "data": {
+                            "object": {
+                                "id": f"ch_{i % 2001}",
+                                "object": "charge",
+                                "amount": i,
+                                "created": 1_700_000_000 + i,
+                                "status": "succeeded",
+                            }
+                        },
+                    }
+                )
+                for i in range(start, start + n)
+            ]
+
+        engine.process_webhook_events(engine.events_df_from_json(batch(0, n_events)))
+        since = engine.store.commits("charges")[-1]
+        # delta: 10% of keys updated + a run of fresh inserts
+        engine.process_webhook_events(
+            engine.events_df_from_json(batch(n_events, n_events // 10))
+        )
+        t0 = time.perf_counter()
+        feed = engine.changes("charges", since)
+        feed.write.format("noop").mode("overwrite").save()
+        return {"sync_changes_feed": round(time.perf_counter() - t0, 3)}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def _bench_incremental_dedup(spark, sf_dir: str) -> dict[str, float]:
     """Incremental corpus dedup: register the documents corpus' exact
     fingerprints once (the setup a deployment amortizes over its life),
@@ -292,6 +349,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     times.update(_bench_sync_ingest(spark, n_events=5000))
+    times.update(_bench_changefeed(spark))
     times.update(_bench_incremental_dedup(spark, sf_dir))
     times.update(_bench_incremental_near_and_ann(spark, sf_dir))
 
