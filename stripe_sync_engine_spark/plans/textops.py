@@ -19,6 +19,14 @@ from stripe_sync_engine_spark.tables import load_table, spread_small_scan
 # synthetic corpus is a word soup, the point is the operator shape).
 EN_MARKERS = ("the", "a", "of", "and")
 
+# Deterministic corpus split — hash-bucket boundaries on md5(doc_id):
+# [0, TRAIN_LT) → train, [TRAIN_LT, VAL_LT) → val, rest → test. A pure
+# row predicate, so the split is reproducible across runs, engines, and
+# cluster layouts, rows never migrate between splits as the corpus
+# grows, and membership composes with every other filter.
+SPLIT_TRAIN_LT = 96
+SPLIT_VAL_LT = 98
+
 
 @register(
     "txt_doc_profile",
@@ -36,15 +44,24 @@ EN_MARKERS = ("the", "a", "of", "and")
                CASE WHEN len(list_filter(string_split(text, ' '),
                                           t -> t IN {EN_MARKERS!r})) >= 2
                     THEN 'en' ELSE 'unknown' END AS predicted_lang,
-               lang AS labeled_lang
+               lang AS labeled_lang,
+               CASE WHEN (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+                          + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
+                         < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+                          + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
+                         < {SPLIT_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split
         FROM documents
     """,
-    operators="TDP-text,TDP-quality,TDP-langid",
+    operators="TDP-text,TDP-quality,TDP-langid,TDP-split",
 )
 def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile in ONE pass: whitespace token counting,
-    quality features (lexical diversity + mean token length), and the
-    marker-token language-ID heuristic (n-gram/stopword voting shape).
+    quality features (lexical diversity + mean token length), the
+    marker-token language-ID heuristic (n-gram/stopword voting shape),
+    and the deterministic train/val/test split (md5 hash buckets — see
+    SPLIT_TRAIN_LT: reproducible, growth-stable, engine-independent).
 
     These were three separate registry queries (txt_token_count,
     txt_quality_score, txt_lang_id); they share the same tokenization and
@@ -55,6 +72,9 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
     hits = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS))).cast("long")
+    split_bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 2), 16, 10).cast("long") % 100
+    )
     return docs.select(
         "doc_id",
         "n_chars",
@@ -65,6 +85,10 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("en_marker_hits"),
         F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
         F.col("lang").alias("labeled_lang"),
+        F.when(split_bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(split_bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )
 
 

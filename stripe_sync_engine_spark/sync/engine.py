@@ -1188,6 +1188,7 @@ class StripeSparkSync:
         contract, and the landing sweep only touches durably-committed
         envelopes. Returns per-table counts."""
         report: dict = {"compacted": {}, "compact_skipped": {}, "orphans_removed": {}, "landing_removed": 0}
+        report["consumers_at_risk"] = self._consumers_at_risk()
         for table in self.store.tables():
             # Streaming gate tables commit outside the engine's table
             # locks; their registers re-plan when THIS compaction wins the
@@ -1216,6 +1217,33 @@ class StripeSparkSync:
 
             report["landing_removed"] = len(vacuum_landing_zone(*landing))
         return report
+
+    def _consumers_at_risk(self) -> dict[str, dict[str, int]]:
+        """Change-feed consumers whose cursor has fallen within 25% of the
+        store's vacuum retention — the ops early-warning before their
+        since-snapshot ages out and ``consume_changes`` starts raising.
+        {consumer: {entity: lag_ms}} for lag > 0.75 × retention (with
+        retention 0 every cursor-holding consumer is at risk — the feed
+        needs retained snapshots). A consumer at its entity's latest
+        commit is never at risk, whatever the retention."""
+        cdir = os.path.join(self.store.root, "_cursors")
+        if not os.path.isdir(cdir):
+            return {}
+        budget_ms = self.store.vacuum_retain_s * 1000.0 * 0.75
+        now = int(time.time() * 1000)
+        out: dict[str, dict[str, int]] = {}
+        for name in sorted(os.listdir(cdir)):
+            if not name.endswith(".json"):
+                continue
+            consumer = name[:-5]
+            for entity, cursor in self._read_cursors(consumer).items():
+                commits = self.store.commits(entity)
+                if commits and int(cursor) >= commits[-1]:
+                    continue  # fully caught up: nothing left to age out
+                lag = now - int(cursor)
+                if lag > budget_ms:
+                    out.setdefault(consumer, {})[entity] = lag
+        return out
 
     def compact_entity(
         self, entity: str, max_files_per_bucket: int = 1, sort_col: str | None = None

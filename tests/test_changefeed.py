@@ -167,3 +167,26 @@ def test_consume_changes_before_any_commit(spark, tmp_path):
     eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh_cdc_none")))
     df, cur = eng.consume_changes("mart", "customers")
     assert df is None and cur == 0
+
+
+def test_maintain_reports_consumers_at_risk(spark, tmp_path):
+    """A change-feed consumer whose cursor lags beyond 75% of the vacuum
+    retention shows up in maintain()'s report; a caught-up consumer never
+    does, whatever the retention."""
+    root = str(tmp_path / "wh_cdc_risk")
+    eng = StripeSparkSync(spark, TableStore(spark, root, vacuum_retain_s=0.001))
+    eng.process_webhook_events(
+        eng.events_df_from_json(
+            [fx.event("customer.created", fx.customer(id="cus_r"), created=100)]
+        )
+    )
+    # stale consumer: acked long before the latest commit
+    eng.ack_changes("slow_mart", "customers", 1)
+    time.sleep(0.01)
+    risk = eng.maintain(orphan_min_age_s=3600)["consumers_at_risk"]
+    assert risk.get("slow_mart", {}).get("customers", 0) > 0
+    # caught-up consumer: cursor at the latest commit → never at risk
+    _, cur = eng.consume_changes("fast_mart", "customers")
+    eng.ack_changes("fast_mart", "customers", cur)
+    risk = eng.maintain(orphan_min_age_s=3600)["consumers_at_risk"]
+    assert "fast_mart" not in risk
