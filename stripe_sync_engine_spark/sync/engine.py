@@ -1166,6 +1166,59 @@ class StripeSparkSync:
             json.dump(cursors, f)
         os.replace(tmp, path)
 
+    def materialize_changes(
+        self,
+        consumer: str,
+        entity: str,
+        dst_table: str,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> int:
+        """Maintain a derived table from the change feed — one poll of the
+        downstream-mart loop: consume the net window, apply it to
+        ``dst_table`` (post-image rows merged by key, deleted keys
+        removed), then ack. ``transform`` maps the post-image rows
+        row-wise (project/rename/derive; it must PRESERVE the source key
+        column, which stays the mart's merge key). Returns the number of
+        change rows applied.
+
+        Crash-safe by construction: the ack happens after the commit, so
+        a crash in between re-delivers the same net window — and
+        re-applying a net window is idempotent (upserts overwrite to the
+        same values, deletes of absent keys are no-ops). Cost per poll is
+        O(changed buckets of the source) to read the feed plus O(touched
+        buckets of the mart) to apply it — never a full recompute, the
+        same property the engine's incremental rollups have, but for
+        arbitrary row-wise marts and available to OUT-OF-PROCESS
+        consumers via the durable cursor."""
+        feed, cursor = self.consume_changes(consumer, entity)
+        if feed is None:
+            return 0
+        key = self.store.table_bucket_key(entity)
+        upserts = feed.where(F.col("_change_type") != "delete").drop("_change_type")
+        if transform is not None:
+            upserts = transform(upserts)
+            if key not in upserts.columns:
+                raise ValueError(
+                    f"transform must preserve the key column {key!r} — it is the "
+                    f"mart's merge key"
+                )
+        all_keys = feed.select(key)
+        n = 0
+        with self._table_write_lock(dst_table):
+            if not self.store.exists(dst_table):
+                n = upserts.count()
+                self.store.write(dst_table, upserts, key=key)
+            else:
+                touched = self.store.buckets_of(all_keys, key=key, table=dst_table)
+                if touched:
+                    cur = self.store.read_buckets(dst_table, touched)
+                    merged = cur.join(all_keys, key, "left_anti").unionByName(upserts)
+                    n = self.store.bucket_counts(all_keys, key=key, table=dst_table)
+                    n = sum(c for _, c in n)
+                    self.store.write_buckets(dst_table, merged, touched, key=key)
+        self.ack_changes(consumer, entity, cursor)
+        return n
+
     def maintain(
         self,
         max_files_per_bucket: int = 1,

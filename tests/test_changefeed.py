@@ -190,3 +190,50 @@ def test_maintain_reports_consumers_at_risk(spark, tmp_path):
     eng.ack_changes("fast_mart", "customers", cur)
     risk = eng.maintain(orphan_min_age_s=3600)["consumers_at_risk"]
     assert "fast_mart" not in risk
+
+
+def test_materialize_changes_maintains_derived_table(spark, tmp_path):
+    """The mart loop: several change windows applied incrementally equal a
+    full recompute of the transform over the source, deletes propagate,
+    and a crash between apply and ack re-applies idempotently."""
+    root = str(tmp_path / "wh_cdc_mat")
+    eng = StripeSparkSync(spark, TableStore(spark, root, vacuum_retain_s=3600.0))
+
+    def tf(df):
+        return df.select("id", "email", F.upper(F.col("name")).alias("name_uc"))
+
+    def ingest(*payloads):
+        eng.process_webhook_events(eng.events_df_from_json(list(payloads)))
+
+    ingest(fx.event("customer.created", fx.customer(id="cus_1", name="ada"), created=100),
+           fx.event("customer.created", fx.customer(id="cus_2", name="bo"), created=100))
+    assert eng.materialize_changes("mart", "customers", "mart_customers", tf) == 2
+
+    ingest(fx.event("customer.updated", fx.customer(id="cus_1", name="ada2"), created=200),
+           fx.event("customer.created", fx.customer(id="cus_3", name="cy"), created=200))
+    eng.materialize_changes("mart", "customers", "mart_customers", tf)
+
+    # delete propagates through the feed into the mart
+    ingest(fx.event("customer.deleted", {"id": "cus_2", "object": "customer", "deleted": True}, created=300))
+    eng.materialize_changes("mart", "customers", "mart_customers", tf)
+
+    expect = {r["id"]: r["name_uc"] for r in tf(eng.store.read("customers")).collect()}
+    got = {r["id"]: r["name_uc"] for r in eng.store.read("mart_customers").collect()}
+    assert got == expect and "cus_3" in got
+
+    # crash between apply and ack: simulate by rolling the cursor back,
+    # then re-materialize the same window — state must not change
+    before = sorted(map(tuple, eng.store.read("mart_customers").collect()))
+    cursors = eng._read_cursors("mart")
+    eng.ack_changes("mart", "customers", 1)  # pretend the ack never landed
+    eng.materialize_changes("mart", "customers", "mart_customers", tf)
+    after = sorted(map(tuple, eng.store.read("mart_customers").collect()))
+    assert after == before
+    assert eng._read_cursors("mart")["customers"] >= cursors["customers"]
+
+    # transform that drops the key fails loudly
+    try:
+        eng.materialize_changes("m2", "customers", "mart_bad", lambda d: d.select("email"))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
