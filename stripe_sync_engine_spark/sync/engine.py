@@ -1130,7 +1130,7 @@ class StripeSparkSync:
         except FileNotFoundError:
             return {}
 
-    def consume_changes(self, consumer: str, entity: str):
+    def consume_changes(self, consumer: str, entity: str, max_commits: int | None = None):
         """At-least-once incremental consumption with a durable cursor:
         returns ``(changes_df, cursor_ms)`` — every change after the
         consumer's acknowledged position, up to and including the commit
@@ -1144,13 +1144,25 @@ class StripeSparkSync:
         name; the cursor survives engine restarts (a JSON file under the
         store root). Retention contract: ``vacuum_retain_s`` must exceed
         the consumer's maximal lag, or the since-snapshot ages out and
-        the read raises loudly."""
+        the read raises loudly.
+
+        ``max_commits`` bounds a catch-up: a consumer that fell far
+        behind otherwise gets its whole lag as ONE window (every bucket
+        touched since the cursor, read and diffed at once); capping
+        advances at most that many source commits per poll, so each
+        batch stays proportional to a bounded slice of the write
+        history and the consumer drains its backlog in steady,
+        ack-checkpointed steps."""
         cursors = self._read_cursors(consumer)
         since = int(cursors.get(entity, 0))
         commits = self.store.commits(entity)
-        until = commits[-1] if commits else None
-        if until is None:
+        if not commits:
             return None, since  # table has never committed
+        pending = [c for c in commits if c > since]
+        if max_commits is not None and len(pending) > max_commits:
+            until = pending[max_commits - 1]
+        else:
+            until = commits[-1]
         return self.store.read_changes(entity, since, until_ms=until), until
 
     def ack_changes(self, consumer: str, entity: str, cursor_ms: int) -> None:

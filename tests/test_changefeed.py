@@ -237,3 +237,85 @@ def test_materialize_changes_maintains_derived_table(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_retype_and_metadata_migrations_are_invisible(spark, tmp_path):
+    """A cast-rewrite retype re-points every bucket and a metadata-only
+    column add swaps only the manifest schema — neither is a data change,
+    so the feed stays empty across both."""
+    from pyspark.sql.types import StructType
+
+    store = TableStore(spark, str(tmp_path / "wh_cdc_rt"), vacuum_retain_s=3600.0)
+    store.write("t", spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int"))
+    t0 = store.commits("t")[-1]
+    store._migrate_schema("t", StructType.fromDDL("id string, v long"))
+    assert store.read_changes("t", t0).count() == 0
+    store._migrate_schema("t", StructType.fromDDL("id string, v long, w string"))
+    assert store.read_changes("t", t0).count() == 0
+
+
+def test_consume_changes_bounded_catchup(spark, tmp_path):
+    """max_commits drains a backlog in bounded, ack-checkpointed windows
+    whose concatenated net application equals the final state."""
+    store = TableStore(spark, str(tmp_path / "wh_cdc_cap"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    states = [
+        [("a", 1), ("b", 1)],
+        [("a", 2), ("c", 1)],
+        [("a", 2), ("c", 5)],
+    ]
+    for s in states:
+        store.write("charges_like", _mk(spark, s))
+        time.sleep(0.002)
+
+    applied: dict = {}
+    windows = 0
+    while True:
+        feed, cur = eng.consume_changes("slow", "charges_like", max_commits=1)
+        rows = feed.collect()
+        if not rows and eng._read_cursors("slow").get("charges_like", 0) == cur:
+            break
+        for r in rows:
+            if r["_change_type"] == "delete":
+                applied.pop(r["id"], None)
+            else:
+                applied[r["id"]] = r["v"]
+        eng.ack_changes("slow", "charges_like", cur)
+        windows += 1
+        if windows > 10:
+            raise AssertionError("did not converge")
+    assert applied == dict(states[-1])
+    assert windows >= 3  # backlog drained in multiple bounded windows
+
+
+def test_read_changes_property_random_batches(spark, tmp_path):
+    """Net-diff property: for ANY sequence of table states, the feed from
+    t0 equals the symmetric diff of first and last state — inserts for
+    new keys, deletes for vanished keys, updates for changed values."""
+    import random
+
+    rng = random.Random(42)
+    store = TableStore(spark, str(tmp_path / "wh_cdc_prop"), vacuum_retain_s=3600.0)
+    keys = [f"k{i}" for i in range(8)]
+
+    def rand_state():
+        return {k: rng.randint(0, 3) for k in keys if rng.random() < 0.6}
+
+    first = rand_state()
+    store.write("t", _mk(spark, sorted(first.items())))
+    t0 = store.commits("t")[-1]
+    last = first
+    for _ in range(4):
+        last = rand_state()
+        store.write("t", _mk(spark, sorted(last.items())))
+        time.sleep(0.002)
+
+    expect = {}
+    for k in set(first) | set(last):
+        if k not in first:
+            expect[(k, "insert")] = last[k]
+        elif k not in last:
+            expect[(k, "delete")] = first[k]
+        elif first[k] != last[k]:
+            expect[(k, "update")] = last[k]
+    assert _changes(store.read_changes("t", t0)) == expect
