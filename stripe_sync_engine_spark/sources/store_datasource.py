@@ -265,3 +265,200 @@ def build_store_datasource():
             return StoreReader(self.options["root"], self.options["table"], self._as_of())
 
     return StoreDataSource
+
+
+def build_changes_datasource():
+    """Returns a STREAMING DataSource class (``stripe_store_changes``) for
+    ``spark.readStream``: the change data feed as a Structured Streaming
+    source. Offsets are history commit timestamps (the same cursor domain
+    as ``TableStore.read_changes``), so each micro-batch is the net
+    row-level diff between two retained snapshots, checkpointed by Spark
+    for exactly-once delivery across restarts.
+
+    The distributed shape exploits bucket-stability: with an unchanged
+    bucket width, a key's old and new rows live in the SAME bucket id
+    (``pmod(xxhash64(key), n)`` on both sides), so the snapshot diff
+    decomposes into per-bucket local diffs — one input partition per
+    CHANGED bucket, each reading that bucket's old+new parquet and
+    diffing in-process. Zero shuffle, zero join: the plan is "read only
+    what moved, compare locally", at any table size. A rebucket breaks
+    the pairing, so the reader fails loudly and the stream must restart
+    from a fresh checkpoint (initial load) — the same restriction Delta's
+    change feed has for non-additive layout changes.
+
+    Retention contract: offsets reference history snapshots, so
+    ``vacuum_retain_s`` must exceed the stream's maximal downtime.
+    Self-containment: everything is defined inside this factory and
+    ships to workers by value (cloudpickle), like the batch reader."""
+    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    def _commits_of(tdir: str) -> list[int]:
+        import os
+
+        hdir = os.path.join(tdir, "_history")
+        return sorted(
+            int(n[:-5])
+            for n in (os.listdir(hdir) if os.path.isdir(hdir) else [])
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def _manifest_at(tdir: str, ms: int):
+        # newest retained snapshot at or before ms; None = before birth.
+        # Loud on vacuumed versions — a stream must never emit partial
+        # diffs (compact mirror of TableStore._resolve_snapshot).
+        import json
+        import os
+
+        eligible = [c for c in _commits_of(tdir) if c <= ms]
+        if not eligible:
+            return None
+        with open(os.path.join(tdir, "_history", f"{eligible[-1]}.json")) as f:
+            manifest = json.load(f)
+        for b, version in manifest["buckets"].items():
+            if not os.path.exists(os.path.join(tdir, version, f"_bucket={b}")):
+                raise FileNotFoundError(
+                    f"stream offset {ms} references vacuumed version {version!r} "
+                    f"(bucket {b}); raise vacuum_retain_s beyond the stream's "
+                    "maximal downtime"
+                )
+        return manifest
+
+    class _DiffPartition(InputPartition):
+        def __init__(self, key: str, old_dir: str | None, new_dir: str | None, schema_json: str):
+            self.key = key
+            self.old_dir = old_dir
+            self.new_dir = new_dir
+            self.schema_json = schema_json
+
+    class ChangesStreamReader(DataSourceStreamReader):
+        def __init__(self, root: str, table: str, start_ms: int):
+            import os
+
+            self._tdir = os.path.join(root, table)
+            self._start = start_ms
+
+        def initialOffset(self) -> dict:
+            return {"commit_ms": self._start}
+
+        def latestOffset(self) -> dict:
+            cs = _commits_of(self._tdir)
+            return {"commit_ms": cs[-1] if cs else self._start}
+
+        def commit(self, end: dict) -> None:
+            pass  # Spark's checkpoint is the cursor; nothing to reclaim here
+
+        def partitions(self, start: dict, end: dict):
+            import json
+            import os
+
+            s, e = int(start["commit_ms"]), int(end["commit_ms"])
+            noop = [_DiffPartition("id", None, None, json.dumps({"type": "struct", "fields": []}))]
+            if e <= s:
+                return noop
+            new_m = _manifest_at(self._tdir, e)
+            if new_m is None:
+                return noop
+            old_m = _manifest_at(self._tdir, s)
+            if old_m is not None and int(old_m["n_buckets"]) != int(new_m["n_buckets"]):
+                raise RuntimeError(
+                    "table was rebucketed inside this stream window; per-bucket diff "
+                    "pairing no longer holds — restart the stream from a fresh "
+                    "checkpoint (it will re-deliver the table as an initial load)"
+                )
+            key = new_m.get("bucket_key", "id")
+            schema_json = json.dumps(new_m["schema"])
+            ob = old_m["buckets"] if old_m else {}
+            nb = new_m["buckets"]
+            parts = [
+                _DiffPartition(
+                    key,
+                    os.path.join(self._tdir, ob[b], f"_bucket={b}") if b in ob else None,
+                    os.path.join(self._tdir, nb[b], f"_bucket={b}") if b in nb else None,
+                    schema_json,
+                )
+                for b in sorted(set(ob) | set(nb))
+                if ob.get(b) != nb.get(b)
+            ]
+            return parts or noop
+
+        def read(self, partition):
+            import json as _json
+            import math
+            import os
+
+            import pyarrow.dataset as pads
+
+            fields = _json.loads(partition.schema_json)["fields"]
+            cols = [f["name"] for f in fields]
+            if not cols:
+                return
+
+            def rows_of(d):
+                if not d or not os.path.isdir(d):
+                    return []
+                files = [
+                    os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+                ]
+                if not files:
+                    return []
+                # to_pylist: native python values (struct→dict, array→list,
+                # timestamp→datetime) — exactly what Spark's row conversion
+                # accepts, and dict equality is map-order-insensitive
+                return pads.dataset(files, format="parquet").to_table().to_pylist()
+
+            def eq(a, b):
+                if isinstance(a, float) and isinstance(b, float):
+                    return a == b or (math.isnan(a) and math.isnan(b))
+                if isinstance(a, dict) and isinstance(b, dict):
+                    return a.keys() == b.keys() and all(eq(v, b[k]) for k, v in a.items())
+                if isinstance(a, list) and isinstance(b, list):
+                    return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+                return a == b
+
+            key = partition.key
+            old = {r[key]: r for r in rows_of(partition.old_dir)}
+            new = {r[key]: r for r in rows_of(partition.new_dir)}
+
+            def out(r, ct):
+                # old-snapshot rows may predate added columns: null-fill
+                return tuple(r.get(c) for c in cols) + (ct,)
+
+            for k, r in new.items():
+                if k not in old:
+                    yield out(r, "insert")
+                elif not eq({c: old[k].get(c) for c in cols}, {c: r.get(c) for c in cols}):
+                    yield out(r, "update")
+            for k, r in old.items():
+                if k not in new:
+                    yield out(r, "delete")
+
+    class ChangesDataSource(DataSource):
+        """``spark.readStream.format("stripe_store_changes")
+        .option("root", ...).option("table", ...)`` — the change feed as
+        a streaming source. ``option("starting_commit_ms", N)`` starts
+        past historic commits (default 0: first batch = initial load of
+        the whole table as inserts)."""
+
+        @classmethod
+        def name(cls):
+            return "stripe_store_changes"
+
+        def schema(self):
+            import json
+            import os
+
+            tdir = os.path.join(self.options["root"], self.options["table"])
+            with open(os.path.join(tdir, "MANIFEST.json")) as f:
+                manifest = json.load(f)
+            base = StructType.fromJson(manifest["schema"])
+            return StructType(list(base.fields) + [StructField("_change_type", StringType())])
+
+        def streamReader(self, schema):
+            return ChangesStreamReader(
+                self.options["root"],
+                self.options["table"],
+                int(self.options.get("starting_commit_ms", 0)),
+            )
+
+    return ChangesDataSource

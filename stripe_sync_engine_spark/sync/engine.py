@@ -1120,6 +1120,28 @@ class StripeSparkSync:
         the managed-cursor form."""
         return self.store.read_changes(entity, since_ms, until_ms=until_ms)
 
+    def read_changes_stream(self, entity: str, starting_commit_ms: int = 0) -> DataFrame:
+        """The change feed as a Structured Streaming source: each
+        micro-batch is the net row-level diff between two retained
+        snapshots, with Spark's checkpoint as the cursor (exactly-once
+        across restarts — the streaming twin of ``consume_changes``).
+        One input partition per changed bucket, diffed locally (bucket
+        widths pair old and new rows — zero shuffle); see
+        ``sources/store_datasource.build_changes_datasource``. Default
+        start = 0: the first batch delivers the whole table as inserts."""
+        from stripe_sync_engine_spark.sources.store_datasource import (
+            build_changes_datasource,
+        )
+
+        self.spark.dataSource.register(build_changes_datasource())
+        return (
+            self.spark.readStream.format("stripe_store_changes")
+            .option("root", self.store.root)
+            .option("table", entity)
+            .option("starting_commit_ms", str(starting_commit_ms))
+            .load()
+        )
+
     def _cursor_path(self, consumer: str) -> str:
         return os.path.join(self.store.root, "_cursors", f"{consumer}.json")
 

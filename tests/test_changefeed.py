@@ -319,3 +319,101 @@ def test_read_changes_property_random_batches(spark, tmp_path):
         elif first[k] != last[k]:
             expect[(k, "update")] = last[k]
     assert _changes(store.read_changes("t", t0)) == expect
+
+
+def _run_once(stream_df, checkpoint, out_dir):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_streaming_change_feed_exactly_once(spark, tmp_path):
+    """The change feed as a Structured Streaming source: the first run
+    delivers the initial load, subsequent runs (same checkpoint) deliver
+    only the net changes since the checkpointed offset, and a run with no
+    new commits delivers nothing — exactly-once across restarts. The sink
+    is a fault-tolerant parquet append, so the accumulated rows ARE the
+    delivery history."""
+    root = str(tmp_path / "wh_cdc_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    eng = StripeSparkSync(spark, TableStore(spark, root, vacuum_retain_s=3600.0))
+    eng.process_webhook_events(
+        eng.events_df_from_json(
+            [
+                fx.event("customer.created", fx.customer(id="cus_s1", name="ada"), created=100),
+                fx.event("customer.created", fx.customer(id="cus_s2", name="bo"), created=100),
+            ]
+        )
+    )
+
+    _run_once(eng.read_changes_stream("customers"), ckpt, out)
+    got = {
+        (r["id"], r["_change_type"])
+        for r in spark.read.parquet(out).select("id", "_change_type").collect()
+    }
+    assert got == {("cus_s1", "insert"), ("cus_s2", "insert")}
+
+    time.sleep(0.002)
+    eng.process_webhook_events(
+        eng.events_df_from_json(
+            [fx.event("customer.updated", fx.customer(id="cus_s1", name="ada2"), created=200)]
+        )
+    )
+    _run_once(eng.read_changes_stream("customers"), ckpt, out)
+    rows = [
+        (r["id"], r["name"], r["_change_type"])
+        for r in spark.read.parquet(out).select("id", "name", "_change_type").collect()
+    ]
+    assert sorted(rows) == [
+        ("cus_s1", "ada", "insert"),
+        ("cus_s1", "ada2", "update"),  # net only, exactly one delivery
+        ("cus_s2", "bo", "insert"),
+    ]
+
+    # restart with no new commits: nothing appended
+    _run_once(eng.read_changes_stream("customers"), ckpt, out)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_change_feed_planning_units(spark, tmp_path):
+    """In-process unit checks of the stream reader's planning: offsets
+    track history commits, only changed buckets become partitions, and a
+    rebucket inside a window fails loudly."""
+    from stripe_sync_engine_spark.sources.store_datasource import build_changes_datasource
+
+    store = TableStore(spark, str(tmp_path / "wh_cdc_sp"), vacuum_retain_s=3600.0)
+    store.write("t", _mk(spark, [(f"k{i}", i) for i in range(64)]))
+    t0 = store.commits("t")[-1]
+    one = _mk(spark, [("k7", 700)])
+    [b] = store.buckets_of(one, table="t")
+    cur = store.read_buckets("t", [b])
+    store.write_buckets("t", cur.join(one.select("id"), "id", "left_anti").unionByName(one), [b])
+    t1 = store.commits("t")[-1]
+
+    cls = build_changes_datasource()
+    ds = cls(options={"root": store.root, "table": "t", "starting_commit_ms": "0"})
+    reader = ds.streamReader(ds.schema())
+    assert reader.initialOffset() == {"commit_ms": 0}
+    assert reader.latestOffset() == {"commit_ms": t1}
+    parts = reader.partitions({"commit_ms": t0}, {"commit_ms": t1})
+    assert len(parts) == 1 and f"_bucket={b}" in parts[0].new_dir
+    rows = list(reader.read(parts[0]))
+    assert ("k7", 700, "update") in rows and len(rows) == 1
+    # full window from 0: every bucket is new → one partition per bucket
+    parts0 = reader.partitions({"commit_ms": 0}, {"commit_ms": t1})
+    assert all(p.old_dir is None for p in parts0)
+    # rebucket breaks per-bucket pairing → loud failure
+    store.rebucket("t", 8)
+    t2 = store.commits("t")[-1]
+    try:
+        reader.partitions({"commit_ms": t1}, {"commit_ms": t2})
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "rebucketed" in str(e)
