@@ -125,16 +125,31 @@ _SQL_H32_OF = lambda var: " + ".join(  # noqa: E731
                                  j -> list_min(hs[j:j+least({WINNOW_W}, len(hs))-1]))
                         ELSE CAST([] AS BIGINT[]) END AS wins
             FROM h
+        ),
+        b AS (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM t WHERE len(toks) >= 2
+        ),
+        bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+        rep AS (
+            SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams
+            FROM bc GROUP BY doc_id
         )
         SELECT t.doc_id,
                md5(t.text) AS content_fp,
                md5(lower(trim(t.text))) AS normalized_fp,
                CAST(len(list_distinct(w.wins)) AS BIGINT) AS n_fingerprints,
                md5(array_to_string(list_transform(list_sort(list_distinct(w.wins)),
-                                                  v -> CAST(v AS VARCHAR)), ',')) AS fp_sig
-        FROM w JOIN t USING (doc_id)
+                                                  v -> CAST(v AS VARCHAR)), ',')) AS fp_sig,
+               COALESCE(rep.top_bigram_n, 0) AS top_bigram_n,
+               COALESCE(rep.n_bigrams, 0) AS n_bigrams,
+               CAST(len(g.grams) - len(list_distinct(g.grams)) AS BIGINT) AS dup_kgram_n
+        FROM w JOIN t USING (doc_id) JOIN g USING (doc_id)
+        LEFT JOIN rep USING (doc_id)
     """,
-    operators="TDP-fingerprint,TDP-fingerprint-winnow",
+    operators="TDP-fingerprint,TDP-fingerprint-winnow,TDP-repetition",
 )
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting in ONE scan: exact content hashes (raw +
@@ -143,9 +158,13 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     word {WINNOW_K}-gram in ORDER, slide a {WINNOW_W}-window over the
     hash sequence, keep each window's minimum — the classic
     position-robust near-dup signature (insertions shift positions but
-    local minima survive). Subsumes the former separate txt_fingerprint /
-    txt_winnow_fingerprint registry entries (same input scan, union of
-    their oracles — a consolidation, not a coverage cut).
+    local minima survive) — PLUS Gopher-style repetition signals from the
+    same tokenization (top word-bigram count / total bigrams and
+    duplicated k-gram occurrences; kept as integers so value hashes stay
+    exact — consumers divide for the fraction cuts). Subsumes the former
+    separate txt_fingerprint / txt_winnow_fingerprint registry entries
+    (same input scan, union of their oracles — a consolidation, not a
+    coverage cut).
 
     Physical shape: doc-local work in an Arrow-batched ``mapInPandas`` —
     ZERO shuffle at any scale (the explode+window formulation would
@@ -166,10 +185,11 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def winnow(batches):
         import hashlib
+        from collections import Counter
 
         import pandas as pd  # noqa: PLC0415 - worker-local import
 
-        def fingerprints(text: str) -> tuple[int, str]:
+        def fingerprints(text: str) -> tuple[int, str, int, int, int]:
             toks = text.split(" ")
             grams = [
                 " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
@@ -185,7 +205,15 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # step if w ever grows — at w=4 the md5s dominate regardless
                 sel = sorted({min(hs[j : j + wl]) for j in range(len(hs) - wl + 1)})
             digest = hashlib.md5(",".join(str(v) for v in sel).encode()).hexdigest()
-            return len(sel), digest
+            # repetition signals (Gopher-style quality rules) from the same
+            # tokenization: most-frequent word bigram count / total bigrams
+            # (top-2-gram fraction) and duplicated k-gram occurrences
+            # (beyond each gram's first) — integers, so hashes stay exact
+            bigrams = Counter(zip(toks, toks[1:]))
+            top_bg = max(bigrams.values()) if bigrams else 0
+            n_bg = sum(bigrams.values())
+            dup_k = len(grams) - len(set(grams))
+            return len(sel), digest, top_bg, n_bg, dup_k
 
         for pdf in batches:
             out = [fingerprints(t) for t in pdf["text"]]
@@ -194,8 +222,11 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "content_fp": pdf["content_fp"],  # JVM md5s pass through
                     "normalized_fp": pdf["normalized_fp"],
-                    "n_fingerprints": [n for n, _ in out],
-                    "fp_sig": [s for _, s in out],
+                    "n_fingerprints": [r[0] for r in out],
+                    "fp_sig": [r[1] for r in out],
+                    "top_bigram_n": [r[2] for r in out],
+                    "n_bigrams": [r[3] for r in out],
+                    "dup_kgram_n": [r[4] for r in out],
                 }
             )
 
@@ -203,7 +234,8 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow,
         schema=(
             "doc_id long, content_fp string, normalized_fp string, "
-            "n_fingerprints long, fp_sig string"
+            "n_fingerprints long, fp_sig string, top_bigram_n long, "
+            "n_bigrams long, dup_kgram_n long"
         ),
     )
 
