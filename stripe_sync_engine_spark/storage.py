@@ -437,14 +437,34 @@ class TableStore:
         )
         # full-outer on the unique bucket key; both sides hold only the
         # changed buckets, so the exchange is bounded by the window's
-        # write volume. to_json comparison is conservative: it can emit a
-        # spurious no-op update for a map whose entry order changed, but
-        # never misses a real change.
+        # write volume. Row comparator: xxhash64 over the whole struct
+        # when the schema is map-free (every entity table — nested jsonb
+        # is stored as JSON strings), which is a cheap JVM hash; MapType
+        # is unhashable in Spark, so such schemas fall back to to_json
+        # (conservative: a map whose entry order changed can emit a
+        # spurious no-op update, never a missed change). The hash path's
+        # 2^-64 collision on a real change is the standard CDC trade.
+        def has_map(dt):
+            from pyspark.sql import types as T
+
+            if isinstance(dt, T.MapType):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return has_map(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return any(has_map(f.dataType) for f in dt.fields)
+            return False
+
+        differs = (
+            F.to_json("_old") != F.to_json("_new")
+            if has_map(schema)
+            else F.xxhash64("_old") != F.xxhash64("_new")
+        )
         j = old.join(new, "_k", "full_outer").withColumn(
             "_change_type",
             F.when(F.col("_old").isNull(), F.lit("insert"))
             .when(F.col("_new").isNull(), F.lit("delete"))
-            .when(F.to_json("_old") != F.to_json("_new"), F.lit("update")),
+            .when(differs, F.lit("update")),
         )
         return (
             j.where(F.col("_change_type").isNotNull())
