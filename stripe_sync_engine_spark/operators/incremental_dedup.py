@@ -353,3 +353,94 @@ class IncrementalNearDeduper:
             .groupBy("doc_id", "seen_doc_id")
             .agg((F.max(agree) / F.lit(float(MINHASH_SEEDS))).alias("est_jaccard"))
         )
+
+
+class ContaminationGate:
+    """Benchmark-decontamination gate over a persisted eval-gram table.
+
+    ``register_benchmark`` stores the DISTINCT word n-grams of the eval
+    suites (idempotent keyed merge — registering the same suite twice
+    adds nothing); ``select_clean`` then PURELY filters a batch to docs
+    whose contaminated-gram fraction stays at or below ``max_frac``.
+    Unlike the dedup gates there is no per-batch registration: the
+    benchmark set only changes when new eval suites ship, so the gate
+    composes anywhere in a stream's gate order and replays trivially.
+
+    100 TB shape: benchmark suites are MBs while batches are arbitrary,
+    so the GRAM TABLE side broadcasts (the inverse of the dedup gates,
+    where the persisted side is the big one) and the batch side never
+    shuffles for the membership probe — one groupBy(doc_id) exchange,
+    map-side partial-agged, carries the hit counts (mirrors
+    plans/textops.txt_contamination, which shares the gram core)."""
+
+    TABLE = "_benchmark_grams"
+
+    def __init__(self, store, n: int | None = None, max_frac: float = 0.2, table: str = TABLE):
+        from stripe_sync_engine_spark.plans.textops import CONTAM_N
+
+        self.store = store
+        self.n = CONTAM_N if n is None else n
+        self.max_frac = max_frac
+        self.table = table
+
+    def _grams_of(self, docs: DataFrame) -> DataFrame:
+        from stripe_sync_engine_spark.plans.textops import contam_grams_for
+
+        return contam_grams_for(docs, self.n)
+
+    def register_benchmark(self, texts: DataFrame) -> int:
+        """Add the distinct n-grams of ``texts`` (any DataFrame with
+        doc_id + text columns) to the persisted benchmark set. Returns
+        grams added; re-registering a suite adds zero."""
+        grams = (
+            self._grams_of(texts).select(F.explode("grams").alias("gram")).distinct()
+        )
+        store, table = self.store, self.table
+        if not store.exists(table):
+            store.write(table, grams, key="gram")
+            return store.read(table).count()
+
+        def attempt() -> int:
+            manifest = store._read_manifest(table)
+            touched = store.buckets_of(grams, key="gram", table=table)
+            known = store._scan_manifest(table, manifest, touched)
+            fresh = anti_probe(grams, known, ["gram"]).localCheckpoint(eager=True)
+            n = fresh.count()
+            if n:
+                commit_fresh(store, table, fresh, "gram", manifest)
+            return n
+
+        return with_occ_retry(attempt)
+
+    def contamination_of(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, n_grams, n_contaminated) per batch doc — the pure
+        measurement, same columns as the corpus plan."""
+        per_doc = self._grams_of(docs)
+        bench = self.store.read(self.table)
+        if bench is None:
+            return per_doc.select(
+                "doc_id",
+                F.size("grams").cast("long").alias("n_grams"),
+                F.lit(0).cast("long").alias("n_contaminated"),
+            )
+        exploded = per_doc.select(
+            "doc_id", F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gram")
+        )
+        joined = exploded.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        return joined.groupBy("doc_id").agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+
+    def select_clean(self, batch: DataFrame) -> DataFrame:
+        """PURE: batch rows whose contaminated fraction ≤ max_frac
+        (docs too short to form a gram pass — nothing to match on),
+        original schema."""
+        contam = self.contamination_of(batch)
+        clean = contam.where(
+            (F.col("n_grams") == 0)
+            | (F.col("n_contaminated") <= F.col("n_grams") * F.lit(self.max_frac))
+        ).select("doc_id")
+        return batch.join(F.broadcast(clean), "doc_id", "left_semi")

@@ -244,6 +244,23 @@ CONTAM_N = 3  # word-gram size; production benchmark decontamination uses 8-13
 EVAL_MOD = 97  # every 97th doc stands in for the held-out benchmark set
 
 
+def contam_grams_for(docs: DataFrame, n: int = CONTAM_N) -> DataFrame:
+    """DF-generic core shared by the corpus plan (txt_contamination) and
+    the incremental gate (operators/incremental_dedup.ContaminationGate):
+    per-doc DISTINCT word n-grams, all JVM-side (split / transform /
+    slice / array_join), zero Python. Docs shorter than n grams to an
+    empty array."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.array_distinct(grams).alias("grams"))
+
+
 @register(
     "txt_contamination",
     oracle=f"""
@@ -289,17 +306,7 @@ def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~one per doc). All gram construction is JVM-side (split /
     transform / slice / array_join) — zero Python in the hot path."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= CONTAM_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (CONTAM_N - 1)),
-            lambda i: F.array_join(F.slice(toks, i, CONTAM_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    per_doc = docs.select(
-        "doc_id", F.array_distinct(grams).alias("grams")
-    )
+    per_doc = contam_grams_for(docs, CONTAM_N)
     eval_grams = (
         per_doc.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode("grams").alias("gram"))

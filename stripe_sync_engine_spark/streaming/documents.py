@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from stripe_sync_engine_spark.operators.incremental_dedup import (
+    ContaminationGate,
     IncrementalDeduper,
     IncrementalNearDeduper,
     anti_probe,
@@ -83,9 +84,11 @@ def start_document_stream(
     near_threshold: float | None = 0.5,
     available_now: bool = True,
     vacuum_landing_every: int | None = None,
+    contamination_max_frac: float | None = None,
 ) -> StreamingQuery:
-    """JSON-lines document files → exact gate → (optional) near gate →
-    keyed merge into ``corpus_table``.
+    """JSON-lines document files → (optional) decontamination gate →
+    exact gate → (optional) near gate → keyed merge into
+    ``corpus_table``.
 
     ``near_threshold=None`` disables the near gate (exact only). The
     gates' state tables (``_document_fingerprints``, ``_band_index``)
@@ -93,13 +96,25 @@ def start_document_stream(
     ``vacuum_landing_every=N`` reclaims committed-past landing files
     every N micro-batches, same contract as the webhook stream
     (``pipeline.vacuum_landing_zone``: the in-flight batch is never
-    committed when its vacuum fires)."""
+    committed when its vacuum fires).
+
+    ``contamination_max_frac`` enables the benchmark-decontamination
+    gate (``ContaminationGate`` over the persisted ``_benchmark_grams``
+    table — register the eval suites before starting the stream): docs
+    above the fraction never reach the dedup gates or the corpus. The
+    gate is PURE (no per-batch state), so it runs first and adds
+    nothing to the crash-ordering argument above."""
     spark = store.spark
     exact = IncrementalDeduper(store)
     # explicit None check: a caller's threshold of 0.0 (gate on ANY
     # candidate) must not silently become 0.5
     near = IncrementalNearDeduper(
         store, threshold=0.5 if near_threshold is None else near_threshold
+    )
+    contam = (
+        ContaminationGate(store, max_frac=contamination_max_frac)
+        if contamination_max_frac is not None
+        else None
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -118,6 +133,8 @@ def start_document_stream(
         # the crash-ordering argument in the module docstring. Survivors
         # are materialized once so registration (which mutates + vacuums
         # the gate tables) never re-evaluates a lineage over them.
+        if contam is not None:
+            docs = contam.select_clean(docs)
         survivors = exact.select_new(docs)
         if near_threshold is not None:
             survivors = near.select_new(survivors)

@@ -312,3 +312,75 @@ def test_document_stream_self_vacuums(spark, tmp_path):
     start_document_stream(store, str(landing), str(ckpt), vacuum_landing_every=1).awaitTermination()
     assert not (landing / "a.jsonl").exists() and (landing / "b.jsonl").exists()
     assert {r["doc_id"] for r in store.read("corpus_documents").collect()} == {1, 2}
+
+
+def test_contamination_gate_unit(spark, tmp_path):
+    """register_benchmark is idempotent, select_clean drops docs copying
+    benchmark phrases, keeps clean and too-short docs, and measures the
+    same fractions the corpus plan would."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import ContaminationGate
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_contam"))
+    gate = ContaminationGate(store, max_frac=0.2)
+    bench = spark.createDataFrame(
+        [(1, "the capital of france is paris obviously")], "doc_id long, text string"
+    )
+    n1 = gate.register_benchmark(bench)
+    assert n1 > 0
+    assert gate.register_benchmark(bench) == 0  # idempotent
+
+    docs = spark.createDataFrame(
+        [
+            (10, "model answer the capital of france is paris obviously end", "web"),
+            (11, "completely unrelated words about distributed query engines here", "web"),
+            (12, "too short", "web"),  # < n tokens: no grams, passes
+        ],
+        "doc_id long, text string, source string",
+    )
+    clean = {r["doc_id"] for r in gate.select_clean(docs).collect()}
+    assert clean == {11, 12}
+    m = {r["doc_id"]: (r["n_contaminated"], r["n_grams"]) for r in gate.contamination_of(docs).collect()}
+    assert m[10][0] >= 5 and m[11][0] == 0 and m[12] == (0, 0)
+    # without a registered benchmark everything passes
+    empty_gate = ContaminationGate(TableStore(spark, str(tmp_path / "wh_contam2")))
+    assert empty_gate.select_clean(docs).count() == 3
+
+
+def test_document_stream_with_contamination_gate(spark, tmp_path):
+    """Streamed curation with decontamination first: a doc that copies a
+    benchmark phrase never reaches the corpus or the dedup state."""
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import ContaminationGate
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import start_document_stream
+
+    landing = tmp_path / "cdocs_landing"
+    ckpt = tmp_path / "cdocs_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_cdocs"))
+    ContaminationGate(store).register_benchmark(
+        spark.createDataFrame(
+            [(1, "the capital of france is paris obviously")], "doc_id long, text string"
+        )
+    )
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "students recall the capital of france is paris obviously when asked", "source": "web"},
+                {"doc_id": 2, "text": "clean document describing parquet bucket manifests and streaming gates", "source": "web"},
+            ]
+        )
+    )
+    start_document_stream(
+        store, str(landing), str(ckpt), contamination_max_frac=0.2
+    ).awaitTermination()
+    corpus = {r["doc_id"] for r in store.read("corpus_documents").collect()}
+    assert corpus == {2}
+    # the contaminated doc was filtered BEFORE registration: its content
+    # is not in the fingerprint table, so policy changes can re-admit it
+    fps = store.read("_document_fingerprints")
+    assert fps.count() == 1
