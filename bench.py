@@ -314,6 +314,28 @@ def _bench_incremental_near_and_ann(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _bench_bpe(spark, sf_dir: str) -> dict[str, float]:
+    """Tokenizer construction + application (functions/bpe.py):
+    ``txt_bpe_train`` times the distributed word histogram plus the
+    driver merge loop (the one-shuffle + bounded-driver shape);
+    ``txt_bpe_encode`` times the broadcast-merges Arrow encode of the
+    whole corpus."""
+    from stripe_sync_engine_spark.functions.bpe import encode_documents, train_bpe
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.perf_counter()
+    tok = train_bpe(docs, vocab_size=256, min_count=2)
+    t_train = time.perf_counter() - t0
+    assert len(tok.merges) > 0
+    t0 = time.perf_counter()
+    encode_documents(docs, tok, keep_tokens=False).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_enc = time.perf_counter() - t0
+    return {"txt_bpe_train": round(t_train, 3), "txt_bpe_encode": round(t_enc, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -352,6 +374,7 @@ def main() -> None:
     times.update(_bench_changefeed(spark))
     times.update(_bench_incremental_dedup(spark, sf_dir))
     times.update(_bench_incremental_near_and_ann(spark, sf_dir))
+    times.update(_bench_bpe(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(

@@ -1,0 +1,91 @@
+"""BPE trainer tests: known-merge toy case, determinism, driver/cluster
+encode parity, histogram bounding."""
+
+from stripe_sync_engine_spark.functions.bpe import (
+    EOW,
+    BPETokenizer,
+    encode_documents,
+    train_bpe,
+    train_bpe_from_histogram,
+    word_histogram,
+)
+from stripe_sync_engine_spark.tables import load_table
+
+
+def test_toy_merges_are_the_classic_ones():
+    # The textbook corpus: "low"x5 "lower"x2 "newest"x6 "widest"x3.
+    hist = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    tok = train_bpe_from_histogram(hist, vocab_size=10)
+    # Highest-count first merge must come from "newest" (count 6) or a pair
+    # shared with "widest" (9): ("e","s")=9 and ("s","t")=9 tie; the
+    # deterministic tie-break picks the lexicographically smaller pair.
+    assert tok.merges[0] == ("e", "s")
+    assert tok.merges[1] == ("es", "t")
+    # "newest" and "widest" now both end in "est</w>".
+    assert ("est", EOW) in tok.merges
+    enc = tok.encode("newest")
+    assert enc[-1].endswith(EOW)
+    assert "".join(enc) == "newest" + EOW
+
+
+def test_trainer_is_deterministic_and_histogram_order_free():
+    hist = [("abab", 4), ("abba", 4), ("baba", 4)]
+    a = train_bpe_from_histogram(hist, vocab_size=6)
+    b = train_bpe_from_histogram(list(reversed(hist)), vocab_size=6)
+    assert a.merges == b.merges
+    assert a.vocab == b.vocab
+
+
+def test_min_pair_count_stops_noise_merges():
+    tok = train_bpe_from_histogram([("xy", 1)], vocab_size=10, min_pair_count=2)
+    assert tok.merges == ()
+    assert tok.encode("xy") == ["x", "y", EOW]
+
+
+def test_encode_round_trip_property():
+    tok = train_bpe_from_histogram([("hello", 3), ("help", 2)], vocab_size=8)
+    for text in ["hello help", "yelp", ""]:
+        units = tok.encode(text)
+        # Concatenating units and dropping EOW reconstructs the pre-tokens.
+        joined = "".join(units).replace(EOW, "")
+        assert joined == text.replace(" ", "")
+
+
+def test_word_histogram_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"), (2, "aa dd")], "doc_id long, text string"
+    )
+    rows = {r["piece"]: r["n"] for r in word_histogram(docs, min_count=2).collect()}
+    assert rows == {"aa": 4, "bb": 2}
+    capped = word_histogram(docs, max_word_types=1).collect()
+    assert [r["piece"] for r in capped] == ["aa"]
+
+
+def test_train_on_corpus_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = train_bpe(docs, vocab_size=64, min_count=2)
+    b = train_bpe(docs, vocab_size=64, min_count=2)
+    assert a.merges == b.merges
+    assert len(a.merges) > 0
+
+
+def test_distributed_encode_matches_driver(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    tok = train_bpe(docs, vocab_size=64, min_count=2)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in encode_documents(docs, tok).collect()
+    }
+    sample = docs.select("doc_id", "text").collect()
+    assert len(out) == len(sample)
+    for r in sample:
+        units = tok.encode(r["text"])
+        assert out[r["doc_id"]] == (len(units), units)
+
+
+def test_encode_counts_only_schema(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    tok = BPETokenizer(merges=(("a", "b"),))
+    out = encode_documents(docs, tok, keep_tokens=False)
+    assert out.columns == ["doc_id", "n_tokens"]
+    assert out.collect()[0]["n_tokens"] == 4  # ["ab", EOW] per piece
