@@ -336,6 +336,37 @@ def _bench_bpe(spark, sf_dir: str) -> dict[str, float]:
     return {"txt_bpe_train": round(t_train, 3), "txt_bpe_encode": round(t_enc, 3)}
 
 
+def _bench_export(spark, sf_dir: str) -> dict[str, float]:
+    """Corpus shard export + manifest verification (operators/export.py):
+    one hash repartition + per-shard sorted parquet writes, then the
+    verify re-scan compared against the committed digests."""
+    import shutil
+    import tempfile
+
+    from stripe_sync_engine_spark.operators.export import (
+        export_corpus_shards,
+        verify_export,
+    )
+    from stripe_sync_engine_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        t0 = time.perf_counter()
+        export_corpus_shards(docs, out, n_shards=8)
+        t_exp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        report = verify_export(spark, out)
+        t_ver = time.perf_counter() - t0
+        assert report["ok"], report
+        return {
+            "txt_export_shards": round(t_exp, 3),
+            "txt_export_verify": round(t_ver, 3),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -375,6 +406,7 @@ def main() -> None:
     times.update(_bench_incremental_dedup(spark, sf_dir))
     times.update(_bench_incremental_near_and_ann(spark, sf_dir))
     times.update(_bench_bpe(spark, sf_dir))
+    times.update(_bench_export(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(

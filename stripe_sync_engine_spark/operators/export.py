@@ -1,0 +1,221 @@
+"""Corpus shard export: the last stage of a training-data pipeline —
+write a curated corpus as deterministic, size-bounded, independently
+verifiable shards that a dataloader can consume and a rerun can resume.
+
+Layout: ``out_dir/data/shard=K/*.parquet`` + ``out_dir/manifest.json``.
+
+* **Deterministic assignment**: shard = md5(doc_id) % n_shards — the
+  same formula as ``txt_bpe_tokens``' sequence packing, so a document's
+  export shard IS its pack shard when ``n_shards == N_PACK_SHARDS``.
+* **Deterministic order**: rows sort by id within each shard file, so a
+  byte-identical rerun produces byte-identical shard content.
+* **Verifiable manifest**: per-shard row counts plus two commutative
+  digests — an id-set digest (sum of xxhash64(id)) and a content digest
+  (sum of xxhash64 over the JSON of the full row). Commutative sums are
+  deliberate: they aggregate map-side in any order, so manifest
+  computation is ONE groupBy with partial aggregation, never an ordered
+  collect. (The in-file sort is for reproducible bytes; the digests
+  don't depend on it.)
+* **Atomic + resumable**: the manifest lands via tmp-file + rename (the
+  store's commit pattern). A rerun with ``resume=True`` recomputes the
+  per-shard digests from the input and rewrites ONLY shards whose
+  digest changed or whose manifest entry is missing — dynamic partition
+  overwrite, untouched shard directories are not rewritten.
+
+At 100 TB: one hash repartition to co-locate shards, one map-side-
+combined aggregation for the manifest, and per-shard parquet writes —
+no ordered global operation anywhere. Raise ``n_shards`` to
+O(corpus_bytes / desired_shard_bytes); each shard stays one writer
+task's output. Verification (``verify_export``) is an embarrassingly
+parallel re-scan compared against the manifest.
+
+Reference analog: none (the reference syncs INTO a database; exporting
+curated corpora out is the training-data-pipeline extension).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "manifest.json"
+FORMAT_VERSION = 1
+
+
+def _shard_col(id_col: str, n_shards: int):
+    return (
+        F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 2), 16, 10).cast("long")
+        % n_shards
+    )
+
+
+def _digest_aggs(id_col: str, cols: list[str]):
+    """Digest aggregates: commutative SUMs of 64-bit hashes, accumulated
+    in DECIMAL(38,0) (ANSI mode makes a long sum throw on overflow, and
+    random hashes overflow almost surely) and wrapped to 64 bits driver-
+    side by ``_wrap64``. Decimal(38) holds ~1e19 row-hash sums before its
+    own bound — far past any shard size."""
+    return [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("id_digest"),
+        F.sum(
+            F.xxhash64(F.to_json(F.struct(*cols))).cast("decimal(38,0)")
+        ).alias("content_digest"),
+    ]
+
+
+def _wrap64(v) -> int:
+    return int(v or 0) % (1 << 64)
+
+
+def _shard_stats(df: DataFrame, id_col: str, n_shards: int) -> dict[int, dict]:
+    """Per-shard (n_docs, id_digest, content_digest) in one aggregation."""
+    rows = (
+        df.withColumn("_shard", _shard_col(id_col, n_shards))
+        .groupBy("_shard")
+        .agg(*_digest_aggs(id_col, list(df.columns)))
+        .collect()
+    )
+    stats = {
+        int(r["_shard"]): {
+            "n_docs": int(r["n_docs"]),
+            "id_digest": _wrap64(r["id_digest"]),
+            "content_digest": _wrap64(r["content_digest"]),
+        }
+        for r in rows
+    }
+    for k in range(n_shards):
+        stats.setdefault(k, {"n_docs": 0, "id_digest": 0, "content_digest": 0})
+    return stats
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+
+
+def read_manifest(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def export_corpus_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    resume: bool = False,
+) -> dict:
+    """Export ``df`` as verified shards; returns the committed manifest.
+
+    ``resume=True`` + an existing manifest: shards whose digests already
+    match the input are skipped (their directories are left untouched);
+    only changed/missing shards are rewritten via dynamic partition
+    overwrite. The manifest is committed atomically AFTER the data
+    writes, so a crash mid-export leaves the previous manifest authoritative.
+    """
+    spark = df.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    data_dir = os.path.join(out_dir, "data")
+    stats = _shard_stats(df, id_col, n_shards)
+
+    prev = read_manifest(out_dir) if resume else None
+    if prev is not None and prev.get("n_shards") != n_shards:
+        raise ValueError(
+            f"resume with n_shards={n_shards} against a manifest written with "
+            f"n_shards={prev.get('n_shards')}; re-export without resume"
+        )
+    todo = [
+        k
+        for k, s in stats.items()
+        if prev is None or prev["shards"].get(str(k)) != s
+    ]
+
+    # Dynamic partition overwrite only replaces partitions PRESENT in the
+    # write; a shard whose docs all disappeared since the last export must
+    # have its stale directory removed explicitly.
+    emptied = [k for k in todo if stats[k]["n_docs"] == 0]
+    for k in emptied:
+        shutil.rmtree(os.path.join(data_dir, f"shard={k}"), ignore_errors=True)
+    todo = [k for k in todo if stats[k]["n_docs"] > 0]
+
+    if todo:
+        out = (
+            df.withColumn("shard", _shard_col(id_col, n_shards))
+            .filter(F.col("shard").isin(todo))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", id_col)
+        )
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = spark.conf.get(mode_key, None)
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            out.write.partitionBy("shard").mode("overwrite").parquet(data_dir)
+        finally:
+            if prev_mode is None:
+                spark.conf.unset(mode_key)
+            else:
+                spark.conf.set(mode_key, prev_mode)
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "columns": list(df.columns),
+        "exported_at_ms": int(time.time() * 1000),
+        "total_docs": sum(s["n_docs"] for s in stats.values()),
+        "shards": {str(k): stats[k] for k in sorted(stats)},
+        "shards_rewritten": sorted(todo + emptied),
+    }
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
+def verify_export(spark: SparkSession, out_dir: str) -> dict:
+    """Re-scan the shards and compare counts + digests to the manifest.
+
+    Returns {"ok": bool, "mismatched_shards": [...], "total_docs": n}.
+    An absent data directory verifies an all-empty manifest (zero-doc
+    shards write no directory)."""
+    manifest = read_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no {MANIFEST_NAME} under {out_dir}")
+    id_col = manifest["id_col"]
+    data_dir = os.path.join(out_dir, "data")
+    expected = manifest["shards"]
+    if not os.path.isdir(data_dir):
+        actual: dict[str, dict] = {}
+    else:
+        df = spark.read.parquet(data_dir)
+        cols = [c for c in manifest["columns"]]
+        rows = df.groupBy("shard").agg(*_digest_aggs(id_col, cols)).collect()
+        actual = {
+            str(int(r["shard"])): {
+                "n_docs": int(r["n_docs"]),
+                "id_digest": _wrap64(r["id_digest"]),
+                "content_digest": _wrap64(r["content_digest"]),
+            }
+            for r in rows
+        }
+    mismatched = []
+    for k, exp in expected.items():
+        got = actual.get(k, {"n_docs": 0, "id_digest": 0, "content_digest": 0})
+        if got != exp:
+            mismatched.append(int(k))
+    extra = [int(k) for k in actual if k not in expected]
+    mismatched.extend(extra)
+    return {
+        "ok": not mismatched,
+        "mismatched_shards": sorted(mismatched),
+        "total_docs": sum(s["n_docs"] for s in actual.values()),
+    }

@@ -1,0 +1,118 @@
+"""Shard exporter tests: determinism, manifest verification, corruption
+detection, resume rewriting only changed shards, emptied-shard cleanup."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from stripe_sync_engine_spark.operators.export import (
+    export_corpus_shards,
+    read_manifest,
+    verify_export,
+)
+from stripe_sync_engine_spark.tables import load_table
+
+N_SHARDS = 4
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+
+def test_export_and_verify_round_trip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "exp")
+    docs = _docs(spark, sf_dir)
+    manifest = export_corpus_shards(docs, out, n_shards=N_SHARDS)
+    assert manifest["total_docs"] == docs.count()
+    assert set(manifest["shards"]) == {str(k) for k in range(N_SHARDS)}
+    report = verify_export(spark, out)
+    assert report["ok"], report
+    assert report["total_docs"] == manifest["total_docs"]
+    # Every doc is present exactly once across shards, in its md5 shard.
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert back.count() == manifest["total_docs"]
+    assert back.select("doc_id").distinct().count() == manifest["total_docs"]
+
+
+def test_export_is_deterministic(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    a = export_corpus_shards(docs, str(tmp_path / "a"), n_shards=N_SHARDS)
+    b = export_corpus_shards(docs, str(tmp_path / "b"), n_shards=N_SHARDS)
+    assert a["shards"] == b["shards"]
+
+
+def test_verify_catches_corruption(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "exp")
+    export_corpus_shards(_docs(spark, sf_dir), out, n_shards=N_SHARDS)
+    # Remove one shard's data file: verify must flag exactly that shard.
+    victim = os.path.join(out, "data", "shard=2")
+    files = [f for f in os.listdir(victim) if f.endswith(".parquet")]
+    assert files
+    os.remove(os.path.join(victim, files[0]))
+    report = verify_export(spark, out)
+    assert not report["ok"]
+    assert report["mismatched_shards"] == [2]
+
+
+def test_resume_rewrites_only_changed_shards(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "exp")
+    docs = _docs(spark, sf_dir)
+    first = export_corpus_shards(docs, out, n_shards=N_SHARDS)
+    assert sorted(first["shards_rewritten"]) == list(range(N_SHARDS))
+
+    # Identical rerun: nothing rewritten, directories untouched.
+    mtimes = {
+        k: os.path.getmtime(os.path.join(out, "data", f"shard={k}"))
+        for k in range(N_SHARDS)
+    }
+    again = export_corpus_shards(docs, out, n_shards=N_SHARDS, resume=True)
+    assert again["shards_rewritten"] == []
+    for k in range(N_SHARDS):
+        assert os.path.getmtime(os.path.join(out, "data", f"shard={k}")) == mtimes[k]
+
+    # Change ONE document: only its shard is rewritten; verify stays green.
+    one = docs.limit(1).collect()[0]
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == one["doc_id"], F.lit("EDITED")).otherwise(F.col("text")),
+    )
+    third = export_corpus_shards(changed, out, n_shards=N_SHARDS, resume=True)
+    assert len(third["shards_rewritten"]) == 1
+    assert verify_export(spark, out)["ok"]
+
+
+def test_resume_removes_emptied_shard(spark, tmp_path):
+    out = str(tmp_path / "exp")
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    export_corpus_shards(docs, out, n_shards=N_SHARDS)
+    # Keep only docs of shard 0's complement: empty at least one shard.
+    kept = docs.filter(
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 2), 16, 10).cast("long")
+        % N_SHARDS
+        != 1
+    )
+    manifest = export_corpus_shards(kept, out, n_shards=N_SHARDS, resume=True)
+    assert manifest["shards"]["1"]["n_docs"] == 0
+    assert not os.path.isdir(os.path.join(out, "data", "shard=1"))
+    assert verify_export(spark, out)["ok"]
+
+
+def test_resume_rejects_shard_count_change(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "exp")
+    export_corpus_shards(_docs(spark, sf_dir), out, n_shards=N_SHARDS)
+    try:
+        export_corpus_shards(_docs(spark, sf_dir), out, n_shards=8, resume=True)
+    except ValueError as ex:
+        assert "n_shards" in str(ex)
+    else:
+        raise AssertionError("expected ValueError on shard-count change")
+
+
+def test_manifest_is_atomic(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "exp")
+    export_corpus_shards(_docs(spark, sf_dir), out, n_shards=N_SHARDS)
+    m = read_manifest(out)
+    assert m["format_version"] == 1
+    assert not os.path.exists(os.path.join(out, "manifest.json.tmp"))
