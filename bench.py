@@ -343,7 +343,10 @@ def _bench_export(spark, sf_dir: str) -> dict[str, float]:
     import shutil
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from stripe_sync_engine_spark.operators.export import (
+        export_changed_shards,
         export_corpus_shards,
         verify_export,
     )
@@ -359,9 +362,22 @@ def _bench_export(spark, sf_dir: str) -> dict[str, float]:
         report = verify_export(spark, out)
         t_ver = time.perf_counter() - t0
         assert report["ok"], report
+        # Incremental steady state: 50 edited docs arrive via a change
+        # set; only the touched shards rewrite.
+        changed = docs.limit(50).select("doc_id")
+        current = docs.join(changed.withColumnRenamed("doc_id", "_c"), F.col("doc_id") == F.col("_c"), "left").select(
+            "doc_id",
+            F.when(F.col("_c").isNotNull(), F.concat(F.lit("EDIT:"), F.col("text"))).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
+        t0 = time.perf_counter()
+        inc = export_changed_shards(current, out, changed)
+        t_inc = time.perf_counter() - t0
+        assert inc["shards_rewritten"], "edited docs must rewrite shards"
         return {
             "txt_export_shards": round(t_exp, 3),
             "txt_export_verify": round(t_ver, 3),
+            "txt_export_incremental": round(t_inc, 3),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -181,6 +181,96 @@ def export_corpus_shards(
     return manifest
 
 
+def export_changed_shards(
+    df: DataFrame,
+    out_dir: str,
+    changed_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict:
+    """Incremental export: rewrite only the shards touched by a change set.
+
+    ``resume=True`` re-digests the WHOLE corpus to discover what changed —
+    a full scan per export. When the caller already knows the changed ids
+    (the engine's change data feed emits exactly this), the scan shrinks
+    to the affected shards: ``changed_ids`` (one column of ids — inserts,
+    updates AND deletes since the last export) maps to its shard set
+    (driver-side distinct, bounded by ``n_shards``), stats recompute over
+    ONLY those shards of ``df``, untouched shards carry forward from the
+    manifest, and the rewrite overwrites just those shard directories
+    (dynamic partition overwrite). The shard filter on ``df`` prunes IO
+    when the source is itself partitioned/bucketed by the same md5-shard
+    key (lay out the corpus store that way for incremental export);
+    against an unpartitioned source it is a cheap filter over one scan —
+    still saving the stats aggregation and the rewrite, which is where
+    the work is. A deleted doc's id still maps to its old shard, so that
+    shard recomputes from a ``df`` that no longer contains it — deletions
+    shrink the shard correctly.
+    """
+    prev = read_manifest(out_dir)
+    if prev is None:
+        raise FileNotFoundError(
+            f"no {MANIFEST_NAME} under {out_dir}; run export_corpus_shards first"
+        )
+    if prev["id_col"] != id_col:
+        raise ValueError(f"manifest id_col={prev['id_col']!r} != {id_col!r}")
+    n_shards = int(prev["n_shards"])
+    data_dir = os.path.join(out_dir, "data")
+    the_id = changed_ids.columns[0]
+    touched = sorted(
+        int(r[0])
+        for r in changed_ids.select(
+            _shard_col(the_id, n_shards).alias("_shard")
+        )
+        .distinct()
+        .collect()
+    )
+
+    shards = {int(k): dict(v) for k, v in prev["shards"].items()}
+    emptied: list[int] = []
+    todo: list[int] = []
+    if touched:
+        sub = df.filter(_shard_col(id_col, n_shards).isin(touched))
+        sub_stats = _shard_stats(sub, id_col, n_shards)
+        for k in touched:
+            if shards.get(k) == sub_stats[k]:
+                continue  # replayed/no-op change: leave the shard alone
+            shards[k] = sub_stats[k]
+            if sub_stats[k]["n_docs"] == 0:
+                emptied.append(k)
+            else:
+                todo.append(k)
+        for k in emptied:
+            shutil.rmtree(os.path.join(data_dir, f"shard={k}"), ignore_errors=True)
+        if todo:
+            out = (
+                sub.withColumn("shard", _shard_col(id_col, n_shards))
+                .filter(F.col("shard").isin(todo))
+                .repartition(len(todo), "shard")
+                .sortWithinPartitions("shard", id_col)
+            )
+            spark = df.sparkSession
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            prev_mode = spark.conf.get(mode_key, None)
+            spark.conf.set(mode_key, "dynamic")
+            try:
+                out.write.partitionBy("shard").mode("overwrite").parquet(data_dir)
+            finally:
+                if prev_mode is None:
+                    spark.conf.unset(mode_key)
+                else:
+                    spark.conf.set(mode_key, prev_mode)
+
+    manifest = {
+        **prev,
+        "exported_at_ms": int(time.time() * 1000),
+        "total_docs": sum(s["n_docs"] for s in shards.values()),
+        "shards": {str(k): shards[k] for k in sorted(shards)},
+        "shards_rewritten": sorted(todo + emptied),
+    }
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
 def verify_export(spark: SparkSession, out_dir: str) -> dict:
     """Re-scan the shards and compare counts + digests to the manifest.
 
