@@ -168,3 +168,53 @@ def test_incremental_export_noop_change_set(spark, sf_dir, tmp_path):
     assert manifest["shards_rewritten"] == []
     for k in range(N_SHARDS):
         assert os.path.getmtime(os.path.join(out, "data", f"shard={k}")) == mtimes[k]
+
+
+def test_streamed_curation_to_incremental_export(spark, tmp_path):
+    """Capstone pipeline: JSONL docs stream through the curation gates
+    into the corpus table; the change feed names what moved; incremental
+    export rewrites only those shards — and the result is digest-equal to
+    a from-scratch export of the current corpus."""
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.operators.export import export_changed_shards
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import start_document_stream
+
+    landing = tmp_path / "landing"
+    ckpt = tmp_path / "ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"), vacuum_retain_s=3600.0)
+    out = str(tmp_path / "corpus_v1")
+
+    def land(name, rows):
+        (landing / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    land("b1.jsonl", [
+        {"doc_id": 1, "text": base, "source": "web"},
+        {"doc_id": 3, "text": "totally different content about spark parquet engines running distributed queries", "source": "web"},
+    ])
+    start_document_stream(store, str(landing), str(ckpt)).awaitTermination()
+    corpus = store.read("corpus_documents").select("doc_id", "text", "source")
+    export_corpus_shards(corpus, out, n_shards=N_SHARDS)
+    t0 = store.commits("corpus_documents")[-1]
+
+    land("b2.jsonl", [
+        {"doc_id": 10, "text": base, "source": "crawl"},  # exact dup: gated
+        {"doc_id": 12, "text": "fresh unrelated words describing completely novel subject matter entirely here today", "source": "crawl"},
+    ])
+    start_document_stream(store, str(landing), str(ckpt)).awaitTermination()
+
+    feed = store.read_changes("corpus_documents", t0)
+    changed = feed.select("doc_id")
+    assert {r["doc_id"] for r in changed.collect()} == {12}
+
+    current = store.read("corpus_documents").select("doc_id", "text", "source")
+    manifest = export_changed_shards(current, out, changed)
+    assert manifest["total_docs"] == 3
+    assert len(manifest["shards_rewritten"]) == 1
+    assert verify_export(spark, out)["ok"]
+    scratch = export_corpus_shards(current, str(tmp_path / "scratch"), n_shards=N_SHARDS)
+    assert manifest["shards"] == scratch["shards"]
