@@ -85,6 +85,8 @@ def start_document_stream(
     available_now: bool = True,
     vacuum_landing_every: int | None = None,
     contamination_max_frac: float | None = None,
+    quality_min_tokens: int | None = None,
+    quality_min_diversity: float | None = None,
 ) -> StreamingQuery:
     """JSON-lines document files → (optional) decontamination gate →
     exact gate → (optional) near gate → keyed merge into
@@ -103,7 +105,15 @@ def start_document_stream(
     table — register the eval suites before starting the stream): docs
     above the fraction never reach the dedup gates or the corpus. The
     gate is PURE (no per-batch state), so it runs first and adds
-    nothing to the crash-ordering argument above."""
+    nothing to the crash-ordering argument above.
+
+    ``quality_min_tokens`` / ``quality_min_diversity`` enable the quality
+    gate — the same whitespace-token-count cut as
+    ``dd_keeplist_pipeline`` and the same lexical-diversity feature as
+    ``txt_doc_profile``, applied per batch: low-quality docs never reach
+    the dedup state or the corpus (their near-identical high-quality twin
+    arriving later is NOT shadowed by a rejected doc's fingerprints).
+    Pure row filters, so they also add nothing to the crash ordering."""
     spark = store.spark
     exact = IncrementalDeduper(store)
     # explicit None check: a caller's threshold of 0.0 (gate on ANY
@@ -124,9 +134,19 @@ def start_document_stream(
             vacuum_landing_zone(landing_dir, checkpoint_dir)
         if batch_df.isEmpty():
             return
-        docs = batch_df.where(
-            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-        ).localCheckpoint(eager=True)  # one deterministic snapshot feeds every gate
+        keep = F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        toks = F.split(F.col("text"), " ")
+        if quality_min_tokens is not None:
+            keep = keep & (F.size(toks).cast("long") >= quality_min_tokens)
+        if quality_min_diversity is not None:
+            keep = keep & (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks).cast("double")
+                >= quality_min_diversity
+            )
+        docs = batch_df.where(keep).localCheckpoint(
+            eager=True
+        )  # one deterministic snapshot feeds every gate
         if docs.isEmpty():
             return
         # SELECT (pure, pre-batch gate state) → SINK MERGE → REGISTER —

@@ -384,3 +384,48 @@ def test_document_stream_with_contamination_gate(spark, tmp_path):
     # is not in the fingerprint table, so policy changes can re-admit it
     fps = store.read("_document_fingerprints")
     assert fps.count() == 1
+
+
+def test_document_stream_quality_gate(spark, tmp_path):
+    """Low-quality docs (too few tokens / low diversity) never reach the
+    corpus NOR the gate state — a later high-quality near-twin still
+    lands."""
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import start_document_stream
+
+    landing = tmp_path / "ql_landing"
+    ckpt = tmp_path / "ql_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_ql"))
+    good = "a genuinely varied sentence containing many different interesting words overall today"
+
+    def land(name, rows):
+        (landing / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    land("b1.jsonl", [
+        {"doc_id": 1, "text": "too short", "source": "web"},                # < min tokens
+        {"doc_id": 2, "text": "spam " * 19 + "spam", "source": "web"},      # low diversity
+        {"doc_id": 3, "text": good, "source": "web"},
+    ])
+    start_document_stream(
+        store, str(landing), str(ckpt),
+        quality_min_tokens=10, quality_min_diversity=0.5,
+    ).awaitTermination()
+    assert {r["doc_id"] for r in store.read("corpus_documents").collect()} == {3}
+    # The rejected docs left no fingerprints: doc 1's content arriving
+    # later inside a LONG high-quality doc id is a fresh doc, and a
+    # replayed doc 2 with fixed diversity is admitted.
+    fps = store.read("_document_fingerprints")
+    assert fps.count() == 1
+
+    land("b2.jsonl", [
+        {"doc_id": 20, "text": "spam " * 4 + "varied distinct interesting colorful brilliant words making this diverse enough now", "source": "web"},
+    ])
+    start_document_stream(
+        store, str(landing), str(ckpt),
+        quality_min_tokens=10, quality_min_diversity=0.5,
+    ).awaitTermination()
+    assert {r["doc_id"] for r in store.read("corpus_documents").collect()} == {3, 20}
