@@ -148,15 +148,17 @@ class IncrementalEmbeddingIndex:
             assign, schema="vec_id long, bucket string, qv array<long>"
         )
 
-    def neighbors(self, batch: DataFrame) -> DataFrame:
+    def neighbors(self, batch: DataFrame, _rows: DataFrame | None = None) -> DataFrame:
         """(vec_id, seen_vec_id, cosine) — indexed vectors sharing the
         batch vectors' LSH buckets, scored with the exact quantized
         cosine. Bucket-pruned: only the batch's own bucket keys' store
-        buckets are read. Self-pairs excluded."""
+        buckets are read. Self-pairs excluded. ``_rows``: precomputed
+        ``_bq(batch)`` so ``filter_new`` shares one Arrow assignment pass
+        between select and register."""
         from stripe_sync_engine_spark.plans.similarity import _idot
 
         self._ensure_band_format()
-        rows = self._bq(batch)
+        rows = _rows if _rows is not None else self._bq(batch)
         store, table = self.store, self.table
         if not store.exists(table):
             return rows.select(
@@ -199,11 +201,11 @@ class IncrementalEmbeddingIndex:
             .agg(F.max("cosine").alias("cosine"))
         )
 
-    def select_new(self, batch: DataFrame) -> DataFrame:
+    def select_new(self, batch: DataFrame, _rows: DataFrame | None = None) -> DataFrame:
         """PURE: batch rows with no indexed neighbor at ``threshold``
         cosine (original schema). No state is mutated."""
         dup_ids = (
-            self.neighbors(batch)
+            self.neighbors(batch, _rows)
             .where(F.col("cosine") >= self.threshold)
             .select("vec_id")
             .distinct()
@@ -212,7 +214,7 @@ class IncrementalEmbeddingIndex:
         # ≤|batch| behind a join+agg: hint the broadcast (see text gates)
         return batch.join(F.broadcast(dup_ids), self.id_col, "left_anti")
 
-    def register(self, batch: DataFrame) -> None:
+    def register(self, batch: DataFrame, _rows: DataFrame | None = None) -> None:
         """Durably index ``batch``'s vectors, idempotently (already-
         indexed (vector, band) rows register nothing); one OCC-guarded
         partial commit. Freshness is per (vec_id, BAND), not per vec_id:
@@ -221,12 +223,13 @@ class IncrementalEmbeddingIndex:
         upgrade back-fills incrementally instead of silently applying
         only to vectors registered after the switch. Out-of-band writers
         (``engine.maintain()`` compacting the index) re-plan via
-        ``with_occ_retry``, same as the text gates."""
-        with_occ_retry(lambda: self._register_once(batch))
+        ``with_occ_retry``, same as the text gates. ``_rows``:
+        precomputed ``_bq(batch)`` (materialized — a retry re-reads)."""
+        with_occ_retry(lambda: self._register_once(batch, _rows))
 
-    def _register_once(self, batch: DataFrame) -> None:
+    def _register_once(self, batch: DataFrame, _rows: DataFrame | None = None) -> None:
         self._ensure_band_format()
-        rows = self._bq(batch)
+        rows = _rows if _rows is not None else self._bq(batch)
         store, table = self.store, self.table
         if not store.exists(table):
             store.write(table, rows, key="bucket")
@@ -249,7 +252,15 @@ class IncrementalEmbeddingIndex:
         commit_fresh(store, table, fresh, "bucket", manifest)
 
     def filter_new(self, batch: DataFrame) -> DataFrame:
-        """select_new + register in one call."""
-        survivors = self.select_new(batch).localCheckpoint(eager=True)
-        self.register(survivors)
+        """select_new + register in one call — sharing ONE bucket-
+        assignment materialization between the phases (the text gates'
+        filter_new pattern)."""
+        self._ensure_band_format()
+        rows = self._bq(batch).localCheckpoint(eager=True)
+        survivors = self.select_new(batch, _rows=rows).localCheckpoint(eager=True)
+        surv_ids = survivors.select(F.col(self.id_col).alias("vec_id"))
+        surv_rows = rows.join(F.broadcast(surv_ids), "vec_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        self.register(survivors, _rows=surv_rows)
         return survivors

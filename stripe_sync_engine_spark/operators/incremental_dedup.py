@@ -261,11 +261,14 @@ class IncrementalNearDeduper:
             minhash_sigs_for(batch, id_col=self.id_col, text_col=self.content_col)
         )
 
-    def candidates(self, batch: DataFrame) -> DataFrame:
+    def candidates(self, batch: DataFrame, _rows: DataFrame | None = None) -> DataFrame:
         """(doc_id, seen_doc_id, est_jaccard) — corpus near-candidates of
         the batch, est_jaccard = mean signature-component agreement.
-        Bucket-pruned: only the batch's own band-key buckets are read."""
-        rows = self._band_rows(batch)
+        Bucket-pruned: only the batch's own band-key buckets are read.
+        ``_rows``: precomputed ``_band_rows(batch)`` (signature compute is
+        the batch-side cost — ``filter_new`` shares ONE materialization
+        between select and register instead of shingling twice)."""
+        rows = _rows if _rows is not None else self._band_rows(batch)
         store, table = self.store, self.table
         if not store.exists(table):
             return rows.select(
@@ -276,7 +279,7 @@ class IncrementalNearDeduper:
         touched = store.buckets_of(rows, key="band_key", table=table)
         return self._candidates_against(rows, store.read_buckets(table, touched))
 
-    def select_new(self, batch: DataFrame) -> DataFrame:
+    def select_new(self, batch: DataFrame, _rows: DataFrame | None = None) -> DataFrame:
         """PURE: batch rows with no corpus near-candidate at
         ``threshold`` (original schema). No state is mutated.
 
@@ -290,7 +293,7 @@ class IncrementalNearDeduper:
         replays — compose it behind the exact gate (which also keeps
         identical text from reaching this index twice)."""
         dup_ids = (
-            self.candidates(batch)
+            self.candidates(batch, _rows)
             .where(
                 (F.col("est_jaccard") >= self.threshold)
                 & (F.col("seen_doc_id") != F.col("doc_id"))
@@ -303,15 +306,17 @@ class IncrementalNearDeduper:
         # can't estimate — hint the broadcast rather than risk a sort-merge
         return batch.join(F.broadcast(dup_ids), self.id_col, "left_anti")
 
-    def register(self, docs: DataFrame) -> None:
+    def register(self, docs: DataFrame, _rows: DataFrame | None = None) -> None:
         """Durably record ``docs``' band rows, idempotently (rows for
         already-indexed doc ids register nothing) with the same
         OCC-guarded single partial commit — and the same out-of-band
-        re-plan tolerance — as the exact gate."""
-        with_occ_retry(lambda: self._register_once(docs))
+        re-plan tolerance — as the exact gate. ``_rows``: precomputed
+        band rows for exactly ``docs`` (must be materialized — a retry
+        re-reads them)."""
+        with_occ_retry(lambda: self._register_once(docs, _rows))
 
-    def _register_once(self, docs: DataFrame) -> None:
-        rows = self._band_rows(docs)
+    def _register_once(self, docs: DataFrame, _rows: DataFrame | None = None) -> None:
+        rows = _rows if _rows is not None else self._band_rows(docs)
         store, table = self.store, self.table
         if not store.exists(table):
             store.write(table, rows, key="band_key")
@@ -327,9 +332,18 @@ class IncrementalNearDeduper:
         commit_fresh(store, table, fresh, "band_key", manifest)
 
     def filter_new(self, batch: DataFrame) -> DataFrame:
-        """select_new + register in one call."""
-        survivors = self.select_new(batch).localCheckpoint(eager=True)
-        self.register(survivors)
+        """select_new + register in one call — sharing ONE band-row
+        materialization: signatures (shingling + MINHASH_SEEDS mins per
+        doc) are the batch-side cost, and computing them once instead of
+        twice is ~30% off the steady-state gate (bench
+        dd_incremental_near_batch)."""
+        rows = self._band_rows(batch).localCheckpoint(eager=True)
+        survivors = self.select_new(batch, _rows=rows).localCheckpoint(eager=True)
+        surv_ids = survivors.select(F.col(self.id_col).alias("doc_id"))
+        surv_rows = rows.join(F.broadcast(surv_ids), "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        self.register(survivors, _rows=surv_rows)
         return survivors
 
     def _candidates_against(self, rows: DataFrame, index: DataFrame) -> DataFrame:

@@ -156,14 +156,22 @@ def start_document_stream(
         if contam is not None:
             docs = contam.select_clean(docs)
         survivors = exact.select_new(docs)
+        near_rows = None
         if near_threshold is not None:
-            survivors = near.select_new(survivors)
+            # ONE signature materialization feeds the near select AND the
+            # near register below (shingling is the batch-side cost)
+            survivors = survivors.localCheckpoint(eager=True)
+            near_rows = near._band_rows(survivors).localCheckpoint(eager=True)
+            survivors = near.select_new(survivors, _rows=near_rows)
         survivors = survivors.localCheckpoint(eager=True)
         _merge_documents(store, corpus_table, survivors)
         # exact LAST: its select governs replay passage, so everything
         # before it must already be idempotent when it finally commits
         if near_threshold is not None:
-            near.register(survivors)
+            surv_rows = near_rows.join(
+                F.broadcast(survivors.select(F.col("doc_id"))), "doc_id", "left_semi"
+            ).localCheckpoint(eager=True)
+            near.register(survivors, _rows=surv_rows)
         exact.register(survivors)
 
     raw = (
