@@ -89,3 +89,52 @@ def test_encode_counts_only_schema(spark):
     out = encode_documents(docs, tok, keep_tokens=False)
     assert out.columns == ["doc_id", "n_tokens"]
     assert out.collect()[0]["n_tokens"] == 4  # ["ab", EOW] per piece
+
+
+# ---------------------------------------------------------------------------
+# Property-based checks (driver-side only: the tokenizer core is plain
+# Python, so hypothesis runs it without a SparkSession).
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_corpus_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(words=_corpus_words, vocab=st.integers(min_value=0, max_value=40))
+def test_property_encode_reconstructs_pretokens(words, vocab):
+    hist = [(w, 1 + i % 3) for i, w in enumerate(sorted(set(words)))]
+    tok = train_bpe_from_histogram(hist, vocab_size=vocab)
+    text = " ".join(words)
+    units = tok.encode(text)
+    assert "".join(units).replace(EOW, "") == text.replace(" ", "")
+    # every emitted unit is in the induced vocabulary or a raw char/EOW
+    vocab_set = set(tok.vocab) | set("abcdef") | {EOW}
+    assert all(u in vocab_set for u in units)
+
+
+@settings(max_examples=30, deadline=None)
+@given(words=_corpus_words)
+def test_property_merges_never_grow_token_count(words):
+    hist = [(w, 2) for w in sorted(set(words))]
+    untrained = train_bpe_from_histogram(hist, vocab_size=0)
+    trained = train_bpe_from_histogram(hist, vocab_size=30)
+    text = " ".join(words)
+    assert len(trained.encode(text)) <= len(untrained.encode(text))
+
+
+@settings(max_examples=30, deadline=None)
+@given(words=_corpus_words, seed=st.integers(0, 2**32 - 1))
+def test_property_histogram_order_invariance(words, seed):
+    import random
+
+    hist = [(w, 1 + len(w)) for w in sorted(set(words))]
+    shuffled = hist[:]
+    random.Random(seed).shuffle(shuffled)
+    # pair counts are sums and the argmax tie-breaks totally, so
+    # histogram ORDER must not matter even unsorted
+    a = train_bpe_from_histogram(hist, 20)
+    b = train_bpe_from_histogram(shuffled, 20)
+    assert a.merges == b.merges and a.vocab == b.vocab
