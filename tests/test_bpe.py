@@ -138,3 +138,51 @@ def test_property_histogram_order_invariance(words, seed):
     a = train_bpe_from_histogram(hist, 20)
     b = train_bpe_from_histogram(shuffled, 20)
     assert a.merges == b.merges and a.vocab == b.vocab
+
+
+def test_assign_packs_parity_with_registered_query(spark, sf_dir):
+    """The generic packer over the registered query's own estimated
+    counts reproduces its packing columns exactly."""
+    from stripe_sync_engine_spark.operators.packing import assign_packs
+    from stripe_sync_engine_spark.plans.textops import (
+        N_PACK_SHARDS,
+        PACK_BUDGET,
+        txt_bpe_tokens,
+    )
+
+    q = txt_bpe_tokens(spark, sf_dir)
+    generic = assign_packs(
+        q.select("doc_id", "n_pieces", "n_subwords"),
+        count_col="n_subwords",
+        budget=PACK_BUDGET,
+        n_shards=N_PACK_SHARDS,
+    )
+    cols = ["doc_id", "shard", "pack_id", "pack_offset", "packs_spanned"]
+    a = {tuple(r) for r in q.select(*cols).collect()}
+    b = {tuple(r) for r in generic.select(*cols).collect()}
+    assert a == b
+
+
+def test_assign_packs_with_trained_tokenizer_counts(spark, sf_dir):
+    """Real counts from a trained tokenizer flow through packing: every
+    pack except a shard's last is exactly full by construction of the
+    cumulative layout (offsets stay within budget, ids pack in order)."""
+    from stripe_sync_engine_spark.operators.packing import assign_packs
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    tok = train_bpe(docs, vocab_size=64, min_count=2)
+    counts = encode_documents(docs, tok, keep_tokens=False)
+    packed = assign_packs(counts, count_col="n_tokens", budget=256, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert 0 <= r["pack_offset"] < 256
+        assert r["packs_spanned"] >= 1
+    # within a shard, doc_id order implies non-decreasing pack_id
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        prev = by_shard.setdefault(r["shard"], [])
+        if prev:
+            assert r["pack_id"] >= prev[-1]["pack_id"]
+        prev.append(r)
