@@ -1,2 +1,5 @@
 """Engine operators: merge/upsert family (SURVEY §2.1 S8–S12), keyed
-dedup (A3), as-of join, and child-table reconciliation."""
+dedup (A3), as-of join, child-table reconciliation, incremental rollups,
+skew mitigation — plus the training-data layer's incremental gates
+(``incremental_dedup``, ``embedding_index``), sequence packing
+(``packing``) and the verifiable corpus shard exporter (``export``)."""
