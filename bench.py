@@ -336,6 +336,31 @@ def _bench_bpe(spark, sf_dir: str) -> dict[str, float]:
     return {"txt_bpe_train": round(t_train, 3), "txt_bpe_encode": round(t_enc, 3)}
 
 
+def _bench_pq(spark, sf_dir: str) -> dict[str, float]:
+    """Product-quantization ANN (operators/pq_index.py): train the
+    codebook from the deterministic sample + encode the corpus to m-byte
+    codes (``sim_pq_build``), then ADC top-10 with exact re-rank for 16
+    queries (``sim_pq_topk`` — the serving-path shape)."""
+    from stripe_sync_engine_spark.operators.pq_index import (
+        encode_pq,
+        pq_topk_rerank,
+        train_pq,
+    )
+    from stripe_sync_engine_spark.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t0 = time.perf_counter()
+    cb = train_pq(vecs, m=16, k=16)
+    codes = encode_pq(vecs, cb).localCheckpoint(eager=True)
+    t_build = time.perf_counter() - t0
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in vecs.limit(16).collect()]
+    t0 = time.perf_counter()
+    n = pq_topk_rerank(codes, vecs, cb, queries, k=10, expand=10).count()
+    t_query = time.perf_counter() - t0
+    assert n == 16 * 10, n
+    return {"sim_pq_build": round(t_build, 3), "sim_pq_topk": round(t_query, 3)}
+
+
 def _bench_export(spark, sf_dir: str) -> dict[str, float]:
     """Corpus shard export + manifest verification (operators/export.py):
     one hash repartition + per-shard sorted parquet writes, then the
@@ -423,6 +448,7 @@ def main() -> None:
     times.update(_bench_incremental_near_and_ann(spark, sf_dir))
     times.update(_bench_bpe(spark, sf_dir))
     times.update(_bench_export(spark, sf_dir))
+    times.update(_bench_pq(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(
