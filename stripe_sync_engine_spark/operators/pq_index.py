@@ -51,6 +51,23 @@ from pyspark.sql.types import (
 )
 
 
+def _lloyd(xs: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd's: init = evenly spaced sample rows (the
+    sample is id-ordered, so this is a pure function of the sampled
+    rows, no RNG), fixed iterations, empty clusters keep their previous
+    centroid."""
+    n = len(xs)
+    c = xs[np.linspace(0, n - 1, k).round().astype(int)].copy()
+    for _ in range(iters):
+        d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                c[j] = xs[mask].mean(axis=0)
+    return c
+
+
 @dataclass(frozen=True)
 class PQCodebook:
     """``centroids[s][c]`` = centroid ``c`` of subspace ``s`` (plain
@@ -96,19 +113,8 @@ def train_pq(
     if n < k:
         raise ValueError(f"sample of {n} vectors cannot seed k={k} centroids")
     centroids = np.empty((m, k, sub), dtype=np.float64)
-    init_idx = np.linspace(0, n - 1, k).round().astype(int)
     for s in range(m):
-        xs = x[:, s * sub : (s + 1) * sub]
-        c = xs[init_idx].copy()
-        for _ in range(iters):
-            # (n, k) squared distances; assign, then recompute means
-            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(k):
-                mask = assign == j
-                if mask.any():  # empty cluster keeps its previous centroid
-                    c[j] = xs[mask].mean(axis=0)
-        centroids[s] = c
+        centroids[s] = _lloyd(x[:, s * sub : (s + 1) * sub], k, iters)
     return PQCodebook(
         m=m,
         k=k,
@@ -233,6 +239,205 @@ def pq_topk(
     )
 
 
+@dataclass(frozen=True)
+class IVFPQIndex:
+    """Coarse cells + residual PQ — the FAISS IVF-PQ layout.
+
+    ``cells[c]`` = coarse centroid c (whole-vector); ``pq`` quantizes
+    RESIDUALS (v − cell(v)), which are much better conditioned than raw
+    vectors (the cell removes the coarse location, PQ only spends bits on
+    the local offset)."""
+
+    cells: tuple  # (n_cells, dim)
+    pq: PQCodebook
+
+    def cells_array(self) -> np.ndarray:
+        return np.asarray(self.cells, dtype=np.float64)
+
+
+def train_ivf_pq(
+    vecs: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 10_000,
+    iters: int = 10,
+) -> IVFPQIndex:
+    """ONE deterministic sample trains both levels: coarse k-means over
+    the full vectors, then per-subspace k-means over each sample
+    vector's residual from its nearest cell."""
+    rows = (
+        vecs.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    )
+    x = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < max(k, n_cells):
+        raise ValueError(f"sample of {n} vectors cannot seed {max(k, n_cells)} centroids")
+    cells = _lloyd(x, n_cells, iters)
+    assign = ((x[:, None, :] - cells[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = x - cells[assign]
+    sub = dim // m
+    centroids = np.empty((m, k, sub), dtype=np.float64)
+    for s in range(m):
+        centroids[s] = _lloyd(resid[:, s * sub : (s + 1) * sub], k, iters)
+    return IVFPQIndex(
+        cells=tuple(tuple(v) for v in cells),
+        pq=PQCodebook(
+            m=m,
+            k=k,
+            dim=dim,
+            centroids=tuple(tuple(tuple(v) for v in band) for band in centroids),
+        ),
+    )
+
+
+IVF_CODES_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cell", IntegerType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ]
+)
+
+
+def encode_ivf_pq(
+    vecs: DataFrame,
+    index: IVFPQIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, codes): nearest coarse cell + PQ codes of the
+    residual. Persist partitioned/bucketed BY CELL so a query's nprobe
+    scan prunes at the storage layer — the inverted-list analog."""
+    cells = index.cells
+    cb = index.pq.centroids
+    m, sub = index.pq.m, index.pq.dim // index.pq.m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cel = np.asarray(cells, dtype=np.float64)
+        c = np.asarray(cb, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            assign = ((x[:, None, :] - cel[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            resid = x - cel[assign]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                rs = resid[:, s * sub : (s + 1) * sub]
+                codes[:, s] = (
+                    ((rs[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "cell": assign.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return vecs.select(id_col, vec_col).mapInPandas(run, IVF_CODES_SCHEMA)
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    index: IVFPQIndex,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k probing only each query's ``nprobe`` nearest cells.
+
+    The union of all queries' probe sets prunes the scan FIRST (a plain
+    ``isin`` filter — partition-prunable when the codes table is laid
+    out by cell); inside a partition each query scores only rows of its
+    own probed cells. Distance tables are per (query, probed cell)
+    because residual ADC is cell-relative:
+    ``dist²(q, v) ≈ Σ_s ||(q − c_cell)_s − centroid(code_s)||²``."""
+    cells = index.cells
+    cb = index.pq.centroids
+    m, sub = index.pq.m, index.pq.dim // index.pq.m
+    q_ids = [int(q[0]) for q in queries]
+    q_vecs = [list(map(float, q[1])) for q in queries]
+    kk = k
+
+    cel = np.asarray(cells, dtype=np.float64)
+    qv = np.asarray(q_vecs, dtype=np.float64)
+    d2cells = ((qv[:, None, :] - cel[None, :, :]) ** 2).sum(axis=2)  # (nq, ncells)
+    nprobe = min(nprobe, len(cells))
+    probe = np.argsort(d2cells, axis=1)[:, :nprobe]  # (nq, nprobe), deterministic
+    probed_union = sorted({int(c) for row in probe for c in row})
+    probe_sets = [set(int(c) for c in row) for row in probe]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = np.asarray(cb, dtype=np.float64)
+        q = np.asarray(q_vecs, dtype=np.float64)
+        cells_arr = np.asarray(cells, dtype=np.float64)
+        # tables[qi][cell]: (m, k) residual-ADC lookup per probed cell
+        tables: list[dict[int, np.ndarray]] = []
+        for qi in range(len(q_ids)):
+            per_cell = {}
+            for cell in probe[qi]:
+                r = q[qi] - cells_arr[cell]
+                per_cell[int(cell)] = np.stack(
+                    [
+                        ((r[s * sub : (s + 1) * sub][None, :] - c[s]) ** 2).sum(axis=1)
+                        for s in range(m)
+                    ]
+                )
+            tables.append(per_cell)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes_arr = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            cell_arr = pdf["cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cell_arr, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                sel_ids = ids[mask]
+                sel_codes = codes_arr[mask]
+                sel_cells = cell_arr[mask]
+                dist = np.empty(len(sel_ids), dtype=np.float64)
+                for cell, tab in tables[qi].items():
+                    cm = sel_cells == cell
+                    if cm.any():
+                        dist[cm] = tab[np.arange(m)[None, :], sel_codes[cm]].sum(axis=1)
+                top = min(kk, len(sel_ids))
+                part = np.argpartition(dist, top - 1)[:top]
+                out_q.extend([qid] * top)
+                out_v.extend(sel_ids[part])
+                out_d.extend(dist[part])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series(out_q, dtype="int64"),
+                        "vec_id": pd.Series(out_v, dtype="int64"),
+                        "approx_dist": pd.Series(out_d, dtype="float64"),
+                    }
+                )
+
+    from pyspark.sql.window import Window
+
+    partial = (
+        codes.select("vec_id", "cell", "codes")
+        .where(F.col("cell").isin(probed_union))
+        .mapInPandas(run, TOPK_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pq_topk_rerank(
     codes: DataFrame,
     vecs: DataFrame,
@@ -253,17 +458,30 @@ def pq_topk_rerank(
     only costs recall when a true neighbor falls outside the whole
     shortlist (measured on the unstructured test corpus — PQ's hardest
     case: 0.40 ADC-only → 0.88 at expand=10 → 0.98 recall@10 at m=16,
-    k=16, expand=10)."""
-    shortlist = pq_topk(codes, codebook, queries, k=k * expand).select(
-        "query_id", "vec_id"
-    )
-    qdf = codes.sparkSession.createDataFrame(
+    k=16, expand=10). Composes with the IVF layer the same way:
+    ``rerank_shortlist(ivf_pq_topk(...), ...)``."""
+    shortlist = pq_topk(codes, codebook, queries, k=k * expand)
+    return rerank_shortlist(shortlist, vecs, queries, k, id_col, vec_col)
+
+
+def rerank_shortlist(
+    shortlist: DataFrame,
+    vecs: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-L2 top-k refinement of any (query_id, vec_id) shortlist:
+    only the shortlist's full vectors are fetched (broadcast semi-probe,
+    |shortlist| rows regardless of corpus size)."""
+    qdf = vecs.sparkSession.createDataFrame(
         [(int(q), list(map(float, v))) for q, v in queries],
         "query_id long, _qvec array<double>",
     )
     cand = (
         vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
         .join(F.broadcast(qdf), "query_id")
     )
     d2 = F.aggregate(

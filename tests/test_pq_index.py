@@ -142,3 +142,68 @@ def test_partial_topk_matches_driver_adc(spark, sf_dir):
     }
     want = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:5]
     assert got == [(v, round(d, 9)) for v, d in want]
+
+
+def test_ivf_pq_recall_monotone_in_nprobe(spark, sf_dir):
+    from stripe_sync_engine_spark.operators.pq_index import (
+        encode_ivf_pq,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    queries = [(int(ids[i]), list(X[i])) for i in range(5)]
+    idx = train_ivf_pq(vecs, n_cells=16, m=16, k=16)
+    codes = encode_ivf_pq(vecs, idx).localCheckpoint(eager=True)
+    rows = codes.collect()
+    assert all(0 <= r["cell"] < 16 and len(r["codes"]) == 16 for r in rows)
+    r_small = _recall_at(
+        _by_query(ivf_pq_topk(codes, idx, queries, k=10, nprobe=2).collect()),
+        X, ids, queries,
+    )
+    r_full = _recall_at(
+        _by_query(ivf_pq_topk(codes, idx, queries, k=10, nprobe=16).collect()),
+        X, ids, queries,
+    )
+    # probing every cell must match flat-PQ quality; fewer cells may only
+    # lose recall (measured 0.34 → 0.48 on this corpus)
+    assert r_full >= r_small
+    assert r_full >= 0.3
+
+
+def test_ivf_pq_composes_with_rerank(spark, sf_dir):
+    from stripe_sync_engine_spark.operators.pq_index import (
+        encode_ivf_pq,
+        ivf_pq_topk,
+        rerank_shortlist,
+        train_ivf_pq,
+    )
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    queries = [(int(ids[i]), list(X[i])) for i in range(5)]
+    idx = train_ivf_pq(vecs, n_cells=8, m=16, k=16)
+    codes = encode_ivf_pq(vecs, idx).localCheckpoint(eager=True)
+    shortlist = ivf_pq_topk(codes, idx, queries, k=100, nprobe=4)
+    out = rerank_shortlist(shortlist, vecs, queries, k=10).collect()
+    got = _by_query(out)
+    # self-match: the query's own cell is always its nearest, so the
+    # exact re-rank must put the query vector first
+    for q, rows in _by_query_rows(out).items():
+        best = min(rows, key=lambda r: (r["exact_dist"], r["vec_id"]))
+        assert best["vec_id"] == q and best["exact_dist"] == 0.0
+    assert _recall_at(got, X, ids, queries) >= 0.5
+
+
+def test_ivf_pq_train_deterministic_and_validates(spark, sf_dir):
+    from stripe_sync_engine_spark.operators.pq_index import train_ivf_pq
+
+    vecs, _, _ = _corpus(spark, sf_dir)
+    a = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    b = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    assert a == b
+    try:
+        train_ivf_pq(vecs, n_cells=8, m=7)
+    except ValueError as ex:
+        assert "divisible" in str(ex)
+    else:
+        raise AssertionError("expected ValueError")
