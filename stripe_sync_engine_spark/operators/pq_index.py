@@ -438,6 +438,76 @@ def ivf_pq_topk(
     )
 
 
+class PersistedIVFPQ:
+    """The IVF-PQ index ON the bucketed store: codes live in a table
+    BUCKETED BY CELL, so a query's ``nprobe`` scan reads only the probed
+    cells' buckets (manifest pruning — the inverted-list file layout),
+    and registration is the engine's idempotent OCC commit.
+
+    Same contract as the other persisted indexes
+    (``IncrementalEmbeddingIndex``): ``register`` is replay-idempotent
+    (a vector's cell assignment is deterministic, so a replay probes the
+    same buckets and registers nothing) and re-plans when an out-of-band
+    ``engine.maintain()`` compaction lands mid-commit. The codebook is
+    trained once (``train_ivf_pq``) and carried by the caller — retrain
+    means rebuild, exactly like raising ``n_bands`` on the LSH index
+    means a backfill."""
+
+    def __init__(
+        self,
+        store,
+        index: IVFPQIndex,
+        table: str = "_ivfpq_codes",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        self.store = store
+        self.index = index
+        self.table = table
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def register(self, vecs: DataFrame) -> None:
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            anti_probe,
+            commit_fresh,
+            with_occ_retry,
+        )
+
+        def once() -> None:
+            rows = encode_ivf_pq(vecs, self.index, self.id_col, self.vec_col)
+            store, table = self.store, self.table
+            if not store.exists(table):
+                store.write(table, rows, key="cell")
+                return
+            manifest = store._read_manifest(table)
+            touched = store.buckets_of(rows, key="cell", table=table)
+            known = store._scan_manifest(table, manifest, touched)
+            fresh = anti_probe(rows, known, ["vec_id"]).localCheckpoint(eager=True)
+            if fresh.isEmpty():
+                return
+            commit_fresh(store, table, fresh, "cell", manifest)
+
+        with_occ_retry(once)
+
+    def topk(
+        self, queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        """ADC top-k reading ONLY the probed cells' store buckets."""
+        cel = self.index.cells_array()
+        qv = np.asarray([q[1] for q in queries], dtype=np.float64)
+        d2 = ((qv[:, None, :] - cel[None, :, :]) ** 2).sum(axis=2)
+        nprobe = min(nprobe, len(cel))
+        probed = sorted(
+            {int(c) for row in np.argsort(d2, axis=1)[:, :nprobe] for c in row}
+        )
+        store, table = self.store, self.table
+        probe_df = store.spark.createDataFrame([(c,) for c in probed], "cell int")
+        touched = store.buckets_of(probe_df, key="cell", table=table)
+        codes = store.read_buckets(table, touched)
+        return ivf_pq_topk(codes, self.index, queries, k=k, nprobe=nprobe)
+
+
 def pq_topk_rerank(
     codes: DataFrame,
     vecs: DataFrame,

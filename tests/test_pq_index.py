@@ -207,3 +207,42 @@ def test_ivf_pq_train_deterministic_and_validates(spark, sf_dir):
         assert "divisible" in str(ex)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_persisted_ivf_pq_register_and_probe(spark, sf_dir, tmp_path):
+    """Codes persist bucketed by cell; replay registers nothing; the
+    probe reads only probed-cell buckets and matches the unpersisted
+    computation exactly."""
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        encode_ivf_pq,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    queries = [(int(ids[i]), list(X[i])) for i in range(3)]
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_pq"))
+    p = PersistedIVFPQ(store, idx)
+
+    half = vecs.limit(250).localCheckpoint(eager=True)
+    p.register(half)
+    n1 = store.read("_ivfpq_codes").count()
+    assert n1 == 250
+    p.register(half)  # replay: deterministic cells → nothing fresh
+    assert store.read("_ivfpq_codes").count() == 250
+    p.register(vecs)  # the rest arrives incrementally
+    assert store.read("_ivfpq_codes").count() == len(X)
+
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["approx_dist"], 9))
+        for r in p.topk(queries, k=10, nprobe=4).collect()
+    )
+    codes = encode_ivf_pq(vecs, idx)
+    want = sorted(
+        (r["query_id"], r["vec_id"], round(r["approx_dist"], 9))
+        for r in ivf_pq_topk(codes, idx, queries, k=10, nprobe=4).collect()
+    )
+    assert got == want
