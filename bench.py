@@ -336,6 +336,27 @@ def _bench_bpe(spark, sf_dir: str) -> dict[str, float]:
     return {"txt_bpe_train": round(t_train, 3), "txt_bpe_encode": round(t_enc, 3)}
 
 
+def _bench_ngram_lm(spark, sf_dir: str) -> dict[str, float]:
+    """N-gram LM quality scoring (functions/ngram_lm.py): one-scan
+    bigram/unigram counts + driver model build (``txt_lm_train``), then
+    the broadcast-model Arrow scoring scan (``txt_lm_score``)."""
+    from stripe_sync_engine_spark.functions.ngram_lm import (
+        score_documents,
+        train_ngram_lm,
+    )
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.perf_counter()
+    lm = train_ngram_lm(docs, min_count=2)
+    t_train = time.perf_counter() - t0
+    assert lm.total > 0
+    t0 = time.perf_counter()
+    score_documents(docs, lm).write.format("noop").mode("overwrite").save()
+    t_score = time.perf_counter() - t0
+    return {"txt_lm_train": round(t_train, 3), "txt_lm_score": round(t_score, 3)}
+
+
 def _bench_pq(spark, sf_dir: str) -> dict[str, float]:
     """Product-quantization ANN (operators/pq_index.py): train the
     codebook from the deterministic sample + encode the corpus to m-byte
@@ -449,6 +470,7 @@ def main() -> None:
     times.update(_bench_bpe(spark, sf_dir))
     times.update(_bench_export(spark, sf_dir))
     times.update(_bench_pq(spark, sf_dir))
+    times.update(_bench_ngram_lm(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(
