@@ -87,6 +87,8 @@ def start_document_stream(
     contamination_max_frac: float | None = None,
     quality_min_tokens: int | None = None,
     quality_min_diversity: float | None = None,
+    lm_model=None,
+    lm_min_score: float | None = None,
 ) -> StreamingQuery:
     """JSON-lines document files → (optional) decontamination gate →
     exact gate → (optional) near gate → keyed merge into
@@ -113,7 +115,13 @@ def start_document_stream(
     ``txt_doc_profile``, applied per batch: low-quality docs never reach
     the dedup state or the corpus (their near-identical high-quality twin
     arriving later is NOT shadowed by a rejected doc's fingerprints).
-    Pure row filters, so they also add nothing to the crash ordering."""
+    Pure row filters, so they also add nothing to the crash ordering.
+
+    ``lm_model`` + ``lm_min_score`` add the learned quality cut: a
+    trained ``functions/ngram_lm.NgramLM`` (broadcast via closure) scores
+    each batch and docs below the mean-log-prob floor are dropped with
+    the other quality rejects — same purity, same crash-ordering
+    neutrality."""
     spark = store.spark
     exact = IncrementalDeduper(store)
     # explicit None check: a caller's threshold of 0.0 (gate on ANY
@@ -144,7 +152,17 @@ def start_document_stream(
                 / F.size(toks).cast("double")
                 >= quality_min_diversity
             )
-        docs = batch_df.where(keep).localCheckpoint(
+        gated = batch_df.where(keep)
+        if lm_model is not None and lm_min_score is not None:
+            from stripe_sync_engine_spark.functions.ngram_lm import score_documents
+
+            ok_ids = (
+                score_documents(gated, lm_model)
+                .where(F.col("lm_score") >= lm_min_score)
+                .select("doc_id")
+            )
+            gated = gated.join(F.broadcast(ok_ids), "doc_id", "left_semi")
+        docs = gated.localCheckpoint(
             eager=True
         )  # one deterministic snapshot feeds every gate
         if docs.isEmpty():

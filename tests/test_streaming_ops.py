@@ -429,3 +429,40 @@ def test_document_stream_quality_gate(spark, tmp_path):
         quality_min_tokens=10, quality_min_diversity=0.5,
     ).awaitTermination()
     assert {r["doc_id"] for r in store.read("corpus_documents").collect()} == {3, 20}
+
+
+def test_document_stream_lm_gate(spark, tmp_path, sf_dir):
+    """A trained LM gates word-salad docs out of the stream; real-text
+    docs pass."""
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.functions.ngram_lm import train_ngram_lm
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import start_document_stream
+    from stripe_sync_engine_spark.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").limit(200)
+    lm = train_ngram_lm(corpus, min_count=2)
+    real = corpus.select("text").first()["text"]
+    salad = " ".join("zzqx" + str(i) for i in range(40))
+    floor = (lm.score(real) + lm.score(salad)) / 2
+
+    landing = tmp_path / "lm_landing"
+    ckpt = tmp_path / "lm_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_lm"))
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": real, "source": "web"},
+                {"doc_id": 2, "text": salad, "source": "web"},
+            ]
+        )
+    )
+    start_document_stream(
+        store, str(landing), str(ckpt), lm_model=lm, lm_min_score=floor
+    ).awaitTermination()
+    assert {r["doc_id"] for r in store.read("corpus_documents").collect()} == {1}
+    assert store.read("_document_fingerprints").count() == 1  # salad left no state
