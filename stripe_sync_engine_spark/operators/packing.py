@@ -26,12 +26,25 @@ from pyspark.sql.window import Window
 from stripe_sync_engine_spark.operators.export import _shard_col
 
 
+def epoch_position(epoch: int, id_col: str = "doc_id"):
+    """Deterministic per-epoch shuffle key: xxhash64(epoch ⊕ id).
+
+    Training epochs need a DIFFERENT but REPRODUCIBLE document order each
+    pass — ``df.sample``/``orderBy(rand())`` reshuffle per run, per
+    layout, per engine. A hash of (epoch, id) is a pure function of both:
+    epoch 3 orders identically on every run of every cluster, and
+    distinct epochs decorrelate. Compose with ``assign_packs(order_col=
+    epoch_position(...))`` so each epoch re-packs in its own order."""
+    return F.xxhash64(F.lit(int(epoch)).cast("long"), F.col(id_col))
+
+
 def assign_packs(
     df: DataFrame,
     count_col: str,
     budget: int,
     n_shards: int = 8,
     id_col: str = "doc_id",
+    order_col=None,
 ) -> DataFrame:
     """``df`` + (shard, pack_id, pack_offset, packs_spanned).
 
@@ -40,11 +53,16 @@ def assign_packs(
     of corpus size. Zero-count docs still occupy a position (they span 1
     pack at their offset), matching the registered query's
     ``greatest(n, 1)`` convention for boundary accounting.
-    """
+
+    ``order_col``: optional Column (or name) ordering docs WITHIN their
+    shard — default is id order (the registered query's layout); pass
+    ``epoch_position(epoch)`` for a deterministic per-epoch shuffle. The
+    id is always the tiebreak, so ordering stays total."""
     shard = _shard_col(id_col, n_shards)
+    order = [id_col] if order_col is None else [order_col, id_col]
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(count_col).over(w), F.lit(0).cast("long"))

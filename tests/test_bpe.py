@@ -186,3 +186,31 @@ def test_assign_packs_with_trained_tokenizer_counts(spark, sf_dir):
         if prev:
             assert r["pack_id"] >= prev[-1]["pack_id"]
         prev.append(r)
+
+
+def test_epoch_shuffle_is_deterministic_and_epoch_distinct(spark, sf_dir):
+    """Per-epoch packing orders are reproducible across runs and differ
+    between epochs (while id order stays the epoch-None layout)."""
+    from stripe_sync_engine_spark.operators.packing import assign_packs, epoch_position
+    from stripe_sync_engine_spark.plans.textops import txt_bpe_tokens
+
+    counts = txt_bpe_tokens(spark, sf_dir).select("doc_id", "n_subwords")
+
+    def layout(order_col):
+        return sorted(
+            (r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"])
+            for r in assign_packs(
+                counts, "n_subwords", 2048, n_shards=4, order_col=order_col
+            ).collect()
+        )
+
+    e1a = layout(epoch_position(1))
+    e1b = layout(epoch_position(1))
+    e2 = layout(epoch_position(2))
+    base = layout(None)
+    assert e1a == e1b          # reproducible
+    assert e1a != e2           # epochs decorrelate
+    assert e1a != base         # shuffled order differs from id order
+    # same docs, same shard membership, same total budget accounting
+    assert [x[0] for x in e1a] == [x[0] for x in base]
+    assert {x[:2] for x in e1a} == {x[:2] for x in base}
