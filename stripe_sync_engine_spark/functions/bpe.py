@@ -139,6 +139,25 @@ class BPETokenizer:
             out.extend(self.encode_piece(piece, ranks))
         return out
 
+    def to_json(self) -> str:
+        """Serialize for reuse across sessions (train once on the big
+        cluster, encode everywhere)."""
+        import json
+
+        return json.dumps(
+            {"merges": [list(p) for p in self.merges], "vocab": list(self.vocab)}
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "BPETokenizer":
+        import json
+
+        d = json.loads(payload)
+        return cls(
+            merges=tuple((a, b) for a, b in d["merges"]),
+            vocab=tuple(d.get("vocab", ())),
+        )
+
 
 def train_bpe_from_histogram(
     hist: list[tuple[str, int]], vocab_size: int, min_pair_count: int = 2

@@ -214,3 +214,10 @@ def test_epoch_shuffle_is_deterministic_and_epoch_distinct(spark, sf_dir):
     # same docs, same shard membership, same total budget accounting
     assert [x[0] for x in e1a] == [x[0] for x in base]
     assert {x[:2] for x in e1a} == {x[:2] for x in base}
+
+
+def test_tokenizer_json_round_trip():
+    tok = train_bpe_from_histogram([("hello", 3), ("help", 2)], vocab_size=8)
+    back = BPETokenizer.from_json(tok.to_json())
+    assert back == tok
+    assert back.encode("hello help") == tok.encode("hello help")
