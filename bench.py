@@ -26,6 +26,10 @@ absence as regressions):
   ONE Arrow pass instead of three; stage parity in
   tests/test_operators.py test_asset_profile_fold_matches_stages) —
   freeing window slots for txt_contamination and txt_pii_redact.
+* r7: mm_header_decode EXTENDED into mm_media_probe (images unchanged,
+  plus RIFF/WAVE 16-bit-PCM decode with real numpy DSP — a superset
+  schema, not a fold; audio segmentation is the separate
+  mm_audio_windows bench probe, pytest-gated in test_operators.py).
 """
 
 from __future__ import annotations
@@ -429,6 +433,48 @@ def _bench_export(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _bench_audio(spark, sf_dir: str) -> dict[str, float]:
+    """Windowed audio segmentation (functions/multimodal.audio_windows):
+    synthesize one ~0.25–0.75s 16-bit PCM WAV per document (square wave,
+    params from doc_id — same synthesis family as the mm_media_probe
+    driver row, just longer), then the row-expanding per-window DSP pass.
+    Measures the real multimodal fan-out cost: binary build + RIFF parse +
+    numpy window stats, all worker-side."""
+    from stripe_sync_engine_spark.functions.multimodal import audio_windows
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import struct
+
+        import pandas as pd  # noqa: PLC0415 - worker-local import
+
+        def payload(doc_id: int) -> bytes:
+            rate = 8000
+            n = doc_id % 4000 + 2000
+            amp = (doc_id % 1000 + 1) * 16
+            half = doc_id % 13 + 2
+            pcm = b"".join(
+                struct.pack("<h", amp if (i // half) % 2 == 0 else -amp) for i in range(n)
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [payload(int(d)) for d in pdf["doc_id"]]}
+            )
+
+    built = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    t0 = time.perf_counter()
+    audio_windows(built, window=400).write.format("noop").mode("overwrite").save()
+    return {"mm_audio_windows": round(time.perf_counter() - t0, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -471,6 +517,7 @@ def main() -> None:
     times.update(_bench_export(spark, sf_dir))
     times.update(_bench_pq(spark, sf_dir))
     times.update(_bench_ngram_lm(spark, sf_dir))
+    times.update(_bench_audio(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(

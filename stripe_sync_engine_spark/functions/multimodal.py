@@ -101,6 +101,176 @@ decode_real = _build_header_parser()
 HEADER_META_SCHEMA = "doc_id long, format string, width long, height long"
 
 
+def _build_media_prober():
+    """One copy of the pure-stdlib MEDIA prober (images + RIFF/WAVE audio),
+    nested so cloudpickle ships it by value — same closure rule as the rest
+    of this module. Images return the header dict of
+    ``_build_header_parser``; 16-bit PCM WAV returns channels / sample rate
+    / bit depth / sample count plus the raw PCM bytes for DSP downstream.
+    The chunk walk honors the RIFF even-byte padding rule and raises
+    ``ValueError`` on any truncation (the failure-row convention)."""
+    parse_image = _build_header_parser()
+
+    def probe_payload(payload: bytes) -> dict:
+        import struct
+
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            i, fmt, data = 12, None, None
+            while i + 8 <= len(payload):
+                cid = payload[i : i + 4]
+                (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+                body = payload[i + 8 : i + 8 + size]
+                if len(body) < size:
+                    raise ValueError("truncated WAV chunk")
+                if cid == b"fmt ":
+                    if size < 16:
+                        raise ValueError("short fmt chunk")
+                    afmt, ch, rate, _brate, _balign, bits = struct.unpack("<HHIIHH", body[:16])
+                    if afmt != 1:
+                        raise ValueError("only PCM (format 1) WAV supported")
+                    if ch < 1 or rate < 1:
+                        raise ValueError("invalid fmt chunk")
+                    fmt = (ch, rate, bits)
+                elif cid == b"data":
+                    data = body
+                i += 8 + size + (size & 1)  # chunks pad to even offsets
+            if fmt is None or data is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            ch, rate, bits = fmt
+            if bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+            n = len(data) // (2 * ch)
+            return {
+                "format": "wav",
+                "channels": ch,
+                "sample_rate": rate,
+                "bits": bits,
+                "n_samples": n,
+                "pcm": data[: n * 2 * ch],
+            }
+        return parse_image(payload)
+
+    return probe_payload
+
+
+#: Real media probe — image headers plus WAV audio metadata/PCM.
+probe_real = _build_media_prober()
+
+MEDIA_PROBE_SCHEMA = (
+    "doc_id long, format string, width long, height long, channels long, "
+    "sample_rate long, bits long, n_samples long, duration_ms double, "
+    "rms double, peak long, zero_crossings long"
+)
+
+
+def probe_media(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """ffprobe-shaped media probe over a mixed binary column: one
+    Arrow-batched pass yields per-asset typed metadata — images get
+    (format, width, height); 16-bit PCM WAV additionally gets REAL
+    numpy DSP over the decoded samples: duration, RMS, peak amplitude,
+    and zero-crossing count (the standard cheap audio-quality/VAD
+    signals). Multi-channel audio is downmixed (per-frame channel mean)
+    before the DSP, the usual mono analysis convention. Undecodable
+    payloads yield all-NULL metadata rows, so one bad object never fails
+    a 100 TB scan; empty audio (0 samples) keeps its header metadata
+    with NULL signal stats."""
+    probe = _build_media_prober()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        cols = [
+            "doc_id", "format", "width", "height", "channels", "sample_rate",
+            "bits", "n_samples", "duration_ms", "rms", "peak", "zero_crossings",
+        ]
+        nulls = (None,) * (len(cols) - 1)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    m = probe(bytes(payload))
+                except (ValueError, TypeError):
+                    rows.append((doc_id, *nulls))
+                    continue
+                if m["format"] != "wav":
+                    rows.append(
+                        (doc_id, m["format"], m["width"], m["height"], *(None,) * 8)
+                    )
+                    continue
+                ch, rate, n = m["channels"], m["sample_rate"], m["n_samples"]
+                meta = (doc_id, "wav", None, None, ch, rate, m["bits"], n, n * 1000.0 / rate)
+                if n == 0:
+                    rows.append((*meta, None, None, None))
+                    continue
+                s = _np.frombuffer(m["pcm"], dtype="<i2").astype(_np.float64)
+                if ch > 1:
+                    s = s.reshape(-1, ch).mean(axis=1)
+                rms = float(_np.sqrt(_np.mean(s * s)))
+                peak = int(_np.max(_np.abs(s)))
+                zc = int(_np.count_nonzero(_np.signbit(s[1:]) != _np.signbit(s[:-1])))
+                rows.append((*meta, rms, peak, zc))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=MEDIA_PROBE_SCHEMA)
+
+
+AUDIO_WINDOW_SAMPLES = 32  # analysis window length, in samples
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_idx long, start_sample long, win_samples long, "
+    "rms double, peak long, zero_crossings long"
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    window: int = AUDIO_WINDOW_SAMPLES,
+) -> DataFrame:
+    """Windowed audio segmentation: decode 16-bit PCM WAV payloads and emit
+    one row per fixed-length analysis window (tail partial window
+    included) with REAL per-window DSP — RMS, peak, zero crossings
+    (crossings are counted between neighbors INSIDE the window, so window
+    counts are independent of the split). This is the row-expanding
+    UDTF shape a VAD / silence-trim / segment-level quality gate uses;
+    swap the stats for a model call and the plan is unchanged.
+    Non-WAV or undecodable payloads contribute no rows (a probe stage
+    routes media types; this operator is the audio branch)."""
+    probe = _build_media_prober()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        cols = [
+            "doc_id", "win_idx", "start_sample", "win_samples",
+            "rms", "peak", "zero_crossings",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    m = probe(bytes(payload))
+                except (ValueError, TypeError):
+                    continue
+                if m["format"] != "wav" or m["n_samples"] == 0:
+                    continue
+                ch = m["channels"]
+                s = _np.frombuffer(m["pcm"], dtype="<i2").astype(_np.float64)
+                if ch > 1:
+                    s = s.reshape(-1, ch).mean(axis=1)
+                for w in range(0, len(s), window):
+                    seg = s[w : w + window]
+                    rms = float(_np.sqrt(_np.mean(seg * seg)))
+                    peak = int(_np.max(_np.abs(seg)))
+                    zc = int(
+                        _np.count_nonzero(_np.signbit(seg[1:]) != _np.signbit(seg[:-1]))
+                    )
+                    rows.append((doc_id, w // window, w, len(seg), rms, peak, zc))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def decode_headers(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """binary column → (format, width, height) via the real stdlib header
     decoder; undecodable payloads yield NULL metadata rows (a decoder

@@ -68,32 +68,62 @@ def mm_asset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm_header_decode",
+    "mm_media_probe",
     oracle="""
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 THEN NULL
-                    WHEN doc_id % 4 = 0 THEN 'png'
-                    WHEN doc_id % 4 = 1 THEN 'gif'
-                    WHEN doc_id % 4 = 2 THEN 'bmp'
-                    ELSE 'jpeg' END AS format,
-               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 5 = 0 THEN 'png'
+                    WHEN doc_id % 5 = 1 THEN 'gif'
+                    WHEN doc_id % 5 = 2 THEN 'bmp'
+                    WHEN doc_id % 5 = 3 THEN 'jpeg'
+                    ELSE 'wav' END AS format,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
                     ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
-               CASE WHEN doc_id % 17 = 0 THEN NULL
-                    ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
+                    ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    ELSE CAST(1 AS BIGINT) END AS channels,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    WHEN doc_id % 4 = 0 THEN 8000
+                    WHEN doc_id % 4 = 1 THEN 16000
+                    WHEN doc_id % 4 = 2 THEN 22050
+                    ELSE 44100 END AS sample_rate,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    ELSE CAST(16 AS BIGINT) END AS bits,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    ELSE CAST(doc_id % 96 + 32 AS BIGINT) END AS n_samples,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    ELSE CAST((doc_id % 96 + 32) * 1000.0 /
+                         (CASE WHEN doc_id % 4 = 0 THEN 8000
+                               WHEN doc_id % 4 = 1 THEN 16000
+                               WHEN doc_id % 4 = 2 THEN 22050
+                               ELSE 44100 END) AS DOUBLE) END AS duration_ms,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    ELSE CAST((doc_id % 1000 + 1) * 16 AS DOUBLE) END AS rms,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    ELSE CAST((doc_id % 1000 + 1) * 16 AS BIGINT) END AS peak,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                    ELSE CAST((doc_id % 96 + 31) // (doc_id % 7 + 2) AS BIGINT)
+                    END AS zero_crossings
         FROM documents
     """,
-    operators="TDP-multimodal-headers",
+    operators="TDP-multimodal-headers,TDP-multimodal-audio",
 )
-def mm_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL header decode round-trip: synthesize valid PNG/GIF/BMP/JPEG
-    container headers (format by doc_id % 4, dims derived from doc_id) in
-    one mapInPandas stage, then parse them back through the pure-stdlib
-    decoder (functions/multimodal.decode_headers — no fake arithmetic).
-    Every 17th payload is truncated to 5 bytes to prove the decoder-failure
-    path yields NULL rows instead of failing the scan. The oracle states
-    the dims the headers were built with, so the parser itself is
-    value-checked end to end."""
-    from stripe_sync_engine_spark.functions.multimodal import decode_headers
+def mm_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-probe round-trip over a MIXED binary column (the r7
+    extension of the former mm_header_decode entry — images unchanged,
+    audio added): synthesize valid PNG/GIF/BMP/JPEG headers AND complete
+    16-bit PCM WAV files (format by doc_id % 5; dims, sample rate, length,
+    and a ±amp square wave all derived from doc_id) in one mapInPandas
+    stage, then push them through the pure-stdlib prober
+    (functions/multimodal.probe_media — no fake arithmetic). WAV rows are
+    value-checked END TO END including the numpy DSP: a square wave of
+    amplitude A with half-period P over n samples has RMS exactly A, peak
+    A, and floor((n-1)/P) zero crossings — all integer-exact in float64,
+    so the oracle states them in closed form. Every 17th payload is
+    truncated to 5 bytes to prove the decoder-failure path yields NULL
+    rows instead of failing the scan."""
+    from stripe_sync_engine_spark.functions.multimodal import probe_media
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -104,15 +134,29 @@ def mm_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def payload(doc_id: int) -> bytes:
             w, h = doc_id % 640 + 1, doc_id % 480 + 1
-            kind = doc_id % 4
+            kind = doc_id % 5
             if kind == 0:
                 raw = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR" + struct.pack(">II", w, h)
             elif kind == 1:
                 raw = b"GIF89a" + struct.pack("<HH", w, h)
             elif kind == 2:
                 raw = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h)
-            else:
+            elif kind == 3:
                 raw = b"\xff\xd8\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03"
+            else:
+                rate = (8000, 16000, 22050, 44100)[doc_id % 4]
+                n = doc_id % 96 + 32
+                amp = (doc_id % 1000 + 1) * 16
+                half = doc_id % 7 + 2
+                pcm = b"".join(
+                    struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
+                    for i in range(n)
+                )
+                raw = (
+                    b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
             return raw[:5] if doc_id % 17 == 0 else raw
 
         for pdf in batches:
@@ -121,7 +165,7 @@ def mm_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     built = docs.mapInPandas(build, schema="doc_id long, payload binary")
-    return decode_headers(built)
+    return probe_media(built)
 
 
 @register(

@@ -395,7 +395,7 @@ def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 + removed-char count.
 
     The synthetic corpus is digit-free word soup, so deterministic PII
-    spans are INJECTED from doc_id (the mm_header_decode pattern: build →
+    spans are INJECTED from doc_id (the mm_media_probe pattern: build →
     process → oracle states what was built), making the detectors and the
     redaction end-to-end value-checked rather than trivially zero: %4∈
     {{0,1}} docs gain an email, %4==1 adds a phone, %4==2 an SSN + IP,

@@ -306,7 +306,7 @@ def test_clustered_merge_is_single_exchange(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # Real image-header decode (functions/multimodal.decode_real): pure-stdlib
 # PNG/GIF/BMP/JPEG container parsing — the former PIL/ffmpeg seam, closed
-# for header metadata. The mm_header_decode registry entry value-checks the
+# for header metadata. The mm_media_probe registry entry value-checks the
 # distributed path; these gate the parser itself.
 def test_decode_real_parses_all_formats():
     import struct
@@ -349,6 +349,111 @@ def test_decode_headers_yields_null_rows_for_bad_payloads(spark):
     rows = {r["doc_id"]: (r["format"], r["width"], r["height"]) for r in decode_headers(df).collect()}
     assert rows[1] == ("gif", 16, 32)
     assert rows[2] == (None, None, None)
+
+
+def _wav_bytes(samples, rate=8000, channels=1, extra_chunk=False):
+    """Minimal valid 16-bit PCM WAV container around ``samples``
+    (interleaved if channels > 1)."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+    )
+    chunks = fmt
+    if extra_chunk:  # odd-sized chunk: the walk must apply RIFF pad-to-even
+        chunks = b"LIST" + struct.pack("<I", 3) + b"abc\x00" + chunks
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_probe_real_parses_wav_and_rejects_bad_containers():
+    import struct
+
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.functions.multimodal import probe_real
+
+    m = probe_real(_wav_bytes([100, -200, 300, 0], rate=16000))
+    assert (m["format"], m["channels"], m["sample_rate"], m["bits"], m["n_samples"]) == (
+        "wav", 1, 16000, 16, 4,
+    )
+    assert m["pcm"] == struct.pack("<4h", 100, -200, 300, 0)
+    # stereo frame count, and an odd-sized leading chunk exercising the
+    # RIFF even-byte padding rule
+    st = probe_real(_wav_bytes([1, 2, 3, 4, 5, 6], channels=2, extra_chunk=True))
+    assert (st["channels"], st["n_samples"]) == (2, 3)
+    # images still route through the image branch
+    png = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR" + struct.pack(">II", 8, 9)
+    assert probe_real(png)["format"] == "png"
+    # non-PCM audio format, short fmt, truncated data all raise (NULL-row path)
+    ieee = _wav_bytes([1]).replace(struct.pack("<IHH", 16, 1, 1), struct.pack("<IHH", 16, 3, 1), 1)
+    for bad in (ieee, b"RIFF" + struct.pack("<I", 4) + b"WAVE", _wav_bytes([1, 2, 3])[:-2]):
+        with _pytest.raises(ValueError):
+            probe_real(bad)
+
+
+def test_probe_media_mixed_column_real_dsp(spark):
+    """probe_media over a mixed image/audio/garbage binary column: one
+    Arrow pass, images get dims, WAV gets REAL numpy DSP — values checked
+    against hand-computed signal stats."""
+    import math
+
+    from stripe_sync_engine_spark.functions.multimodal import probe_media
+
+    samples = [1000, -1000, 2000, -500, 0, 500]  # zero sample: signbit(0) is +
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"GIF89a\x10\x00\x20\x00")),
+            (2, bytearray(_wav_bytes(samples, rate=8000))),
+            (3, bytearray(b"notmedia")),
+            (4, bytearray(_wav_bytes([], rate=8000))),  # empty audio: meta only
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in probe_media(df).collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("gif", 16, 32)
+    assert rows[1]["rms"] is None
+    w = rows[2]
+    assert (w["format"], w["channels"], w["sample_rate"], w["bits"], w["n_samples"]) == (
+        "wav", 1, 8000, 16, 6,
+    )
+    assert w["duration_ms"] == 6 * 1000.0 / 8000
+    assert w["rms"] == math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert w["peak"] == 2000
+    # sign flips: +,-,+,-,0(+),+  → crossings at i=1,2,3,4
+    assert w["zero_crossings"] == 4
+    assert rows[3]["format"] is None and rows[3]["rms"] is None
+    assert (rows[4]["format"], rows[4]["n_samples"]) == ("wav", 0)
+    assert rows[4]["rms"] is None and rows[4]["duration_ms"] == 0.0
+
+
+def test_audio_windows_segments_and_window_local_stats(spark):
+    """audio_windows: fixed-length segments with a partial tail; per-window
+    stats are computed INSIDE the window (the boundary pair between two
+    windows contributes to neither), so counts are split-independent."""
+    import math
+
+    from stripe_sync_engine_spark.functions.multimodal import audio_windows
+
+    # 5 samples, window=2 → windows [10,-10], [-10,10], [10]
+    samples = [10, -10, -10, 10, 10]
+    df = spark.createDataFrame(
+        [(7, bytearray(_wav_bytes(samples))), (8, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        audio_windows(df, window=2).collect(), key=lambda r: (r["doc_id"], r["win_idx"])
+    )
+    assert [r["doc_id"] for r in rows] == [7, 7, 7]  # junk contributes no rows
+    assert [(r["win_idx"], r["start_sample"], r["win_samples"]) for r in rows] == [
+        (0, 0, 2), (1, 2, 2), (2, 4, 1),
+    ]
+    assert all(r["rms"] == 10.0 and r["peak"] == 10 for r in rows)
+    # window-local crossings: [+,-] → 1, [-,+] → 1, [+] → 0; the w0→w1
+    # boundary pair (-10,-10) and w1→w2 (10,10) are uncounted by design
+    assert [r["zero_crossings"] for r in rows] == [1, 1, 0]
+    assert math.isclose(rows[0]["rms"], 10.0)
 
 
 def test_lsh_buckets_parity(spark, sf_dir):
