@@ -194,7 +194,7 @@ def _bench_changefeed(spark, n_events: int = 3000) -> dict[str, float]:
                         "created": 1_700_000_000 + i,
                         "data": {
                             "object": {
-                                "id": f"ch_{i % 2001}",
+                                "id": f"ch_{i % (n_events + n_events // 20)}",
                                 "object": "charge",
                                 "amount": i,
                                 "created": 1_700_000_000 + i,
@@ -208,7 +208,9 @@ def _bench_changefeed(spark, n_events: int = 3000) -> dict[str, float]:
 
         engine.process_webhook_events(engine.events_df_from_json(batch(0, n_events)))
         since = engine.store.commits("charges")[-1]
-        # delta: 10% of keys updated + a run of fresh inserts
+        # delta: the modulus is n_events + 5%, so the delta's first half
+        # lands on FRESH keys (insert branch of the snapshot diff) and its
+        # second half wraps onto base keys (update branch)
         engine.process_webhook_events(
             engine.events_df_from_json(batch(n_events, n_events // 10))
         )

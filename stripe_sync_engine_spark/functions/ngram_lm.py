@@ -63,17 +63,22 @@ def ngram_counts(
         .orderBy(F.col("n").desc(), F.col("w").asc())
         .limit(max_types)
     )
-    with_bos = F.concat(F.array(F.lit(BOS)), toks)
+    # Drop empty tokens BEFORE pairing, exactly as NgramLM.score filters
+    # its word list — pairing first and then discarding pairs that touch
+    # an empty token would never count (hello, world) from "hello  world"
+    # while scoring queries exactly that transition.
+    toks_nonempty = F.filter(toks, lambda t: t != "")
+    with_bos = F.concat(F.array(F.lit(BOS)), toks_nonempty)
     # zip_with pads the shorter side with null: [BOS, w1..wn] zipped with
     # [w1..wn] yields exactly the n transitions (BOS,w1)..(w(n-1),wn)
     # plus a (wn, null) tail the filter drops.
     pairs = F.filter(
         F.zip_with(
             with_bos,
-            toks,
+            toks_nonempty,
             lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
-        lambda p: p["b"].isNotNull() & (p["a"] != "") & (p["b"] != ""),
+        lambda p: p["b"].isNotNull(),
     )
     bi = (
         docs.select(F.explode(pairs).alias("p"))
@@ -102,6 +107,15 @@ class NgramLM:
     vocab_size: int
     lam: float = 0.75
     add_k: float = 1.0
+
+    def __post_init__(self) -> None:
+        # λ = 1 leaves zero unigram mass: any unseen bigram would hit
+        # log(0) inside a Spark worker and fail the whole scan instead of
+        # scoring low. add_k ≤ 0 likewise zeroes the unseen-word floor.
+        if not 0.0 <= self.lam < 1.0:
+            raise ValueError(f"lam must be in [0, 1), got {self.lam}")
+        if self.add_k <= 0.0:
+            raise ValueError(f"add_k must be > 0, got {self.add_k}")
 
     def logp_word(self, w: str) -> float:
         n = self.uni.get(w, 0)

@@ -47,11 +47,31 @@ MANIFEST_NAME = "manifest.json"
 FORMAT_VERSION = 1
 
 
+# 8 hex chars = 32 bits of md5. Mod bias is ≤ n_shards/2^32 — uniform up
+# to millions of shards. (A 2-char prefix caps the key space at 256
+# buckets: n_shards > 256 would silently leave shards permanently empty,
+# and any n_shards not dividing 256 skews shard sizes by up to 50%.)
+SHARD_HEX_CHARS = 8
+
+
 def _shard_col(id_col: str, n_shards: int):
     return (
-        F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 2), 16, 10).cast("long")
+        F.conv(
+            F.md5(F.col(id_col).cast("string")).substr(1, SHARD_HEX_CHARS), 16, 10
+        ).cast("long")
         % n_shards
     )
+
+
+def shard_sql(var: str, n: int) -> str:
+    """DuckDB mirror of ``_shard_col`` for oracle SQL (DuckDB has no
+    conv(); strpos-per-nibble reproduces Spark's conv(md5, 16, 10))."""
+    h = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5({var}), {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (SHARD_HEX_CHARS - i)}"
+        for i in range(1, SHARD_HEX_CHARS + 1)
+    )
+    return f"(({h}) % {n})"
 
 
 def _digest_aggs(id_col: str, cols: list[str]):
@@ -94,6 +114,49 @@ def _shard_stats(df: DataFrame, id_col: str, n_shards: int) -> dict[int, dict]:
     return stats
 
 
+def _overwrite_shards(df: DataFrame, data_dir: str, todo: list[int], n_parts: int, id_col: str) -> None:
+    """Rewrite the ``todo`` shard directories via dynamic partition
+    overwrite; rows sort by id within each shard for reproducible bytes.
+    ``df`` must already carry the ``shard`` column."""
+    spark = df.sparkSession
+    out = (
+        df.filter(F.col("shard").isin(todo))
+        .repartition(n_parts, "shard")
+        .sortWithinPartitions("shard", id_col)
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        out.write.partitionBy("shard").mode("overwrite").parquet(data_dir)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev_mode)
+
+
+def _sweep_foreign_shards(data_dir: str, n_shards: int) -> None:
+    """Remove shard directories outside ``range(n_shards)``.
+
+    A prior export with a LARGER n_shards leaves shard dirs that dynamic
+    partition overwrite never touches (it only replaces partitions present
+    in the write); without this sweep a re-export with fewer shards — the
+    exact recovery the resume n_shards-mismatch error prescribes — would
+    report success while dataloaders read every doc twice."""
+    if not os.path.isdir(data_dir):
+        return
+    for name in os.listdir(data_dir):
+        if not name.startswith("shard="):
+            continue
+        try:
+            k = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if not 0 <= k < n_shards:
+            shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+
+
 def _write_manifest(out_dir: str, manifest: dict) -> None:
     tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as fh:
@@ -124,7 +187,6 @@ def export_corpus_shards(
     overwrite. The manifest is committed atomically AFTER the data
     writes, so a crash mid-export leaves the previous manifest authoritative.
     """
-    spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
     stats = _shard_stats(df, id_col, n_shards)
@@ -143,29 +205,22 @@ def export_corpus_shards(
 
     # Dynamic partition overwrite only replaces partitions PRESENT in the
     # write; a shard whose docs all disappeared since the last export must
-    # have its stale directory removed explicitly.
+    # have its stale directory removed explicitly — as must directories a
+    # previous export wrote under a different (larger) n_shards.
+    _sweep_foreign_shards(data_dir, n_shards)
     emptied = [k for k in todo if stats[k]["n_docs"] == 0]
     for k in emptied:
         shutil.rmtree(os.path.join(data_dir, f"shard={k}"), ignore_errors=True)
     todo = [k for k in todo if stats[k]["n_docs"] > 0]
 
     if todo:
-        out = (
-            df.withColumn("shard", _shard_col(id_col, n_shards))
-            .filter(F.col("shard").isin(todo))
-            .repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", id_col)
+        _overwrite_shards(
+            df.withColumn("shard", _shard_col(id_col, n_shards)),
+            data_dir,
+            todo,
+            n_shards,
+            id_col,
         )
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev_mode = spark.conf.get(mode_key, None)
-        spark.conf.set(mode_key, "dynamic")
-        try:
-            out.write.partitionBy("shard").mode("overwrite").parquet(data_dir)
-        finally:
-            if prev_mode is None:
-                spark.conf.unset(mode_key)
-            else:
-                spark.conf.set(mode_key, prev_mode)
 
     manifest = {
         "format_version": FORMAT_VERSION,
@@ -242,23 +297,13 @@ def export_changed_shards(
         for k in emptied:
             shutil.rmtree(os.path.join(data_dir, f"shard={k}"), ignore_errors=True)
         if todo:
-            out = (
-                sub.withColumn("shard", _shard_col(id_col, n_shards))
-                .filter(F.col("shard").isin(todo))
-                .repartition(len(todo), "shard")
-                .sortWithinPartitions("shard", id_col)
+            _overwrite_shards(
+                sub.withColumn("shard", _shard_col(id_col, n_shards)),
+                data_dir,
+                todo,
+                len(todo),
+                id_col,
             )
-            spark = df.sparkSession
-            mode_key = "spark.sql.sources.partitionOverwriteMode"
-            prev_mode = spark.conf.get(mode_key, None)
-            spark.conf.set(mode_key, "dynamic")
-            try:
-                out.write.partitionBy("shard").mode("overwrite").parquet(data_dir)
-            finally:
-                if prev_mode is None:
-                    spark.conf.unset(mode_key)
-                else:
-                    spark.conf.set(mode_key, prev_mode)
 
     manifest = {
         **prev,

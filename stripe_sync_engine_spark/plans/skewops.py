@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stripe_sync_engine_spark.operators.export import _shard_col, shard_sql
 from stripe_sync_engine_spark.operators.skew import salted_join, two_level_count_distinct
 from stripe_sync_engine_spark.plans.analytics import SQL_REVENUE_EXPR, as_double, revenue_expr
 from stripe_sync_engine_spark.plans.registry import register
@@ -153,8 +154,7 @@ MIXTURE_PCT = {"purchase": 80, "signup": 50, "click": 10, "view": 10}
         )
         SELECT e.event_id, e.event_type, e.user_id
         FROM events e LEFT JOIN weights w USING (event_type)
-        WHERE (CAST(strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
-               + CAST(strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
+        WHERE {shard_sql("CAST(e.event_id AS VARCHAR)", 100)}
               < COALESCE(w.pct, {SAMPLE_PCT})
     """,
     operators="P2,TDP-sample,TDP-mixture",
@@ -175,7 +175,7 @@ def q32_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = spark.createDataFrame(
         sorted(MIXTURE_PCT.items()), "event_type string, pct int"
     )
-    bucket = F.conv(F.md5(F.col("event_id").cast("string")).substr(1, 2), 16, 10).cast("long") % 100
+    bucket = _shard_col("event_id", 100)
     return (
         events.join(F.broadcast(weights), "event_type", "left")
         .where(bucket < F.coalesce(F.col("pct"), F.lit(SAMPLE_PCT)))

@@ -9,9 +9,11 @@ identical integer inputs on both engines, so value hashes are stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stripe_sync_engine_spark.operators.export import _shard_col, shard_sql
+from stripe_sync_engine_spark.operators.packing import assign_packs
 from stripe_sync_engine_spark.plans.registry import register
 from stripe_sync_engine_spark.tables import load_table, spread_small_scan
 
@@ -45,11 +47,9 @@ SPLIT_VAL_LT = 98
                                           t -> t IN {EN_MARKERS!r})) >= 2
                     THEN 'en' ELSE 'unknown' END AS predicted_lang,
                lang AS labeled_lang,
-               CASE WHEN (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
-                          + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
+               CASE WHEN {shard_sql("CAST(doc_id AS VARCHAR)", 100)}
                          < {SPLIT_TRAIN_LT} THEN 'train'
-                    WHEN (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
-                          + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100
+                    WHEN {shard_sql("CAST(doc_id AS VARCHAR)", 100)}
                          < {SPLIT_VAL_LT} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
@@ -72,9 +72,7 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
     hits = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS))).cast("long")
-    split_bucket = (
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 2), 16, 10).cast("long") % 100
-    )
+    split_bucket = _shard_col("doc_id", 100)
     return docs.select(
         "doc_id",
         "n_chars",
@@ -474,8 +472,7 @@ N_PACK_SHARDS = 8
                    CAST(list_sum(list_transform(
                         regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
                         x -> (length(x) + 3) // 4)) AS BIGINT) AS n_subwords,
-                   (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
-                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % {N_PACK_SHARDS} AS shard
+                   {shard_sql("CAST(doc_id AS VARCHAR)", N_PACK_SHARDS)} AS shard
             FROM documents
         ), c AS (
             SELECT *,
@@ -511,34 +508,13 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    shard = (
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 2), 16, 10).cast("long")
-        % N_PACK_SHARDS
-    )
     toks = docs.select(
         "doc_id",
         F.size(pieces).cast("long").alias("n_pieces"),
         subwords.alias("n_subwords"),
-        shard.alias("shard"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_subwords").over(w), F.lit(0).cast("long"))
-    return toks.select(
-        "doc_id",
-        "n_pieces",
-        "n_subwords",
-        "shard",
-        F.floor(start / PACK_BUDGET).cast("long").alias("pack_id"),
-        (start % PACK_BUDGET).cast("long").alias("pack_offset"),
-        (
-            F.floor((start + F.greatest(F.col("n_subwords"), F.lit(1)) - 1) / PACK_BUDGET)
-            - F.floor(start / PACK_BUDGET)
-            + 1
-        )
-        .cast("long")
-        .alias("packs_spanned"),
-    )
+    # The packing layout (shard → per-shard cumulative window → pack
+    # columns) is operators/packing.assign_packs — ONE implementation, so
+    # the "a document's export shard IS its pack shard" invariant can't
+    # drift between this query, the generic packer, and the exporter.
+    return assign_packs(toks, "n_subwords", PACK_BUDGET, N_PACK_SHARDS)

@@ -1240,15 +1240,22 @@ class StripeSparkSync:
         n = 0
         with self._table_write_lock(dst_table):
             if not self.store.exists(dst_table):
-                n = upserts.count()
+                # Count ALL change rows (deletes included) so the return
+                # value means the same thing on bootstrap as on every
+                # later poll.
+                n = all_keys.count()
                 self.store.write(dst_table, upserts, key=key)
             else:
-                touched = self.store.buckets_of(all_keys, key=key, table=dst_table)
+                # ONE bucket aggregation serves as both the touched-bucket
+                # probe and the row accounting — bucket_counts' contract;
+                # a second aggregation would re-execute the snapshot-diff
+                # feed lineage.
+                counts = self.store.bucket_counts(all_keys, key=key, table=dst_table)
+                touched = [b for b, _ in counts]
+                n = sum(c for _, c in counts)
                 if touched:
                     cur = self.store.read_buckets(dst_table, touched)
                     merged = cur.join(all_keys, key, "left_anti").unionByName(upserts)
-                    n = self.store.bucket_counts(all_keys, key=key, table=dst_table)
-                    n = sum(c for _, c in n)
                     self.store.write_buckets(dst_table, merged, touched, key=key)
         self.ack_changes(consumer, entity, cursor)
         return n

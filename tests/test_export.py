@@ -6,6 +6,7 @@ import os
 from pyspark.sql import functions as F
 
 from stripe_sync_engine_spark.operators.export import (
+    _shard_col,
     export_corpus_shards,
     read_manifest,
     verify_export,
@@ -88,11 +89,7 @@ def test_resume_removes_emptied_shard(spark, tmp_path):
     )
     export_corpus_shards(docs, out, n_shards=N_SHARDS)
     # Keep only docs of shard 0's complement: empty at least one shard.
-    kept = docs.filter(
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 2), 16, 10).cast("long")
-        % N_SHARDS
-        != 1
-    )
+    kept = docs.filter(_shard_col("doc_id", N_SHARDS) != 1)
     manifest = export_corpus_shards(kept, out, n_shards=N_SHARDS, resume=True)
     assert manifest["shards"]["1"]["n_docs"] == 0
     assert not os.path.isdir(os.path.join(out, "data", "shard=1"))
