@@ -477,6 +477,29 @@ def _bench_audio(spark, sf_dir: str) -> dict[str, float]:
     return {"mm_audio_windows": round(time.perf_counter() - t0, 3)}
 
 
+def _bench_span_dedup(spark, sf_dir: str) -> dict[str, float]:
+    """ExactSubstr-style span dedup over the documents corpus: detect all
+    repeated 5-token spans (detection is the explode + count + semi-join
+    + merge pipeline — the whole cost), then clip them from the text."""
+    from stripe_sync_engine_spark.operators.span_dedup import (
+        clip_repeated_spans,
+        repeated_spans,
+    )
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    spans = repeated_spans(docs, k=5)
+    detect_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    clip_repeated_spans(docs, spans).write.format("noop").mode("overwrite").save()
+    clip_s = time.perf_counter() - t0
+    return {
+        "dd_span_detect": round(detect_s, 3),
+        "dd_span_clip": round(clip_s, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -520,6 +543,7 @@ def main() -> None:
     times.update(_bench_pq(spark, sf_dir))
     times.update(_bench_ngram_lm(spark, sf_dir))
     times.update(_bench_audio(spark, sf_dir))
+    times.update(_bench_span_dedup(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(

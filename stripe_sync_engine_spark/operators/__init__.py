@@ -2,4 +2,5 @@
 dedup (A3), as-of join, child-table reconciliation, incremental rollups,
 skew mitigation — plus the training-data layer's incremental gates
 (``incremental_dedup``, ``embedding_index``), sequence packing
-(``packing``) and the verifiable corpus shard exporter (``export``)."""
+(``packing``), the verifiable corpus shard exporter (``export``) and
+ExactSubstr-style span-level dedup (``span_dedup``)."""

@@ -1,0 +1,166 @@
+"""Span-level dedup tests: hand-built micro corpora with known repeated
+sequences, interval merging, clipping semantics, and value-level oracle
+parity against a DuckDB formulation over the real documents table."""
+
+from __future__ import annotations
+
+import pytest
+
+from stripe_sync_engine_spark.operators.span_dedup import (
+    clip_repeated_spans,
+    repeated_spans,
+)
+from stripe_sync_engine_spark.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(df):
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in df.collect()
+    )
+
+
+def test_cross_doc_repeat_found(spark):
+    shared = "the quick brown fox jumps over"
+    docs = _docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon zeta"),
+            (3, "nothing here repeats at all ever"),
+        ],
+    )
+    got = _spans(repeated_spans(docs, k=3))
+    # Doc 1: shared tokens at positions 2..7 -> windows 2..5 merge to [2, 8).
+    # Doc 2: positions 0..5 -> windows 0..3 merge to [0, 6).
+    assert got == [(1, 2, 8), (2, 0, 6)]
+
+
+def test_within_doc_repeat_counts(spark):
+    docs = _docs(
+        spark,
+        [(1, "spam spam spam spam unique tail words here")],
+    )
+    got = _spans(repeated_spans(docs, k=2))
+    # "spam spam" occurs at positions 0,1,2 (3 occurrences in ONE doc):
+    # windows [0,2) [1,3) [2,4) merge to [0, 4).
+    assert got == [(1, 0, 4)]
+
+
+def test_min_repeats_threshold(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c x1 y1"),
+            (2, "a b c x2 y2"),
+            (3, "a b c x3 y3"),
+        ],
+    )
+    # "a b c" occurs 3 times; with min_repeats=4 nothing qualifies.
+    assert _spans(repeated_spans(docs, k=3, min_repeats=4)) == []
+    got = _spans(repeated_spans(docs, k=3, min_repeats=3))
+    assert got == [(1, 0, 3), (2, 0, 3), (3, 0, 3)]
+
+
+def test_disjoint_spans_stay_separate(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb u1 u2 u3 u4 u5 cc dd"),
+            (2, "aa bb v1 v2 v3 v4 v5 cc dd"),
+        ],
+    )
+    got = _spans(repeated_spans(docs, k=2))
+    # Two repeated 2-grams per doc, 5 unique tokens apart: two spans each.
+    assert got == [(1, 0, 2), (1, 7, 9), (2, 0, 2), (2, 7, 9)]
+
+
+def test_short_docs_produce_no_rows(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a b")])
+    assert _spans(repeated_spans(docs, k=3)) == []
+    # But at k=2 the whole doc is one duplicated window.
+    assert _spans(repeated_spans(docs, k=2)) == [(1, 0, 2), (2, 0, 2)]
+
+
+def test_clip_removes_exactly_the_spans(spark):
+    shared = "one two three four"
+    docs = _docs(
+        spark,
+        [
+            (1, f"head {shared} tail"),
+            (2, f"{shared} solo"),
+            (3, "untouched words remain put"),
+        ],
+    )
+    spans = repeated_spans(docs, k=4)
+    out = {
+        r["doc_id"]: (r["text"], r["tokens_clipped"])
+        for r in clip_repeated_spans(docs, spans).collect()
+    }
+    assert out[1] == ("head tail", 4)
+    assert out[2] == ("solo", 4)
+    assert out[3] == ("untouched words remain put", 0)
+
+
+def test_clip_double_space_tokens_align(spark):
+    # Empty tokens from doubled spaces are dropped by the shared
+    # tokenization, so span indices align with the filtered token list.
+    docs = _docs(
+        spark,
+        [(1, "x  a b c  y"), (2, "a b c z w")],
+    )
+    spans = repeated_spans(docs, k=3)
+    got = _spans(spans)
+    assert got == [(1, 1, 4), (2, 0, 3)]
+    out = {r["doc_id"]: r["text"] for r in clip_repeated_spans(docs, spans).collect()}
+    assert out[1] == "x y"
+    assert out[2] == "z w"
+
+
+@pytest.mark.parametrize("k,min_repeats", [(3, 2), (5, 2)])
+def test_oracle_parity_on_documents(spark, sf_dir, k, min_repeats):
+    """Value-level parity with a DuckDB formulation over gram TEXT (the
+    Spark side groups on xxhash64 of the gram — collisions are the only
+    possible divergence and would need 2^-64 luck on 500 docs)."""
+    from tests.oracle import compare, run_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = repeated_spans(docs, k=k, min_repeats=min_repeats)
+    want = run_oracle(
+        f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+            FROM t, LATERAL UNNEST(generate_series(1, len(toks) - {k - 1})) AS u(i)
+            WHERE len(toks) >= {k}
+        ),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= {min_repeats}),
+        m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+        f AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             <= {k} THEN 0 ELSE 1 END AS brk
+            FROM m
+        ),
+        s AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {k} AS BIGINT) AS span_end
+        FROM s GROUP BY doc_id, grp
+        """,
+        sf_dir,
+    )
+    compare(got, want, f"span_dedup_k{k}")
