@@ -42,11 +42,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stripe_sync_engine_spark.operators.incremental_dedup import (
+    anti_probe,
+    with_occ_retry,
+)
+
 
 def _tokens(text_col: str):
     """Whitespace tokens with empties dropped — the same tokenization the
     LM scorer and doc profile use, so span indices line up across stages."""
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def gram_occurrences(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, pos, h)`` — one row per k-token window, h = xxhash64 of the
+    gram text. Docs shorter than ``k`` tokens produce no rows."""
+    # Materialize the token array BEFORE the per-window lambda: an
+    # expression (split+filter) referenced inside a HOF lambda re-evaluates
+    # per element — O(n²) per doc; a bound column is an O(k) array slice.
+    base = docs.select(F.col(id_col), _tokens(text_col).alias("_toks")).where(
+        F.size("_toks") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda i: F.xxhash64(F.array_join(F.slice("_toks", i + 1, k), " ")),
+    )
+    return base.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+
+
+def merge_positions(hits: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """``(id, span_start, span_end)`` — merge per-doc window positions
+    into maximal [pos, pos+k) intervals. The lag window and the final
+    groupBy share the ``id_col`` exchange — one shuffle."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # Two selects: window functions can't nest, so the break flag
+    # (lag) materializes before the running sum that groups spans.
+    flagged = hits.select(
+        id_col,
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    grouped = flagged.select(
+        id_col,
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    return (
+        grouped.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
 
 
 def repeated_spans(
@@ -64,17 +118,7 @@ def repeated_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_repeats < 2:
         raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
-    # Materialize the token array BEFORE the per-window lambda: an
-    # expression (split+filter) referenced inside a HOF lambda re-evaluates
-    # per element — O(n²) per doc; a bound column is an O(k) array slice.
-    base = docs.select(F.col(id_col), _tokens(text_col).alias("_toks")).where(
-        F.size("_toks") >= k
-    )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("_toks") - k),
-        lambda i: F.xxhash64(F.array_join(F.slice("_toks", i + 1, k), " ")),
-    )
-    occ = base.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    occ = gram_occurrences(docs, k, id_col, text_col)
     # Keep the gram rows alive across the count and the semi-join — the
     # two consumers below would otherwise re-run the explode scan.
     occ = occ.persist()
@@ -86,27 +130,7 @@ def repeated_spans(
             .select("h")
         )
         hits = occ.join(dup, "h", "left_semi")
-        w = Window.partitionBy(id_col).orderBy("pos")
-        # Two selects: window functions can't nest, so the break flag
-        # (lag) materializes before the running sum that groups spans.
-        flagged = hits.select(
-            id_col,
-            "pos",
-            F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
-            .otherwise(F.lit(1))
-            .alias("brk"),
-        )
-        grouped = flagged.select(
-            id_col,
-            "pos",
-            F.sum("brk")
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .alias("grp"),
-        )
-        out = grouped.groupBy(id_col, "grp").agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + k).cast("long").alias("span_end"),
-        ).select(id_col, "span_start", "span_end")
+        out = merge_positions(hits, k, id_col)
         # Materialize before unpersisting so callers never re-trigger the
         # lineage against a released cache.
         out = out.localCheckpoint(eager=True)
@@ -157,3 +181,179 @@ def clip_repeated_spans(
         )
         .drop("_spans", "_toks", "_kept")
     )
+
+
+class IncrementalSpanDeduper:
+    """Span dedup for ARRIVING batches against persisted gram counts —
+    the streaming-corpus shape of ExactSubstr, in the same two-phase
+    contract as the other incremental gates (``incremental_dedup``).
+
+    State: one row per (gram hash, batch_id) with that batch's
+    occurrence count, in a table BUCKETED BY HASH. Keeping counts
+    per-batch (instead of one mutable total) is what makes ``register``
+    IDEMPOTENT and partially-crash-convergent: a replayed batch probes
+    the exact buckets its hashes land in, finds its own (h, batch_id)
+    rows, and commits only what is missing — a half-committed crash
+    heals on replay instead of double-counting. Read amplification is
+    one SUM over the probed rows; rows per gram grow with the number of
+    batches that contained it, so a long-lived deployment periodically
+    folds history (``fold_history``) once its replay horizon has passed
+    — the same retention contract a streaming checkpoint has.
+
+    Semantics: a batch's spans are windows whose TOTAL count — history
+    plus this batch — reaches ``min_repeats``. Equivalent to running the
+    global ``repeated_spans`` over (history ∪ batch) and keeping the
+    batch docs' rows (pytest-pinned), which is exactly keep-first
+    ExactSubstr: already-ingested copies stay, arriving repeats clip.
+
+    At 100 TB: per-batch work is O(batch grams) plus a scan of only the
+    store buckets the batch's hashes touch; nothing global, no driver
+    state. The gram table holds 24-byte rows for DISTINCT (gram, batch)
+    pairs — sublinear in corpus tokens (Heaps' law) and foldable."""
+
+    def __init__(
+        self,
+        store,
+        table: str = "_gram_counts",
+        k: int = 20,
+        min_repeats: int = 2,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        if min_repeats < 2:
+            raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
+        self.store = store
+        self.table = table
+        self.k = k
+        self.min_repeats = min_repeats
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _batch_counts(self, batch: DataFrame) -> DataFrame:
+        return (
+            gram_occurrences(batch, self.k, self.id_col, self.text_col)
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    def spans_in(self, batch: DataFrame, exclude_batch_id: str | None = None) -> DataFrame:
+        """PURE: ``(id, span_start, span_end)`` for the batch's docs,
+        thresholded on history + batch counts. No state is mutated —
+        pair with ``register`` for durability.
+
+        ``exclude_batch_id``: ignore history rows this batch itself
+        registered — without it, a REPLAY of an already-registered batch
+        counts its own grams twice and marks everything. ``filter_batch``
+        passes its batch_id; self-exclusion only holds until
+        ``fold_history`` absorbs the rows (the fold-horizon contract)."""
+        occ = gram_occurrences(batch, self.k, self.id_col, self.text_col).persist()
+        try:
+            counts = occ.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+            store, table = self.store, self.table
+            if store.exists(table):
+                touched = store.buckets_of(counts, key="h", table=table)
+                known = store.read_buckets(table, touched)
+                if exclude_batch_id is not None:
+                    known = known.where(F.col("batch_id") != exclude_batch_id)
+                # Scan stays map-side against the broadcast batch hashes
+                # (gate contract: batches are micro-batch sized).
+                hist = (
+                    known.join(F.broadcast(counts.select("h")), "h", "left_semi")
+                    .groupBy("h")
+                    .agg(F.sum("n").alias("hn"))
+                )
+                counts = counts.join(F.broadcast(hist), "h", "left").withColumn(
+                    "bn", F.col("bn") + F.coalesce(F.col("hn"), F.lit(0))
+                )
+            dup = counts.where(F.col("bn") >= self.min_repeats).select("h")
+            out = merge_positions(
+                occ.join(F.broadcast(dup), "h", "left_semi"), self.k, self.id_col
+            ).localCheckpoint(eager=True)
+        finally:
+            occ.unpersist()
+        return out
+
+    def register(self, batch: DataFrame, batch_id: str) -> None:
+        """Durably add the batch's per-gram counts under ``batch_id``.
+        Idempotent per batch_id (replays commit nothing; a half-committed
+        crash completes on replay). Distinct concurrent registrars
+        serialize externally — batches are the unit, as for the other
+        gates."""
+        with_occ_retry(lambda: self._register_once(batch, batch_id))
+
+    def _register_once(self, batch: DataFrame, batch_id: str) -> None:
+        rows = self._batch_counts(batch).select(
+            "h", F.lit(batch_id).alias("batch_id"), "n"
+        )
+        store, table = self.store, self.table
+        if not store.exists(table):
+            store.write(table, rows, key="h")
+            return
+        manifest = store._read_manifest(table)
+        touched = store.buckets_of(rows, key="h", table=table)
+        known = store._scan_manifest(table, manifest, touched)
+        fresh = (
+            anti_probe(rows, known, ["h", "batch_id"])
+            # materialize BEFORE the commit: the lineage reads the
+            # pre-commit bucket files, which the commit's vacuum deletes
+            # (retain=0) — later re-evaluation would scan vanished paths
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            return
+        write_set = store.buckets_of(fresh, key="h", table=table)
+        base = store._scan_manifest(table, manifest, write_set)
+        store.write_buckets(
+            table,
+            base.unionByName(fresh),
+            write_set,
+            key="h",
+            planned_versions=dict(manifest["buckets"]),
+        )
+
+    def filter_batch(self, batch: DataFrame, batch_id: str) -> DataFrame:
+        """spans_in + clip + register in one call: the batch with
+        repeated spans clipped, its counts durably recorded. Clipping
+        uses the PRE-clip counts — registration must too, so replays
+        recognize the original content. The batch's own batch_id is
+        excluded from the history side, making a replay return exactly
+        the first delivery's output."""
+        spans = self.spans_in(batch, exclude_batch_id=batch_id)
+        clipped = clip_repeated_spans(
+            batch, spans, self.id_col, self.text_col
+        ).localCheckpoint(eager=True)
+        self.register(batch, batch_id)
+        return clipped
+
+    def fold_history(self, into_batch_id: str = "_folded") -> None:
+        """Collapse all per-batch rows to one row per gram under
+        ``into_batch_id`` — bounds table growth for long-lived
+        deployments. MUST only run once the replay horizon has passed:
+        a batch replayed after its rows were folded re-registers and
+        double-counts (conservative direction — over-marks spans — but
+        still a drift). Same contract as expiring a checkpoint."""
+        store, table = self.store, self.table
+        if not store.exists(table):
+            return
+
+        def body():
+            manifest = store._read_manifest(table)
+            all_buckets = sorted(int(b) for b in manifest["buckets"])
+            if not all_buckets:
+                return
+            folded = (
+                store._scan_manifest(table, manifest, all_buckets)
+                .groupBy("h")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .select("h", F.lit(into_batch_id).alias("batch_id"), "n")
+                .localCheckpoint(eager=True)
+            )
+            store.write_buckets(
+                table,
+                folded,
+                all_buckets,
+                key="h",
+                planned_versions=dict(manifest["buckets"]),
+            )
+
+        with_occ_retry(body)

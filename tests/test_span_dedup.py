@@ -164,3 +164,95 @@ def test_oracle_parity_on_documents(spark, sf_dir, k, min_repeats):
         sf_dir,
     )
     compare(got, want, f"span_dedup_k{k}")
+
+
+# ---- incremental gate -------------------------------------------------
+
+from stripe_sync_engine_spark.operators.span_dedup import IncrementalSpanDeduper
+from stripe_sync_engine_spark.storage import TableStore
+
+
+def _b1(spark):
+    shared = "w1 w2 w3 w4 w5"
+    return _docs(spark, [(1, f"intro {shared} outro"), (2, "all fresh words here today")])
+
+
+def _b2(spark):
+    shared = "w1 w2 w3 w4 w5"
+    return _docs(
+        spark,
+        [
+            (10, f"{shared} trailing bits"),      # repeats history -> span
+            (11, "rep rep rep rep rep rep"),       # batch-internal repeat
+            (12, "completely novel text beyond"),  # clean
+        ],
+    )
+
+
+def test_incremental_matches_global_on_union(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_span"))
+    gate = IncrementalSpanDeduper(store, k=3)
+    b1, b2 = _b1(spark), _b2(spark)
+    gate.register(b1, "b1")
+    got = _spans(gate.spans_in(b2))
+    union_spans = repeated_spans(b1.unionByName(b2), k=3)
+    b2_ids = {r["doc_id"] for r in b2.collect()}
+    want = sorted(t for t in _spans(union_spans) if t[0] in b2_ids)
+    assert got == want
+    assert got  # sanity: the cross-batch repeat was actually found
+
+
+def test_incremental_register_is_idempotent(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_span"))
+    gate = IncrementalSpanDeduper(store, k=3)
+    b1, b2 = _b1(spark), _b2(spark)
+    gate.register(b1, "b1")
+    once = _spans(gate.spans_in(b2))
+    rows_once = store.read(gate.table).count()
+    gate.register(b1, "b1")  # replay: commits nothing
+    assert store.read(gate.table).count() == rows_once
+    assert _spans(gate.spans_in(b2)) == once
+
+
+def test_incremental_threshold_crosses_batches(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_span"))
+    gate = IncrementalSpanDeduper(store, k=3, min_repeats=3)
+    shared = "p q r"
+    gate.register(_docs(spark, [(1, f"{shared} one")]), "b1")
+    # history count 1 + batch count 1 = 2 < 3: no span yet
+    probe = _docs(spark, [(20, f"{shared} two")])
+    assert _spans(gate.spans_in(probe)) == []
+    gate.register(probe, "b2")
+    # history 2 + batch 1 = 3: now it marks
+    assert _spans(gate.spans_in(_docs(spark, [(30, f"{shared} three")]))) == [(30, 0, 3)]
+
+
+def test_filter_batch_clips_and_replays_stably(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_span"))
+    gate = IncrementalSpanDeduper(store, k=3)
+    gate.register(_b1(spark), "b1")
+    b2 = _b2(spark)
+    out1 = {r["doc_id"]: r["text"] for r in gate.filter_batch(b2, "b2").collect()}
+    assert out1[10] == "trailing bits"
+    assert out1[11] == ""            # fully self-repeating doc clips away
+    assert out1[12] == "completely novel text beyond"
+    # Replay the SAME batch: register is a no-op, spans are computed from
+    # the same (unchanged) totals, output identical.
+    out2 = {r["doc_id"]: r["text"] for r in gate.filter_batch(b2, "b2").collect()}
+    assert out2 == out1
+
+
+def test_fold_history_preserves_decisions(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_span"))
+    gate = IncrementalSpanDeduper(store, k=3)
+    b1, b2 = _b1(spark), _b2(spark)
+    gate.register(b1, "b1")
+    gate.register(b2, "b2")
+    probe = _docs(spark, [(40, "w1 w2 w3 w4 w5 probe")])
+    before = _spans(gate.spans_in(probe))
+    rows_before = store.read(gate.table).count()
+    gate.fold_history()
+    assert _spans(gate.spans_in(probe)) == before
+    assert store.read(gate.table).count() <= rows_before
+    batch_ids = {r["batch_id"] for r in store.read(gate.table).collect()}
+    assert batch_ids == {"_folded"}
