@@ -89,6 +89,8 @@ def start_document_stream(
     quality_min_diversity: float | None = None,
     lm_model=None,
     lm_min_score: float | None = None,
+    span_k: int | None = None,
+    span_min_repeats: int = 2,
 ) -> StreamingQuery:
     """JSON-lines document files → (optional) decontamination gate →
     exact gate → (optional) near gate → keyed merge into
@@ -121,7 +123,22 @@ def start_document_stream(
     trained ``functions/ngram_lm.NgramLM`` (broadcast via closure) scores
     each batch and docs below the mean-log-prob floor are dropped with
     the other quality rejects — same purity, same crash-ordering
-    neutrality."""
+    neutrality.
+
+    ``span_k`` enables the ExactSubstr stage (``IncrementalSpanDeduper``
+    over the persisted ``_gram_counts`` table): token sequences of
+    ``span_k``+ words already seen ``span_min_repeats``+ times — in
+    history or within this batch — are CLIPPED from the text before the
+    dedup gates fingerprint it; fully-clipped docs drop. It runs after
+    decontamination (clipping first could cut exactly the benchmark
+    grams and sneak a contaminated doc through) and registers the
+    PRE-clip gram counts just before the exact register. Replay-stable
+    by construction: ``spans_in`` excludes the batch's own batch_id, so
+    a replayed batch clips identically and the downstream selects see
+    the same bytes (micro-batches replay in checkpoint order, so no
+    later batch's registrations can land before a crashed batch's
+    replay). Run ``IncrementalSpanDeduper(store).fold_history()`` from
+    maintenance once the checkpoint's replay horizon has passed."""
     spark = store.spark
     exact = IncrementalDeduper(store)
     # explicit None check: a caller's threshold of 0.0 (gate on ANY
@@ -134,6 +151,15 @@ def start_document_stream(
         if contamination_max_frac is not None
         else None
     )
+    span_gate = None
+    if span_k is not None:
+        from stripe_sync_engine_spark.operators.span_dedup import (
+            IncrementalSpanDeduper,
+        )
+
+        span_gate = IncrementalSpanDeduper(
+            store, k=span_k, min_repeats=span_min_repeats
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if vacuum_landing_every and batch_id % vacuum_landing_every == 0:
@@ -173,6 +199,22 @@ def start_document_stream(
         # the gate tables) never re-evaluates a lineage over them.
         if contam is not None:
             docs = contam.select_clean(docs)
+        span_docs = None
+        if span_gate is not None:
+            from stripe_sync_engine_spark.operators.span_dedup import (
+                clip_repeated_spans,
+            )
+
+            # Materialize the POST-contam, PRE-clip batch: it is both the
+            # clip input and (below) what registers — replays must
+            # re-derive the same counts the first delivery recorded.
+            span_docs = docs.localCheckpoint(eager=True)
+            spans = span_gate.spans_in(span_docs, exclude_batch_id=str(batch_id))
+            docs = (
+                clip_repeated_spans(span_docs, spans)
+                .drop("tokens_clipped")
+                .where(F.col("text") != "")
+            )
         survivors = exact.select_new(docs)
         near_rows = None
         if near_threshold is not None:
@@ -190,6 +232,11 @@ def start_document_stream(
                 F.broadcast(survivors.select(F.col("doc_id"))), "doc_id", "left_semi"
             ).localCheckpoint(eager=True)
             near.register(survivors, _rows=surv_rows)
+        if span_gate is not None:
+            # Pre-clip counts, idempotent per batch_id; before the exact
+            # register so a crash here still replays (exact.select still
+            # passes) and this registration completes as a no-op-or-heal.
+            span_gate.register(span_docs, str(batch_id))
         exact.register(survivors)
 
     raw = (

@@ -466,3 +466,48 @@ def test_document_stream_lm_gate(spark, tmp_path, sf_dir):
     ).awaitTermination()
     assert {r["doc_id"] for r in store.read("corpus_documents").collect()} == {1}
     assert store.read("_document_fingerprints").count() == 1  # salad left no state
+
+
+def test_document_stream_with_span_gate(spark, tmp_path):
+    """ExactSubstr stage in the stream: boilerplate seen once in history
+    clips out of later arrivals (keep-first), fully-boilerplate docs
+    drop, and fresh text is untouched."""
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import start_document_stream
+
+    landing = tmp_path / "span_landing"
+    ckpt = tmp_path / "span_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_span_stream"))
+    boiler = "subscribe to our newsletter for updates"
+
+    def land(name, rows):
+        (landing / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    land("b1.jsonl", [
+        {"doc_id": 1, "text": f"intro words here {boiler}", "source": "web"},
+        {"doc_id": 2, "text": "other fresh content entirely novel", "source": "web"},
+    ])
+    start_document_stream(
+        store, str(landing), str(ckpt), near_threshold=None, span_k=3
+    ).awaitTermination()
+    corpus = {r["doc_id"]: r["text"] for r in store.read("corpus_documents").collect()}
+    # boiler occurred ONCE so far: nothing clips in batch 1
+    assert corpus[1] == f"intro words here {boiler}"
+
+    land("b2.jsonl", [
+        {"doc_id": 10, "text": f"{boiler} plus novel trailing words", "source": "crawl"},
+        {"doc_id": 11, "text": boiler, "source": "crawl"},  # pure boilerplate
+        {"doc_id": 12, "text": "more brand new material again", "source": "crawl"},
+    ])
+    start_document_stream(
+        store, str(landing), str(ckpt), near_threshold=None, span_k=3
+    ).awaitTermination()
+    corpus = {r["doc_id"]: r["text"] for r in store.read("corpus_documents").collect()}
+    assert corpus[10] == "plus novel trailing words"  # history copy kept, arrival clipped
+    assert 11 not in corpus                            # fully clipped -> dropped
+    assert corpus[12] == "more brand new material again"
+    assert corpus[1] == f"intro words here {boiler}"   # the kept-first copy survives
