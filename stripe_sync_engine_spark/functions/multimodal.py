@@ -102,18 +102,87 @@ HEADER_META_SCHEMA = "doc_id long, format string, width long, height long"
 
 
 def _build_media_prober():
-    """One copy of the pure-stdlib MEDIA prober (images + RIFF/WAVE audio),
-    nested so cloudpickle ships it by value — same closure rule as the rest
-    of this module. Images return the header dict of
-    ``_build_header_parser``; 16-bit PCM WAV returns channels / sample rate
-    / bit depth / sample count plus the raw PCM bytes for DSP downstream.
-    The chunk walk honors the RIFF even-byte padding rule and raises
-    ``ValueError`` on any truncation (the failure-row convention)."""
+    """One copy of the pure-stdlib MEDIA prober (images + RIFF/WAVE audio
+    + ISO-BMFF video containers), nested so cloudpickle ships it by value —
+    same closure rule as the rest of this module. Images return the header
+    dict of ``_build_header_parser``; 16-bit PCM WAV returns channels /
+    sample rate / bit depth / sample count plus the raw PCM bytes for DSP
+    downstream; MP4/MOV walks the box tree for mvhd duration (version 0
+    and 1) and the first video track's tkhd 16.16 fixed-point dims
+    (audio-only tracks carry 0×0 and leave dims NULL). The RIFF chunk walk
+    honors the even-byte padding rule; both walks raise ``ValueError`` on
+    any truncation or over-long box size (the failure-row convention)."""
     parse_image = _build_header_parser()
 
     def probe_payload(payload: bytes) -> dict:
         import struct
 
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/MOV): walk top-level boxes, then moov's
+            # children for mvhd (timescale+duration) and the first video
+            # tkhd (16.16 fixed-point dims). Version-0 and -1 boxes both
+            # parse; size==1 means a 64-bit largesize follows the type.
+            def boxes(buf: bytes, i: int, end: int):
+                while i + 8 <= end:
+                    (size,) = struct.unpack(">I", buf[i : i + 4])
+                    btype = buf[i + 4 : i + 8]
+                    body = i + 8
+                    if size == 1:
+                        if i + 16 > end:
+                            raise ValueError("truncated largesize box")
+                        (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                        body = i + 16
+                    elif size == 0:
+                        size = end - i
+                    if size < 8 or i + size > end:
+                        raise ValueError("truncated mp4 box")
+                    yield btype, body, i + size
+                    i += size
+
+            mvhd = None
+            width = height = None
+            for btype, body, bend in boxes(payload, 0, len(payload)):
+                if btype != b"moov":
+                    continue
+                for ctype, cbody, cend in boxes(payload, body, bend):
+                    if ctype == b"mvhd":
+                        ver = payload[cbody] if cbody < cend else 0
+                        need = 32 if ver == 1 else 20
+                        if cbody + need > cend:
+                            raise ValueError("truncated mvhd box")
+                        if ver == 1:
+                            ts, dur = struct.unpack(
+                                ">IQ", payload[cbody + 20 : cbody + 32]
+                            )
+                        else:
+                            ts, dur = struct.unpack(
+                                ">II", payload[cbody + 12 : cbody + 20]
+                            )
+                        if ts < 1:
+                            raise ValueError("invalid mvhd timescale")
+                        mvhd = (ts, dur)
+                    elif ctype == b"trak" and width is None:
+                        for ttype, tbody, tend in boxes(payload, cbody, cend):
+                            if ttype == b"tkhd":
+                                ver = payload[tbody] if tbody < tend else 0
+                                off = tbody + (88 if ver == 1 else 76)
+                                if off + 8 > tend:
+                                    raise ValueError("truncated tkhd box")
+                                w16, h16 = struct.unpack(
+                                    ">II", payload[off : off + 8]
+                                )
+                                if w16 and h16:  # audio tracks carry 0x0
+                                    width, height = w16 >> 16, h16 >> 16
+                                break
+            if mvhd is None:
+                raise ValueError("mp4 missing mvhd")
+            ts, dur = mvhd
+            return {
+                "format": "mp4",
+                "width": width,
+                "height": height,
+                "duration_ms": dur * 1000.0 / ts,
+            }
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             i, fmt, data = 12, None, None
             while i + 8 <= len(payload):
@@ -166,8 +235,9 @@ MEDIA_PROBE_SCHEMA = (
 def probe_media(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """ffprobe-shaped media probe over a mixed binary column: one
     Arrow-batched pass yields per-asset typed metadata — images get
-    (format, width, height); 16-bit PCM WAV additionally gets REAL
-    numpy DSP over the decoded samples: duration, RMS, peak amplitude,
+    (format, width, height); MP4 containers get (width, height,
+    duration_ms) from the real box walk; 16-bit PCM WAV additionally gets
+    REAL numpy DSP over the decoded samples: duration, RMS, peak amplitude,
     and zero-crossing count (the standard cheap audio-quality/VAD
     signals). Multi-channel audio is downmixed (per-frame channel mean)
     before the DSP, the usual mono analysis convention. Undecodable
@@ -191,6 +261,12 @@ def probe_media(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload")
                     m = probe(bytes(payload))
                 except (ValueError, TypeError):
                     rows.append((doc_id, *nulls))
+                    continue
+                if m["format"] == "mp4":
+                    rows.append(
+                        (doc_id, "mp4", m["width"], m["height"], *(None,) * 4,
+                         m["duration_ms"], None, None, None)
+                    )
                     continue
                 if m["format"] != "wav":
                     rows.append(

@@ -72,51 +72,63 @@ def mm_asset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 THEN NULL
-                    WHEN doc_id % 5 = 0 THEN 'png'
-                    WHEN doc_id % 5 = 1 THEN 'gif'
-                    WHEN doc_id % 5 = 2 THEN 'bmp'
-                    WHEN doc_id % 5 = 3 THEN 'jpeg'
-                    ELSE 'wav' END AS format,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
+                    WHEN doc_id % 6 = 0 THEN 'png'
+                    WHEN doc_id % 6 = 1 THEN 'gif'
+                    WHEN doc_id % 6 = 2 THEN 'bmp'
+                    WHEN doc_id % 6 = 3 THEN 'jpeg'
+                    WHEN doc_id % 6 = 4 THEN 'wav'
+                    ELSE 'mp4' END AS format,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 = 4 THEN NULL
                     ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 = 4 THEN NULL
                     ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 <> 4 THEN NULL
                     ELSE CAST(1 AS BIGINT) END AS channels,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 <> 4 THEN NULL
                     WHEN doc_id % 4 = 0 THEN 8000
                     WHEN doc_id % 4 = 1 THEN 16000
                     WHEN doc_id % 4 = 2 THEN 22050
                     ELSE 44100 END AS sample_rate,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 <> 4 THEN NULL
                     ELSE CAST(16 AS BIGINT) END AS bits,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 <> 4 THEN NULL
                     ELSE CAST(doc_id % 96 + 32 AS BIGINT) END AS n_samples,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
-                    ELSE CAST((doc_id % 96 + 32) * 1000.0 /
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 6 = 4 THEN
+                         CAST((doc_id % 96 + 32) * 1000.0 /
                          (CASE WHEN doc_id % 4 = 0 THEN 8000
                                WHEN doc_id % 4 = 1 THEN 16000
                                WHEN doc_id % 4 = 2 THEN 22050
-                               ELSE 44100 END) AS DOUBLE) END AS duration_ms,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+                               ELSE 44100 END) AS DOUBLE)
+                    WHEN doc_id % 6 = 5 THEN
+                         CAST((doc_id % 5000 + 100) * 1000.0 /
+                         (CASE WHEN doc_id % 4 = 0 THEN 600
+                               WHEN doc_id % 4 = 1 THEN 1000
+                               WHEN doc_id % 4 = 2 THEN 90000
+                               ELSE 48000 END) AS DOUBLE)
+                    ELSE NULL END AS duration_ms,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 <> 4 THEN NULL
                     ELSE CAST((doc_id % 1000 + 1) * 16 AS DOUBLE) END AS rms,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 <> 4 THEN NULL
                     ELSE CAST((doc_id % 1000 + 1) * 16 AS BIGINT) END AS peak,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 6 <> 4 THEN NULL
                     ELSE CAST((doc_id % 96 + 31) // (doc_id % 7 + 2) AS BIGINT)
                     END AS zero_crossings
         FROM documents
     """,
-    operators="TDP-multimodal-headers,TDP-multimodal-audio",
+    operators="TDP-multimodal-headers,TDP-multimodal-audio,TDP-multimodal-video",
 )
 def mm_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media-probe round-trip over a MIXED binary column (the r7
     extension of the former mm_header_decode entry — images unchanged,
-    audio added): synthesize valid PNG/GIF/BMP/JPEG headers AND complete
-    16-bit PCM WAV files (format by doc_id % 5; dims, sample rate, length,
-    and a ±amp square wave all derived from doc_id) in one mapInPandas
-    stage, then push them through the pure-stdlib prober
-    (functions/multimodal.probe_media — no fake arithmetic). WAV rows are
+    audio and video containers added): synthesize valid PNG/GIF/BMP/JPEG
+    headers, complete 16-bit PCM WAV files, AND minimal ISO-BMFF (MP4)
+    containers (format by doc_id % 6; dims, sample rate, length, mvhd
+    timescale/duration, and a ±amp square wave all derived from doc_id)
+    in one mapInPandas stage, then push them through the pure-stdlib
+    prober (functions/multimodal.probe_media — no fake arithmetic; the
+    MP4 branch walks the box tree for mvhd duration and the first video
+    tkhd's 16.16 fixed-point dims). WAV rows are
     value-checked END TO END including the numpy DSP: a square wave of
     amplitude A with half-period P over n samples has RMS exactly A, peak
     A, and floor((n-1)/P) zero crossings — all integer-exact in float64,
@@ -134,7 +146,7 @@ def mm_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def payload(doc_id: int) -> bytes:
             w, h = doc_id % 640 + 1, doc_id % 480 + 1
-            kind = doc_id % 5
+            kind = doc_id % 6
             if kind == 0:
                 raw = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR" + struct.pack(">II", w, h)
             elif kind == 1:
@@ -143,7 +155,7 @@ def mm_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raw = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h)
             elif kind == 3:
                 raw = b"\xff\xd8\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03"
-            else:
+            elif kind == 4:
                 rate = (8000, 16000, 22050, 44100)[doc_id % 4]
                 n = doc_id % 96 + 32
                 amp = (doc_id % 1000 + 1) * 16
@@ -157,6 +169,21 @@ def mm_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
                     + b"data" + struct.pack("<I", len(pcm)) + pcm
                 )
+            else:
+                # Minimal ISO-BMFF: ftyp + moov{mvhd v0, trak{tkhd v0}}.
+                # mvhd body = ver/flags(4) ctime(4) mtime(4) TIMESCALE(4)
+                # DURATION(4) + 80 filler; tkhd body = ver/flags(4) + 72
+                # filler + 16.16 WIDTH/HEIGHT — the offsets the prober reads.
+                ts = (600, 1000, 90000, 48000)[doc_id % 4]
+                dur = doc_id % 5000 + 100
+                ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+                mvhd_body = bytes(4) + struct.pack(">IIII", 0, 0, ts, dur) + bytes(80)
+                mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+                tkhd_body = bytes(76) + struct.pack(">II", w << 16, h << 16)
+                tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+                trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+                moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+                raw = ftyp + moov
             return raw[:5] if doc_id % 17 == 0 else raw
 
         for pdf in batches:

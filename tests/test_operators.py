@@ -428,6 +428,54 @@ def test_probe_media_mixed_column_real_dsp(spark):
     assert rows[4]["rms"] is None and rows[4]["duration_ms"] == 0.0
 
 
+def _mp4_bytes(ts: int, dur: int, w: int, h: int) -> bytes:
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    mvhd_body = bytes(4) + struct.pack(">IIII", 0, 0, ts, dur) + bytes(80)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    tkhd_body = bytes(76) + struct.pack(">II", w << 16, h << 16)
+    tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    return ftyp + moov
+
+
+def test_probe_media_mp4_box_walk(spark):
+    """probe_media's ISO-BMFF branch: mvhd timescale/duration and the
+    first video tkhd's 16.16 dims; an audio-only track (0x0 dims) leaves
+    dims NULL; truncated boxes yield the NULL failure row."""
+    import struct
+
+    from stripe_sync_engine_spark.functions.multimodal import probe_media
+
+    good = _mp4_bytes(ts=90000, dur=450000, w=1280, h=720)
+    audio_only = _mp4_bytes(ts=600, dur=1200, w=0, h=0)
+    truncated = good[:40]
+    # size field pointing past the payload end must fail, not over-read
+    bad_size = good[:4] + good[4:]  # copy
+    bad_size = struct.pack(">I", len(good) + 999) + good[4:]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(audio_only)),
+            (3, bytearray(truncated)),
+            (4, bytearray(bad_size)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in probe_media(df).collect()}
+    g = rows[1]
+    assert (g["format"], g["width"], g["height"]) == ("mp4", 1280, 720)
+    assert g["duration_ms"] == 450000 * 1000.0 / 90000  # exactly 5000 ms
+    assert g["channels"] is None and g["rms"] is None
+    a = rows[2]
+    assert (a["format"], a["width"], a["height"]) == ("mp4", None, None)
+    assert a["duration_ms"] == 1200 * 1000.0 / 600
+    assert rows[3]["format"] is None
+    assert rows[4]["format"] is None
+
+
 def test_audio_windows_segments_and_window_local_stats(spark):
     """audio_windows: fixed-length segments with a partial tail; per-window
     stats are computed INSIDE the window (the boundary pair between two
