@@ -256,3 +256,70 @@ def test_fold_history_preserves_decisions(spark, tmp_path):
     assert store.read(gate.table).count() <= rows_before
     batch_ids = {r["batch_id"] for r in store.read(gate.table).collect()}
     assert batch_ids == {"_folded"}
+
+
+# ---- property tests -----------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Small vocabulary on purpose: repeats must actually occur for the
+# properties to bite. Docs are lists of words; k stays small so short
+# docs still produce windows.
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=10)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, k=st.integers(min_value=2, max_value=4))
+def test_span_invariants_hold(spark, texts, k):
+    """Spans lie inside the doc's token range, are disjoint and sorted,
+    at least k long, and clipping removes exactly the covered tokens."""
+    docs = _docs(spark, list(enumerate(texts)))
+    spans = repeated_spans(docs, k=k)
+    n_toks = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t])
+        for r in docs.collect()
+    }
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for d, s, e in _spans(spans):
+        per_doc.setdefault(d, []).append((s, e))
+        assert 0 <= s < e <= n_toks[d]
+        assert e - s >= k
+    for d, intervals in per_doc.items():
+        for (s1, e1), (s2, e2) in zip(intervals, intervals[1:]):
+            assert e1 < s2  # disjoint AND non-adjacent (adjacent merges)
+    clipped = {
+        r["doc_id"]: (r["text"], r["tokens_clipped"])
+        for r in clip_repeated_spans(docs, spans).collect()
+    }
+    for d, (text, n_clip) in clipped.items():
+        covered = sum(e - s for s, e in per_doc.get(d, []))
+        assert n_clip == covered
+        assert len([t for t in text.split(" ") if t]) == n_toks[d] - covered
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=10),
+    split=st.integers(min_value=1, max_value=9),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_incremental_composition_equals_global(spark, tmp_path_factory, texts, split, k):
+    """Registering batch 1 then gating batch 2 marks exactly the spans the
+    GLOBAL pass over the union marks in batch 2's docs — for arbitrary
+    corpora and split points (the keep-first ExactSubstr contract)."""
+    split = min(split, len(texts) - 1)
+    rows = list(enumerate(texts))
+    b1, b2 = rows[:split], rows[split:]
+    store = TableStore(
+        spark, str(tmp_path_factory.mktemp("wh_span_prop")), n_buckets=4
+    )
+    gate = IncrementalSpanDeduper(store, k=k)
+    gate.register(_docs(spark, b1), "b1")
+    got = _spans(gate.spans_in(_docs(spark, b2)))
+    union = repeated_spans(_docs(spark, rows), k=k)
+    b2_ids = {d for d, _ in b2}
+    want = sorted(t for t in _spans(union) if t[0] in b2_ids)
+    assert got == want
