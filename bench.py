@@ -339,7 +339,21 @@ def _bench_bpe(spark, sf_dir: str) -> dict[str, float]:
         "overwrite"
     ).save()
     t_enc = time.perf_counter() - t0
-    return {"txt_bpe_train": round(t_train, 3), "txt_bpe_encode": round(t_enc, 3)}
+    # Dataloader tail: encode keeping tokens, then materialize the actual
+    # budget-sized training sequences (docs split across pack boundaries).
+    from stripe_sync_engine_spark.operators.packing import materialize_packs
+
+    encoded = encode_documents(docs, tok).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    materialize_packs(encoded, "tokens", budget=2048, n_shards=8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t_pack = time.perf_counter() - t0
+    return {
+        "txt_bpe_train": round(t_train, 3),
+        "txt_bpe_encode": round(t_enc, 3),
+        "txt_pack_materialize": round(t_pack, 3),
+    }
 
 
 def _bench_ngram_lm(spark, sf_dir: str) -> dict[str, float]:

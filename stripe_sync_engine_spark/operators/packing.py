@@ -38,6 +38,81 @@ def epoch_position(epoch: int, id_col: str = "doc_id"):
     return F.xxhash64(F.lit(int(epoch)).cast("long"), F.col(id_col))
 
 
+def materialize_packs(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    order_col=None,
+) -> DataFrame:
+    """``(shard, pack_id, n_docs, n_tokens, tokens)`` — the ACTUAL
+    concat-and-chunk training sequences: every doc's token array lands at
+    its ``assign_packs`` position, docs straddling a pack boundary SPLIT
+    across the packs they span, and each pack except a shard's last holds
+    exactly ``budget`` tokens (pytest-pinned). The last mile from pack
+    bookkeeping to dataloader tensors.
+
+    All JVM-side: per doc, one HOF builds its ≤packs_spanned (pack, local
+    slice) pieces; one explode + one groupBy(shard, pack_id) later, each
+    pack's pieces sort by their global position (array_sort on the
+    collected structs — tie-free since positions are distinct) and
+    flatten. One shuffle beyond assign_packs' window exchange; pack rows
+    are bounded by ``budget`` tokens each, so no group outgrows memory
+    regardless of document length. Generic over the token element type
+    (subword strings or vocabulary ids)."""
+    assigned = assign_packs(
+        df.withColumn("_n", F.size(tokens_col).cast("long")),
+        "_n",
+        budget,
+        n_shards,
+        id_col,
+        order_col,
+    )
+    start = F.col("pack_id") * budget + F.col("pack_offset")
+    pieces = F.transform(
+        F.sequence(F.lit(0), F.col("packs_spanned") - 1),
+        lambda j: F.struct(
+            (F.col("pack_id") + j).alias("pid"),
+            F.greatest((F.col("pack_id") + j) * budget - start, F.lit(0).cast("long")).alias("lo"),
+            F.least(F.col("_n"), (F.col("pack_id") + j + 1) * budget - start).alias("hi"),
+        ),
+    )
+    piece_rows = (
+        assigned.select(
+            "shard",
+            F.col(tokens_col).alias("_toks"),
+            start.alias("_start"),
+            F.explode(pieces).alias("p"),
+        )
+        .where(F.col("p.hi") > F.col("p.lo"))  # zero-count docs place, not pack
+        .select(
+            "shard",
+            F.col("p.pid").alias("pack_id"),
+            (F.col("_start") + F.col("p.lo")).cast("long").alias("_gpos"),
+            F.slice("_toks", F.col("p.lo") + 1, F.col("p.hi") - F.col("p.lo")).alias("_piece"),
+        )
+    )
+    return (
+        piece_rows.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("_gpos").alias("o"), F.col("_piece").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                )
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+        .select("shard", "pack_id", "n_docs", "n_tokens", "tokens")
+    )
+
+
 def assign_packs(
     df: DataFrame,
     count_col: str,

@@ -221,3 +221,85 @@ def test_tokenizer_json_round_trip():
     back = BPETokenizer.from_json(tok.to_json())
     assert back == tok
     assert back.encode("hello help") == tok.encode("hello help")
+
+
+def test_materialize_packs_full_and_reconstructable(spark):
+    """Every pack except a shard's last holds exactly budget tokens, and
+    concatenating packs in pack order reconstructs the docs' tokens in id
+    order per shard — including docs that straddle pack boundaries."""
+    from stripe_sync_engine_spark.operators.packing import (
+        assign_packs,
+        materialize_packs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, [f"t{i}_{j}" for j in range(i % 7)]) for i in range(40)],
+        "doc_id long, tokens array<string>",
+    )
+    budget, n_shards = 5, 4
+    packs = materialize_packs(docs, "tokens", budget=budget, n_shards=n_shards)
+    rows = packs.collect()
+    last = {}
+    for r in rows:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["pack_id"])
+    for r in rows:
+        assert r["n_tokens"] == len(r["tokens"])
+        if r["pack_id"] < last[r["shard"]]:
+            assert r["n_tokens"] == budget, (r["shard"], r["pack_id"])
+        else:
+            assert 0 < r["n_tokens"] <= budget
+    # reconstruction per shard
+    assigned = assign_packs(
+        docs.withColumn("_n", F.size("tokens").cast("long")),
+        "_n", budget, n_shards,
+    )
+    want = {}
+    for r in assigned.orderBy("shard", "doc_id").collect():
+        want.setdefault(r["shard"], []).extend(r["tokens"])
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["pack_id"])):
+        got.setdefault(r["shard"], []).extend(r["tokens"])
+    assert got == want
+    # a straddling doc exists (6-token docs over budget-5 boundaries)
+    n_docs_sum = sum(r["n_docs"] for r in rows)
+    n_nonempty = docs.where(F.size("tokens") > 0).count()
+    assert n_docs_sum > n_nonempty
+
+
+def test_materialize_packs_epoch_order(spark):
+    """Epoch-ordered packing reconstructs the epoch order, and distinct
+    epochs produce different pack contents."""
+    from stripe_sync_engine_spark.operators.packing import (
+        epoch_position,
+        materialize_packs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [f"w{i}_{j}" for j in range(3)]) for i in range(30)],
+        "doc_id long, tokens array<string>",
+    )
+    e1 = materialize_packs(docs, "tokens", budget=7, n_shards=2,
+                           order_col=epoch_position(1))
+    e1_again = materialize_packs(docs, "tokens", budget=7, n_shards=2,
+                                 order_col=epoch_position(1))
+    e2 = materialize_packs(docs, "tokens", budget=7, n_shards=2,
+                           order_col=epoch_position(2))
+
+    def flat(df):
+        return {
+            s: [t for r in sorted(rs, key=lambda r: r["pack_id"]) for t in r["tokens"]]
+            for s, rs in _group_by_shard(df.collect()).items()
+        }
+
+    def _group_by_shard(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["shard"], []).append(r)
+        return out
+
+    f1, f1b, f2 = flat(e1), flat(e1_again), flat(e2)
+    assert f1 == f1b                       # reproducible per epoch
+    assert f1 != f2                        # epochs decorrelate
+    for s in f1:
+        assert sorted(f1[s]) == sorted(f2[s])  # same multiset, new order
