@@ -127,14 +127,16 @@ def _build_media_prober():
                     (size,) = struct.unpack(">I", buf[i : i + 4])
                     btype = buf[i + 4 : i + 8]
                     body = i + 8
+                    min_size = 8
                     if size == 1:
                         if i + 16 > end:
                             raise ValueError("truncated largesize box")
                         (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
                         body = i + 16
+                        min_size = 16  # the largesize field is inside the box
                     elif size == 0:
                         size = end - i
-                    if size < 8 or i + size > end:
+                    if size < min_size or i + size > end:
                         raise ValueError("truncated mp4 box")
                     yield btype, body, i + size
                     i += size

@@ -63,15 +63,21 @@ def _shard_col(id_col: str, n_shards: int):
     )
 
 
-def shard_sql(var: str, n: int) -> str:
-    """DuckDB mirror of ``_shard_col`` for oracle SQL (DuckDB has no
-    conv(); strpos-per-nibble reproduces Spark's conv(md5, 16, 10))."""
-    h = " + ".join(
+def sql_h32(var: str) -> str:
+    """DuckDB mirror of Spark's ``conv(md5(var).substr(1, 8), 16, 10)``
+    (DuckDB has no conv(); strpos-per-nibble reproduces it exactly). The
+    ONE copy of the md5→int64 nibble bridge — the dedup/textops oracles
+    bind it to their own variables."""
+    return " + ".join(
         f"CAST(strpos('0123456789abcdef', substr(md5({var}), {i}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (SHARD_HEX_CHARS - i)}"
         for i in range(1, SHARD_HEX_CHARS + 1)
     )
-    return f"(({h}) % {n})"
+
+
+def shard_sql(var: str, n: int) -> str:
+    """DuckDB mirror of ``_shard_col`` for oracle SQL."""
+    return f"(({sql_h32(var)}) % {n})"
 
 
 def _digest_aggs(id_col: str, cols: list[str]):
@@ -207,7 +213,6 @@ def export_corpus_shards(
     # write; a shard whose docs all disappeared since the last export must
     # have its stale directory removed explicitly — as must directories a
     # previous export wrote under a different (larger) n_shards.
-    _sweep_foreign_shards(data_dir, n_shards)
     emptied = [k for k in todo if stats[k]["n_docs"] == 0]
     for k in emptied:
         shutil.rmtree(os.path.join(data_dir, f"shard={k}"), ignore_errors=True)
@@ -221,6 +226,10 @@ def export_corpus_shards(
             n_shards,
             id_col,
         )
+    # Sweep AFTER the data writes, just before the manifest commit: a
+    # crash mid-write then leaves the previous (larger-n_shards) manifest
+    # with its directories still intact, per the crash contract above.
+    _sweep_foreign_shards(data_dir, n_shards)
 
     manifest = {
         "format_version": FORMAT_VERSION,

@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 
 from stripe_sync_engine_spark.operators.incremental_dedup import (
     anti_probe,
+    commit_fresh,
     with_occ_retry,
 )
 
@@ -177,7 +178,14 @@ def clip_repeated_spans(
             (F.size("_toks") - F.size("_kept")).cast("long"),
         )
         .withColumn(
-            text_col, F.array_join(F.transform("_kept", lambda s: s["t"]), " ")
+            text_col,
+            # Span-free docs keep their ORIGINAL bytes: rejoining tokens
+            # would normalize runs of whitespace, silently changing the
+            # stored text (and its exact-dedup fingerprint) of documents
+            # the operator never matched.
+            F.when(F.size("_spans") == 0, F.col(text_col)).otherwise(
+                F.array_join(F.transform("_kept", lambda s: s["t"]), " ")
+            ),
         )
         .drop("_spans", "_toks", "_kept")
     )
@@ -220,6 +228,8 @@ class IncrementalSpanDeduper:
         id_col: str = "doc_id",
         text_col: str = "text",
     ):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         if min_repeats < 2:
             raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
         self.store = store
@@ -301,15 +311,7 @@ class IncrementalSpanDeduper:
         )
         if fresh.isEmpty():
             return
-        write_set = store.buckets_of(fresh, key="h", table=table)
-        base = store._scan_manifest(table, manifest, write_set)
-        store.write_buckets(
-            table,
-            base.unionByName(fresh),
-            write_set,
-            key="h",
-            planned_versions=dict(manifest["buckets"]),
-        )
+        commit_fresh(store, table, fresh, "h", manifest)
 
     def filter_batch(self, batch: DataFrame, batch_id: str) -> DataFrame:
         """spans_in + clip + register in one call: the batch with

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from stripe_sync_engine_spark.operators.export import sql_h32
 from stripe_sync_engine_spark.plans.registry import register
 from stripe_sync_engine_spark.tables import load_table, spread_small_scan
 
@@ -83,10 +84,9 @@ SQL_SHINGLES = f"""
 
 # 32-bit integer draw from the first 8 hex chars of md5(shingle), as DuckDB
 # SQL (no hex→int builtin shared with Spark, so sum the nibbles explicitly).
-SQL_H32 = " + ".join(
-    f"CAST(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1 AS BIGINT) * {16 ** (8 - i)}"
-    for i in range(1, 9)
-)
+# md5-hex → int64 bridge bound to the shingle column — the shared copy
+# in operators/export (one place to change the prefix width or alphabet)
+SQL_H32 = sql_h32("shingle")
 
 
 def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:

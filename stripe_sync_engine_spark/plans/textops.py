@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stripe_sync_engine_spark.operators.export import _shard_col, shard_sql
+from stripe_sync_engine_spark.operators.export import _shard_col, shard_sql, sql_h32
 from stripe_sync_engine_spark.operators.packing import assign_packs
 from stripe_sync_engine_spark.plans.registry import register
 from stripe_sync_engine_spark.tables import load_table, spread_small_scan
@@ -93,12 +93,8 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 3  # word-gram size for the rolling fingerprint
 WINNOW_W = 4  # winnowing window (MOSS-style: one fingerprint per window)
 
-# md5-hex → int64 bridge, identical to the dedup family's h32 (DuckDB has
-# no conv(); strpos-per-nibble reproduces Spark's conv(md5,16,10) exactly)
-_SQL_H32_OF = lambda var: " + ".join(  # noqa: E731
-    f"CAST(strpos('0123456789abcdef', substr(md5({var}), {i}, 1)) - 1 AS BIGINT) * {16 ** (8 - i)}"
-    for i in range(1, 9)
-)
+# md5-hex → int64 bridge — the shared copy in operators/export
+_SQL_H32_OF = sql_h32
 
 
 @register(

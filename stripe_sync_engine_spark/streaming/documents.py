@@ -76,6 +76,28 @@ def _merge_documents(store, table: str, rows: DataFrame) -> int:
     return with_occ_retry(attempt)
 
 
+def _checkpoint_run_id(checkpoint_dir: str) -> str:
+    """The run id tied to this checkpoint's lifetime: minted on first
+    use, re-read on restart, gone (re-minted) when the checkpoint is
+    wiped. Atomic create via O_EXCL so two racing starters agree."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "span_gate_run_id")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        with open(path) as fh:
+            return fh.read().strip()
+    try:
+        run_id = uuid.uuid4().hex
+        os.write(fd, run_id.encode())
+    finally:
+        os.close(fd)
+    return run_id
+
+
 def start_document_stream(
     store,
     landing_dir: str,
@@ -152,6 +174,7 @@ def start_document_stream(
         else None
     )
     span_gate = None
+    span_run_id = None
     if span_k is not None:
         from stripe_sync_engine_spark.operators.span_dedup import (
             IncrementalSpanDeduper,
@@ -160,6 +183,14 @@ def start_document_stream(
         span_gate = IncrementalSpanDeduper(
             store, k=span_k, min_repeats=span_min_repeats
         )
+        # Spark batch ids are only unique per CHECKPOINT: a wiped
+        # checkpoint (or a second stream sharing the store) restarts at 0
+        # and its registers would anti-probe straight into another run's
+        # rows — silently dropping counts. Namespace the gate's batch_ids
+        # with a run id minted once per checkpoint lifetime (stored next
+        # to Spark's own checkpoint state, so same-checkpoint restarts
+        # reuse it and replays stay idempotent).
+        span_run_id = _checkpoint_run_id(checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if vacuum_landing_every and batch_id % vacuum_landing_every == 0:
@@ -205,11 +236,14 @@ def start_document_stream(
                 clip_repeated_spans,
             )
 
-            # Materialize the POST-contam, PRE-clip batch: it is both the
-            # clip input and (below) what registers — replays must
-            # re-derive the same counts the first delivery recorded.
-            span_docs = docs.localCheckpoint(eager=True)
-            spans = span_gate.spans_in(span_docs, exclude_batch_id=str(batch_id))
+            # The POST-contam, PRE-clip batch is both the clip input and
+            # (below) what registers — replays must re-derive the same
+            # counts the first delivery recorded. `docs` is already an
+            # eager checkpoint; only the contamination select adds
+            # lineage worth snapshotting again.
+            span_docs = docs if contam is None else docs.localCheckpoint(eager=True)
+            span_batch = f"{span_run_id}:{batch_id}"
+            spans = span_gate.spans_in(span_docs, exclude_batch_id=span_batch)
             docs = (
                 clip_repeated_spans(span_docs, spans)
                 .drop("tokens_clipped")
@@ -233,10 +267,11 @@ def start_document_stream(
             ).localCheckpoint(eager=True)
             near.register(survivors, _rows=surv_rows)
         if span_gate is not None:
-            # Pre-clip counts, idempotent per batch_id; before the exact
-            # register so a crash here still replays (exact.select still
-            # passes) and this registration completes as a no-op-or-heal.
-            span_gate.register(span_docs, str(batch_id))
+            # Pre-clip counts, idempotent per namespaced batch id; before
+            # the exact register so a crash here still replays
+            # (exact.select still passes) and this registration completes
+            # as a no-op-or-heal.
+            span_gate.register(span_docs, f"{span_run_id}:{batch_id}")
         exact.register(survivors)
 
     raw = (

@@ -453,7 +453,6 @@ def test_probe_media_mp4_box_walk(spark):
     audio_only = _mp4_bytes(ts=600, dur=1200, w=0, h=0)
     truncated = good[:40]
     # size field pointing past the payload end must fail, not over-read
-    bad_size = good[:4] + good[4:]  # copy
     bad_size = struct.pack(">I", len(good) + 999) + good[4:]
     df = spark.createDataFrame(
         [

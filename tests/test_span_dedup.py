@@ -323,3 +323,42 @@ def test_incremental_composition_equals_global(spark, tmp_path_factory, texts, s
     b2_ids = {d for d, _ in b2}
     want = sorted(t for t in _spans(union) if t[0] in b2_ids)
     assert got == want
+
+
+def test_clip_preserves_bytes_of_span_free_docs(spark):
+    """A doc the operator never matched keeps its ORIGINAL bytes — the
+    rejoin must not normalize whitespace (that would silently change the
+    stored text and its exact-dedup fingerprint)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c pad1 pad2"),
+            (2, "a b c pad3 pad4"),
+            (3, "untouched  doubled  spaces stay"),
+        ],
+    )
+    spans = repeated_spans(docs, k=3)
+    assert {t[0] for t in _spans(spans)} == {1, 2}
+    out = {r["doc_id"]: r["text"] for r in clip_repeated_spans(docs, spans).collect()}
+    assert out[3] == "untouched  doubled  spaces stay"
+
+
+def test_incremental_gate_rejects_degenerate_k(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_span"))
+    with pytest.raises(ValueError):
+        IncrementalSpanDeduper(store, k=0)
+
+
+def test_checkpoint_run_id_lifecycle(tmp_path):
+    """Same checkpoint -> same run id (replays stay idempotent); a wiped
+    checkpoint mints a NEW id, so a fresh stream's batch 0 never
+    anti-probes into the old run's gram rows."""
+    import shutil
+
+    from stripe_sync_engine_spark.streaming.documents import _checkpoint_run_id
+
+    ckpt = str(tmp_path / "ckpt")
+    first = _checkpoint_run_id(ckpt)
+    assert _checkpoint_run_id(ckpt) == first
+    shutil.rmtree(ckpt)
+    assert _checkpoint_run_id(ckpt) != first
