@@ -399,17 +399,37 @@ def q12_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS running_value
+               ) AS DOUBLE) AS running_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_1h_value
         FROM events
     """,
-    operators="W-frame",
+    operators="W-frame,W-frame-range",
 )
 def q13_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative window aggregate with an explicit ROWS frame."""
+    """Cumulative ROWS frame AND trailing-one-hour RANGE frame in one
+    query (subsumes the former q30_time_range_frame entry — the fold
+    that freed the registry slot for dd_span_dedup). Both windows
+    partition by user_id, so they share ONE exchange; Spark has no
+    interval RANGE frame, so the trailing window orders by
+    microseconds-since-epoch with the equivalent numeric range —
+    value-identical to DuckDB's interval frame (RANGE includes ts-peers
+    on both engines)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w1h = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
     return events.select(
-        "event_id", "user_id", "ts", as_double(F.sum(m("value")).over(w)).alias("running_value")
+        "event_id",
+        "user_id",
+        "ts",
+        as_double(F.sum(m("value")).over(w)).alias("running_value"),
+        as_double(F.sum(m("value")).over(w1h)).alias("trailing_1h_value"),
     )
 
 
@@ -788,30 +808,6 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q30_time_range_frame",
-    oracle="""
-        SELECT event_id, user_id, ts,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS trailing_1h_value
-        FROM events
-    """,
-    operators="W-frame-range",
-)
-def q30_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-one-hour RANGE frame per user: Spark has no interval RANGE
-    frame, so the order key is microseconds-since-epoch and the frame is
-    the equivalent numeric range — value-identical to DuckDB's interval
-    frame (RANGE includes ts-peers on both engines). One shuffle on
-    user_id; the frame scan is sorted-run local."""
-    events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return events.select(
-        "event_id", "user_id", "ts", as_double(F.sum(m("value")).over(w)).alias("trailing_1h_value")
-    )
+# q30_time_range_frame folded into q13_running_total (same events scan,
+# same user_id window exchange) — the registry slot now holds
+# dd_span_dedup (plans/dedup.py).

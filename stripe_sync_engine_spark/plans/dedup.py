@@ -734,3 +734,58 @@ def dd_keeplist_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(n_tokens >= KEEPLIST_MIN_TOKENS)
         .select("doc_id", n_tokens.alias("n_tokens"))
     )
+
+
+SPAN_K = 3  # token-window length for the span-dedup driver row
+SPAN_MIN_REPEATS = 2
+
+
+@register(
+    "dd_span_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(toks[i:i+{SPAN_K - 1}], ' ') AS gram
+            FROM t, LATERAL UNNEST(generate_series(1, len(toks) - {SPAN_K - 1})) AS u(i)
+            WHERE len(toks) >= {SPAN_K}
+        ),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= {SPAN_MIN_REPEATS}),
+        m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+        f AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+            FROM m
+        ),
+        s AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {SPAN_K} AS BIGINT) AS span_end
+        FROM s GROUP BY doc_id, grp
+    """,
+    operators="TDP-dedup-span",
+)
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup — ExactSubstr (Lee et al. 2022) as
+    distributed k-gram hashing: every {SPAN_K}-token window that occurs
+    {SPAN_MIN_REPEATS}+ times corpus-wide marks its positions, merged to
+    maximal per-doc [start, end) intervals (operators/span_dedup —
+    docstring there has the 100 TB plan shape: O(total tokens) gram rows,
+    map-side-combined repeat count bounded by DISTINCT grams, one
+    doc-keyed exchange for the interval merge). The Spark side groups on
+    xxhash64(gram); the oracle groups on gram TEXT — only a 2^-64 hash
+    collision can diverge."""
+    from stripe_sync_engine_spark.operators.span_dedup import repeated_spans
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return repeated_spans(docs, k=SPAN_K, min_repeats=SPAN_MIN_REPEATS)

@@ -25,7 +25,7 @@ PROBE_QUERIES = [
     "q04_latest_event_per_user",
     "q14_lag_gap_seconds",
     "q23_sessionize",
-    "q30_time_range_frame",
+    "q13_running_total",  # carries the folded trailing-1h RANGE frame
 ]
 
 _SCRIPT = r"""
