@@ -57,10 +57,12 @@ def materialize_packs(
     slice) pieces; one explode + one groupBy(shard, pack_id) later, each
     pack's pieces sort by their global position (array_sort on the
     collected structs — tie-free since positions are distinct) and
-    flatten. One shuffle beyond assign_packs' window exchange; pack rows
-    are bounded by ``budget`` tokens each, so no group outgrows memory
-    regardless of document length. Generic over the token element type
-    (subword strings or vocabulary ids)."""
+    flatten. ONE exchange total (measured via executedPlan): the groupBy's
+    ClusteredDistribution on (shard, pack_id) is satisfied by the window's
+    hashpartitioning(shard) — shard alone determines the partition — so no
+    second shuffle is planned. Pack rows are bounded by ``budget`` tokens
+    each, so no group outgrows memory regardless of document length.
+    Generic over the token element type (subword strings or ids)."""
     assigned = assign_packs(
         df.withColumn("_n", F.size(tokens_col).cast("long")),
         "_n",
