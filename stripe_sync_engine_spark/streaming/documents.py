@@ -7,8 +7,11 @@ a corpus table — the 100 TB steady-state shape where dedup is a per-batch
 gate against persisted state, not a periodic global job.
 
 Crash-safety ordering (foreachBatch is at-least-once):
-SELECT (pure) → SINK MERGE (keyed by doc_id: bucket-pruned anti-join
-append, replays re-insert nothing) → near.register → exact.register.
+SELECT (pure; the optional span-clip stage is replay-pure too — its
+spans_in excludes the batch's own namespaced batch_id, so a replay
+clips the same bytes) → SINK MERGE (keyed by doc_id: bucket-pruned
+anti-join append, replays re-insert nothing) → near.register →
+span.register (idempotent per namespaced batch id) → exact.register.
 Replays converge after a crash at ANY point:
 
 * before the sink merge             → replay redoes everything;
