@@ -491,6 +491,21 @@ def _bench_audio(spark, sf_dir: str) -> dict[str, float]:
     return {"mm_audio_windows": round(time.perf_counter() - t0, 3)}
 
 
+def _bench_bm25(spark, sf_dir: str) -> dict[str, float]:
+    """Sparse lexical retrieval: BM25 top-20 against a 3-term query —
+    one tokenized scan filtered to the query's terms, tiny df/avgdl
+    aggregates broadcast back, global top-k."""
+    from stripe_sync_engine_spark.plans.textops import bm25_topk
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    bm25_topk(docs, ["spark", "query", "join"], k=20).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return {"txt_bm25_topk": round(time.perf_counter() - t0, 3)}
+
+
 def _bench_span_dedup(spark, sf_dir: str) -> dict[str, float]:
     """ExactSubstr-style span dedup over the documents corpus: detect all
     repeated 5-token spans (detection is the explode + count + semi-join
@@ -558,6 +573,7 @@ def main() -> None:
     times.update(_bench_ngram_lm(spark, sf_dir))
     times.update(_bench_audio(spark, sf_dir))
     times.update(_bench_span_dedup(spark, sf_dir))
+    times.update(_bench_bm25(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(

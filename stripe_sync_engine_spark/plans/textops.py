@@ -514,3 +514,113 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "a document's export shard IS its pack shard" invariant can't
     # drift between this query, the generic packer, and the exporter.
     return assign_packs(toks, "n_subwords", PACK_BUDGET, N_PACK_SHARDS)
+
+
+# BM25 constants (the standard Robertson/Spärck-Jones defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, score)`` — top-k documents by BM25 against a bag of
+    query terms: the text-retrieval counterpart of the embedding ANN
+    family (sparse lexical ranking vs dense cosine), the other half of
+    a curation stack's "find documents like/about X" surface.
+
+    Plan shape (the 100 TB story): term frequencies come from ONE
+    tokenized scan filtered to the query's terms BEFORE the explode's
+    aggregation — per-doc work is O(|query| ∩ doc), the groupBy carries
+    only (doc, term) hits, never the vocabulary. Document frequencies
+    and the average length are tiny aggregates of that same scan
+    (broadcast back), and the final top-k is a global
+    TakeOrderedAndProject — no full sort. Scoring is pure float64
+    column math (ln/divisions), so DuckDB reproduces it to ~1 ulp; the
+    pytest oracle compares with the harness's relative tolerance.
+
+    Reference analog: none (training-data-pipeline extension; ranking
+    math per Robertson et al., BM25 with the usual k1/b defaults).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col), F.size(toks).cast("long").alias("dl"), toks.alias("_toks")
+    )
+    n_and_avg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.filter(F.col("_toks"), lambda t: t.isin(*terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_and_avg))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("part").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sql_bm25_topk(query_terms: list[str], k: int = 20) -> str:
+    """DuckDB mirror of ``bm25_topk`` over the ``documents`` view."""
+    terms = sorted(set(query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM base),
+        hits AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, dl, unnest(list_filter(toks, t -> t IN ({terms_sql}))) AS term FROM base)
+            GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM hits GROUP BY term)
+        SELECT doc_id, SUM(
+                   ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (hits.tf * ({BM25_K1} + 1))
+                   / (hits.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * hits.dl / g.avgdl))
+               ) AS score
+        FROM hits JOIN dfreq USING (term) CROSS JOIN g
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {k}
+    """

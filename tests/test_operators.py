@@ -1099,3 +1099,40 @@ def test_sequence_packing_invariants(spark, sf_dir):
             end = start + max(r["n_subwords"], 1) - 1
             assert r["packs_spanned"] == end // PACK_BUDGET - r["pack_id"] + 1
             start += r["n_subwords"]
+
+
+def test_bm25_topk_matches_duckdb(spark, sf_dir):
+    """BM25 ranking over the documents corpus vs the DuckDB formulation:
+    same scores (relative float tolerance — ln differs by ~1 ulp between
+    JVM and libm) and the same ranked doc set."""
+    from tests.oracle import compare, run_oracle
+
+    from stripe_sync_engine_spark.plans.textops import bm25_topk, sql_bm25_topk
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "query", "join"]
+    got = bm25_topk(docs, terms, k=20)
+    want = run_oracle(sql_bm25_topk(terms, k=20), sf_dir)
+    compare(got, want, "bm25_topk", float_exact=False)
+
+
+def test_bm25_ranking_semantics(spark):
+    """Hand-built corpus: a doc matching both rare terms outranks one
+    matching only the common term; docs without any term don't appear."""
+    from stripe_sync_engine_spark.plans.textops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler words here"),
+            (2, "common words all over common words"),
+            (3, "nothing relevant at all"),
+            (4, "rare rare common extra"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["rare", "common"], k=10).collect()
+    ranked = [r["doc_id"] for r in rows]
+    assert set(ranked) == {1, 2, 4}          # doc 3 never scores
+    assert ranked[0] == 4                     # two 'rare' hits dominate
+    assert ranked.index(1) < ranked.index(2)  # rare beats common-only
