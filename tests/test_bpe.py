@@ -94,7 +94,7 @@ def test_encode_counts_only_schema(spark):
 # ---------------------------------------------------------------------------
 # Property-based checks (driver-side only: the tokenizer core is plain
 # Python, so hypothesis runs it without a SparkSession).
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _corpus_words = st.lists(
@@ -303,3 +303,43 @@ def test_materialize_packs_epoch_order(spark):
     assert f1 != f2                        # epochs decorrelate
     for s in f1:
         assert sorted(f1[s]) == sorted(f2[s])  # same multiset, new order
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=25),
+    budget=st.integers(min_value=2, max_value=7),
+)
+def test_property_materialize_packs_invariants(spark, sizes, budget):
+    """For arbitrary doc sizes and budgets: every pack except a shard's
+    last is exactly full, per-shard concatenation in pack order equals
+    the docs' tokens in id order, and no token is lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.export import _shard_col
+    from stripe_sync_engine_spark.operators.packing import materialize_packs
+
+    n_shards = 3
+    docs = spark.createDataFrame(
+        [(i, [f"t{i}_{j}" for j in range(n)]) for i, n in enumerate(sizes)],
+        "doc_id long, tokens array<string>",
+    )
+    rows = materialize_packs(docs, "tokens", budget=budget, n_shards=n_shards).collect()
+    last = {}
+    for r in rows:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["pack_id"])
+    for r in rows:
+        full = r["pack_id"] < last[r["shard"]]
+        assert r["n_tokens"] == budget if full else 0 < r["n_tokens"] <= budget
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["pack_id"])):
+        got.setdefault(r["shard"], []).extend(r["tokens"])
+    want = {}
+    for r in (
+        docs.withColumn("shard", _shard_col("doc_id", n_shards))
+        .orderBy("shard", "doc_id")
+        .collect()
+    ):
+        want.setdefault(r["shard"], []).extend(r["tokens"])
+    want = {s: t for s, t in want.items() if t}
+    assert got == want
