@@ -53,6 +53,22 @@ FORMAT_VERSION = 1
 # and any n_shards not dividing 256 skews shard sizes by up to 50%.)
 SHARD_HEX_CHARS = 8
 
+# The dedup/fingerprint families' "h32" draw is a FIXED 32-bit quantity —
+# their Spark sides hard-code substr(1, 8) — so its width is a separate
+# constant: tuning SHARD_HEX_CHARS for shard-assignment reasons must not
+# silently move every dd_*/txt_fingerprint oracle.
+H32_HEX_CHARS = 8
+
+
+def _nibble_sum_sql(var: str, n_chars: int) -> str:
+    """DuckDB mirror of Spark's ``conv(md5(var).substr(1, n_chars), 16,
+    10)`` (DuckDB has no conv(); strpos-per-nibble reproduces it)."""
+    return " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5({var}), {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (n_chars - i)}"
+        for i in range(1, n_chars + 1)
+    )
+
 
 def _shard_col(id_col: str, n_shards: int):
     return (
@@ -64,20 +80,14 @@ def _shard_col(id_col: str, n_shards: int):
 
 
 def sql_h32(var: str) -> str:
-    """DuckDB mirror of Spark's ``conv(md5(var).substr(1, 8), 16, 10)``
-    (DuckDB has no conv(); strpos-per-nibble reproduces it exactly). The
-    ONE copy of the md5→int64 nibble bridge — the dedup/textops oracles
-    bind it to their own variables."""
-    return " + ".join(
-        f"CAST(strpos('0123456789abcdef', substr(md5({var}), {i}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (SHARD_HEX_CHARS - i)}"
-        for i in range(1, SHARD_HEX_CHARS + 1)
-    )
+    """The md5→int64 "h32" bridge the dedup/textops oracles bind to their
+    own variables — ONE copy, fixed at ``H32_HEX_CHARS``."""
+    return _nibble_sum_sql(var, H32_HEX_CHARS)
 
 
 def shard_sql(var: str, n: int) -> str:
     """DuckDB mirror of ``_shard_col`` for oracle SQL."""
-    return f"(({sql_h32(var)}) % {n})"
+    return f"(({_nibble_sum_sql(var, SHARD_HEX_CHARS)}) % {n})"
 
 
 def _digest_aggs(id_col: str, cols: list[str]):

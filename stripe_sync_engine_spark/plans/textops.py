@@ -599,7 +599,9 @@ def bm25_topk(
 def sql_bm25_topk(query_terms: list[str], k: int = 20) -> str:
     """DuckDB mirror of ``bm25_topk`` over the ``documents`` view."""
     terms = sorted(set(query_terms))
-    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    # '' -escape each term: an apostrophe would otherwise end the SQL
+    # literal (the Spark side takes terms verbatim, so the oracle must too)
+    terms_sql = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""
         WITH base AS (
             SELECT doc_id,

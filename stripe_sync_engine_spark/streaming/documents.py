@@ -82,22 +82,36 @@ def _merge_documents(store, table: str, rows: DataFrame) -> int:
 def _checkpoint_run_id(checkpoint_dir: str) -> str:
     """The run id tied to this checkpoint's lifetime: minted on first
     use, re-read on restart, gone (re-minted) when the checkpoint is
-    wiped. Atomic create via O_EXCL so two racing starters agree."""
+    wiped. Write-to-tmp + hardlink-style exclusive rename: the file only
+    ever appears with COMPLETE content, so a racer (or a crash between
+    create and write) can never observe an empty id — two racing
+    starters both end up reading whichever complete file won.
+
+    The namespaced ``<run_id>:<batch_id>`` format is the span gate's
+    batch-id scheme; changing the scheme against a checkpoint that has
+    in-flight batches requires draining the stream first (same contract
+    as ``fold_history``'s replay horizon)."""
     import os
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, "span_gate_run_id")
-    try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    except FileExistsError:
+    if os.path.exists(path):
         with open(path) as fh:
             return fh.read().strip()
+    run_id = uuid.uuid4().hex
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(run_id)
     try:
-        run_id = uuid.uuid4().hex
-        os.write(fd, run_id.encode())
+        # link() is atomic and FAILS if the target exists (unlike
+        # rename) — the loser of a race adopts the winner's id.
+        os.link(tmp, path)
+    except FileExistsError:
+        with open(path) as fh:
+            run_id = fh.read().strip()
     finally:
-        os.close(fd)
+        os.unlink(tmp)
     return run_id
 
 
