@@ -503,7 +503,30 @@ def _bench_bm25(spark, sf_dir: str) -> dict[str, float]:
     bm25_topk(docs, ["spark", "query", "join"], k=20).write.format("noop").mode(
         "overwrite"
     ).save()
-    return {"txt_bm25_topk": round(time.perf_counter() - t0, 3)}
+    t_scan = time.perf_counter() - t0
+    # Indexed path: build once (the amortized setup), then time a query
+    # that reads only the terms' buckets.
+    import shutil
+    import tempfile
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    wh = tempfile.mkdtemp(prefix="bench_post_")
+    try:
+        idx = PersistedPostingsIndex(TableStore(spark, wh))
+        idx.register(docs.select("doc_id", "text"), "b1")
+        t0 = time.perf_counter()
+        idx.topk(["spark", "query", "join"], k=20).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_idx = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "txt_bm25_topk": round(t_scan, 3),
+        "txt_bm25_indexed": round(t_idx, 3),
+    }
 
 
 def _bench_span_dedup(spark, sf_dir: str) -> dict[str, float]:

@@ -1,0 +1,182 @@
+"""Persisted inverted index with incremental maintenance — BM25 retrieval
+over a growing corpus without rescanning it per query.
+
+``plans/textops.bm25_topk`` scans the corpus once per query: right for
+ad-hoc questions, wrong for a retrieval endpoint. This is the lexical
+sibling of the engine's other persisted indexes (exact fingerprints,
+MinHash bands, embedding LSH, IVF-PQ codes): postings live in a store
+table BUCKETED BY TERM HASH, so a query reads only the buckets its own
+terms occupy — O(query terms ∩ buckets) IO per query, never O(corpus).
+
+Honest scale note (measured): at the local test sizes (≤5k docs) the
+indexed path is SLOWER than the scan — its several small jobs (bucket
+probe, pruned read, stats read) each pay fixed scheduler latency while
+the "avoided" corpus scan costs under a second. The crossover is where
+scanning+tokenizing the corpus exceeds that fixed overhead, i.e. from
+low-GB corpora upward; at 100 TB the scan is hours and the pruned read
+stays proportional to the query's buckets.
+
+Tables:
+
+* ``_postings`` (term_h, term, doc_id, tf, dl, batch_id), bucketed by
+  ``term_h``. One row per (document, distinct term). Term TEXT rides
+  along (hash-collision safety at the exact-filter step + debuggability);
+  the 8-byte hash is the bucket key, so shuffle/bucket routing never
+  touches strings.
+* ``_postings_stats`` (batch_id, n_docs, total_dl), bucketed by
+  batch_id. BM25's corpus-level N and avgdl as per-batch increments,
+  summed at query time (the stats table has one row per batch — read
+  whole, it is tiny).
+
+Idempotence follows the span gate's per-batch design
+(``operators/span_dedup``): postings anti-probe on (term_h, doc_id) —
+a replayed batch, or a half-committed crash, commits only what is
+missing; stats anti-probe on batch_id. Feed each document ONCE (the
+document stream's exact-dedup gate upstream guarantees it); re-feeding
+the same doc under a new batch_id would inflate stats while the
+postings dedupe, and that contract is the caller's.
+
+Reference analog: none (training-data-pipeline extension; the ranking
+math is ``plans/textops``' BM25, parity pytest-pinned against the
+one-shot scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stripe_sync_engine_spark.operators.incremental_dedup import (
+    anti_probe,
+    commit_fresh,
+    with_occ_retry,
+)
+from stripe_sync_engine_spark.plans.textops import BM25_B, BM25_K1
+
+
+class PersistedPostingsIndex:
+    def __init__(
+        self,
+        store,
+        table: str = "_postings",
+        stats_table: str = "_postings_stats",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.store = store
+        self.table = table
+        self.stats_table = stats_table
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _rows(self, batch: DataFrame, batch_id: str) -> DataFrame:
+        toks = F.filter(F.split(F.col(self.text_col), " "), lambda t: t != "")
+        base = batch.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            toks.alias("_toks"),
+        )
+        return (
+            base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .select(
+                F.xxhash64("term").alias("term_h"),
+                "term",
+                "doc_id",
+                "tf",
+                "dl",
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+
+    def register(self, batch: DataFrame, batch_id: str) -> None:
+        """Durably add the batch's postings + stats increment. Idempotent
+        per (term_h, doc_id) and per stats batch_id — replays and
+        half-committed crashes heal."""
+        with_occ_retry(lambda: self._register_once(batch, batch_id))
+
+    def _register_once(self, batch: DataFrame, batch_id: str) -> None:
+        store = self.store
+        rows = self._rows(batch, batch_id)
+        if not store.exists(self.table):
+            store.write(self.table, rows, key="term_h")
+        else:
+            manifest = store._read_manifest(self.table)
+            touched = store.buckets_of(rows, key="term_h", table=self.table)
+            known = store._scan_manifest(self.table, manifest, touched)
+            fresh = anti_probe(rows, known, ["term_h", "doc_id"]).localCheckpoint(
+                eager=True
+            )
+            if not fresh.isEmpty():
+                commit_fresh(store, self.table, fresh, "term_h", manifest)
+        # Stats AFTER postings: a crash in between replays into a
+        # postings no-op and a stats heal. Increments derive from the
+        # batch itself (not from `fresh`), so a replay of a partially
+        # committed batch records the SAME totals it would have.
+        toks = F.filter(F.split(F.col(self.text_col), " "), lambda t: t != "")
+        inc = batch.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size(toks).cast("long")), F.lit(0).cast("long")).alias(
+                "total_dl"
+            ),
+        ).select(F.lit(batch_id).alias("batch_id"), "n_docs", "total_dl")
+        if not store.exists(self.stats_table):
+            store.write(self.stats_table, inc, key="batch_id")
+            return
+        manifest = store._read_manifest(self.stats_table)
+        touched = store.buckets_of(inc, key="batch_id", table=self.stats_table)
+        known = store._scan_manifest(self.stats_table, manifest, touched)
+        fresh = anti_probe(inc, known, ["batch_id"]).localCheckpoint(eager=True)
+        if not fresh.isEmpty():
+            commit_fresh(store, self.stats_table, fresh, "batch_id", manifest)
+
+    def topk(self, query_terms: list[str], k: int = 20) -> DataFrame:
+        """``(doc_id, score)`` — BM25 top-k from the index: reads ONLY
+        the buckets the query's term hashes land in, plus the (tiny)
+        stats table."""
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        store, spark = self.store, self.store.spark
+        terms = sorted(set(query_terms))
+        probe = spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        ).select(F.xxhash64("term").alias("term_h"), "term")
+        touched = store.buckets_of(probe, key="term_h", table=self.table)
+        hits = (
+            store.read_buckets(self.table, touched)
+            .join(F.broadcast(probe), ["term_h", "term"], "left_semi")
+        )
+        stats = store.read(self.stats_table).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (
+                F.sum("total_dl").cast("double") / F.sum("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+        dfreq = hits.groupBy("term").agg(
+            F.count_distinct(F.col("doc_id")).cast("double").alias("df")
+        )
+        scored = (
+            hits.join(F.broadcast(dfreq), "term")
+            .join(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+            )
+            .withColumn(
+                "part",
+                F.col("idf")
+                * (F.col("tf").cast("double") * (BM25_K1 + 1))
+                / (
+                    F.col("tf").cast("double")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("part").alias("score"))
+        )
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1136,3 +1136,56 @@ def test_bm25_ranking_semantics(spark):
     assert set(ranked) == {1, 2, 4}          # doc 3 never scores
     assert ranked[0] == 4                     # two 'rare' hits dominate
     assert ranked.index(1) < ranked.index(2)  # rare beats common-only
+
+
+def test_persisted_postings_matches_one_shot_bm25(spark, tmp_path, sf_dir):
+    """Index registered in two batches ranks identically (within float
+    tolerance) to the one-shot corpus scan; replays register nothing."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.plans.textops import bm25_topk
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    store = TableStore(spark, str(tmp_path / "wh_post"))
+    idx = PersistedPostingsIndex(store)
+    idx.register(b1, "b1")
+    idx.register(b2, "b2")
+    terms = ["spark", "query", "join"]
+    got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=25).collect()}
+    want = {r["doc_id"]: r["score"] for r in bm25_topk(docs, terms, k=25).collect()}
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-9), (d, got[d], s)
+    # replay: identical results, no new rows
+    n_rows = store.read(idx.table).count()
+    idx.register(b1, "b1")
+    assert store.read(idx.table).count() == n_rows
+    got2 = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=25).collect()}
+    assert got2 == got
+
+
+def test_persisted_postings_bucket_pruned_read(spark, tmp_path):
+    """The query reads only the buckets its term hashes land in — not
+    the whole postings table."""
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(6)) + " shared") for i in range(50)],
+        "doc_id long, text string",
+    )
+    store = TableStore(spark, str(tmp_path / "wh_post"), n_buckets=16)
+    idx = PersistedPostingsIndex(store)
+    idx.register(docs, "b1")
+    probe = spark.createDataFrame([("shared",)], "term string").select(
+        F.xxhash64("term").alias("term_h")
+    )
+    touched = store.buckets_of(probe, key="term_h", table=idx.table)
+    assert len(touched) == 1  # one term -> one bucket
+    rows = idx.topk(["shared"], k=100).collect()
+    assert len(rows) == 50  # every doc contains it
