@@ -138,6 +138,11 @@ class PersistedPostingsIndex:
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
         store, spark = self.store, self.store.spark
+        if not store.exists(self.table) or not store.exists(self.stats_table):
+            raise RuntimeError(
+                f"postings index {self.table!r} is empty — register() at least "
+                "one batch before querying"
+            )
         terms = sorted(set(query_terms))
         probe = spark.createDataFrame(
             [(t,) for t in terms], "term string"

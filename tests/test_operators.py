@@ -1189,3 +1189,14 @@ def test_persisted_postings_bucket_pruned_read(spark, tmp_path):
     assert len(touched) == 1  # one term -> one bucket
     rows = idx.topk(["shared"], k=100).collect()
     assert len(rows) == 50  # every doc contains it
+
+
+def test_persisted_postings_query_before_build_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    idx = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_post")))
+    with _pytest.raises(RuntimeError, match="register"):
+        idx.topk(["anything"])
