@@ -23,10 +23,13 @@ Tables:
   along (hash-collision safety at the exact-filter step + debuggability);
   the 8-byte hash is the bucket key, so shuffle/bucket routing never
   touches strings.
-* ``_postings_stats`` (batch_id, n_docs, total_dl), bucketed by
-  batch_id. BM25's corpus-level N and avgdl as per-batch increments,
+* ``_postings_stats`` (batch_id, n_docs, n_dl_docs, total_dl), bucketed
+  by batch_id. BM25's corpus-level N and avgdl as per-batch increments,
   summed at query time (the stats table has one row per batch — read
-  whole, it is tiny).
+  whole, it is tiny). ``n_dl_docs`` counts docs with non-NULL text so
+  avgdl = total_dl/n_dl_docs matches the one-shot scan's ``avg(dl)``
+  exactly (count(*)/avg treat NULL text differently, and the parity
+  contract mirrors that).
 
 Idempotence follows the span gate's per-batch design
 (``operators/span_dedup``): postings anti-probe on (term_h, doc_id) —
@@ -51,7 +54,7 @@ from stripe_sync_engine_spark.operators.incremental_dedup import (
     commit_fresh,
     with_occ_retry,
 )
-from stripe_sync_engine_spark.plans.textops import BM25_B, BM25_K1
+from stripe_sync_engine_spark.plans.textops import BM25_B, BM25_K1, tokens_nonempty
 
 
 class PersistedPostingsIndex:
@@ -70,7 +73,7 @@ class PersistedPostingsIndex:
         self.text_col = text_col
 
     def _rows(self, batch: DataFrame, batch_id: str) -> DataFrame:
-        toks = F.filter(F.split(F.col(self.text_col), " "), lambda t: t != "")
+        toks = tokens_nonempty(self.text_col)
         base = batch.select(
             F.col(self.id_col).alias("doc_id"),
             F.size(toks).cast("long").alias("dl"),
@@ -98,7 +101,10 @@ class PersistedPostingsIndex:
 
     def _register_once(self, batch: DataFrame, batch_id: str) -> None:
         store = self.store
-        rows = self._rows(batch, batch_id)
+        # ONE eager materialization of the postings rows: the bucket
+        # probe and the anti-probe below both reuse it instead of
+        # re-executing the batch's (possibly expensive) upstream lineage.
+        rows = self._rows(batch, batch_id).localCheckpoint(eager=True)
         if not store.exists(self.table):
             store.write(self.table, rows, key="term_h")
         else:
@@ -114,13 +120,16 @@ class PersistedPostingsIndex:
         # postings no-op and a stats heal. Increments derive from the
         # batch itself (not from `fresh`), so a replay of a partially
         # committed batch records the SAME totals it would have.
-        toks = F.filter(F.split(F.col(self.text_col), " "), lambda t: t != "")
+        # NULL-text docs count in n_docs but not n_dl_docs/total_dl —
+        # exactly how the one-shot scan's count(*)/avg(dl) treat them,
+        # which the parity contract depends on.
+        toks = tokens_nonempty(self.text_col)
+        dl = F.size(toks).cast("long")
         inc = batch.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum(F.size(toks).cast("long")), F.lit(0).cast("long")).alias(
-                "total_dl"
-            ),
-        ).select(F.lit(batch_id).alias("batch_id"), "n_docs", "total_dl")
+            F.count(dl).cast("long").alias("n_dl_docs"),
+            F.coalesce(F.sum(dl), F.lit(0).cast("long")).alias("total_dl"),
+        ).select(F.lit(batch_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
         if not store.exists(self.stats_table):
             store.write(self.stats_table, inc, key="batch_id")
             return
@@ -155,7 +164,7 @@ class PersistedPostingsIndex:
         stats = store.read(self.stats_table).agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             (
-                F.sum("total_dl").cast("double") / F.sum("n_docs").cast("double")
+                F.sum("total_dl").cast("double") / F.sum("n_dl_docs").cast("double")
             ).alias("avgdl"),
         )
         dfreq = hits.groupBy("term").agg(

@@ -521,6 +521,14 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def tokens_nonempty(text_col: str):
+    """Whitespace tokens with empties dropped — THE tokenization the BM25
+    scan, the persisted postings index, the LM scorer, and span dedup all
+    share. Index↔scan score parity depends on this staying one
+    expression: a tweak here moves every consumer together."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -549,7 +557,7 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = tokens_nonempty(text_col)
     base = docs.select(
         F.col(id_col), F.size(toks).cast("long").alias("dl"), toks.alias("_toks")
     )

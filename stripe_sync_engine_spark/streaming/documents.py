@@ -92,13 +92,42 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
     in-flight batches requires draining the stream first (same contract
     as ``fold_history``'s replay horizon)."""
     import os
+    import time
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, "span_gate_run_id")
-    if os.path.exists(path):
-        with open(path) as fh:
-            return fh.read().strip()
+
+    def read_existing() -> str | None:
+        try:
+            with open(path) as fh:
+                rid = fh.read().strip()
+        except FileNotFoundError:
+            return None
+        if rid:
+            return rid
+        # Zero-byte debris (a crashed non-atomic writer): an empty id
+        # would collapse every run into the '' namespace — clear it and
+        # mint properly.
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+        return None
+
+    rid = read_existing()
+    if rid:
+        return rid
+    # Reclaim tmp files of CRASHED minters (age-gated so a live racer's
+    # in-flight tmp is never touched).
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("span_gate_run_id.tmp."):
+            p = os.path.join(checkpoint_dir, name)
+            try:
+                if time.time() - os.path.getmtime(p) > 3600:
+                    os.unlink(p)
+            except OSError:
+                pass
     run_id = uuid.uuid4().hex
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -108,10 +137,18 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
         # rename) — the loser of a race adopts the winner's id.
         os.link(tmp, path)
     except FileExistsError:
-        with open(path) as fh:
-            run_id = fh.read().strip()
+        run_id = read_existing() or run_id
+    except OSError:
+        # Filesystem without hardlinks (some FUSE/SMB/object mounts):
+        # degrade to an atomic replace — still never an empty file; a
+        # same-instant race can split ids until the next restart re-reads.
+        os.replace(tmp, path)
+        return run_id
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     return run_id
 
 

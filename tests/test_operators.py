@@ -1200,3 +1200,25 @@ def test_persisted_postings_query_before_build_raises(spark, tmp_path):
     idx = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_post")))
     with _pytest.raises(RuntimeError, match="register"):
         idx.topk(["anything"])
+
+
+def test_persisted_postings_null_text_parity(spark, tmp_path):
+    """A NULL-text doc counts in BM25's N but not in avgdl — on BOTH the
+    one-shot scan and the index, so scores stay parity-equal."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.plans.textops import bm25_topk
+    from stripe_sync_engine_spark.storage import TableStore
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, None), (4, "beta beta")],
+        "doc_id long, text string",
+    )
+    idx = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_post")))
+    idx.register(docs, "b1")
+    got = {r["doc_id"]: r["score"] for r in idx.topk(["alpha", "beta"], k=10).collect()}
+    want = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["alpha", "beta"], k=10).collect()}
+    assert set(got) == set(want) == {1, 2, 4}
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-9), (d, got[d], s)

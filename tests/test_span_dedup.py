@@ -362,3 +362,19 @@ def test_checkpoint_run_id_lifecycle(tmp_path):
     assert _checkpoint_run_id(ckpt) == first
     shutil.rmtree(ckpt)
     assert _checkpoint_run_id(ckpt) != first
+
+
+def test_checkpoint_run_id_remints_empty_debris(tmp_path):
+    """A zero-byte run-id file (a crashed non-atomic writer's debris)
+    must re-mint, never return '' — an empty namespace would collide
+    every run's batch ids."""
+    import os
+
+    from stripe_sync_engine_spark.streaming.documents import _checkpoint_run_id
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    open(os.path.join(ckpt, "span_gate_run_id"), "w").close()  # empty file
+    rid = _checkpoint_run_id(ckpt)
+    assert rid
+    assert _checkpoint_run_id(ckpt) == rid
