@@ -99,6 +99,14 @@ class PersistedPostingsIndex:
         half-committed crashes heal."""
         with_occ_retry(lambda: self._register_once(batch, batch_id))
 
+    def _stats_with_schema(self, df: DataFrame) -> DataFrame:
+        """Upgrade a legacy stats frame in place: tables written before
+        ``n_dl_docs`` existed assume every registered doc had text (the
+        old accounting), so the column backfills as n_docs."""
+        if "n_dl_docs" not in df.columns:
+            df = df.withColumn("n_dl_docs", F.col("n_docs"))
+        return df.select("batch_id", "n_docs", "n_dl_docs", "total_dl")
+
     def _register_once(self, batch: DataFrame, batch_id: str) -> None:
         store = self.store
         # ONE eager materialization of the postings rows: the bucket
@@ -135,10 +143,26 @@ class PersistedPostingsIndex:
             return
         manifest = store._read_manifest(self.stats_table)
         touched = store.buckets_of(inc, key="batch_id", table=self.stats_table)
-        known = store._scan_manifest(self.stats_table, manifest, touched)
+        known = self._stats_with_schema(
+            store._scan_manifest(self.stats_table, manifest, touched)
+        )
         fresh = anti_probe(inc, known, ["batch_id"]).localCheckpoint(eager=True)
-        if not fresh.isEmpty():
-            commit_fresh(store, self.stats_table, fresh, "batch_id", manifest)
+        if fresh.isEmpty():
+            return
+        # commit_fresh unions the scanned base with fresh, so a legacy
+        # 3-column base must be upgraded before the union (the write also
+        # migrates the touched buckets to the new schema as a side effect).
+        write_set = store.buckets_of(fresh, key="batch_id", table=self.stats_table)
+        base = self._stats_with_schema(
+            store._scan_manifest(self.stats_table, manifest, write_set)
+        )
+        store.write_buckets(
+            self.stats_table,
+            base.unionByName(fresh),
+            write_set,
+            key="batch_id",
+            planned_versions=dict(manifest["buckets"]),
+        )
 
     def topk(self, query_terms: list[str], k: int = 20) -> DataFrame:
         """``(doc_id, score)`` — BM25 top-k from the index: reads ONLY
@@ -161,7 +185,7 @@ class PersistedPostingsIndex:
             store.read_buckets(self.table, touched)
             .join(F.broadcast(probe), ["term_h", "term"], "left_semi")
         )
-        stats = store.read(self.stats_table).agg(
+        stats = self._stats_with_schema(store.read(self.stats_table)).agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             (
                 F.sum("total_dl").cast("double") / F.sum("n_dl_docs").cast("double")

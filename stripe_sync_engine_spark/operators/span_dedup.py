@@ -49,10 +49,10 @@ from stripe_sync_engine_spark.operators.incremental_dedup import (
 )
 
 
-def _tokens(text_col: str):
-    """Whitespace tokens with empties dropped — the same tokenization the
-    LM scorer and doc profile use, so span indices line up across stages."""
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+# Whitespace tokens with empties dropped — the ONE shared expression
+# (plans/textops.tokens_nonempty), so span indices line up with the BM25
+# scan, the postings index, and the LM scorer's convention.
+from stripe_sync_engine_spark.plans.textops import tokens_nonempty as _tokens  # noqa: E402
 
 
 def gram_occurrences(

@@ -523,9 +523,10 @@ BM25_B = 0.75
 
 def tokens_nonempty(text_col: str):
     """Whitespace tokens with empties dropped — THE tokenization the BM25
-    scan, the persisted postings index, the LM scorer, and span dedup all
-    share. Index↔scan score parity depends on this staying one
-    expression: a tweak here moves every consumer together."""
+    scan, the persisted postings index, and span dedup share (one
+    expression: a tweak here moves those consumers together, which the
+    index↔scan score parity depends on). The LM scorer follows the same
+    empties-dropped CONVENTION but tokenizes inside its own Arrow worker."""
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
 

@@ -104,16 +104,18 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
                 rid = fh.read().strip()
         except FileNotFoundError:
             return None
-        if rid:
-            return rid
-        # Zero-byte debris (a crashed non-atomic writer): an empty id
-        # would collapse every run into the '' namespace — clear it and
-        # mint properly.
-        try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
-        return None
+        if not rid:
+            # Zero-byte debris: an empty id would collapse every run into
+            # the '' namespace, and deleting it here could race a minter
+            # and delete a VALID file an instant later. The atomic mint
+            # below never produces an empty file, so this can only be
+            # external mutation — fail loudly and let the operator clear
+            # it (same stance as the store's OCC conflicts).
+            raise RuntimeError(
+                f"{path} exists but is empty — not written by this engine; "
+                "delete the file and restart the stream"
+            )
+        return rid
 
     rid = read_existing()
     if rid:
@@ -137,7 +139,16 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
         # rename) — the loser of a race adopts the winner's id.
         os.link(tmp, path)
     except FileExistsError:
-        run_id = read_existing() or run_id
+        adopted = read_existing()
+        if adopted is None:
+            # The winner's file vanished between link-failure and re-read:
+            # only external deletion can do that. Returning our local id
+            # would namespace batches under an id NO file records.
+            raise RuntimeError(
+                f"{path} vanished while minting — the checkpoint dir is "
+                "being mutated externally"
+            )
+        run_id = adopted
     except OSError:
         # Filesystem without hardlinks (some FUSE/SMB/object mounts):
         # degrade to an atomic replace — still never an empty file; a

@@ -1222,3 +1222,38 @@ def test_persisted_postings_null_text_parity(spark, tmp_path):
     assert set(got) == set(want) == {1, 2, 4}
     for d, s in want.items():
         assert math.isclose(got[d], s, rel_tol=1e-9), (d, got[d], s)
+
+
+def test_persisted_postings_upgrades_legacy_stats_schema(spark, tmp_path):
+    """A stats table persisted before n_dl_docs existed keeps working:
+    reads backfill the column (legacy rows assumed text-complete) and the
+    next register migrates the touched buckets to the new schema."""
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_post"))
+    idx = PersistedPostingsIndex(store)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma delta")], "doc_id long, text string"
+    )
+    idx.register(b1, "b1")
+    # Rewrite the stats table in the LEGACY 3-column shape (materialize
+    # BEFORE deleting the files the lazy frame reads from).
+    legacy_rows = (
+        store.read(idx.stats_table).select("batch_id", "n_docs", "total_dl").collect()
+    )
+    import shutil as _sh
+
+    _sh.rmtree(store._dir(idx.stats_table), ignore_errors=True)
+    legacy = spark.createDataFrame(
+        legacy_rows, "batch_id string, n_docs long, total_dl long"
+    )
+    store.write(idx.stats_table, legacy, key="batch_id")
+    assert store.read(idx.stats_table).columns == ["batch_id", "n_docs", "total_dl"]
+    # Query works against the legacy table...
+    assert idx.topk(["alpha"], k=5).count() == 2
+    # ...and the next register both lands and upgrades.
+    b2 = spark.createDataFrame([(3, "alpha epsilon")], "doc_id long, text string")
+    idx.register(b2, "b2")
+    assert "n_dl_docs" in store.read(idx.stats_table).columns
+    assert idx.topk(["alpha"], k=5).count() == 3

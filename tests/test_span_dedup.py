@@ -364,10 +364,10 @@ def test_checkpoint_run_id_lifecycle(tmp_path):
     assert _checkpoint_run_id(ckpt) != first
 
 
-def test_checkpoint_run_id_remints_empty_debris(tmp_path):
-    """A zero-byte run-id file (a crashed non-atomic writer's debris)
-    must re-mint, never return '' — an empty namespace would collide
-    every run's batch ids."""
+def test_checkpoint_run_id_rejects_empty_debris(tmp_path):
+    """A zero-byte run-id file cannot have been written by the atomic
+    mint — returning '' would collide every run's batch ids, and silently
+    'healing' it can race a concurrent minter. Loud failure instead."""
     import os
 
     from stripe_sync_engine_spark.streaming.documents import _checkpoint_run_id
@@ -375,6 +375,10 @@ def test_checkpoint_run_id_remints_empty_debris(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt)
     open(os.path.join(ckpt, "span_gate_run_id"), "w").close()  # empty file
+    with pytest.raises(RuntimeError, match="empty"):
+        _checkpoint_run_id(ckpt)
+    # operator deletes the debris -> normal mint resumes
+    os.unlink(os.path.join(ckpt, "span_gate_run_id"))
     rid = _checkpoint_run_id(ckpt)
     assert rid
     assert _checkpoint_run_id(ckpt) == rid
