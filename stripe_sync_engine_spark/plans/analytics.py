@@ -261,47 +261,52 @@ def q07_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q8 — daily windows + date functions (SURVEY T4, 2.8 date fns).
 # ---------------------------------------------------------------------------
+# Shared trailing-window fragment: the scheduled-incremental predicate
+# (/sync/weekly: created >= anchor-7d, anchored at max(ts) for determinism)
+# is ONE definition used by q08's oracle and pinned in pytest — the folded
+# q08b_trailing_window semantics live on as the *_trail7 columns below.
+SQL_TRAIL7_CUTOFF = "(SELECT max(ts) - INTERVAL 7 DAY FROM events)"
+
+
 @register(
     "q08_daily_rollup",
-    oracle="""
+    oracle=f"""
+        WITH anchor AS (SELECT {SQL_TRAIL7_CUTOFF} AS cutoff)
         SELECT date_trunc('day', ts) AS day, event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        FROM events
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               COUNT(CASE WHEN ts >= cutoff THEN 1 END) AS n_events_trail7,
+               CAST(SUM(CASE WHEN ts >= cutoff
+                             THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS total_value_trail7
+        FROM events CROSS JOIN anchor
         GROUP BY 1, 2
     """,
-    operators="T4,A4,2.8-date",
+    operators="T4,A4,2.8-date,P2",
 )
 def q08_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), as_double(F.sum(m("value"))).alias("total_value"))
-    )
+    """Daily rollup + scheduled-incremental trailing window in ONE scan.
 
-
-@register(
-    "q08b_trailing_window",
-    oracle="""
-        SELECT event_type, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        FROM events
-        WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
-        GROUP BY event_type
-    """,
-    operators="T4,P2",
-)
-def q08b_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scheduled-incremental-window analog (/sync/weekly): created >= now-7d,
-    anchored at max(ts) for determinism. The scalar max is computed as a
-    1-row broadcast-joined aggregate, not a collect()."""
+    Folds the former q08b_trailing_window (/sync/weekly analog: rows with
+    ts >= max(ts)-7d) into the daily rollup as conditional aggregates: both
+    families share the events scan and the (day, event_type) exchange, so
+    the fold costs nothing at 100 TB. The trailing anchor is a 1-row
+    broadcast-joined aggregate, never a collect(); summing q08's *_trail7
+    columns over event_type reproduces the old q08b result exactly (pinned
+    in tests/test_operators.py::test_q08_trailing_fold_parity).
+    """
     events = load_table(spark, sf_dir, "events")
-    max_ts = events.agg(F.max("ts").alias("_max_ts"))
+    cutoff = events.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("_cutoff"))
+    trail = F.col("ts") >= F.col("_cutoff")
     return (
-        events.join(F.broadcast(max_ts))
-        .where(F.col("ts") >= F.col("_max_ts") - F.expr("INTERVAL 7 DAY"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), as_double(F.sum(m("value"))).alias("total_value"))
+        events.join(F.broadcast(cutoff))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            as_double(F.sum(m("value"))).alias("total_value"),
+            F.count(F.when(trail, F.lit(1))).alias("n_events_trail7"),
+            as_double(F.sum(F.when(trail, m("value")))).alias("total_value_trail7"),
+        )
     )
 
 

@@ -530,27 +530,25 @@ def tokens_nonempty(text_col: str):
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
-    k: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(doc_id, score)`` — top-k documents by BM25 against a bag of
-    query terms: the text-retrieval counterpart of the embedding ANN
-    family (sparse lexical ranking vs dense cosine), the other half of
-    a curation stack's "find documents like/about X" surface.
+    """``(doc_id, score)`` — BM25 score per matching document (unranked).
+
+    The shared scoring pipeline behind :func:`bm25_topk` (raw-float
+    top-k for library callers) and the driver-registered
+    ``txt_bm25_topk`` (e9-rounded for cross-engine hash stability).
 
     Plan shape (the 100 TB story): term frequencies come from ONE
     tokenized scan filtered to the query's terms BEFORE the explode's
     aggregation — per-doc work is O(|query| ∩ doc), the groupBy carries
     only (doc, term) hits, never the vocabulary. Document frequencies
     and the average length are tiny aggregates of that same scan
-    (broadcast back), and the final top-k is a global
-    TakeOrderedAndProject — no full sort. Scoring is pure float64
-    column math (ln/divisions), so DuckDB reproduces it to ~1 ulp; the
-    pytest oracle compares with the harness's relative tolerance.
+    (broadcast back). Scoring is pure float64 column math
+    (ln/divisions), so DuckDB reproduces it to ~1 ulp.
 
     Reference analog: none (training-data-pipeline extension; ranking
     math per Robertson et al., BM25 with the usual k1/b defaults).
@@ -602,15 +600,43 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.sum("part").alias("score"))
     )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, score)`` — top-k documents by BM25 against a bag of
+    query terms: the text-retrieval counterpart of the embedding ANN
+    family (sparse lexical ranking vs dense cosine). See
+    :func:`bm25_scores` for the scoring plan; the final top-k is a
+    global TakeOrderedAndProject — no full sort."""
+    scored = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
-def sql_bm25_topk(query_terms: list[str], k: int = 20) -> str:
-    """DuckDB mirror of ``bm25_topk`` over the ``documents`` view."""
+def sql_bm25_topk(query_terms: list[str], k: int = 20, rounded: bool = False) -> str:
+    """DuckDB mirror of ``bm25_topk`` (``rounded=False``) or of the driver
+    registry's e9-rounded ``txt_bm25_topk`` (``rounded=True``) over the
+    ``documents`` view — ONE SQL body so the pytest tolerance oracle and
+    the driver hash oracle can't drift."""
     terms = sorted(set(query_terms))
     # '' -escape each term: an apostrophe would otherwise end the SQL
     # literal (the Spark side takes terms verbatim, so the oracle must too)
     terms_sql = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
+    if rounded:
+        # JVM ln and libm ln differ by ~1 ulp; round(score*1e9) is identical
+        # on both sides (both round half away from zero for positives) and
+        # ranking by the ROUNDED value keeps the k-boundary deterministic.
+        select = "CAST(round(score * 1e9) AS BIGINT) AS score_e9"
+        order = "score_e9"
+    else:
+        select = "score"
+        order = "score"
     return f"""
         WITH base AS (
             SELECT doc_id,
@@ -624,14 +650,49 @@ def sql_bm25_topk(query_terms: list[str], k: int = 20) -> str:
             FROM (SELECT doc_id, dl, unnest(list_filter(toks, t -> t IN ({terms_sql}))) AS term FROM base)
             GROUP BY doc_id, dl, term
         ),
-        dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM hits GROUP BY term)
-        SELECT doc_id, SUM(
-                   ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                   * (hits.tf * ({BM25_K1} + 1))
-                   / (hits.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * hits.dl / g.avgdl))
-               ) AS score
-        FROM hits JOIN dfreq USING (term) CROSS JOIN g
-        GROUP BY doc_id
-        ORDER BY score DESC, doc_id ASC
+        dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM hits GROUP BY term),
+        scored AS (
+            SELECT doc_id, SUM(
+                       ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (hits.tf * ({BM25_K1} + 1))
+                       / (hits.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * hits.dl / g.avgdl))
+                   ) AS score
+            FROM hits JOIN dfreq USING (term) CROSS JOIN g
+            GROUP BY doc_id
+        )
+        SELECT doc_id, {select}
+        FROM scored
+        ORDER BY {order} DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+# The driver-registered BM25 probe: fixed terms (present in the synthetic
+# corpus vocabulary) so the Spark query and oracle SQL agree by construction.
+BM25_QUERY_TERMS = ["spark", "query", "join"]
+BM25_TOPK_K = 20
+
+
+@register(
+    "txt_bm25_topk",
+    oracle=sql_bm25_topk(BM25_QUERY_TERMS, k=BM25_TOPK_K, rounded=True),
+    operators="TDP-text-bm25,O3",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval, driver-gated: BM25 top-k over ``documents`` with
+    the score rounded to integer nano-units (``score_e9``) on BOTH engines
+    so the value hash is stable (raw float would differ ~1 ulp via ln).
+    Ranking uses the rounded score, so the k-boundary can't flip between
+    engines; ties break on doc_id. The persisted-index variant
+    (operators/postings.PersistedPostingsIndex) is pinned against this
+    same scoring in tests/test_operators.py."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    scored = bm25_scores(docs, BM25_QUERY_TERMS)
+    return (
+        scored.select(
+            "doc_id",
+            F.round(F.col("score") * 1e9).cast("long").alias("score_e9"),
+        )
+        .orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK_K)
+    )

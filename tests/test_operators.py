@@ -1101,6 +1101,42 @@ def test_sequence_packing_invariants(spark, sf_dir):
             start += r["n_subwords"]
 
 
+def test_q08_trailing_fold_parity(spark, sf_dir):
+    """The q08b_trailing_window semantics folded into q08 survive the fold:
+    re-aggregating q08's *_trail7 columns over event_type reproduces the
+    old standalone trailing-window query (same shared SQL fragment,
+    SQL_TRAIL7_CUTOFF) exactly."""
+    from tests.oracle import compare, run_oracle
+
+    from stripe_sync_engine_spark.plans.analytics import SQL_TRAIL7_CUTOFF
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+
+    import pyspark.sql.functions as F
+
+    folded = REGISTRY["q08_daily_rollup"].spark(spark, sf_dir)
+    got = (
+        folded.groupBy("event_type")
+        .agg(
+            F.sum("n_events_trail7").alias("n_events"),
+            F.sum(F.col("total_value_trail7").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .where(F.col("n_events") > 0)
+    )
+    want = run_oracle(
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE ts >= {SQL_TRAIL7_CUTOFF}
+        GROUP BY event_type
+        """,
+        sf_dir,
+    )
+    compare(got, want, "q08_trailing_fold")
+
+
 def test_bm25_topk_matches_duckdb(spark, sf_dir):
     """BM25 ranking over the documents corpus vs the DuckDB formulation:
     same scores (relative float tolerance — ln differs by ~1 ulp between
