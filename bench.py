@@ -485,10 +485,19 @@ def _bench_audio(spark, sf_dir: str) -> dict[str, float]:
                 {"doc_id": pdf["doc_id"], "payload": [payload(int(d)) for d in pdf["doc_id"]]}
             )
 
-    built = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    # Materialize the synthesized WAVs BEFORE the timer: the fixture's
+    # per-sample struct.pack loop (~500 docs × up to 6k samples) is build
+    # cost, not operator cost — timing it inflated this entry ~4× (r7
+    # VERDICT finding). localCheckpoint pins the built frame in block
+    # storage so the timed region is exactly the windowed-DSP pass.
+    built = docs.mapInPandas(build, schema="doc_id long, payload binary").localCheckpoint(
+        eager=True
+    )
     t0 = time.perf_counter()
     audio_windows(built, window=400).write.format("noop").mode("overwrite").save()
-    return {"mm_audio_windows": round(time.perf_counter() - t0, 3)}
+    t = time.perf_counter() - t0
+    built.unpersist()
+    return {"mm_audio_windows": round(t, 3)}
 
 
 def _bench_bm25(spark, sf_dir: str) -> dict[str, float]:

@@ -503,6 +503,35 @@ def test_audio_windows_segments_and_window_local_stats(spark):
     assert math.isclose(rows[0]["rms"], 10.0)
 
 
+def test_audio_windows_vectorized_matches_naive(spark):
+    """The vectorized window DSP (reshape + bincount, r8) matches a naive
+    per-window loop over an irregular signal with a partial tail — rms,
+    peak and in-window zero crossings all agree window-for-window."""
+    import math
+
+    from stripe_sync_engine_spark.functions.multimodal import audio_windows
+
+    # Deterministic irregular signal (LCG), 157 samples, window=16 → tail=13
+    seed, samples = 12345, []
+    for _ in range(157):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        samples.append(seed % 2001 - 1000)
+    window = 16
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(samples)))], "doc_id long, payload binary"
+    )
+    rows = sorted(audio_windows(df, window=window).collect(), key=lambda r: r["win_idx"])
+    assert len(rows) == math.ceil(157 / window)
+    for r in rows:
+        seg = [float(s) for s in samples[r["start_sample"] : r["start_sample"] + window]]
+        assert r["win_samples"] == len(seg)
+        assert math.isclose(r["rms"], math.sqrt(sum(x * x for x in seg) / len(seg)))
+        assert r["peak"] == max(abs(x) for x in seg)
+        # signbit ≡ (x < 0) here: int16-derived floats never produce -0.0
+        want_zc = sum(1 for a, b in zip(seg, seg[1:]) if (a < 0) != (b < 0))
+        assert r["zero_crossings"] == want_zc
+
+
 def test_lsh_buckets_parity(spark, sf_dir):
     """The LSH bucket-assignment stage was folded out of the registry (it
     is a pure intermediate of sim_lsh_ann / dd_embed_cosine); this keeps
