@@ -409,6 +409,13 @@ def build_changes_datasource():
 
             def eq(a, b):
                 if isinstance(a, float) and isinstance(b, float):
+                    # ONE convention with the batch feed's comparator: Spark's
+                    # hash expressions NORMALIZE floats before hashing (-0.0
+                    # → 0.0, every NaN → the canonical NaN), so xxhash64 over
+                    # the struct equates exactly what IEEE == plus isnan/isnan
+                    # equates here — a 0.0→-0.0 or NaN-payload rewrite is
+                    # silent on BOTH surfaces (pinned in
+                    # tests/test_changefeed.py::test_change_feed_float_edge_parity).
                     return a == b or (math.isnan(a) and math.isnan(b))
                 if isinstance(a, dict) and isinstance(b, dict):
                     return a.keys() == b.keys() and all(eq(v, b[k]) for k, v in a.items())

@@ -371,7 +371,11 @@ class TableStore:
         )
 
     def read_changes(
-        self, table: str, since_ms: int, until_ms: int | None = None
+        self,
+        table: str,
+        since_ms: int,
+        until_ms: int | None = None,
+        allow_full_diff: bool = False,
     ) -> DataFrame | None:
         """Row-level NET change feed between two retained snapshots: the
         table state current at ``since_ms`` (exclusive) vs at ``until_ms``
@@ -422,7 +426,22 @@ class TableStore:
         if old_manifest is None or new_manifest is None:
             changed = None  # birth (all inserts) or absence: diff everything
         elif int(old_manifest["n_buckets"]) != int(new_manifest["n_buckets"]):
-            changed = None  # rebucketed: bucket ids are incomparable
+            # Rebucketed inside the window: bucket ids are incomparable, so
+            # the O(changed buckets) pruning is impossible — the only correct
+            # diff is a FULL-TABLE full-outer join (row hashes still collapse
+            # unchanged rows to a net-empty feed, but at 100 TB that's a
+            # surprise O(table) job). Fail loudly like the streaming source
+            # (store_datasource.ChangesStreamReader) and Delta's CDF unless
+            # the caller explicitly opts into the expensive recovery path.
+            if not allow_full_diff:
+                raise RuntimeError(
+                    f"table {table!r} was rebucketed inside this change window "
+                    f"({old_manifest['n_buckets']} -> {new_manifest['n_buckets']} "
+                    "buckets); per-bucket diff pruning no longer holds. Pass "
+                    "allow_full_diff=True to accept a full-table diff (correct "
+                    "but O(table)), or restart the consumer from a fresh cursor."
+                )
+            changed = None  # opted in: diff everything (unchanged rows hash equal)
         else:
             obk, nbk = old_manifest["buckets"], new_manifest["buckets"]
             changed = [int(b) for b in set(obk) | set(nbk) if obk.get(b) != nbk.get(b)]

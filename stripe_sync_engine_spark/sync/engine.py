@@ -1110,15 +1110,24 @@ class StripeSparkSync:
     # ------------------------------------------------------------------
     # Change data feed (storage.read_changes) + durable consumer cursors
     # ------------------------------------------------------------------
-    def changes(self, entity: str, since_ms: int, until_ms: int | None = None):
+    def changes(
+        self,
+        entity: str,
+        since_ms: int,
+        until_ms: int | None = None,
+        allow_full_diff: bool = False,
+    ):
         """Row-level net changes of one synced table between two retained
         snapshots — ``TableStore.read_changes`` with the entity's table
         name. The reference's consumers poll the Postgres tables (or bolt
         logical decoding onto them) to feed downstream marts; this is
         that capability native to the store: O(changed buckets), with
-        compaction/rebucketing invisible. See ``consume_changes`` for
-        the managed-cursor form."""
-        return self.store.read_changes(entity, since_ms, until_ms=until_ms)
+        compaction invisible. See ``consume_changes`` for the
+        managed-cursor form. A rebucket inside the window raises unless
+        ``allow_full_diff=True`` (the explicit O(table) recovery path)."""
+        return self.store.read_changes(
+            entity, since_ms, until_ms=until_ms, allow_full_diff=allow_full_diff
+        )
 
     def read_changes_stream(self, entity: str, starting_commit_ms: int = 0) -> DataFrame:
         """The change feed as a Structured Streaming source: each
@@ -1152,7 +1161,13 @@ class StripeSparkSync:
         except FileNotFoundError:
             return {}
 
-    def consume_changes(self, consumer: str, entity: str, max_commits: int | None = None):
+    def consume_changes(
+        self,
+        consumer: str,
+        entity: str,
+        max_commits: int | None = None,
+        allow_full_diff: bool = False,
+    ):
         """At-least-once incremental consumption with a durable cursor:
         returns ``(changes_df, cursor_ms)`` — every change after the
         consumer's acknowledged position, up to and including the commit
@@ -1185,7 +1200,12 @@ class StripeSparkSync:
             until = pending[max_commits - 1]
         else:
             until = commits[-1]
-        return self.store.read_changes(entity, since, until_ms=until), until
+        return (
+            self.store.read_changes(
+                entity, since, until_ms=until, allow_full_diff=allow_full_diff
+            ),
+            until,
+        )
 
     def ack_changes(self, consumer: str, entity: str, cursor_ms: int) -> None:
         """Durably advance ``consumer``'s cursor on ``entity`` to

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -105,11 +106,16 @@ def test_maintenance_is_invisible_to_the_feed(spark, tmp_path):
     t_after_rewrite = store.commits("t")[-1]
     store.compact("t", max_files_per_bucket=1)
     assert store.read_changes("t", t_after_rewrite).count() == 0
-    # rebucket: bucket ids incomparable → full diff, still zero net rows
+    # rebucket: bucket ids incomparable → the batch feed fails loudly like
+    # the streaming source (a silent O(table) full diff at 100 TB is a trap)
     store.rebucket("t", 8)
-    assert store.read_changes("t", t_after_rewrite).count() == 0
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        store.read_changes("t", t_after_rewrite)
+    # explicit opt-in takes the full-diff recovery path: correct (O(table))
+    # and still net-empty — unchanged rows hash equal across the rebucket
+    assert store.read_changes("t", t_after_rewrite, allow_full_diff=True).count() == 0
     # and the no-op rewrite above is also invisible from t0 (k3→3 equal)
-    assert store.read_changes("t", t0).count() == 0
+    assert store.read_changes("t", t0, allow_full_diff=True).count() == 0
 
 
 def test_schema_migration_alignment(spark, tmp_path):
@@ -417,3 +423,35 @@ def test_streaming_change_feed_planning_units(spark, tmp_path):
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "rebucketed" in str(e)
+
+
+def test_change_feed_float_edge_parity(spark, tmp_path):
+    """Batch and streaming feeds share ONE float comparator convention:
+    Spark's hash expressions normalize floats (-0.0 → 0.0, NaN → canonical
+    NaN) before hashing, which equates exactly what the stream reader's
+    IEEE == plus isnan/isnan equates — so a 0.0 → -0.0 rewrite and an
+    unchanged-NaN row are silent on BOTH surfaces, while a real value
+    change surfaces on both."""
+    from stripe_sync_engine_spark.sources.store_datasource import build_changes_datasource
+
+    store = TableStore(spark, str(tmp_path / "wh_cdc_float"), vacuum_retain_s=3600.0)
+    mk = lambda rows: spark.createDataFrame(rows, "id string, v double")  # noqa: E731
+    store.write("t", mk([("zero", 0.0), ("nan", float("nan")), ("one", 1.0)]))
+    t0 = store.commits("t")[-1]
+    time.sleep(0.002)
+    store.write("t", mk([("zero", -0.0), ("nan", float("nan")), ("one", 2.0)]))
+    t1 = store.commits("t")[-1]
+
+    # batch surface: only the real change surfaces; -0.0 flip and NaN silent
+    batch = {r["id"]: r["_change_type"] for r in store.read_changes("t", t0).collect()}
+    assert batch == {"one": "update"}
+
+    # streaming surface: the SAME change set from the same window
+    cls = build_changes_datasource()
+    ds = cls(options={"root": store.root, "table": "t", "starting_commit_ms": "0"})
+    reader = ds.streamReader(ds.schema())
+    got = {}
+    for p in reader.partitions({"commit_ms": t0}, {"commit_ms": t1}):
+        for row in reader.read(p):
+            got[row[0]] = row[-1]
+    assert got == {"one": "update"}
