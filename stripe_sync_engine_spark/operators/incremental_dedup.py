@@ -125,6 +125,87 @@ def commit_fresh(store, table: str, fresh: DataFrame, key: str, manifest: dict) 
     )
 
 
+class FoldLedger:
+    """Durable registry of batch ids already folded into history — the
+    ENFORCED replay horizon for the foldable gate tables (span-dedup gram
+    counts, postings stats). ``fold_history`` commits the folded ids here
+    BEFORE rewriting the table, and ``register`` refuses ids the ledger
+    contains: a batch replayed after its per-batch rows were absorbed
+    into the ``_folded`` row would otherwise re-register and double-count
+    silently. A crash between the ledger commit and the fold is
+    conservative — the ids are refused for replay but their rows are
+    still per-batch (queries sum correctly); re-running the fold heals.
+
+    Compactness: streaming batch ids are ``<run_id>:<epoch>`` (epoch =
+    Spark's monotone micro-batch number), so the ledger collapses them to
+    one max-epoch entry per run; free-form ids (manual callers) are kept
+    verbatim. Size is O(runs + manual folds), not O(batches) — the same
+    growth bound the fold itself provides. One JSON file beside the
+    table, atomic replace, single-writer (folds serialize with their
+    table's maintenance, per the gates' external-serialization contract).
+    """
+
+    def __init__(self, store, table: str):
+        import os
+
+        self._path = os.path.join(store.root, table, "_folded_batches.json")
+
+    @staticmethod
+    def _split(batch_id: str) -> tuple[str, int] | None:
+        run, sep, epoch = batch_id.rpartition(":")
+        if sep and epoch.isdigit():
+            return run, int(epoch)
+        return None
+
+    def _load(self) -> dict:
+        import json
+
+        try:
+            with open(self._path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"runs": {}, "ids": []}
+
+    def contains(self, batch_id: str) -> bool:
+        led = self._load()
+        parts = self._split(batch_id)
+        if parts is not None:
+            run, epoch = parts
+            horizon = led["runs"].get(run)
+            if horizon is not None and epoch <= horizon:
+                return True
+        return batch_id in led["ids"]
+
+    def check_replayable(self, batch_id: str) -> None:
+        """Raise if ``batch_id`` lies behind the fold horizon."""
+        if self.contains(batch_id):
+            raise RuntimeError(
+                f"batch id {batch_id!r} was already folded into history "
+                f"({self._path}); re-registering it would double-count. "
+                "Replays are only valid within the fold horizon — drain "
+                "consumers past a batch before folding it."
+            )
+
+    def add_all(self, batch_ids) -> None:
+        import json
+        import os
+
+        led = self._load()
+        ids = set(led["ids"])
+        for b in batch_ids:
+            parts = self._split(b)
+            if parts is not None:
+                run, epoch = parts
+                led["runs"][run] = max(epoch, led["runs"].get(run, -1))
+            else:
+                ids.add(b)
+        led["ids"] = sorted(ids)
+        tmp = f"{self._path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(led, f)
+        os.replace(tmp, self._path)
+
+
 class IncrementalDeduper:
     """Exact-dedup gate over a persisted fingerprint table."""
 

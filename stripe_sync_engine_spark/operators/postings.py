@@ -25,8 +25,10 @@ Tables:
   touches strings.
 * ``_postings_stats`` (batch_id, n_docs, n_dl_docs, total_dl), bucketed
   by batch_id. BM25's corpus-level N and avgdl as per-batch increments,
-  summed at query time (the stats table has one row per batch — read
-  whole, it is tiny). ``n_dl_docs`` counts docs with non-NULL text so
+  summed at query time. One row per batch BETWEEN FOLDS — a long-lived
+  deployment runs ``fold_stats`` once its replay horizon passes, which
+  collapses history to one ``_folded`` row and durably refuses replays
+  of the folded batch ids (``incremental_dedup.FoldLedger``). ``n_dl_docs`` counts docs with non-NULL text so
   avgdl = total_dl/n_dl_docs matches the one-shot scan's ``avg(dl)``
   exactly (count(*)/avg treat NULL text differently, and the parity
   contract mirrors that).
@@ -50,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stripe_sync_engine_spark.operators.incremental_dedup import (
+    FoldLedger,
     anti_probe,
     commit_fresh,
     with_occ_retry,
@@ -96,8 +99,71 @@ class PersistedPostingsIndex:
     def register(self, batch: DataFrame, batch_id: str) -> None:
         """Durably add the batch's postings + stats increment. Idempotent
         per (term_h, doc_id) and per stats batch_id — replays and
-        half-committed crashes heal."""
+        half-committed crashes heal. Raises if ``batch_id`` was already
+        absorbed by ``fold_stats`` (the enforced replay horizon: a folded
+        batch's stats row is gone, so the anti-probe would re-admit its
+        increment and inflate N/avgdl silently)."""
+        FoldLedger(self.store, self.stats_table).check_replayable(batch_id)
         with_occ_retry(lambda: self._register_once(batch, batch_id))
+
+    def fold_stats(self, into_batch_id: str = "_folded") -> None:
+        """Collapse the per-batch stats rows into ONE ``into_batch_id``
+        row — ``_postings_stats`` otherwise grows a row per registered
+        batch forever (reads are whole-table, so millions of micro-batches
+        would eventually hurt). The postings rows themselves never need
+        folding: they are keyed (term_h, doc_id), not per-batch.
+
+        Horizon contract, enforced like the span gate's ``fold_history``:
+        folded batch ids are committed to a durable ledger BEFORE the
+        rewrite and ``register`` refuses them afterwards; a crash between
+        ledger and fold is conservative (ids refused, rows still
+        per-batch — query-time SUM is unchanged; re-running heals)."""
+        store = self.store
+        if not store.exists(self.stats_table):
+            return
+        ledger = FoldLedger(store, self.stats_table)
+
+        def body():
+            manifest = store._read_manifest(self.stats_table)
+            all_buckets = sorted(int(b) for b in manifest["buckets"])
+            if not all_buckets:
+                return
+            rows = self._stats_with_schema(
+                store._scan_manifest(self.stats_table, manifest, all_buckets)
+            )
+            folded_ids = [
+                r["batch_id"]
+                for r in rows.select("batch_id").distinct().collect()
+                if r["batch_id"] != into_batch_id
+            ]
+            if not folded_ids:
+                return
+            ledger.add_all(folded_ids)
+            folded = (
+                rows.agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("n_dl_docs").cast("long").alias("n_dl_docs"),
+                    F.sum("total_dl").cast("long").alias("total_dl"),
+                )
+                .select(F.lit(into_batch_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
+                .localCheckpoint(eager=True)
+            )
+            # write set = every present bucket (cleared of per-batch rows)
+            # PLUS the _folded row's own bucket, which need not be among
+            # them — write_buckets only persists the buckets it is given.
+            write_set = sorted(
+                set(all_buckets)
+                | set(store.buckets_of(folded, key="batch_id", table=self.stats_table))
+            )
+            store.write_buckets(
+                self.stats_table,
+                folded,
+                write_set,
+                key="batch_id",
+                planned_versions=dict(manifest["buckets"]),
+            )
+
+        with_occ_retry(body)
 
     def _stats_with_schema(self, df: DataFrame) -> DataFrame:
         """Upgrade a legacy stats frame in place: tables written before

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stripe_sync_engine_spark.operators.incremental_dedup import (
+    FoldLedger,
     anti_probe,
     commit_fresh,
     with_occ_retry,
@@ -288,7 +289,10 @@ class IncrementalSpanDeduper:
         Idempotent per batch_id (replays commit nothing; a half-committed
         crash completes on replay). Distinct concurrent registrars
         serialize externally — batches are the unit, as for the other
-        gates."""
+        gates. Raises if ``batch_id`` was already absorbed by
+        ``fold_history`` (the enforced replay horizon — re-registering a
+        folded batch would double-count its grams)."""
+        FoldLedger(self.store, self.table).check_replayable(batch_id)
         with_occ_retry(lambda: self._register_once(batch, batch_id))
 
     def _register_once(self, batch: DataFrame, batch_id: str) -> None:
@@ -319,7 +323,9 @@ class IncrementalSpanDeduper:
         uses the PRE-clip counts — registration must too, so replays
         recognize the original content. The batch's own batch_id is
         excluded from the history side, making a replay return exactly
-        the first delivery's output."""
+        the first delivery's output. Folded batch ids are refused up
+        front (before any clipping work), like ``register``."""
+        FoldLedger(self.store, self.table).check_replayable(batch_id)
         spans = self.spans_in(batch, exclude_batch_id=batch_id)
         clipped = clip_repeated_spans(
             batch, spans, self.id_col, self.text_col
@@ -330,22 +336,34 @@ class IncrementalSpanDeduper:
     def fold_history(self, into_batch_id: str = "_folded") -> None:
         """Collapse all per-batch rows to one row per gram under
         ``into_batch_id`` — bounds table growth for long-lived
-        deployments. MUST only run once the replay horizon has passed:
-        a batch replayed after its rows were folded re-registers and
-        double-counts (conservative direction — over-marks spans — but
-        still a drift). Same contract as expiring a checkpoint."""
+        deployments. Only run once the replay horizon has passed (drain
+        consumers first — same contract as expiring a checkpoint); the
+        horizon is ENFORCED: the folded batch ids are committed to a
+        durable ledger BEFORE the rewrite, and ``register`` /
+        ``filter_batch`` refuse them afterwards instead of silently
+        double-counting (a crash between ledger and fold is conservative:
+        ids refused, rows still per-batch, re-running the fold heals)."""
         store, table = self.store, self.table
         if not store.exists(table):
             return
+        ledger = FoldLedger(store, table)
 
         def body():
             manifest = store._read_manifest(table)
             all_buckets = sorted(int(b) for b in manifest["buckets"])
             if not all_buckets:
                 return
+            rows = store._scan_manifest(table, manifest, all_buckets)
+            folded_ids = [
+                r["batch_id"]
+                for r in rows.select("batch_id").distinct().collect()
+                if r["batch_id"] != into_batch_id
+            ]
+            if not folded_ids:
+                return
+            ledger.add_all(folded_ids)
             folded = (
-                store._scan_manifest(table, manifest, all_buckets)
-                .groupBy("h")
+                rows.groupBy("h")
                 .agg(F.sum("n").cast("long").alias("n"))
                 .select("h", F.lit(into_batch_id).alias("batch_id"), "n")
                 .localCheckpoint(eager=True)

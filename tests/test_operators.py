@@ -1234,6 +1234,79 @@ def test_persisted_postings_matches_one_shot_bm25(spark, tmp_path, sf_dir):
     assert got2 == got
 
 
+def test_postings_fold_stats_horizon(spark, tmp_path):
+    """fold_stats collapses the per-batch stats rows to one _folded row
+    without moving any score, and ENFORCES its replay horizon: a folded
+    batch id re-registering raises instead of silently inflating N/avgdl;
+    post-fold batches register and query normally."""
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1)
+    b3 = docs.where(F.col("doc_id") % 3 == 2)
+    store = TableStore(spark, str(tmp_path / "wh_post_fold"))
+    idx = PersistedPostingsIndex(store)
+    idx.register(b1, "run:0")
+    idx.register(b2, "run:1")
+    terms = ["spark", "query", "join"]
+    before = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=25).collect()}
+    idx.fold_stats()
+    after = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=25).collect()}
+    assert after == before  # same N/avgdl → bit-identical scores
+    stats = store.read(idx.stats_table).collect()
+    assert [r["batch_id"] for r in stats] == ["_folded"]
+    with _pytest.raises(RuntimeError, match="folded"):
+        idx.register(b1, "run:0")
+    # post-fold registration works and the query sees the new docs
+    idx.register(b3, "run:2")
+    assert store.read(idx.stats_table).count() == 2  # _folded + run:2
+    full = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_post_all")))
+    full.register(docs, "all")
+    want = {r["doc_id"]: r["score"] for r in full.topk(terms, k=25).collect()}
+    got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=25).collect()}
+    assert set(got) == set(want)
+    import math
+
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-9)
+
+
+def test_postings_long_horizon_lifecycle(spark, tmp_path):
+    """Steady-state postings lifecycle at depth: many micro-batches with
+    stats folds interleaved stay score-identical to a one-shot index
+    build (depth is bounded by Spark's fixed per-job latency — the shape,
+    register → fold → register → fold, is what's under test)."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    n_batches, fold_every = 8, 3
+    store = TableStore(spark, str(tmp_path / "wh_post_long"))
+    idx = PersistedPostingsIndex(store)
+    for i in range(n_batches):
+        idx.register(docs.where(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i), f"run:{i}")
+        if (i + 1) % fold_every == 0:
+            idx.fold_stats()
+    full = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_post_full")))
+    full.register(docs, "all")
+    terms = ["spark", "query", "join"]
+    got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=25).collect()}
+    want = {r["doc_id"]: r["score"] for r in full.topk(terms, k=25).collect()}
+    assert set(got) == set(want) and got
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-9)
+    # stats stayed bounded: one _folded row + the unfolded tail
+    assert store.read(idx.stats_table).count() <= 1 + (n_batches % fold_every or fold_every)
+
+
 def test_persisted_postings_bucket_pruned_read(spark, tmp_path):
     """The query reads only the buckets its term hashes land in — not
     the whole postings table."""

@@ -258,6 +258,41 @@ def test_fold_history_preserves_decisions(spark, tmp_path):
     assert batch_ids == {"_folded"}
 
 
+def test_fold_history_enforces_replay_horizon(spark, tmp_path):
+    """The fold horizon is code, not documentation: a batch replayed after
+    its rows were folded fails loudly (it would double-count), while
+    batches registered after the fold replay convergently as before. Run-
+    namespaced ids (<run>:<epoch>, the streaming scheme) fold to a compact
+    per-run horizon — later epochs of the same run stay replayable."""
+    store = TableStore(spark, str(tmp_path / "wh_span_h"))
+    gate = IncrementalSpanDeduper(store, k=3)
+    gate.register(_b1(spark), "run1:0")
+    gate.register(_b2(spark), "run1:1")
+    probe = _docs(spark, [(40, "w1 w2 w3 w4 w5 probe")])
+    before = _spans(gate.spans_in(probe))
+    gate.fold_history()
+    assert _spans(gate.spans_in(probe)) == before  # decisions preserved
+    # out-of-horizon replays: loud failure on both entry points
+    with pytest.raises(RuntimeError, match="folded"):
+        gate.register(_b1(spark), "run1:0")
+    with pytest.raises(RuntimeError, match="folded"):
+        gate.filter_batch(_b2(spark), "run1:1")
+    # in-horizon: post-fold epochs of the SAME run register + replay fine
+    b3 = _docs(spark, [(50, "x1 x2 x3 x4")])
+    out1 = {r["doc_id"]: r["text"] for r in gate.filter_batch(b3, "run1:2").collect()}
+    out2 = {r["doc_id"]: r["text"] for r in gate.filter_batch(b3, "run1:2").collect()}
+    assert out2 == out1
+    # a second fold advances the run horizon over the new epoch too
+    gate.fold_history()
+    with pytest.raises(RuntimeError, match="folded"):
+        gate.register(b3, "run1:2")
+    # free-form (non-namespaced) ids are refused verbatim after folding
+    gate.register(b3, "manual-batch")
+    gate.fold_history()
+    with pytest.raises(RuntimeError, match="folded"):
+        gate.register(b3, "manual-batch")
+
+
 # ---- property tests -----------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings
@@ -382,3 +417,47 @@ def test_checkpoint_run_id_rejects_empty_debris(tmp_path):
     rid = _checkpoint_run_id(ckpt)
     assert rid
     assert _checkpoint_run_id(ckpt) == rid
+
+
+def test_long_horizon_register_fold_register_lifecycle(spark, tmp_path):
+    """Steady-state lifecycle at depth: many micro-batches with folds
+    interleaved (register → fold → register → fold → …) stay exactly
+    equivalent to a single one-shot build — span decisions AND clipped
+    output — and every fold's horizon keeps being enforced. This is the
+    multi-year-deployment shape compressed: state folds never lose or
+    double a count."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.span_dedup import repeated_spans
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    n_batches, fold_every = 12, 5
+    store = TableStore(spark, str(tmp_path / "wh_span_long"))
+    gate = IncrementalSpanDeduper(store, k=8)
+    seen = None
+    for i in range(n_batches):
+        b = docs.where(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i)
+        gate.register(b, f"run:{i}")
+        seen = b if seen is None else seen.unionByName(b)
+        if (i + 1) % fold_every == 0:
+            gate.fold_history()
+    # probe batch: fresh doc ids, text sampled from the corpus (so spans hit)
+    probe = docs.where(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    got = _spans(gate.spans_in(probe))
+    want = _spans(
+        repeated_spans(
+            seen.unionByName(probe), k=8, min_repeats=2
+        ).join(probe.select("doc_id"), "doc_id", "left_semi")
+    )
+    assert got == want and got  # non-trivial: the probe really repeats
+    # horizon still enforced after multiple folds
+    with pytest.raises(RuntimeError, match="folded"):
+        gate.register(docs.limit(1), "run:3")
+    # and the final fold collapses everything registered so far
+    gate.fold_history()
+    ids = {r["batch_id"] for r in store.read(gate.table).select("batch_id").distinct().collect()}
+    assert ids == {"_folded"}
