@@ -475,7 +475,7 @@ RESIZED_SCHEMA = "doc_id long, src_w long, src_h long, out_w long, out_h long, o
 
 FRAME_BYTES = 64  # fake "frame" length within a binary payload
 FRAME_STRIDE = 4  # sample every 4th frame
-FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_sig int"
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_size long, frame_sig int"
 
 FEATURES_SCHEMA = (
     "doc_id long, n_bytes long, n_digit long, n_upper long, n_lower long, n_space long, n_other long"
@@ -539,23 +539,164 @@ def resize_binary(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
     return df.mapInPandas(_build_resizer(id_col, bin_col), schema=RESIZED_SCHEMA)
 
 
+def _build_mp4_frame_walker():
+    """Pure-stdlib ISO-BMFF (ISO/IEC 14496-12 §8.7) sample-table walk:
+    ``frame_table(payload) -> [(offset, size), ...]`` — every sample's
+    REAL byte extent in the file, from the first trak carrying a complete
+    stbl. stsz gives per-sample sizes (or one constant size), stsc maps
+    chunks to samples-per-chunk runs, stco/co64 give chunk file offsets;
+    a sample's offset is its chunk's offset plus the sizes of the
+    preceding samples in that chunk. Frame LOCATION therefore needs no
+    media decoder — pixel DECODE remains the ffmpeg/PIL seam. Raises
+    ``ValueError`` on truncation or an inconsistent table (the module's
+    failure-row convention). Nested so cloudpickle ships it by value."""
+
+    def frame_table(payload: bytes) -> list:
+        import struct
+
+        def boxes(buf: bytes, i: int, end: int):
+            while i + 8 <= end:
+                (size,) = struct.unpack(">I", buf[i : i + 4])
+                btype = buf[i + 4 : i + 8]
+                body = i + 8
+                min_size = 8
+                if size == 1:
+                    if i + 16 > end:
+                        raise ValueError("truncated largesize box")
+                    (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                    body = i + 16
+                    min_size = 16
+                elif size == 0:
+                    size = end - i
+                if size < min_size or i + size > end:
+                    raise ValueError("truncated mp4 box")
+                yield btype, body, i + size
+                i += size
+
+        def child(buf, i, end, btype):
+            for t, b, e in boxes(buf, i, end):
+                if t == btype:
+                    return b, e
+            return None
+
+        def full_body(buf, b, e):  # skip a FullBox's version/flags word
+            if b + 4 > e:
+                raise ValueError("truncated full box")
+            return b + 4, e
+
+        moov = child(payload, 0, len(payload), b"moov")
+        if moov is None:
+            raise ValueError("mp4 missing moov")
+        for ttype, tbody, tend in boxes(payload, *moov):
+            if ttype != b"trak":
+                continue
+            stbl = None
+            mdia = child(payload, tbody, tend, b"mdia")
+            if mdia:
+                minf = child(payload, *mdia, b"minf")
+                if minf:
+                    stbl = child(payload, *minf, b"stbl")
+            if stbl is None:
+                continue
+            stsz = child(payload, *stbl, b"stsz")
+            stsc = child(payload, *stbl, b"stsc")
+            stco = child(payload, *stbl, b"stco")
+            wide = 4
+            if stco is None:
+                stco = child(payload, *stbl, b"co64")
+                wide = 8
+            if stsz is None or stsc is None or stco is None:
+                continue  # not a complete table (e.g. an empty hint track)
+            b, e = full_body(payload, *stsz)
+            if b + 8 > e:
+                raise ValueError("truncated stsz")
+            const_size, n_samples = struct.unpack(">II", payload[b : b + 8])
+            if const_size == 0:
+                if b + 8 + 4 * n_samples > e:
+                    raise ValueError("truncated stsz entries")
+                sizes = list(
+                    struct.unpack(f">{n_samples}I", payload[b + 8 : b + 8 + 4 * n_samples])
+                )
+            else:
+                sizes = [const_size] * n_samples
+            b, e = full_body(payload, *stsc)
+            (n_runs,) = struct.unpack(">I", payload[b : b + 4])
+            if b + 4 + 12 * n_runs > e:
+                raise ValueError("truncated stsc entries")
+            runs = [
+                struct.unpack(">III", payload[b + 4 + 12 * r : b + 16 + 12 * r])
+                for r in range(n_runs)
+            ]
+            b, e = full_body(payload, *stco)
+            (n_chunks,) = struct.unpack(">I", payload[b : b + 4])
+            if b + 4 + wide * n_chunks > e:
+                raise ValueError("truncated stco entries")
+            fmt = ">Q" if wide == 8 else ">I"
+            offs = [
+                struct.unpack(fmt, payload[b + 4 + wide * c : b + 4 + wide * (c + 1)])[0]
+                for c in range(n_chunks)
+            ]
+            out, s = [], 0
+            for c in range(1, n_chunks + 1):
+                spc = 0
+                for first, per, _desc in runs:
+                    if first <= c:
+                        spc = per
+                    else:
+                        break
+                pos = offs[c - 1]
+                for _ in range(spc):
+                    if s >= n_samples:
+                        raise ValueError("stsc assigns more samples than stsz has")
+                    if pos + sizes[s] > len(payload):
+                        raise ValueError("sample extends past payload")
+                    out.append((pos, sizes[s]))
+                    pos += sizes[s]
+                    s += 1
+            if s != n_samples:
+                raise ValueError("sample table inconsistent (unassigned samples)")
+            return out
+        raise ValueError("mp4 has no trak with a complete stbl")
+
+    return frame_table
+
+
 def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """Frame sampling: treat the payload as FRAME_BYTES-sized frames, emit
-    one row per FRAME_STRIDE-th frame — a row-EXPANDING mapInPandas (the
-    UDTF shape; ffmpeg frame extraction has the same fan-out). Each output
-    row carries the frame's offset and a deterministic signature byte
-    (md5 of the frame bytes — the stand-in for a real thumbnail/phash)."""
+    """Frame sampling: emit one row per FRAME_STRIDE-th frame — a
+    row-EXPANDING mapInPandas (the UDTF shape; ffmpeg frame extraction
+    has the same fan-out). ISO-BMFF payloads get REAL frames: the
+    stsz/stsc/stco sample-table walk yields each sample's true byte
+    (offset, size) — no decoder needed for frame LOCATION (pixel decode
+    stays the ffmpeg/PIL seam; unparseable containers contribute no rows,
+    the failure-row convention). Any other payload keeps the fixed
+    FRAME_BYTES framing (the deterministic stand-in the driver oracle
+    mirrors over text). Each row carries a signature byte (md5 of the
+    frame bytes — the stand-in for a real thumbnail/phash)."""
+    frame_table = _build_mp4_frame_walker()
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame_idx", "frame_off", "frame_size", "frame_sig"]
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                payload = bytes(payload)
+                if len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    try:
+                        table = frame_table(payload)
+                    except ValueError:
+                        continue  # failure row convention: no rows
+                    for idx in range(0, len(table), FRAME_STRIDE):
+                        off, size = table[idx]
+                        seg = payload[off : off + size]
+                        sig = int(hashlib.md5(seg).hexdigest()[:2], 16)
+                        rows.append((doc_id, idx, off, size, sig))
+                    continue
                 n_frames = len(payload) // FRAME_BYTES
                 for idx in range(0, n_frames, FRAME_STRIDE):
                     seg = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
                     sig = int(hashlib.md5(seg).hexdigest()[:2], 16)
-                    rows.append((doc_id, idx, idx * FRAME_BYTES, sig))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_off", "frame_sig"])
+                    rows.append((doc_id, idx, idx * FRAME_BYTES, len(seg), sig))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)
 

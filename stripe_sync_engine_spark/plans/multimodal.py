@@ -206,6 +206,7 @@ def mm_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                CAST(frame_idx * 64 AS BIGINT) AS frame_off,
+               CAST(64 AS BIGINT) AS frame_size,
                CAST((strpos('{_HEX}', substr(md5(substr(text, frame_idx * 64 + 1, 64)), 1, 1)) - 1) * 16
                     + (strpos('{_HEX}', substr(md5(substr(text, frame_idx * 64 + 1, 64)), 2, 1)) - 1) AS INTEGER) AS frame_sig
         FROM f
@@ -214,10 +215,13 @@ def mm_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="TDP-multimodal-frames",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: row-expanding mapInPandas (every 4th 64-byte
-    'frame' → one output row with a signature byte) — the ffmpeg
-    frame-extract shape. Oracle mirrors the framing arithmetic over the
-    ASCII text (bytes == chars for this corpus)."""
+    """Frame sampling: row-expanding mapInPandas (every 4th frame → one
+    output row with byte extent + signature) — the ffmpeg frame-extract
+    shape. ISO-BMFF payloads get REAL frame offsets/sizes from the
+    stsz/stsc/stco sample-table walk (functions/multimodal, pytest
+    round-trip on synthesized containers); this driver row feeds text
+    payloads, exercising the fixed-64-byte framing the oracle mirrors
+    over the ASCII text (bytes == chars for this corpus)."""
     from stripe_sync_engine_spark.functions.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents").select(

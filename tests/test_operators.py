@@ -2,6 +2,7 @@
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from stripe_sync_engine_spark.operators.range_join import interval_range_join
@@ -473,6 +474,96 @@ def test_probe_media_mp4_box_walk(spark):
     assert a["duration_ms"] == 1200 * 1000.0 / 600
     assert rows[3]["format"] is None
     assert rows[4]["format"] is None
+
+
+def _mp4_with_samples(frames, chunk_counts, co64=False):
+    """Synthesized fragless MP4 with REAL sample tables: ftyp + mdat
+    (frames laid out consecutively, grouped into chunks of the given
+    counts) + moov/trak/mdia/minf/stbl{stsz,stsc,stco|co64}. Returns
+    (payload, [(offset, size) per frame])."""
+    import struct
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def full(t, body):
+        return box(t, bytes(4) + body)
+
+    assert sum(chunk_counts) == len(frames)
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    data = b"".join(frames)
+    mdat = box(b"mdat", data)
+    base = len(ftyp) + 8  # first frame byte inside mdat
+    expected, offs, pos, fi = [], [], base, 0
+    for cnt in chunk_counts:
+        offs.append(pos)
+        for _ in range(cnt):
+            expected.append((pos, len(frames[fi])))
+            pos += len(frames[fi])
+            fi += 1
+    # stsc runs: compress consecutive equal samples-per-chunk counts
+    runs = []
+    for c, cnt in enumerate(chunk_counts, start=1):
+        if not runs or runs[-1][1] != cnt:
+            runs.append((c, cnt, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", len(runs)) + b"".join(struct.pack(">III", *r) for r in runs),
+    )
+    if co64:
+        stco = full(
+            b"co64",
+            struct.pack(">I", len(offs)) + b"".join(struct.pack(">Q", o) for o in offs),
+        )
+    else:
+        stco = full(
+            b"stco",
+            struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs),
+        )
+    stbl = box(b"stbl", stsz + stsc + stco)
+    tkhd = box(b"tkhd", bytes(76) + struct.pack(">II", 320 << 16, 240 << 16))
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", stbl)))
+    mvhd = box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 600, 1200) + bytes(80))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, expected
+
+
+@pytest.mark.parametrize("co64", [False, True])
+def test_mp4_sample_table_round_trip(spark, co64):
+    """sample_frames on a synthesized MP4 emits the REAL per-frame byte
+    extents from the stsz/stsc/stco (or co64) walk — the exact (offset,
+    size) pairs the builder placed in mdat, with signatures over the true
+    frame bytes. An ftyp payload without a usable sample table yields no
+    rows (failure-row convention)."""
+    import hashlib
+
+    from stripe_sync_engine_spark.functions.multimodal import (
+        _build_mp4_frame_walker,
+        sample_frames,
+    )
+
+    frames = [bytes([i]) * (20 + 7 * i) for i in range(9)]  # varied sizes
+    payload, expected = _mp4_with_samples(frames, [2, 2, 4, 1], co64=co64)
+    # the walker itself: every frame, exact extents
+    assert _build_mp4_frame_walker()(payload) == expected
+    # the operator: every FRAME_STRIDE-th frame with true offset/size/sig
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(_mp4_bytes(600, 1200, 320, 240)))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(sample_frames(df).collect(), key=lambda r: r["frame_idx"])
+    assert [r["doc_id"] for r in rows] == [1, 1, 1]  # doc 2: no stbl → no rows
+    assert [(r["frame_idx"], r["frame_off"], r["frame_size"]) for r in rows] == [
+        (i, *expected[i]) for i in (0, 4, 8)
+    ]
+    for r in rows:
+        want = int(hashlib.md5(frames[r["frame_idx"]]).hexdigest()[:2], 16)
+        assert r["frame_sig"] == want
 
 
 def test_audio_windows_segments_and_window_local_stats(spark):
