@@ -52,6 +52,54 @@ DOCUMENT_SCHEMA = StructType(
 
 CORPUS_TABLE = "corpus_documents"
 
+FUNNEL_FILE = "funnel_metrics.jsonl"
+FUNNEL_GATES = (
+    "input",
+    "quality_cut",
+    "lm_cut",
+    "contaminated",
+    "span_dropped",
+    "exact_dup",
+    "near_dup",
+    "inserted",
+)
+
+
+def _append_funnel(checkpoint_dir: str, record: dict) -> None:
+    """Durable per-batch funnel record (single writer: the stream's own
+    serial foreachBatch). Appended AFTER the batch's final register, so a
+    line always describes a completed batch; a replayed batch appends a
+    second line with the same batch_id — last wins (read_funnel_metrics
+    collapses them)."""
+    import json
+    import os
+
+    with open(os.path.join(checkpoint_dir, FUNNEL_FILE), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def read_funnel_metrics(checkpoint_dir: str) -> list[dict]:
+    """Per-batch gate counts for a stream started with
+    ``funnel_metrics=True``, in batch order, replays collapsed (last
+    line per batch_id wins). Each record satisfies
+    ``input == quality_cut + lm_cut + contaminated + span_dropped +
+    exact_dup + near_dup + inserted`` — where a 100 TB operator sees
+    documents die. ``span_clipped_docs`` counts surviving docs that lost
+    at least one span (they continue down the funnel)."""
+    import json
+    import os
+
+    path = os.path.join(checkpoint_dir, FUNNEL_FILE)
+    if not os.path.exists(path):
+        return []
+    by_batch: dict = {}
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                rec = json.loads(line)
+                by_batch[rec["batch_id"]] = rec
+    return [by_batch[b] for b in sorted(by_batch)]
+
 
 def _merge_documents(store, table: str, rows: DataFrame) -> int:
     """Keyed idempotent append: insert rows whose doc_id the sink has not
@@ -178,6 +226,7 @@ def start_document_stream(
     lm_min_score: float | None = None,
     span_k: int | None = None,
     span_min_repeats: int = 2,
+    funnel_metrics: bool = False,
 ) -> StreamingQuery:
     """JSON-lines document files → (optional) decontamination gate →
     exact gate → (optional) near gate → keyed merge into
@@ -219,6 +268,14 @@ def start_document_stream(
     dedup gates fingerprint it; fully-clipped docs drop. It runs after
     decontamination (clipping first could cut exactly the benchmark
     grams and sneak a contaminated doc through) and registers the
+    ``funnel_metrics=True`` records one JSON line per completed batch
+    (``read_funnel_metrics``) with where its documents died: quality cut,
+    LM cut, contaminated, span-dropped, exact dup, near dup, inserted —
+    the observability a 100 TB operator needs to see which gate is eating
+    the corpus. Counting costs a few extra jobs per batch, but each
+    counts an already-materialized (localCheckpoint'ed) frame or a
+    single-pass aggregate, never a recomputation of a gate.
+
     PRE-clip gram counts just before the exact register. Replay-stable
     by construction: ``spans_in`` excludes the batch's own batch_id, so
     a replayed batch clips identically and the downstream selects see
@@ -262,7 +319,17 @@ def start_document_stream(
             from stripe_sync_engine_spark.streaming.pipeline import vacuum_landing_zone
 
             vacuum_landing_zone(landing_dir, checkpoint_dir)
+        # Funnel counts ride the frames the pipeline materializes anyway
+        # (localCheckpoint'ed), so each gate costs one cached count or one
+        # single-pass aggregate — never a gate recomputation.
+        funnel = None
+        if funnel_metrics:
+            funnel = dict.fromkeys(FUNNEL_GATES, 0)
+            funnel["batch_id"] = int(batch_id)
+            funnel["span_clipped_docs"] = 0
         if batch_df.isEmpty():
+            if funnel is not None:
+                _append_funnel(checkpoint_dir, funnel)
             return
         keep = F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         toks = F.split(F.col("text"), " ")
@@ -275,6 +342,12 @@ def start_document_stream(
                 >= quality_min_diversity
             )
         gated = batch_df.where(keep)
+        n_gated = None
+        if funnel is not None:
+            gated = gated.localCheckpoint(eager=True)
+            funnel["input"] = batch_df.count()
+            n_gated = gated.count()
+            funnel["quality_cut"] = funnel["input"] - n_gated
         if lm_model is not None and lm_min_score is not None:
             from stripe_sync_engine_spark.functions.ngram_lm import score_documents
 
@@ -287,7 +360,13 @@ def start_document_stream(
         docs = gated.localCheckpoint(
             eager=True
         )  # one deterministic snapshot feeds every gate
+        n_prev = None
+        if funnel is not None:
+            n_prev = docs.count()
+            funnel["lm_cut"] = n_gated - n_prev
         if docs.isEmpty():
+            if funnel is not None:
+                _append_funnel(checkpoint_dir, funnel)
             return
         # SELECT (pure, pre-batch gate state) → SINK MERGE → REGISTER —
         # the crash-ordering argument in the module docstring. Survivors
@@ -295,6 +374,11 @@ def start_document_stream(
         # the gate tables) never re-evaluates a lineage over them.
         if contam is not None:
             docs = contam.select_clean(docs)
+            if funnel is not None:
+                docs = docs.localCheckpoint(eager=True)
+                n_clean = docs.count()
+                funnel["contaminated"] = n_prev - n_clean
+                n_prev = n_clean
         span_docs = None
         if span_gate is not None:
             from stripe_sync_engine_spark.operators.span_dedup import (
@@ -304,25 +388,50 @@ def start_document_stream(
             # The POST-contam, PRE-clip batch is both the clip input and
             # (below) what registers — replays must re-derive the same
             # counts the first delivery recorded. `docs` is already an
-            # eager checkpoint; only the contamination select adds
-            # lineage worth snapshotting again.
-            span_docs = docs if contam is None else docs.localCheckpoint(eager=True)
+            # eager checkpoint (always, or via the funnel's contam count);
+            # only an uncounted contamination select adds lineage worth
+            # snapshotting again.
+            span_docs = (
+                docs
+                if contam is None or funnel is not None
+                else docs.localCheckpoint(eager=True)
+            )
             span_batch = f"{span_run_id}:{batch_id}"
             spans = span_gate.spans_in(span_docs, exclude_batch_id=span_batch)
-            docs = (
-                clip_repeated_spans(span_docs, spans)
-                .drop("tokens_clipped")
-                .where(F.col("text") != "")
-            )
+            clipped = clip_repeated_spans(span_docs, spans)
+            if funnel is not None:
+                clipped = clipped.localCheckpoint(eager=True)
+                s = clipped.agg(
+                    F.count(F.when(F.col("text") == "", 1)).alias("ndrop"),
+                    F.count(
+                        F.when(
+                            (F.col("tokens_clipped") > 0) & (F.col("text") != ""), 1
+                        )
+                    ).alias("nclip"),
+                ).collect()[0]
+                funnel["span_dropped"] = s["ndrop"]
+                funnel["span_clipped_docs"] = s["nclip"]
+                n_prev -= s["ndrop"]
+            docs = clipped.drop("tokens_clipped").where(F.col("text") != "")
         survivors = exact.select_new(docs)
         near_rows = None
         if near_threshold is not None:
             # ONE signature materialization feeds the near select AND the
             # near register below (shingling is the batch-side cost)
             survivors = survivors.localCheckpoint(eager=True)
+            if funnel is not None:
+                n_exact = survivors.count()
+                funnel["exact_dup"] = n_prev - n_exact
+                n_prev = n_exact
             near_rows = near._band_rows(survivors).localCheckpoint(eager=True)
             survivors = near.select_new(survivors, _rows=near_rows)
         survivors = survivors.localCheckpoint(eager=True)
+        if funnel is not None:
+            funnel["inserted"] = survivors.count()
+            if near_threshold is not None:
+                funnel["near_dup"] = n_prev - funnel["inserted"]
+            else:
+                funnel["exact_dup"] = n_prev - funnel["inserted"]
         _merge_documents(store, corpus_table, survivors)
         # exact LAST: its select governs replay passage, so everything
         # before it must already be idempotent when it finally commits
@@ -338,6 +447,10 @@ def start_document_stream(
             # as a no-op-or-heal.
             span_gate.register(span_docs, f"{span_run_id}:{batch_id}")
         exact.register(survivors)
+        if funnel is not None:
+            # AFTER the final register: a funnel line always describes a
+            # COMPLETED batch (a replay appends its own line; last wins).
+            _append_funnel(checkpoint_dir, funnel)
 
     raw = (
         spark.readStream.schema(DOCUMENT_SCHEMA)

@@ -511,3 +511,78 @@ def test_document_stream_with_span_gate(spark, tmp_path):
     assert 11 not in corpus                            # fully clipped -> dropped
     assert corpus[12] == "more brand new material again"
     assert corpus[1] == f"intro words here {boiler}"   # the kept-first copy survives
+
+
+def test_document_stream_funnel_metrics(spark, tmp_path):
+    """funnel_metrics=True records where every document died, and the
+    counts match the gate outcomes exactly on a batch engineered to lose
+    documents at each stage (quality, span-drop, exact, near) — with the
+    conservation invariant input == sum of cuts + inserted."""
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import (
+        read_funnel_metrics,
+        start_document_stream,
+    )
+
+    landing = tmp_path / "funnel_landing"
+    ckpt = tmp_path / "funnel_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_funnel"))
+    boiler = "subscribe to our newsletter for updates today"
+    x = "unique exact target content words aplenty for duplication testing purposes"
+    y = "another base document with plenty of filler words to be nearly copied later"
+
+    def land(name, rows):
+        (landing / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def run():
+        start_document_stream(
+            store,
+            str(landing),
+            str(ckpt),
+            near_threshold=0.6,
+            quality_min_tokens=3,
+            span_k=3,
+            span_min_repeats=3,
+            funnel_metrics=True,
+        ).awaitTermination()
+
+    land("b1.jsonl", [
+        {"doc_id": 1, "text": f"{boiler} alpha beta gamma delta epsilon zeta", "source": "web"},
+        {"doc_id": 2, "text": f"{boiler} omicron pi rho sigma tau upsilon", "source": "web"},
+        {"doc_id": 3, "text": x, "source": "web"},
+        {"doc_id": 4, "text": y, "source": "web"},
+    ])
+    run()
+    land("b2.jsonl", [
+        {"doc_id": 20, "source": "t"},                                   # null text
+        {"doc_id": 21, "text": "tiny text", "source": "t"},              # < 3 tokens
+        {"doc_id": 22, "text": boiler, "source": "t"},                   # pure boilerplate (3rd sighting)
+        {"doc_id": 23, "text": f"{boiler} completely novel trailing commentary here", "source": "t"},
+        {"doc_id": 24, "text": x, "source": "t"},                        # exact dup of 3
+        {"doc_id": 25, "text": f"{y} slightly altered", "source": "t"},  # near dup of 4
+        {"doc_id": 26, "text": "entirely fresh material on a wholly new topic never seen", "source": "t"},
+    ])
+    run()
+
+    recs = read_funnel_metrics(str(ckpt))
+    assert [r["batch_id"] for r in recs] == [0, 1]
+    for r in recs:  # conservation: every input doc died somewhere or landed
+        assert r["input"] == (
+            r["quality_cut"] + r["lm_cut"] + r["contaminated"]
+            + r["span_dropped"] + r["exact_dup"] + r["near_dup"] + r["inserted"]
+        )
+    b1, b2 = recs
+    assert b1["input"] == 4 and b1["inserted"] == 4
+    assert b2 == {
+        "batch_id": 1, "input": 7, "quality_cut": 2, "lm_cut": 0,
+        "contaminated": 0, "span_dropped": 1, "span_clipped_docs": 1,
+        "exact_dup": 1, "near_dup": 1, "inserted": 2,
+    }
+    # the corpus agrees with the funnel's verdicts
+    corpus = {r["doc_id"]: r["text"] for r in store.read("corpus_documents").collect()}
+    assert set(corpus) == {1, 2, 3, 4, 23, 26}
+    assert corpus[23] == "completely novel trailing commentary here"
