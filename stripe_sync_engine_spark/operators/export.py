@@ -287,6 +287,17 @@ def export_changed_shards(
         )
     if prev["id_col"] != id_col:
         raise ValueError(f"manifest id_col={prev['id_col']!r} != {id_col!r}")
+    # Column set AND order must match the manifest: touched shards would
+    # otherwise recompute their digests over the new column struct while
+    # untouched shards carry forward old-column digests — a mismatch that
+    # only surfaces later as a confusing verify_export failure. A reshaped
+    # corpus is a NEW export (run export_corpus_shards), not an increment.
+    if list(df.columns) != prev["columns"]:
+        raise ValueError(
+            f"column mismatch vs manifest: df has {list(df.columns)!r}, "
+            f"manifest recorded {prev['columns']!r}; a reordered or "
+            "reshaped projection requires a fresh export_corpus_shards"
+        )
     n_shards = int(prev["n_shards"])
     data_dir = os.path.join(out_dir, "data")
     the_id = changed_ids.columns[0]

@@ -468,6 +468,16 @@ class PersistedIVFPQ:
         self.id_col = id_col
 
     def register(self, vecs: DataFrame) -> None:
+        """APPEND-ONLY, IMMUTABLE-VECTOR contract: a vec_id's embedding
+        must never change across registrations. The anti-probe checks
+        vec_id only within the batch's OWN cell buckets (that locality is
+        what keeps registration O(batch) at any index size), so a
+        re-registered vector whose embedding moved to a different cell
+        would APPEND a second row while the stale code stays in the old
+        cell — topk could then return either. Replay idempotence holds
+        for byte-identical vectors only; to update a vector, rebuild the
+        index (retrain means rebuild — the class contract above), or
+        delete the old row out-of-band first."""
         from stripe_sync_engine_spark.operators.incremental_dedup import (
             anti_probe,
             commit_fresh,

@@ -149,6 +149,29 @@ def test_incremental_export_from_change_set(spark, sf_dir, tmp_path):
     del keep_id
 
 
+def test_incremental_export_rejects_reshaped_columns(spark, sf_dir, tmp_path):
+    """A reordered or widened projection must be a fresh export, not an
+    increment: touched shards would digest the new column struct while
+    untouched shards carry forward old-column digests — the mismatch
+    would only surface later as a confusing verify failure. Loud now."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.export import export_changed_shards
+
+    out = str(tmp_path / "exp")
+    docs = _docs(spark, sf_dir)
+    export_corpus_shards(docs, out, n_shards=N_SHARDS)
+    changed = docs.limit(1).select("doc_id")
+    reordered = docs.select(*reversed(docs.columns))
+    with pytest.raises(ValueError, match="column mismatch"):
+        export_changed_shards(reordered, out, changed)
+    widened = docs.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="column mismatch"):
+        export_changed_shards(widened, out, changed)
+    # the matching projection still works
+    assert export_changed_shards(docs, out, changed)["total_docs"] == docs.count()
+
+
 def test_incremental_export_noop_change_set(spark, sf_dir, tmp_path):
     from stripe_sync_engine_spark.operators.export import export_changed_shards
 
