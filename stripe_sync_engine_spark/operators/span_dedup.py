@@ -161,19 +161,57 @@ def clip_repeated_spans(
     clipped = (
         docs.join(agg, id_col, "left")
         .withColumn("_spans", F.coalesce(F.col("_spans"), F.array()))
-        # Bound column, not an inline expression: the keep-filter lambda
-        # references the token array per element (see repeated_spans).
+        # Bound column, not an inline expression: the lambdas below
+        # reference the token array per element (see repeated_spans).
         .withColumn("_toks", _tokens(text_col))
     )
-    kept = F.filter(
-        F.transform("_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda s: ~F.exists(
-            F.col("_spans"),
-            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
-        ),
+    # Keep the GAPS between spans instead of testing every token against
+    # every span: sort + defensively re-merge the intervals (the two
+    # producers emit disjoint merged intervals already — merge_positions —
+    # but this is a public function), then slice the token array between
+    # consecutive spans. Per doc that is O(spans² copies + tokens) with
+    # spans/doc small, replacing the interpreted per-token F.exists scan
+    # whose O(tokens × spans) bites on boilerplate-heavy corpora.
+    empty_spans = "CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
+    merged = F.aggregate(
+        F.array_sort("_spans"),
+        F.expr(empty_spans),
+        lambda acc, sp: F.when(
+            (F.size(acc) > 0)
+            & (sp["span_start"] <= F.element_at(acc, -1)["span_end"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["span_start"].alias("span_start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["span_end"], sp["span_end"]
+                        ).alias("span_end"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(sp))),
+    )
+    gap_starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform("_merged", lambda sp: sp["span_end"]),
+    )
+    gap_ends = F.concat(
+        F.transform("_merged", lambda sp: sp["span_start"]),
+        F.array(F.size("_toks").cast("long")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda a, b: F.slice(
+                F.col("_toks"), (a + 1).cast("int"), F.greatest(b - a, F.lit(0)).cast("int")
+            ),
+        )
     )
     return (
-        clipped.withColumn("_kept", kept)
+        clipped.withColumn("_merged", merged)
+        .withColumn("_kept", kept)
         .withColumn(
             "tokens_clipped",
             (F.size("_toks") - F.size("_kept")).cast("long"),
@@ -184,11 +222,11 @@ def clip_repeated_spans(
             # would normalize runs of whitespace, silently changing the
             # stored text (and its exact-dedup fingerprint) of documents
             # the operator never matched.
-            F.when(F.size("_spans") == 0, F.col(text_col)).otherwise(
-                F.array_join(F.transform("_kept", lambda s: s["t"]), " ")
+            F.when(F.size("_merged") == 0, F.col(text_col)).otherwise(
+                F.array_join("_kept", " ")
             ),
         )
-        .drop("_spans", "_toks", "_kept")
+        .drop("_spans", "_merged", "_toks", "_kept")
     )
 
 
