@@ -607,6 +607,11 @@ def _build_mp4_frame_walker():
                 wide = 8
             if stsz is None or stsc is None or stco is None:
                 continue  # not a complete table (e.g. an empty hint track)
+            # Resource discipline: this walker runs over UNTRUSTED
+            # web-scale payloads gated only by an ftyp magic, so every
+            # declared count is validated against the byte extent that
+            # must contain it BEFORE any allocation — a crafted header
+            # must not be able to allocate GBs or loop unboundedly.
             b, e = full_body(payload, *stsz)
             if b + 8 > e:
                 raise ValueError("truncated stsz")
@@ -618,8 +623,14 @@ def _build_mp4_frame_walker():
                     struct.unpack(f">{n_samples}I", payload[b + 8 : b + 8 + 4 * n_samples])
                 )
             else:
+                # the samples must physically fit in the file: bounds the
+                # list allocation by the payload the caller already holds
+                if n_samples * const_size > len(payload):
+                    raise ValueError("stsz declares more sample bytes than the payload")
                 sizes = [const_size] * n_samples
             b, e = full_body(payload, *stsc)
+            if b + 4 > e:
+                raise ValueError("truncated stsc")
             (n_runs,) = struct.unpack(">I", payload[b : b + 4])
             if b + 4 + 12 * n_runs > e:
                 raise ValueError("truncated stsc entries")
@@ -627,7 +638,11 @@ def _build_mp4_frame_walker():
                 struct.unpack(">III", payload[b + 4 + 12 * r : b + 16 + 12 * r])
                 for r in range(n_runs)
             ]
+            if any(runs[r][0] >= runs[r + 1][0] for r in range(len(runs) - 1)):
+                raise ValueError("stsc first_chunk not strictly ascending")
             b, e = full_body(payload, *stco)
+            if b + 4 > e:
+                raise ValueError("truncated stco")
             (n_chunks,) = struct.unpack(">I", payload[b : b + 4])
             if b + 4 + wide * n_chunks > e:
                 raise ValueError("truncated stco entries")
@@ -636,14 +651,15 @@ def _build_mp4_frame_walker():
                 struct.unpack(fmt, payload[b + 4 + wide * c : b + 4 + wide * (c + 1)])[0]
                 for c in range(n_chunks)
             ]
-            out, s = [], 0
+            # One pass over chunks with a run POINTER (ascending
+            # first_chunk proven above): O(n_chunks + n_runs + n_samples),
+            # never the per-chunk run rescan a hostile (n_chunks × n_runs)
+            # header could drive into 10^10 iterations.
+            out, s, r = [], 0, -1
             for c in range(1, n_chunks + 1):
-                spc = 0
-                for first, per, _desc in runs:
-                    if first <= c:
-                        spc = per
-                    else:
-                        break
+                while r + 1 < len(runs) and runs[r + 1][0] <= c:
+                    r += 1
+                spc = runs[r][1] if r >= 0 else 0
                 pos = offs[c - 1]
                 for _ in range(spc):
                     if s >= n_samples:
@@ -675,6 +691,8 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
     frame_table = _build_mp4_frame_walker()
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         cols = ["doc_id", "frame_idx", "frame_off", "frame_size", "frame_sig"]
         for pdf in batches:
             rows = []
@@ -683,8 +701,11 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
                 if len(payload) >= 12 and payload[4:8] == b"ftyp":
                     try:
                         table = frame_table(payload)
-                    except ValueError:
-                        continue  # failure row convention: no rows
+                    except (ValueError, _struct.error):
+                        # failure row convention: no rows. struct.error is
+                        # belt-and-braces — the walker guards every unpack,
+                        # but a malformed container must NEVER kill the task
+                        continue
                     for idx in range(0, len(table), FRAME_STRIDE):
                         off, size = table[idx]
                         seg = payload[off : off + size]

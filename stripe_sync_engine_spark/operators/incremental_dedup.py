@@ -136,12 +136,16 @@ class FoldLedger:
     conservative — the ids are refused for replay but their rows are
     still per-batch (queries sum correctly); re-running the fold heals.
 
-    Compactness: streaming batch ids are ``<run_id>:<epoch>`` (epoch =
-    Spark's monotone micro-batch number), so the ledger collapses them to
-    one max-epoch entry per run; free-form ids (manual callers) are kept
-    verbatim. Size is O(runs + manual folds), not O(batches) — the same
-    growth bound the fold itself provides. One JSON file beside the
-    table, atomic replace, single-writer (folds serialize with their
+    Id convention (ENFORCED, not just descriptive): any id of the form
+    ``<prefix>:<int>`` is treated as a run + epoch, and epochs MUST be
+    assigned monotonically per prefix — folding epoch N commits a per-run
+    horizon that refuses EVERY epoch <= N of that prefix, including ones
+    never registered (that is what keeps the ledger O(runs) instead of
+    O(batches); the streaming scheme ``<run_id>:<spark_batch_id>``
+    satisfies monotonicity by construction). A manual caller who wants
+    out-of-order ids must avoid the ``:<int>`` suffix — such free-form
+    ids are kept verbatim and refused individually. One JSON file beside
+    the table, atomic replace, single-writer (folds serialize with their
     table's maintenance, per the gates' external-serialization contract).
     """
 
@@ -183,7 +187,11 @@ class FoldLedger:
                 f"batch id {batch_id!r} was already folded into history "
                 f"({self._path}); re-registering it would double-count. "
                 "Replays are only valid within the fold horizon — drain "
-                "consumers past a batch before folding it."
+                "consumers past a batch before folding it. Note ids of "
+                "the form <prefix>:<int> are monotone epochs per prefix: "
+                "folding epoch N refuses every epoch <= N of that prefix, "
+                "so new batches must use higher epochs (or a different "
+                "prefix)."
             )
 
     def add_all(self, batch_ids) -> None:

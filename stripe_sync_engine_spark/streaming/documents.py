@@ -67,10 +67,14 @@ FUNNEL_GATES = (
 
 def _append_funnel(checkpoint_dir: str, record: dict) -> None:
     """Durable per-batch funnel record (single writer: the stream's own
-    serial foreachBatch). Appended AFTER the batch's final register, so a
-    line always describes a completed batch; a replayed batch appends a
-    second line with the same batch_id — last wins (read_funnel_metrics
-    collapses them)."""
+    serial foreachBatch; one write call per line). Appended once the
+    batch's counts are final but BEFORE the sink merge / registers: a
+    crash later in the batch replays it, and the replay — whose exact
+    gate may now reject everything it registered — appends a SECOND line
+    for the same batch_id that ``read_funnel_metrics`` ignores (first
+    wins: the first line is the one computed against pre-batch gate
+    state, i.e. the true attribution; the replay's effects on the corpus
+    are byte-identical per the module's crash-ordering argument)."""
     import json
     import os
 
@@ -80,12 +84,16 @@ def _append_funnel(checkpoint_dir: str, record: dict) -> None:
 
 def read_funnel_metrics(checkpoint_dir: str) -> list[dict]:
     """Per-batch gate counts for a stream started with
-    ``funnel_metrics=True``, in batch order, replays collapsed (last
-    line per batch_id wins). Each record satisfies
-    ``input == quality_cut + lm_cut + contaminated + span_dropped +
-    exact_dup + near_dup + inserted`` — where a 100 TB operator sees
-    documents die. ``span_clipped_docs`` counts surviving docs that lost
-    at least one span (they continue down the funnel)."""
+    ``funnel_metrics=True``, in batch order, replays collapsed (FIRST
+    line per batch_id wins — see ``_append_funnel``: the first line
+    carries the original delivery's attribution; a replay's line counts
+    its own docs as exact dups because the first delivery registered
+    them). Torn lines (a crash mid-append) are skipped, not fatal — the
+    batch's replay appends a parseable line anyway. Each record
+    satisfies ``input == quality_cut + lm_cut + contaminated +
+    span_dropped + exact_dup + near_dup + inserted`` — where a 100 TB
+    operator sees documents die. ``span_clipped_docs`` counts surviving
+    docs that lost at least one span (they continue down the funnel)."""
     import json
     import os
 
@@ -95,9 +103,13 @@ def read_funnel_metrics(checkpoint_dir: str) -> list[dict]:
     by_batch: dict = {}
     with open(path) as f:
         for line in f:
-            if line.strip():
+            if not line.strip():
+                continue
+            try:
                 rec = json.loads(line)
-                by_batch[rec["batch_id"]] = rec
+            except ValueError:
+                continue  # torn append from a crash mid-write: self-heals
+            by_batch.setdefault(rec["batch_id"], rec)
     return [by_batch[b] for b in sorted(by_batch)]
 
 
@@ -268,21 +280,21 @@ def start_document_stream(
     dedup gates fingerprint it; fully-clipped docs drop. It runs after
     decontamination (clipping first could cut exactly the benchmark
     grams and sneak a contaminated doc through) and registers the
-    ``funnel_metrics=True`` records one JSON line per completed batch
-    (``read_funnel_metrics``) with where its documents died: quality cut,
-    LM cut, contaminated, span-dropped, exact dup, near dup, inserted —
-    the observability a 100 TB operator needs to see which gate is eating
-    the corpus. Counting costs a few extra jobs per batch, but each
-    counts an already-materialized (localCheckpoint'ed) frame or a
-    single-pass aggregate, never a recomputation of a gate.
-
     PRE-clip gram counts just before the exact register. Replay-stable
     by construction: ``spans_in`` excludes the batch's own batch_id, so
     a replayed batch clips identically and the downstream selects see
     the same bytes (micro-batches replay in checkpoint order, so no
     later batch's registrations can land before a crashed batch's
     replay). Run ``IncrementalSpanDeduper(store).fold_history()`` from
-    maintenance once the checkpoint's replay horizon has passed."""
+    maintenance once the checkpoint's replay horizon has passed.
+
+    ``funnel_metrics=True`` records one JSON line per batch
+    (``read_funnel_metrics``) with where its documents died: quality cut,
+    LM cut, contaminated, span-dropped, exact dup, near dup, inserted —
+    the observability a 100 TB operator needs to see which gate is eating
+    the corpus. Counting costs a few extra jobs per batch, but each
+    counts an already-materialized (localCheckpoint'ed) frame or a
+    single-pass aggregate, never a recomputation of a gate."""
     spark = store.spark
     exact = IncrementalDeduper(store)
     # explicit None check: a caller's threshold of 0.0 (gate on ANY
@@ -432,6 +444,11 @@ def start_document_stream(
                 funnel["near_dup"] = n_prev - funnel["inserted"]
             else:
                 funnel["exact_dup"] = n_prev - funnel["inserted"]
+            # Counts are final here; append BEFORE the sink/registers so
+            # the batch's first (authoritative) line carries the original
+            # attribution even if a crash forces a replay whose exact
+            # gate then rejects everything (see _append_funnel).
+            _append_funnel(checkpoint_dir, funnel)
         _merge_documents(store, corpus_table, survivors)
         # exact LAST: its select governs replay passage, so everything
         # before it must already be idempotent when it finally commits
@@ -447,10 +464,6 @@ def start_document_stream(
             # as a no-op-or-heal.
             span_gate.register(span_docs, f"{span_run_id}:{batch_id}")
         exact.register(survivors)
-        if funnel is not None:
-            # AFTER the final register: a funnel line always describes a
-            # COMPLETED batch (a replay appends its own line; last wins).
-            _append_funnel(checkpoint_dir, funnel)
 
     raw = (
         spark.readStream.schema(DOCUMENT_SCHEMA)

@@ -1226,6 +1226,7 @@ class StripeSparkSync:
         entity: str,
         dst_table: str,
         transform: Callable[[DataFrame], DataFrame] | None = None,
+        allow_full_diff: bool = False,
     ) -> int:
         """Maintain a derived table from the change feed — one poll of the
         downstream-mart loop: consume the net window, apply it to
@@ -1243,8 +1244,16 @@ class StripeSparkSync:
         buckets of the mart) to apply it — never a full recompute, the
         same property the engine's incremental rollups have, but for
         arbitrary row-wise marts and available to OUT-OF-PROCESS
-        consumers via the durable cursor."""
-        feed, cursor = self.consume_changes(consumer, entity)
+        consumers via the durable cursor.
+
+        If the source was rebucketed inside the consumer's lag window the
+        feed raises (see ``changes``); pass ``allow_full_diff=True`` for
+        one poll to take the O(table) recovery diff and move the cursor
+        past the rebucket — without it the loop would be wedged with no
+        path through this API."""
+        feed, cursor = self.consume_changes(
+            consumer, entity, allow_full_diff=allow_full_diff
+        )
         if feed is None:
             return 0
         key = self.store.table_bucket_key(entity)

@@ -566,6 +566,75 @@ def test_mp4_sample_table_round_trip(spark, co64):
         assert r["frame_sig"] == want
 
 
+def test_mp4_sample_table_hostile_headers(spark):
+    """Adversarial containers follow the no-rows convention instead of
+    killing the task or the executor: a truncated stsc (raises
+    struct-level errors without guards), and a constant-size stsz whose
+    declared sample count would allocate ~34 GB — both must be rejected
+    by byte-extent validation BEFORE any allocation."""
+    import struct
+
+    from stripe_sync_engine_spark.functions.multimodal import (
+        _build_mp4_frame_walker,
+        sample_frames,
+    )
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    # stsc FullBox cut off right after version/flags (no entry_count)
+    truncated_stsc = box(b"stsc", bytes(4))
+    stsz_ok = box(b"stsz", bytes(4) + struct.pack(">II", 0, 0))
+    stco_ok = box(b"stco", bytes(4) + struct.pack(">I", 0))
+    stbl1 = box(b"stbl", stsz_ok + truncated_stsc + stco_ok)
+    # constant-size stsz declaring 2^32-1 samples of 10 bytes each
+    stsz_huge = box(b"stsz", bytes(4) + struct.pack(">II", 10, 0xFFFFFFFF))
+    stsc_ok = box(b"stsc", bytes(4) + struct.pack(">I", 0))
+    stbl2 = box(b"stbl", stsz_huge + stsc_ok + stco_ok)
+    payloads = []
+    for stbl in (stbl1, stbl2):
+        trak = box(b"trak", box(b"mdia", box(b"minf", stbl)))
+        payloads.append(ftyp + box(b"moov", trak))
+    walker = _build_mp4_frame_walker()
+    for p in payloads:
+        with pytest.raises(ValueError):  # never struct.error, never OOM
+            walker(p)
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    assert sample_frames(df).count() == 0  # no rows, no task failure
+
+
+def test_fold_ledger_epoch_convention():
+    """The <prefix>:<int> id form is monotone-epochs-per-prefix BY
+    CONTRACT: folding epoch 7 refuses every lower epoch of that prefix
+    (that compaction is what keeps the ledger O(runs)); other id shapes
+    are tracked verbatim."""
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import FoldLedger
+
+    class _Store:
+        root = None
+
+    import tempfile
+
+    store = _Store()
+    store.root = tempfile.mkdtemp()
+    import os
+
+    os.makedirs(os.path.join(store.root, "t"))
+    led = FoldLedger(store, "t")
+    led.add_all(["backfill:7", "oddball"])
+    assert led.contains("backfill:7") and led.contains("backfill:3")
+    assert led.contains("oddball")
+    assert not led.contains("backfill:8") and not led.contains("oddball2")
+    with _pytest.raises(RuntimeError, match="monotone epochs"):
+        led.check_replayable("backfill:3")
+
+
 def test_audio_windows_segments_and_window_local_stats(spark):
     """audio_windows: fixed-length segments with a partial tail; per-window
     stats are computed INSIDE the window (the boundary pair between two
@@ -1325,7 +1394,7 @@ def test_persisted_postings_matches_one_shot_bm25(spark, tmp_path, sf_dir):
     assert got2 == got
 
 
-def test_postings_fold_stats_horizon(spark, tmp_path):
+def test_postings_fold_stats_horizon(spark, tmp_path, sf_dir):
     """fold_stats collapses the per-batch stats rows to one _folded row
     without moving any score, and ENFORCES its replay horizon: a folded
     batch id re-registering raises instead of silently inflating N/avgdl;
@@ -1336,7 +1405,7 @@ def test_postings_fold_stats_horizon(spark, tmp_path):
     from stripe_sync_engine_spark.storage import TableStore
     from stripe_sync_engine_spark.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     b1 = docs.where(F.col("doc_id") % 3 == 0)
     b2 = docs.where(F.col("doc_id") % 3 == 1)
     b3 = docs.where(F.col("doc_id") % 3 == 2)
@@ -1367,7 +1436,7 @@ def test_postings_fold_stats_horizon(spark, tmp_path):
         assert math.isclose(got[d], s, rel_tol=1e-9)
 
 
-def test_postings_long_horizon_lifecycle(spark, tmp_path):
+def test_postings_long_horizon_lifecycle(spark, tmp_path, sf_dir):
     """Steady-state postings lifecycle at depth: many micro-batches with
     stats folds interleaved stay score-identical to a one-shot index
     build (depth is bounded by Spark's fixed per-job latency — the shape,
@@ -1378,7 +1447,7 @@ def test_postings_long_horizon_lifecycle(spark, tmp_path):
     from stripe_sync_engine_spark.storage import TableStore
     from stripe_sync_engine_spark.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_batches, fold_every = 8, 3
     store = TableStore(spark, str(tmp_path / "wh_post_long"))
     idx = PersistedPostingsIndex(store)

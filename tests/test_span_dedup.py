@@ -419,7 +419,7 @@ def test_checkpoint_run_id_rejects_empty_debris(tmp_path):
     assert _checkpoint_run_id(ckpt) == rid
 
 
-def test_long_horizon_register_fold_register_lifecycle(spark, tmp_path):
+def test_long_horizon_register_fold_register_lifecycle(spark, tmp_path, sf_dir):
     """Steady-state lifecycle at depth: many micro-batches with folds
     interleaved (register → fold → register → fold → …) stay exactly
     equivalent to a single one-shot build — span decisions AND clipped
@@ -430,7 +430,7 @@ def test_long_horizon_register_fold_register_lifecycle(spark, tmp_path):
 
     from stripe_sync_engine_spark.operators.span_dedup import repeated_spans
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     n_batches, fold_every = 12, 5
