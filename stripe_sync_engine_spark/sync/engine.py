@@ -1294,6 +1294,7 @@ class StripeSparkSync:
         max_files_per_bucket: int = 1,
         orphan_min_age_s: float = 3600.0,
         landing: tuple[str, str] | None = None,
+        fold_gates_past_horizon: bool = False,
     ) -> dict:
         """One scheduled-maintenance entry point — the engine's analog of
         Postgres autovacuum, which the reference gets for free. For every
@@ -1309,7 +1310,17 @@ class StripeSparkSync:
         compaction that keeps losing skips the table (``compact_skipped``
         in the report) for the next pass. Vacuum honors the retention
         contract, and the landing sweep only touches durably-committed
-        envelopes. Returns per-table counts."""
+        envelopes. Returns per-table counts.
+
+        ``fold_gates_past_horizon=True`` additionally folds the growing
+        per-batch gate state at its DEFAULT table names — the span gate's
+        ``_gram_counts`` (``IncrementalSpanDeduper.fold_history``) and
+        the postings ``_postings_stats`` (``fold_stats``) — committing
+        the folded batch ids to their durable FoldLedgers, after which
+        replays of those batches are REFUSED. Only pass it when every
+        stream over those gates is drained past the folded batches (the
+        same judgment call as retiring a checkpoint); run it from the
+        between-streams maintenance window, not the steady-state cron."""
         report: dict = {"compacted": {}, "compact_skipped": {}, "orphans_removed": {}, "landing_removed": 0}
         report["consumers_at_risk"] = self._consumers_at_risk()
         for table in self.store.tables():
@@ -1339,6 +1350,22 @@ class StripeSparkSync:
             from stripe_sync_engine_spark.streaming.pipeline import vacuum_landing_zone
 
             report["landing_removed"] = len(vacuum_landing_zone(*landing))
+        if fold_gates_past_horizon:
+            report["gates_folded"] = []
+            if self.store.exists("_gram_counts"):
+                from stripe_sync_engine_spark.operators.span_dedup import (
+                    IncrementalSpanDeduper,
+                )
+
+                IncrementalSpanDeduper(self.store).fold_history()
+                report["gates_folded"].append("_gram_counts")
+            if self.store.exists("_postings_stats"):
+                from stripe_sync_engine_spark.operators.postings import (
+                    PersistedPostingsIndex,
+                )
+
+                PersistedPostingsIndex(self.store).fold_stats()
+                report["gates_folded"].append("_postings_stats")
         return report
 
     def _consumers_at_risk(self) -> dict[str, dict[str, int]]:

@@ -586,3 +586,67 @@ def test_document_stream_funnel_metrics(spark, tmp_path):
     corpus = {r["doc_id"]: r["text"] for r in store.read("corpus_documents").collect()}
     assert set(corpus) == {1, 2, 3, 4, 23, 26}
     assert corpus[23] == "completely novel trailing commentary here"
+
+
+def test_funnel_attribution_survives_crash_replay(spark, tmp_path):
+    """The funnel line is appended once counts are final but BEFORE the
+    registers, and reads are first-wins — so a crash-replay (whose exact
+    gate rejects everything the first delivery registered) appends a
+    second line that is IGNORED, and the surviving record carries the
+    original attribution (inserted=N), matching what's actually in the
+    corpus."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming import documents as docmod
+
+    landing = tmp_path / "funnel_crash_landing"
+    ckpt = tmp_path / "funnel_crash_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_funnel_crash"))
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": f"document number {i} with its own distinct words", "source": "web"})
+            for i in (1, 2)
+        )
+    )
+    real_register = IncrementalDeduper.register
+
+    def crash_register(self, docs):
+        raise RuntimeError("injected crash before exact registration")
+
+    IncrementalDeduper.register = crash_register
+    try:
+        q = docmod.start_document_stream(
+            store, str(landing), str(ckpt), near_threshold=None, funnel_metrics=True
+        )
+        with _pytest.raises(StreamingQueryException):
+            q.awaitTermination()
+    finally:
+        IncrementalDeduper.register = real_register
+    # the pre-crash line already carries the true attribution
+    recs = docmod.read_funnel_metrics(str(ckpt))
+    assert [(r["batch_id"], r["inserted"]) for r in recs] == [(0, 2)]
+    # restart: this crash window (before exact.register) replays byte-
+    # stably, so the replay's line agrees — but first-wins must hold even
+    # for the post-register window where a replay's exact gate rejects
+    # everything (simulated below), and torn lines must self-heal.
+    docmod.start_document_stream(
+        store, str(landing), str(ckpt), near_threshold=None, funnel_metrics=True
+    ).awaitTermination()
+    path = _os.path.join(str(ckpt), docmod.FUNNEL_FILE)
+    raw_lines = open(path).read().strip().splitlines()
+    assert len(raw_lines) == 2  # original + replay
+    assert _json.loads(raw_lines[1])["inserted"] == 2  # byte-stable replay
+    with open(path, "a") as f:
+        # a post-register-window replay's divergent view: all exact dups
+        f.write(_json.dumps({**_json.loads(raw_lines[0]), "inserted": 0, "exact_dup": 2}) + "\n")
+        f.write('{"torn append from a crash mid-wri')  # no newline, no close brace
+    recs = docmod.read_funnel_metrics(str(ckpt))
+    assert [(r["batch_id"], r["inserted"], r["exact_dup"]) for r in recs] == [(0, 2, 0)]
+    assert store.read("corpus_documents").count() == 2  # matches 'inserted'

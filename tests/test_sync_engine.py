@@ -2235,3 +2235,41 @@ def test_engine_maintain_compacts_and_reports(spark, tmp_path):
     # steady state: nothing left to do
     report2 = eng.maintain(orphan_min_age_s=0.0)
     assert report2["compacted"] == {}
+
+
+def test_maintain_folds_gate_state_past_horizon(spark, tmp_path):
+    """maintain(fold_gates_past_horizon=True) collapses the span gate's
+    per-(gram,batch) rows and the postings per-batch stats to one
+    _folded row each, reports which gates folded, and the fold horizon
+    is enforced afterwards (a folded batch id refuses to re-register)."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.operators.span_dedup import IncrementalSpanDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_maint_fold"))
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"gate fold words {i} repeated gate fold words {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    span = IncrementalSpanDeduper(store, k=3)
+    span.register(docs.where("doc_id < 3"), "run:0")
+    span.register(docs.where("doc_id >= 3"), "run:1")
+    idx = PersistedPostingsIndex(store)
+    idx.register(docs.where("doc_id < 3"), "run:0")
+    idx.register(docs.where("doc_id >= 3"), "run:1")
+
+    report = eng.maintain(fold_gates_past_horizon=True)
+    assert report["gates_folded"] == ["_gram_counts", "_postings_stats"]
+    assert {r["batch_id"] for r in store.read("_gram_counts").select("batch_id").distinct().collect()} == {"_folded"}
+    assert [r["batch_id"] for r in store.read("_postings_stats").collect()] == ["_folded"]
+    with pytest.raises(RuntimeError, match="folded"):
+        span.register(docs.limit(1), "run:0")
+    with pytest.raises(RuntimeError, match="folded"):
+        idx.register(docs.limit(1), "run:1")
+    # steady-state maintain without the flag never touches gate state
+    report2 = eng.maintain()
+    assert "gates_folded" not in report2
