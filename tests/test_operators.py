@@ -254,6 +254,31 @@ def test_dimension_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_topk_compiles_to_take_ordered(spark, sf_dir):
+    """The registered BM25 query's final cut is a global top-k
+    (TakeOrderedAndProject), never a full sort, and the tiny df/avgdl
+    aggregates come back as broadcasts."""
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+
+    plan = _plan_of(REGISTRY["txt_bm25_topk"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q08_fold_single_aggregation_exchange(spark, sf_dir):
+    """The folded q08 (daily rollup + trailing-window columns) keeps ONE
+    aggregation exchange over the events scan: the trailing anchor joins
+    as a broadcast single-row aggregate, and the conditional *_trail7
+    aggregates ride the same (day, event_type) hash aggregate."""
+    from stripe_sync_engine_spark.plans.registry import REGISTRY
+
+    plan = _plan_of(REGISTRY["q08_daily_rollup"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row anchor join
+    # exactly one hashpartitioning exchange: the rollup's own (the anchor
+    # aggregate's exchange is SinglePartition, not a hash shuffle)
+    assert plan.count("hashpartitioning") == 1
+
+
 def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
     from stripe_sync_engine_spark.plans.registry import REGISTRY
 
