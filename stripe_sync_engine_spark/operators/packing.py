@@ -122,6 +122,7 @@ def assign_packs(
     n_shards: int = 8,
     id_col: str = "doc_id",
     order_col=None,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """``df`` + (shard, pack_id, pack_offset, packs_spanned).
 
@@ -134,7 +135,11 @@ def assign_packs(
     ``order_col``: optional Column (or name) ordering docs WITHIN their
     shard — default is id order (the registered query's layout); pass
     ``epoch_position(epoch)`` for a deterministic per-epoch shuffle. The
-    id is always the tiebreak, so ordering stays total."""
+    id is always the tiebreak, so ordering stays total.
+
+    ``_base``: internal (``IncrementalPacker``) — a tiny per-shard
+    ``(shard, _base_tokens)`` frame, broadcast-joined so every position
+    in this df continues where the shard's already-packed stream ended."""
     shard = _shard_col(id_col, n_shards)
     order = [id_col] if order_col is None else [order_col, id_col]
     w = (
@@ -143,7 +148,15 @@ def assign_packs(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(count_col).over(w), F.lit(0).cast("long"))
-    return (
+    if _base is not None:
+        # incremental mode: each shard's stream continues where history
+        # left off — the broadcast per-shard base shifts every position
+        df = df.withColumn("shard", shard).join(
+            F.broadcast(_base), "shard", "left"
+        )
+        shard = F.col("shard")
+        start = start + F.coalesce(F.col("_base_tokens"), F.lit(0).cast("long"))
+    out = (
         df.withColumn("shard", shard)
         .withColumn("pack_id", F.floor(start / budget).cast("long"))
         .withColumn("pack_offset", (start % budget).cast("long"))
@@ -156,3 +169,178 @@ def assign_packs(
             ).cast("long"),
         )
     )
+    return out.drop("_base_tokens") if _base is not None else out
+
+
+class IncrementalPacker:
+    """Pack assignment for ARRIVING batches — the streaming-corpus shape
+    of ``assign_packs``, in the same two-phase idempotent contract as the
+    engine's other incremental gates (``operators/incremental_dedup``).
+
+    A one-shot pack layout recomputes a global (per-shard) cumulative sum
+    whenever the corpus grows — O(corpus) per refresh. Here each shard's
+    token stream instead CONTINUES where it left off: state is one row
+    per (shard, batch_id) with that batch's token/doc contribution,
+    bucketed by shard in the store, so planning a batch reads only the
+    shards the batch touches and the per-shard base is a tiny broadcast.
+    Documents therefore pack in ARRIVAL order (batch sequence, id within
+    batch-shard) — equivalent to a one-shot ``assign_packs`` over the
+    concatenated corpus with the batch sequence as ``order_col``
+    (pytest-pinned).
+
+    Idempotence follows the span gate's per-batch design: ``assign_batch``
+    EXCLUDES the batch's own batch_id from the base (a replay assigns the
+    exact positions of the first delivery), and ``register`` anti-probes
+    on (shard, batch_id) so replays and half-committed crashes heal.
+    ``fold_progress`` collapses history to one row per shard under the
+    same enforced ``FoldLedger`` replay horizon as the other folds.
+
+    At 100 TB: per-batch work is O(batch) plus a read of the touched
+    shards' state buckets; nothing global. The state table holds
+    n_shards × batches-since-last-fold rows — tiny, and foldable.
+    Reference analog: none (training-data-pipeline extension)."""
+
+    def __init__(
+        self,
+        store,
+        budget: int,
+        n_shards: int = 8,
+        table: str = "_pack_progress",
+        id_col: str = "doc_id",
+    ):
+        if budget < 1:
+            raise ValueError(f"budget must be >= 1, got {budget}")
+        self.store = store
+        self.budget = budget
+        self.n_shards = n_shards
+        self.table = table
+        self.id_col = id_col
+
+    def _batch_rows(self, batch: DataFrame, count_col: str, batch_id: str) -> DataFrame:
+        return (
+            batch.withColumn("shard", _shard_col(self.id_col, self.n_shards))
+            .groupBy("shard")
+            .agg(
+                F.sum(count_col).cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            )
+            .select("shard", F.lit(batch_id).alias("batch_id"), "n_tokens", "n_docs")
+        )
+
+    def _base_for(self, batch: DataFrame, exclude_batch_id: str | None) -> DataFrame | None:
+        store, table = self.store, self.table
+        if not store.exists(table):
+            return None
+        shards = batch.select(
+            _shard_col(self.id_col, self.n_shards).alias("shard")
+        ).distinct()
+        touched = store.buckets_of(shards, key="shard", table=table)
+        known = store.read_buckets(table, touched)
+        if exclude_batch_id is not None:
+            known = known.where(F.col("batch_id") != exclude_batch_id)
+        return (
+            known.join(F.broadcast(shards), "shard", "left_semi")
+            .groupBy("shard")
+            .agg(F.sum("n_tokens").cast("long").alias("_base_tokens"))
+        )
+
+    def assign_batch(
+        self, batch: DataFrame, count_col: str, batch_id: str
+    ) -> DataFrame:
+        """PURE: ``batch`` + (shard, pack_id, pack_offset, packs_spanned),
+        positions continuing each shard's already-registered stream. No
+        state is mutated — pair with ``register`` for durability. The
+        batch's own ``batch_id`` is excluded from the base so a replay
+        assigns the first delivery's exact positions."""
+        base = self._base_for(batch, exclude_batch_id=batch_id)
+        return assign_packs(
+            batch, count_col, self.budget, self.n_shards, self.id_col, _base=base
+        )
+
+    def register(self, batch: DataFrame, count_col: str, batch_id: str) -> None:
+        """Durably record the batch's per-shard contribution under
+        ``batch_id``. Idempotent per (shard, batch_id); raises if the
+        batch was already folded (enforced replay horizon)."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            FoldLedger,
+            anti_probe,
+            commit_fresh,
+            with_occ_retry,
+        )
+
+        FoldLedger(self.store, self.table).check_replayable(batch_id)
+
+        def once() -> None:
+            store, table = self.store, self.table
+            rows = self._batch_rows(batch, count_col, batch_id).localCheckpoint(
+                eager=True
+            )
+            if not store.exists(table):
+                store.write(table, rows, key="shard")
+                return
+            manifest = store._read_manifest(table)
+            touched = store.buckets_of(rows, key="shard", table=table)
+            known = store._scan_manifest(table, manifest, touched)
+            fresh = anti_probe(rows, known, ["shard", "batch_id"]).localCheckpoint(
+                eager=True
+            )
+            if fresh.isEmpty():
+                return
+            commit_fresh(store, table, fresh, "shard", manifest)
+
+        with_occ_retry(once)
+
+    def pack_batch(self, batch: DataFrame, count_col: str, batch_id: str) -> DataFrame:
+        """assign_batch + register in one call; returns the assigned
+        batch, positions replay-stable per the class contract."""
+        out = self.assign_batch(batch, count_col, batch_id).localCheckpoint(eager=True)
+        self.register(batch, count_col, batch_id)
+        return out
+
+    def fold_progress(self, into_batch_id: str = "_folded") -> None:
+        """Collapse per-batch rows to one row per shard — same enforced
+        horizon contract as the other folds (``FoldLedger``: folded ids
+        commit BEFORE the rewrite and refuse replays afterwards; a crash
+        in between is conservative and re-running heals)."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            FoldLedger,
+            with_occ_retry,
+        )
+
+        store, table = self.store, self.table
+        if not store.exists(table):
+            return
+        ledger = FoldLedger(store, table)
+
+        def body():
+            manifest = store._read_manifest(table)
+            all_buckets = sorted(int(b) for b in manifest["buckets"])
+            if not all_buckets:
+                return
+            rows = store._scan_manifest(table, manifest, all_buckets)
+            folded_ids = [
+                r["batch_id"]
+                for r in rows.select("batch_id").distinct().collect()
+                if r["batch_id"] != into_batch_id
+            ]
+            if not folded_ids:
+                return
+            ledger.add_all(folded_ids)
+            folded = (
+                rows.groupBy("shard")
+                .agg(
+                    F.sum("n_tokens").cast("long").alias("n_tokens"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                )
+                .select("shard", F.lit(into_batch_id).alias("batch_id"), "n_tokens", "n_docs")
+                .localCheckpoint(eager=True)
+            )
+            store.write_buckets(
+                table,
+                folded,
+                all_buckets,
+                key="shard",
+                planned_versions=dict(manifest["buckets"]),
+            )
+
+        with_occ_retry(body)

@@ -343,3 +343,91 @@ def test_property_materialize_packs_invariants(spark, sizes, budget):
         want.setdefault(r["shard"], []).extend(r["tokens"])
     want = {s: t for s, t in want.items() if t}
     assert got == want
+
+
+# ---- incremental packing ------------------------------------------------
+
+
+def test_incremental_packer_matches_one_shot_arrival_order(spark, tmp_path):
+    """Batches assigned sequentially through IncrementalPacker land at
+    exactly the positions a one-shot assign_packs gives the concatenated
+    corpus ordered by (batch sequence, id) — each shard's stream just
+    continues. Replays of an already-registered batch re-assign the first
+    delivery's positions; register is idempotent."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.packing import (
+        IncrementalPacker,
+        assign_packs,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    def mk(ids_counts, seq):
+        return spark.createDataFrame(
+            [(i, n, seq) for i, n in ids_counts], "doc_id long, n long, _seq long"
+        )
+
+    # interleaved ids across batches → arrival order != id order
+    b1 = mk([(1, 30), (8, 45), (3, 0), (12, 61)], 0)
+    b2 = mk([(2, 17), (9, 80), (4, 33)], 1)
+    b3 = mk([(5, 100), (7, 5)], 2)
+    store = TableStore(spark, str(tmp_path / "wh_pack"))
+    packer = IncrementalPacker(store, budget=64, n_shards=4)
+
+    got = {}
+    for b, bid in ((b1, "run:0"), (b2, "run:1"), (b3, "run:2")):
+        for r in packer.pack_batch(b, "n", bid).collect():
+            got[r["doc_id"]] = (r["shard"], r["pack_id"], r["pack_offset"], r["packs_spanned"])
+
+    union = b1.unionByName(b2).unionByName(b3)
+    want = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"], r["packs_spanned"])
+        for r in assign_packs(union, "n", 64, 4, order_col=F.col("_seq")).collect()
+    }
+    assert got == want
+
+    # replay: same positions, no new state rows
+    n_rows = store.read(packer.table).count()
+    replay = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"], r["packs_spanned"])
+        for r in packer.pack_batch(b2, "n", "run:1").collect()
+    }
+    assert replay == {r["doc_id"]: got[r["doc_id"]] for r in b2.collect()}
+    assert store.read(packer.table).count() == n_rows
+
+
+def test_incremental_packer_fold_horizon(spark, tmp_path):
+    """fold_progress collapses state to one row per shard without moving
+    any future position, and enforces the replay horizon afterwards."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+    from stripe_sync_engine_spark.storage import TableStore
+
+    def mk(ids_counts, seq):
+        return spark.createDataFrame(
+            [(i, n, seq) for i, n in ids_counts], "doc_id long, n long, _seq long"
+        )
+
+    store = TableStore(spark, str(tmp_path / "wh_pack_fold"))
+    packer = IncrementalPacker(store, budget=32, n_shards=4)
+    packer.pack_batch(mk([(1, 20), (2, 40), (3, 7)], 0), "n", "run:0")
+    packer.pack_batch(mk([(4, 11), (5, 90)], 1), "n", "run:1")
+    probe = mk([(100, 13), (101, 55)], 2)
+    before = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in packer.assign_batch(probe, "n", "run:2").collect()
+    }
+    packer.fold_progress()
+    after = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in packer.assign_batch(probe, "n", "run:2").collect()
+    }
+    assert after == before
+    ids = {r["batch_id"] for r in store.read(packer.table).collect()}
+    assert ids == {"_folded"}
+    with pytest.raises(RuntimeError, match="folded"):
+        packer.register(probe, "n", "run:0")
+    # post-fold batches continue normally
+    packer.pack_batch(probe, "n", "run:2")
+    assert store.read(packer.table).count() <= 4 + 2  # folded rows + run:2 shards
