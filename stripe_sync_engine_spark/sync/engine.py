@@ -1314,8 +1314,9 @@ class StripeSparkSync:
 
         ``fold_gates_past_horizon=True`` additionally folds the growing
         per-batch gate state at its DEFAULT table names — the span gate's
-        ``_gram_counts`` (``IncrementalSpanDeduper.fold_history``) and
-        the postings ``_postings_stats`` (``fold_stats``) — committing
+        ``_gram_counts`` (``IncrementalSpanDeduper.fold_history``), the
+        postings ``_postings_stats`` (``fold_stats``), and the packer's
+        ``_pack_progress`` (``IncrementalPacker.fold_progress``) — committing
         the folded batch ids to their durable FoldLedgers, after which
         replays of those batches are REFUSED. Only pass it when every
         stream over those gates is drained past the folded batches (the
@@ -1366,6 +1367,15 @@ class StripeSparkSync:
 
                 PersistedPostingsIndex(self.store).fold_stats()
                 report["gates_folded"].append("_postings_stats")
+            if self.store.exists("_pack_progress"):
+                from stripe_sync_engine_spark.operators.packing import (
+                    IncrementalPacker,
+                )
+
+                # budget is irrelevant to the fold (it only sums per-shard
+                # contributions); n_shards rides the stored rows
+                IncrementalPacker(self.store, budget=1).fold_progress()
+                report["gates_folded"].append("_pack_progress")
         return report
 
     def _consumers_at_risk(self) -> dict[str, dict[str, int]]:
