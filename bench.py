@@ -349,10 +349,33 @@ def _bench_bpe(spark, sf_dir: str) -> dict[str, float]:
         "noop"
     ).mode("overwrite").save()
     t_pack = time.perf_counter() - t0
+    # Steady-state packing: a 1k-doc batch assigned + durably registered
+    # against persisted per-shard progress (the arrival-order continuation
+    # shape — operators/packing.IncrementalPacker).
+    import shutil
+    import tempfile
+
+    from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+    from stripe_sync_engine_spark.storage import TableStore
+
+    counts = encoded.select("doc_id", "n_tokens").localCheckpoint(eager=True)
+    wh = tempfile.mkdtemp(prefix="bench_pack_")
+    try:
+        packer = IncrementalPacker(TableStore(spark, wh), budget=2048, n_shards=8)
+        packer.pack_batch(counts.where("doc_id % 5 != 0"), "n_tokens", "b0")
+        batch = counts.where("doc_id % 5 = 0").localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        packer.pack_batch(batch, "n_tokens", "b1").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_inc = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
     return {
         "txt_bpe_train": round(t_train, 3),
         "txt_bpe_encode": round(t_enc, 3),
         "txt_pack_materialize": round(t_pack, 3),
+        "txt_pack_incremental": round(t_inc, 3),
     }
 
 
