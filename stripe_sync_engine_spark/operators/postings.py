@@ -33,13 +33,23 @@ Tables:
   exactly (count(*)/avg treat NULL text differently, and the parity
   contract mirrors that).
 
+* ``_postings_docs`` (doc_id, term_h, dl, batch_id), bucketed by
+  ``doc_id`` — the FORWARD index (r8): a document's term hashes and
+  length, the structure that makes ``unregister``/``apply_changes``
+  bucket-pruned (without it, deleting a doc means scanning every
+  postings bucket for its id). Token-less docs keep a NULL-term sentinel
+  row so their stats contribution stays reversible.
+
 Idempotence follows the span gate's per-batch design
 (``operators/span_dedup``): postings anti-probe on (term_h, doc_id) —
 a replayed batch, or a half-committed crash, commits only what is
-missing; stats anti-probe on batch_id. Feed each document ONCE (the
-document stream's exact-dedup gate upstream guarantees it); re-feeding
-the same doc under a new batch_id would inflate stats while the
-postings dedupe, and that contract is the caller's.
+missing; stats anti-probe on batch_id. Feed each document ONCE per
+registration (the document stream's exact-dedup gate upstream
+guarantees it); re-feeding the same doc under a new batch_id would
+inflate stats while the postings dedupe. To CHANGE or REMOVE a
+document, use ``unregister`` / ``apply_changes`` (r8) — the CDC-driven
+maintenance path that keeps the index tracking a mutating corpus
+without rescans.
 
 Reference analog: none (training-data-pipeline extension; the ranking
 math is ``plans/textops``' BM25, parity pytest-pinned against the
@@ -68,12 +78,20 @@ class PersistedPostingsIndex:
         stats_table: str = "_postings_stats",
         id_col: str = "doc_id",
         text_col: str = "text",
+        forward_table: str = "_postings_docs",
     ):
         self.store = store
         self.table = table
         self.stats_table = stats_table
         self.id_col = id_col
         self.text_col = text_col
+        # Forward index (doc_id → its term hashes + dl), bucketed by
+        # doc_id: the structure that makes DELETE/UPDATE bucket-pruned —
+        # without it, removing a document means scanning every postings
+        # bucket for its doc_id. One row per (doc, distinct term), plus a
+        # NULL-term sentinel row for docs with no tokens so their n_docs
+        # contribution remains reversible.
+        self.forward_table = forward_table
 
     def _rows(self, batch: DataFrame, batch_id: str) -> DataFrame:
         toks = tokens_nonempty(self.text_col)
@@ -173,6 +191,25 @@ class PersistedPostingsIndex:
             df = df.withColumn("n_dl_docs", F.col("n_docs"))
         return df.select("batch_id", "n_docs", "n_dl_docs", "total_dl")
 
+    def _forward_rows(self, batch: DataFrame, batch_id: str) -> DataFrame:
+        toks = tokens_nonempty(self.text_col)
+        base = batch.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            toks.alias("_toks"),
+        )
+        # explode_outer keeps token-less docs (empty or NULL text) as one
+        # NULL-term sentinel row, so unregister can reverse their n_docs
+        # (and, for empty-text, n_dl_docs) contribution.
+        return base.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(F.transform("_toks", lambda t: F.xxhash64(t)))
+            ).alias("term_h"),
+            "dl",
+            F.lit(batch_id).alias("batch_id"),
+        )
+
     def _register_once(self, batch: DataFrame, batch_id: str) -> None:
         store = self.store
         # ONE eager materialization of the postings rows: the bucket
@@ -190,10 +227,33 @@ class PersistedPostingsIndex:
             )
             if not fresh.isEmpty():
                 commit_fresh(store, self.table, fresh, "term_h", manifest)
-        # Stats AFTER postings: a crash in between replays into a
-        # postings no-op and a stats heal. Increments derive from the
-        # batch itself (not from `fresh`), so a replay of a partially
-        # committed batch records the SAME totals it would have.
+        # Forward index between postings and stats (each step idempotent,
+        # so any crash ordering heals on replay): doc_id → term hashes +
+        # dl, the structure unregister() prunes by.
+        fwd = self._forward_rows(batch, batch_id).localCheckpoint(eager=True)
+        if not store.exists(self.forward_table):
+            store.write(self.forward_table, fwd, key="doc_id")
+        else:
+            manifest = store._read_manifest(self.forward_table)
+            touched = store.buckets_of(fwd, key="doc_id", table=self.forward_table)
+            known = store._scan_manifest(self.forward_table, manifest, touched)
+            # NULL-safe probe key: the sentinel rows carry term_h NULL,
+            # which equality joins never match — a replay would duplicate
+            # them. Coalesce to a reserved long (an xxhash64 collision
+            # with a real term is a 2^-64 event whose only consequence is
+            # one skipped forward row).
+            th = F.coalesce(F.col("term_h"), F.lit(-(1 << 62)).cast("long"))
+            fresh = anti_probe(
+                fwd.withColumn("_th", th),
+                known.withColumn("_th", th),
+                ["doc_id", "_th"],
+            ).drop("_th").localCheckpoint(eager=True)
+            if not fresh.isEmpty():
+                commit_fresh(store, self.forward_table, fresh, "doc_id", manifest)
+        # Stats LAST: a crash before this point replays into no-ops above
+        # and a stats heal here. Increments derive from the batch itself
+        # (not from `fresh`), so a replay of a partially committed batch
+        # records the SAME totals it would have.
         # NULL-text docs count in n_docs but not n_dl_docs/total_dl —
         # exactly how the one-shot scan's count(*)/avg(dl) treat them,
         # which the parity contract depends on.
@@ -204,6 +264,13 @@ class PersistedPostingsIndex:
             F.count(dl).cast("long").alias("n_dl_docs"),
             F.coalesce(F.sum(dl), F.lit(0).cast("long")).alias("total_dl"),
         ).select(F.lit(batch_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
+        self._commit_stats(inc)
+
+    def _commit_stats(self, inc: DataFrame) -> None:
+        """Idempotently append one stats row (anti-probed on batch_id) —
+        shared by register (positive increments) and unregister (negative
+        deltas); query-time SUM nets them out."""
+        store = self.store
         if not store.exists(self.stats_table):
             store.write(self.stats_table, inc, key="batch_id")
             return
@@ -229,6 +296,117 @@ class PersistedPostingsIndex:
             key="batch_id",
             planned_versions=dict(manifest["buckets"]),
         )
+
+    def unregister(
+        self, doc_ids: DataFrame, batch_id: str, _keep_batch_id: str | None = None
+    ) -> None:
+        """Remove documents from the index: forward-index bucket-pruned
+        (O(batch) probes, never a postings scan), with a NEGATIVE stats
+        delta row so query-time N/avgdl net out. Idempotent per
+        ``batch_id``; crash anywhere replays to the same state, because
+        the stats delta is derived from the forward rows and committed
+        BEFORE they (or the postings rows) are deleted — a replay still
+        sees enough to recompute, and the anti-probe skips the dupe.
+        ``_keep_batch_id`` (``apply_changes``): forward rows registered
+        under that id survive, making unregister-then-register replays of
+        an UPDATE stable (the new version's rows are never torn down).
+        Raises on indexes built before the forward table existed —
+        rebuild to enable deletes."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import FoldLedger
+
+        FoldLedger(self.store, self.stats_table).check_replayable(batch_id)
+        with_occ_retry(lambda: self._unregister_once(doc_ids, batch_id, _keep_batch_id))
+
+    def _unregister_once(
+        self, doc_ids: DataFrame, batch_id: str, keep_batch_id: str | None
+    ) -> None:
+        store = self.store
+        if not store.exists(self.forward_table):
+            raise RuntimeError(
+                f"postings index {self.table!r} has no forward table "
+                f"({self.forward_table!r}) — it predates delete support; "
+                "rebuild the index to enable unregister/apply_changes"
+            )
+        ids = (
+            doc_ids.select(F.col(self.id_col).alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fm = store._read_manifest(self.forward_table)
+        fwd_touched = store.buckets_of(ids, key="doc_id", table=self.forward_table)
+        fwd_known = store._scan_manifest(self.forward_table, fm, fwd_touched)
+        targets = fwd_known.join(F.broadcast(ids), "doc_id", "left_semi")
+        if keep_batch_id is not None:
+            targets = targets.where(F.col("batch_id") != keep_batch_id)
+        targets = targets.localCheckpoint(eager=True)
+        # 1. stats delta FIRST, derived from the forward rows alone (dl
+        # rides on them) — replays recompute it while they still exist,
+        # and the batch_id anti-probe keeps the first value afterwards.
+        per_doc = targets.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        dec = per_doc.agg(
+            (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+            (-F.count("dl")).cast("long").alias("n_dl_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("total_dl"),
+        ).select(F.lit(batch_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
+        self._commit_stats(dec)
+        # 2. delete the postings rows for the targets' (term_h, doc_id)
+        # pairs — write set bounded by the docs' own term buckets.
+        pairs = (
+            targets.where(F.col("term_h").isNotNull())
+            .select("term_h", "doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        pm = store._read_manifest(self.table)
+        write_set = store.buckets_of(pairs, key="term_h", table=self.table)
+        if write_set:
+            base = store._scan_manifest(self.table, pm, write_set)
+            keep = base.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
+            store.write_buckets(
+                self.table,
+                keep.localCheckpoint(eager=True),
+                write_set,
+                key="term_h",
+                planned_versions=dict(pm["buckets"]),
+            )
+        # 3. forward rows LAST (they are the replay's memory).
+        if fwd_touched:
+            fwd_keep = fwd_known.join(F.broadcast(ids), "doc_id", "left_anti")
+            if keep_batch_id is not None:
+                fwd_keep = fwd_keep.unionByName(
+                    fwd_known.where(F.col("batch_id") == keep_batch_id).join(
+                        F.broadcast(ids), "doc_id", "left_semi"
+                    )
+                )
+            store.write_buckets(
+                self.forward_table,
+                fwd_keep.localCheckpoint(eager=True),
+                fwd_touched,
+                key="doc_id",
+                planned_versions=dict(fm["buckets"]),
+            )
+
+    def apply_changes(self, feed: DataFrame, batch_id: str) -> None:
+        """Maintain the index from one corpus change-feed window
+        (``engine.changes`` / ``consume_changes`` output: table columns +
+        ``_change_type``): deletes and updates unregister the old
+        postings (forward-index pruned), inserts and updates register the
+        post-images — the CDC-driven steady state where the retrieval
+        index tracks a mutating corpus without ever rescanning it.
+        Idempotent per ``batch_id`` (sub-batches ``<id>:del`` /
+        ``<id>:ins``): a replay of a completed window tears nothing down
+        (the update's new rows are registered under the kept ins id) and
+        a crash at any point heals — unregister before register, each
+        internally ordered for replay (see their docstrings)."""
+        changed = feed.localCheckpoint(eager=True)
+        old_ids = changed.where(
+            F.col("_change_type").isin("delete", "update")
+        ).select(self.id_col)
+        new_docs = changed.where(
+            F.col("_change_type").isin("insert", "update")
+        ).drop("_change_type")
+        self.unregister(old_ids, f"{batch_id}:del", _keep_batch_id=f"{batch_id}:ins")
+        self.register(new_docs, f"{batch_id}:ins")
 
     def topk(self, query_terms: list[str], k: int = 20) -> DataFrame:
         """``(doc_id, score)`` — BM25 top-k from the index: reads ONLY

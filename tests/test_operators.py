@@ -1492,6 +1492,107 @@ def test_postings_long_horizon_lifecycle(spark, tmp_path, sf_dir):
     assert store.read(idx.stats_table).count() <= 1 + (n_batches % fold_every or fold_every)
 
 
+def test_postings_apply_changes_tracks_mutating_corpus(spark, tmp_path, sf_dir):
+    """CDC-driven index maintenance: a corpus window of inserts, updates
+    and deletes applied via apply_changes leaves the index score-
+    identical to a fresh build over the corpus' current state — including
+    N/avgdl (negative stats deltas net out) — and a replay of the whole
+    window changes nothing."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    store = TableStore(spark, str(tmp_path / "wh_cdc_idx"), vacuum_retain_s=3600.0)
+    store.write("corpus", docs, key="doc_id")
+    t0 = store.commits("corpus")[-1]
+    idx = PersistedPostingsIndex(store, table="_p", stats_table="_ps", forward_table="_pd")
+    idx.register(store.read("corpus"), "b0")
+
+    # mutate: delete 5 docs, rewrite 5 (one rewritten to NULL text), add 5
+    import time as _t
+
+    _t.sleep(0.002)
+    cur = store.read("corpus")
+    upd = cur.where("doc_id >= 10 and doc_id < 15").withColumn(
+        "text",
+        F.when(F.col("doc_id") == 10, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("spark spark rewritten query body "), F.col("text"))
+        ),
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"brand new spark query join document {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    nxt = (
+        cur.where("doc_id >= 5")  # doc_id 0..4 deleted
+        .join(upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    store.write("corpus", nxt, key="doc_id")
+
+    feed = store.read_changes("corpus", t0).localCheckpoint(eager=True)
+    kinds = {r["_change_type"] for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"insert", "update", "delete"}  # the window is non-trivial
+    idx.apply_changes(feed, "w1")
+
+    fresh = PersistedPostingsIndex(
+        TableStore(spark, str(tmp_path / "wh_cdc_fresh")),
+        table="_p", stats_table="_ps", forward_table="_pd",
+    )
+    fresh.register(store.read("corpus"), "all")
+    for terms in (["spark", "query", "join"], ["rewritten"], ["document"]):
+        got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=30).collect()}
+        want = {r["doc_id"]: r["score"] for r in fresh.topk(terms, k=30).collect()}
+        assert set(got) == set(want) and got, terms
+        for d, s in want.items():
+            assert math.isclose(got[d], s, rel_tol=1e-9), (terms, d)
+    # netted stats equal the fresh build's
+    s_inc = idx._stats_with_schema(store.read(idx.stats_table)).groupBy().sum().collect()[0]
+    s_new = fresh._stats_with_schema(
+        fresh.store.read(fresh.stats_table)
+    ).groupBy().sum().collect()[0]
+    assert s_inc["sum(n_docs)"] == s_new["sum(n_docs)"]
+    assert s_inc["sum(n_dl_docs)"] == s_new["sum(n_dl_docs)"]
+    assert s_inc["sum(total_dl)"] == s_new["sum(total_dl)"]
+
+    # replay the whole window: nothing moves (update rows kept, no dupes)
+    before = {t: store.read(t).count() for t in (idx.table, idx.forward_table, idx.stats_table)}
+    idx.apply_changes(feed, "w1")
+    after = {t: store.read(t).count() for t in (idx.table, idx.forward_table, idx.stats_table)}
+    assert after == before
+    got = {r["doc_id"]: r["score"] for r in idx.topk(["spark", "query", "join"], k=30).collect()}
+    want = {r["doc_id"]: r["score"] for r in fresh.topk(["spark", "query", "join"], k=30).collect()}
+    assert got == want
+
+
+def test_postings_unregister_requires_forward_table(spark, tmp_path):
+    """Indexes built before the forward table existed fail loudly on
+    unregister instead of silently leaving stale postings."""
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_legacy_idx"))
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    idx = PersistedPostingsIndex(store)
+    idx.register(docs, "b0")
+    # simulate a legacy index: drop the forward table
+    import shutil
+
+    shutil.rmtree(f"{store.root}/{idx.forward_table}")
+    with _pytest.raises(RuntimeError, match="forward table"):
+        idx.unregister(docs.select("doc_id"), "d0")
+
+
 def test_persisted_postings_bucket_pruned_read(spark, tmp_path):
     """The query reads only the buckets its term hashes land in — not
     the whole postings table."""
