@@ -616,6 +616,13 @@ def _build_mp4_frame_walker():
             if b + 8 > e:
                 raise ValueError("truncated stsz")
             const_size, n_samples = struct.unpack(">II", payload[b : b + 8])
+            # Hard cap on per-sample bookkeeping: hours of 60 fps video is
+            # ~10^6 samples; 2^22 (~4.2M) is far beyond any real container
+            # yet bounds the extent/size lists to tens of MB — a crafted
+            # const_size=1 header could otherwise declare ~payload-length
+            # samples and OOM the task through bookkeeping alone.
+            if n_samples > (1 << 22):
+                raise ValueError("implausible stsz sample count")
             if const_size == 0:
                 if b + 8 + 4 * n_samples > e:
                     raise ValueError("truncated stsz entries")

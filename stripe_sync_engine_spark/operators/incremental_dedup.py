@@ -214,6 +214,51 @@ class FoldLedger:
         os.replace(tmp, self._path)
 
 
+def fold_batch_rows(store, table: str, key: str, collapse, into_batch_id: str = "_folded"):
+    """ONE implementation of the fold protocol the gates share
+    (span-gate gram counts, postings stats, packer progress): scan the
+    whole table, commit the distinct batch ids to the FoldLedger BEFORE
+    the rewrite (a crash in between is conservative — ids refused, rows
+    still per-batch, re-running heals), collapse via the gate-specific
+    ``collapse(rows) -> folded_rows_with_batch_id``, and rewrite under
+    OCC. The write set is the present buckets PLUS the folded rows' own
+    (a folded row keyed by ``into_batch_id`` need not hash into a
+    present bucket — write_buckets only persists the buckets it is
+    given). Keeping the ledger-before-rewrite ordering in one place
+    means a fix to the crash-window reasoning fixes every gate."""
+    if not store.exists(table):
+        return
+    ledger = FoldLedger(store, table)
+
+    def body():
+        manifest = store._read_manifest(table)
+        all_buckets = sorted(int(b) for b in manifest["buckets"])
+        if not all_buckets:
+            return
+        rows = store._scan_manifest(table, manifest, all_buckets)
+        folded_ids = [
+            r["batch_id"]
+            for r in rows.select("batch_id").distinct().collect()
+            if r["batch_id"] != into_batch_id
+        ]
+        if not folded_ids:
+            return
+        ledger.add_all(folded_ids)
+        folded = collapse(rows).localCheckpoint(eager=True)
+        write_set = sorted(
+            set(all_buckets) | set(store.buckets_of(folded, key=key, table=table))
+        )
+        store.write_buckets(
+            table,
+            folded,
+            write_set,
+            key=key,
+            planned_versions=dict(manifest["buckets"]),
+        )
+
+    with_occ_retry(body)
+
+
 class IncrementalDeduper:
     """Exact-dedup gate over a persisted fingerprint table."""
 

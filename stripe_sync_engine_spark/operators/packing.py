@@ -216,6 +216,43 @@ class IncrementalPacker:
         self.table = table
         self.id_col = id_col
 
+    def _params_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, self.table, "_packer_params.json")
+
+    def _check_params(self, write_if_missing: bool = False) -> None:
+        """budget/n_shards are part of the PERSISTED layout: history rows
+        assume them, so a packer reconstructed with different parameters
+        would sum the wrong shard subsets and emit positions overlapping
+        already-materialized packs — silently. Pin them in a side file at
+        first registration and fail loudly on mismatch ever after (the
+        same discipline the store applies to rebuckets)."""
+        import json
+        import os
+
+        path = self._params_path()
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except FileNotFoundError:
+            if write_if_missing and self.store.exists(self.table):
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump({"budget": self.budget, "n_shards": self.n_shards}, f)
+                os.replace(tmp, path)
+            return
+        if rec != {"budget": self.budget, "n_shards": self.n_shards}:
+            raise RuntimeError(
+                f"pack progress table {self.table!r} was built with "
+                f"budget={rec['budget']} n_shards={rec['n_shards']}, but this "
+                f"packer was constructed with budget={self.budget} "
+                f"n_shards={self.n_shards}; continuing would corrupt the pack "
+                "layout — reconstruct with the recorded parameters or start a "
+                "new progress table"
+            )
+
     def _batch_rows(self, batch: DataFrame, count_col: str, batch_id: str) -> DataFrame:
         return (
             batch.withColumn("shard", _shard_col(self.id_col, self.n_shards))
@@ -252,6 +289,7 @@ class IncrementalPacker:
         state is mutated — pair with ``register`` for durability. The
         batch's own ``batch_id`` is excluded from the base so a replay
         assigns the first delivery's exact positions."""
+        self._check_params()
         base = self._base_for(batch, exclude_batch_id=batch_id)
         return assign_packs(
             batch, count_col, self.budget, self.n_shards, self.id_col, _base=base
@@ -269,6 +307,7 @@ class IncrementalPacker:
         )
 
         FoldLedger(self.store, self.table).check_replayable(batch_id)
+        self._check_params()
 
         def once() -> None:
             store, table = self.store, self.table
@@ -289,6 +328,9 @@ class IncrementalPacker:
             commit_fresh(store, table, fresh, "shard", manifest)
 
         with_occ_retry(once)
+        # pin (or heal, if a first write crashed before pinning) the
+        # layout parameters once the table durably exists
+        self._check_params(write_if_missing=True)
 
     def pack_batch(self, batch: DataFrame, count_col: str, batch_id: str) -> DataFrame:
         """assign_batch + register in one call; returns the assigned
@@ -302,45 +344,17 @@ class IncrementalPacker:
         horizon contract as the other folds (``FoldLedger``: folded ids
         commit BEFORE the rewrite and refuse replays afterwards; a crash
         in between is conservative and re-running heals)."""
-        from stripe_sync_engine_spark.operators.incremental_dedup import (
-            FoldLedger,
-            with_occ_retry,
+        from stripe_sync_engine_spark.operators.incremental_dedup import fold_batch_rows
+
+        fold_batch_rows(
+            self.store,
+            self.table,
+            key="shard",
+            collapse=lambda rows: rows.groupBy("shard")
+            .agg(
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+            )
+            .select("shard", F.lit(into_batch_id).alias("batch_id"), "n_tokens", "n_docs"),
+            into_batch_id=into_batch_id,
         )
-
-        store, table = self.store, self.table
-        if not store.exists(table):
-            return
-        ledger = FoldLedger(store, table)
-
-        def body():
-            manifest = store._read_manifest(table)
-            all_buckets = sorted(int(b) for b in manifest["buckets"])
-            if not all_buckets:
-                return
-            rows = store._scan_manifest(table, manifest, all_buckets)
-            folded_ids = [
-                r["batch_id"]
-                for r in rows.select("batch_id").distinct().collect()
-                if r["batch_id"] != into_batch_id
-            ]
-            if not folded_ids:
-                return
-            ledger.add_all(folded_ids)
-            folded = (
-                rows.groupBy("shard")
-                .agg(
-                    F.sum("n_tokens").cast("long").alias("n_tokens"),
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                )
-                .select("shard", F.lit(into_batch_id).alias("batch_id"), "n_tokens", "n_docs")
-                .localCheckpoint(eager=True)
-            )
-            store.write_buckets(
-                table,
-                folded,
-                all_buckets,
-                key="shard",
-                planned_versions=dict(manifest["buckets"]),
-            )
-
-        with_occ_retry(body)

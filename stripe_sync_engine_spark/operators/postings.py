@@ -65,6 +65,7 @@ from stripe_sync_engine_spark.operators.incremental_dedup import (
     FoldLedger,
     anti_probe,
     commit_fresh,
+    fold_batch_rows,
     with_occ_retry,
 )
 from stripe_sync_engine_spark.plans.textops import BM25_B, BM25_K1, tokens_nonempty
@@ -93,13 +94,19 @@ class PersistedPostingsIndex:
         # contribution remains reversible.
         self.forward_table = forward_table
 
-    def _rows(self, batch: DataFrame, batch_id: str) -> DataFrame:
+    def _tokenized(self, batch: DataFrame) -> DataFrame:
+        """``(doc_id, dl, _toks)`` — the ONE tokenization of a batch that
+        registration's three derivations (postings rows, forward rows,
+        stats increment) all share, so an expensive upstream lineage runs
+        once, not three times. Caller localCheckpoints it."""
         toks = tokens_nonempty(self.text_col)
-        base = batch.select(
+        return batch.select(
             F.col(self.id_col).alias("doc_id"),
             F.size(toks).cast("long").alias("dl"),
             toks.alias("_toks"),
         )
+
+    def _rows(self, base: DataFrame, batch_id: str) -> DataFrame:
         return (
             base.select("doc_id", "dl", F.explode("_toks").alias("term"))
             .groupBy("doc_id", "dl", "term")
@@ -136,52 +143,21 @@ class PersistedPostingsIndex:
         rewrite and ``register`` refuses them afterwards; a crash between
         ledger and fold is conservative (ids refused, rows still
         per-batch — query-time SUM is unchanged; re-running heals)."""
-        store = self.store
-        if not store.exists(self.stats_table):
-            return
-        ledger = FoldLedger(store, self.stats_table)
-
-        def body():
-            manifest = store._read_manifest(self.stats_table)
-            all_buckets = sorted(int(b) for b in manifest["buckets"])
-            if not all_buckets:
-                return
-            rows = self._stats_with_schema(
-                store._scan_manifest(self.stats_table, manifest, all_buckets)
+        fold_batch_rows(
+            self.store,
+            self.stats_table,
+            key="batch_id",
+            collapse=lambda rows: self._stats_with_schema(rows)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_dl_docs").cast("long").alias("n_dl_docs"),
+                F.sum("total_dl").cast("long").alias("total_dl"),
             )
-            folded_ids = [
-                r["batch_id"]
-                for r in rows.select("batch_id").distinct().collect()
-                if r["batch_id"] != into_batch_id
-            ]
-            if not folded_ids:
-                return
-            ledger.add_all(folded_ids)
-            folded = (
-                rows.agg(
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                    F.sum("n_dl_docs").cast("long").alias("n_dl_docs"),
-                    F.sum("total_dl").cast("long").alias("total_dl"),
-                )
-                .select(F.lit(into_batch_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
-                .localCheckpoint(eager=True)
-            )
-            # write set = every present bucket (cleared of per-batch rows)
-            # PLUS the _folded row's own bucket, which need not be among
-            # them — write_buckets only persists the buckets it is given.
-            write_set = sorted(
-                set(all_buckets)
-                | set(store.buckets_of(folded, key="batch_id", table=self.stats_table))
-            )
-            store.write_buckets(
-                self.stats_table,
-                folded,
-                write_set,
-                key="batch_id",
-                planned_versions=dict(manifest["buckets"]),
-            )
-
-        with_occ_retry(body)
+            .select(
+                F.lit(into_batch_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl"
+            ),
+            into_batch_id=into_batch_id,
+        )
 
     def _stats_with_schema(self, df: DataFrame) -> DataFrame:
         """Upgrade a legacy stats frame in place: tables written before
@@ -191,13 +167,7 @@ class PersistedPostingsIndex:
             df = df.withColumn("n_dl_docs", F.col("n_docs"))
         return df.select("batch_id", "n_docs", "n_dl_docs", "total_dl")
 
-    def _forward_rows(self, batch: DataFrame, batch_id: str) -> DataFrame:
-        toks = tokens_nonempty(self.text_col)
-        base = batch.select(
-            F.col(self.id_col).alias("doc_id"),
-            F.size(toks).cast("long").alias("dl"),
-            toks.alias("_toks"),
-        )
+    def _forward_rows(self, base: DataFrame, batch_id: str) -> DataFrame:
         # explode_outer keeps token-less docs (empty or NULL text) as one
         # NULL-term sentinel row, so unregister can reverse their n_docs
         # (and, for empty-text, n_dl_docs) contribution.
@@ -212,10 +182,13 @@ class PersistedPostingsIndex:
 
     def _register_once(self, batch: DataFrame, batch_id: str) -> None:
         store = self.store
-        # ONE eager materialization of the postings rows: the bucket
-        # probe and the anti-probe below both reuse it instead of
-        # re-executing the batch's (possibly expensive) upstream lineage.
-        rows = self._rows(batch, batch_id).localCheckpoint(eager=True)
+        # ONE eager tokenization feeds all three derivations (postings
+        # rows, forward rows, stats increment) — the batch's possibly
+        # expensive upstream lineage executes once; the postings rows are
+        # additionally checkpointed because the bucket probe and the
+        # anti-probe both reuse them.
+        base = self._tokenized(batch).localCheckpoint(eager=True)
+        rows = self._rows(base, batch_id).localCheckpoint(eager=True)
         if not store.exists(self.table):
             store.write(self.table, rows, key="term_h")
         else:
@@ -230,7 +203,7 @@ class PersistedPostingsIndex:
         # Forward index between postings and stats (each step idempotent,
         # so any crash ordering heals on replay): doc_id → term hashes +
         # dl, the structure unregister() prunes by.
-        fwd = self._forward_rows(batch, batch_id).localCheckpoint(eager=True)
+        fwd = self._forward_rows(base, batch_id).localCheckpoint(eager=True)
         if not store.exists(self.forward_table):
             store.write(self.forward_table, fwd, key="doc_id")
         else:
@@ -251,18 +224,16 @@ class PersistedPostingsIndex:
             if not fresh.isEmpty():
                 commit_fresh(store, self.forward_table, fresh, "doc_id", manifest)
         # Stats LAST: a crash before this point replays into no-ops above
-        # and a stats heal here. Increments derive from the batch itself
-        # (not from `fresh`), so a replay of a partially committed batch
-        # records the SAME totals it would have.
+        # and a stats heal here. Increments derive from the tokenized
+        # batch itself (not from `fresh`), so a replay of a partially
+        # committed batch records the SAME totals it would have.
         # NULL-text docs count in n_docs but not n_dl_docs/total_dl —
         # exactly how the one-shot scan's count(*)/avg(dl) treat them,
         # which the parity contract depends on.
-        toks = tokens_nonempty(self.text_col)
-        dl = F.size(toks).cast("long")
-        inc = batch.agg(
+        inc = base.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.count(dl).cast("long").alias("n_dl_docs"),
-            F.coalesce(F.sum(dl), F.lit(0).cast("long")).alias("total_dl"),
+            F.count("dl").cast("long").alias("n_dl_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("total_dl"),
         ).select(F.lit(batch_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
         self._commit_stats(inc)
 
@@ -339,6 +310,13 @@ class PersistedPostingsIndex:
         if keep_batch_id is not None:
             targets = targets.where(F.col("batch_id") != keep_batch_id)
         targets = targets.localCheckpoint(eager=True)
+        if targets.isEmpty():
+            # nothing of these docs is registered (insert-only window, or
+            # a replay past completion): writing a (0,0,0) stats row would
+            # only grow the stats table and burn the batch id in the fold
+            # ledger. Skipping is replay-safe — a real first delivery's
+            # non-empty delta is anti-probed on batch_id anyway.
+            return
         # 1. stats delta FIRST, derived from the forward rows alone (dl
         # rides on them) — replays recompute it while they still exist,
         # and the batch_id anti-probe keeps the first value afterwards.

@@ -46,6 +46,7 @@ from stripe_sync_engine_spark.operators.incremental_dedup import (
     FoldLedger,
     anti_probe,
     commit_fresh,
+    fold_batch_rows,
     with_occ_retry,
 )
 
@@ -381,37 +382,12 @@ class IncrementalSpanDeduper:
         ``filter_batch`` refuse them afterwards instead of silently
         double-counting (a crash between ledger and fold is conservative:
         ids refused, rows still per-batch, re-running the fold heals)."""
-        store, table = self.store, self.table
-        if not store.exists(table):
-            return
-        ledger = FoldLedger(store, table)
-
-        def body():
-            manifest = store._read_manifest(table)
-            all_buckets = sorted(int(b) for b in manifest["buckets"])
-            if not all_buckets:
-                return
-            rows = store._scan_manifest(table, manifest, all_buckets)
-            folded_ids = [
-                r["batch_id"]
-                for r in rows.select("batch_id").distinct().collect()
-                if r["batch_id"] != into_batch_id
-            ]
-            if not folded_ids:
-                return
-            ledger.add_all(folded_ids)
-            folded = (
-                rows.groupBy("h")
-                .agg(F.sum("n").cast("long").alias("n"))
-                .select("h", F.lit(into_batch_id).alias("batch_id"), "n")
-                .localCheckpoint(eager=True)
-            )
-            store.write_buckets(
-                table,
-                folded,
-                all_buckets,
-                key="h",
-                planned_versions=dict(manifest["buckets"]),
-            )
-
-        with_occ_retry(body)
+        fold_batch_rows(
+            self.store,
+            self.table,
+            key="h",
+            collapse=lambda rows: rows.groupBy("h")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .select("h", F.lit(into_batch_id).alias("batch_id"), "n"),
+            into_batch_id=into_batch_id,
+        )

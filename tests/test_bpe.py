@@ -431,3 +431,24 @@ def test_incremental_packer_fold_horizon(spark, tmp_path):
     # post-fold batches continue normally
     packer.pack_batch(probe, "n", "run:2")
     assert store.read(packer.table).count() <= 4 + 2  # folded rows + run:2 shards
+
+
+def test_incremental_packer_pins_layout_params(spark, tmp_path):
+    """budget/n_shards are part of the persisted layout: reconstructing
+    the packer with different parameters fails loudly instead of silently
+    emitting positions that overlap already-materialized packs."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_pack_params"))
+    docs = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n long")
+    IncrementalPacker(store, budget=64, n_shards=4).pack_batch(docs, "n", "b0")
+    wrong_shards = IncrementalPacker(store, budget=64, n_shards=8)
+    with pytest.raises(RuntimeError, match="corrupt the pack layout"):
+        wrong_shards.assign_batch(docs, "n", "b1")
+    with pytest.raises(RuntimeError, match="corrupt the pack layout"):
+        IncrementalPacker(store, budget=128, n_shards=4).register(docs, "n", "b1")
+    # the recorded parameters keep working
+    IncrementalPacker(store, budget=64, n_shards=4).pack_batch(docs, "n", "b1")
