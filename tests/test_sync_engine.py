@@ -2261,9 +2261,19 @@ def test_maintain_folds_gate_state_past_horizon(spark, tmp_path):
     idx = PersistedPostingsIndex(store)
     idx.register(docs.where("doc_id < 3"), "run:0")
     idx.register(docs.where("doc_id >= 3"), "run:1")
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+
+    packer = IncrementalPacker(store, budget=64, n_shards=4)
+    packer.pack_batch(docs.withColumn("n", F.lit(10)), "n", "run:0")
+    packer.pack_batch(docs.withColumn("n", F.lit(7)), "n", "run:1")
 
     report = eng.maintain(fold_gates_past_horizon=True)
-    assert report["gates_folded"] == ["_gram_counts", "_postings_stats"]
+    assert report["gates_folded"] == ["_gram_counts", "_postings_stats", "_pack_progress"]
+    assert {r["batch_id"] for r in store.read("_pack_progress").collect()} == {"_folded"}
+    with pytest.raises(RuntimeError, match="folded"):
+        packer.register(docs.withColumn("n", F.lit(1)), "n", "run:1")
     assert {r["batch_id"] for r in store.read("_gram_counts").select("batch_id").distinct().collect()} == {"_folded"}
     assert [r["batch_id"] for r in store.read("_postings_stats").collect()] == ["_folded"]
     with pytest.raises(RuntimeError, match="folded"):
