@@ -1573,6 +1573,38 @@ def test_postings_apply_changes_tracks_mutating_corpus(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_postings_apply_changes_insert_only_window_stays_lean(spark, tmp_path):
+    """An insert-only change window must not grow the stats table with a
+    zero ':del' row (or burn that ledger id): only the ':ins' increment
+    lands, and scores match a fresh build."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_insonly"))
+    v1 = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} corpus words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx = PersistedPostingsIndex(store)
+    idx.register(v1, "b0")
+    feed = spark.createDataFrame(
+        [(100 + i, f"fresh gamma insert {i} words", "insert") for i in range(4)],
+        "doc_id long, text string, _change_type string",
+    )
+    idx.apply_changes(feed, "w1")
+    ids = [r["batch_id"] for r in store.read(idx.stats_table).collect()]
+    assert sorted(ids) == ["b0", "w1:ins"]  # no zero 'w1:del' row
+    full = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_insonly_f")))
+    full.register(v1.unionByName(feed.drop("_change_type")), "all")
+    got = {r["doc_id"]: r["score"] for r in idx.topk(["alpha", "gamma"], k=15).collect()}
+    want = {r["doc_id"]: r["score"] for r in full.topk(["alpha", "gamma"], k=15).collect()}
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-9)
+
+
 def test_postings_unregister_requires_forward_table(spark, tmp_path):
     """Indexes built before the forward table existed fail loudly on
     unregister instead of silently leaving stale postings."""
