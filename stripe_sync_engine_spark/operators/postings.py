@@ -292,17 +292,26 @@ class PersistedPostingsIndex:
         self, doc_ids: DataFrame, batch_id: str, keep_batch_id: str | None
     ) -> None:
         store = self.store
-        if not store.exists(self.forward_table):
-            raise RuntimeError(
-                f"postings index {self.table!r} has no forward table "
-                f"({self.forward_table!r}) — it predates delete support; "
-                "rebuild the index to enable unregister/apply_changes"
-            )
         ids = (
             doc_ids.select(F.col(self.id_col).alias("doc_id"))
             .distinct()
             .localCheckpoint(eager=True)
         )
+        if ids.isEmpty():
+            # Nothing to delete. Checked BEFORE the forward-table probe:
+            # apply_changes' first poll on a brand-new store is a birth
+            # window of pure inserts — no tables exist yet, and raising
+            # "predates delete support" here would wedge the documented
+            # CDC path at its very first batch.
+            return
+        if not store.exists(self.forward_table):
+            if not store.exists(self.table):
+                return  # brand-new index: nothing is registered at all
+            raise RuntimeError(
+                f"postings index {self.table!r} has no forward table "
+                f"({self.forward_table!r}) — it predates delete support; "
+                "rebuild the index to enable unregister/apply_changes"
+            )
         fm = store._read_manifest(self.forward_table)
         fwd_touched = store.buckets_of(ids, key="doc_id", table=self.forward_table)
         fwd_known = store._scan_manifest(self.forward_table, fm, fwd_touched)

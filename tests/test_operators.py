@@ -1605,6 +1605,42 @@ def test_postings_apply_changes_insert_only_window_stays_lean(spark, tmp_path):
         assert math.isclose(got[d], s, rel_tol=1e-9)
 
 
+def test_postings_apply_changes_bootstraps_fresh_index(spark, tmp_path):
+    """The documented CDC path must be usable from the very first poll:
+    on a brand-new store the birth window (all inserts) has an empty
+    delete side, and apply_changes must build the index instead of
+    raising 'predates delete support' from the forward-table check that
+    used to run before the empty-target check."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_boot"))
+    docs = spark.createDataFrame(
+        [(i, f"alpha boot doc {i} words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    feed = store.read_changes("corpus", 0).localCheckpoint(eager=True)
+    assert {r["_change_type"] for r in feed.select("_change_type").collect()} == {
+        "insert"
+    }
+    idx = PersistedPostingsIndex(store)
+    idx.apply_changes(feed, "w0")  # must not raise on the empty delete side
+    full = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_boot_f")))
+    full.register(docs, "all")
+    got = {r["doc_id"]: r["score"] for r in idx.topk(["alpha", "doc"], k=10).collect()}
+    want = {r["doc_id"]: r["score"] for r in full.topk(["alpha", "doc"], k=10).collect()}
+    assert set(got) == set(want) and got
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-9)
+    # direct unregister with an empty id set on a fresh store is a no-op too
+    PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_boot_e"))).unregister(
+        spark.createDataFrame([], "doc_id long"), "d0"
+    )
+
+
 def test_postings_unregister_requires_forward_table(spark, tmp_path):
     """Indexes built before the forward table existed fail loudly on
     unregister instead of silently leaving stale postings."""
