@@ -225,9 +225,13 @@ class IncrementalPacker:
         """budget/n_shards are part of the PERSISTED layout: history rows
         assume them, so a packer reconstructed with different parameters
         would sum the wrong shard subsets and emit positions overlapping
-        already-materialized packs — silently. Pin them in a side file at
-        first registration and fail loudly on mismatch ever after (the
-        same discipline the store applies to rebuckets)."""
+        already-materialized packs — silently. Pin them in a side file
+        BEFORE the first state-table write (a crash between pin and write
+        leaves a pinned-but-empty layout, which is conservative: positions
+        may already have been handed out via assign_batch, so a later
+        packer with different parameters must fail loudly, and does) and
+        fail loudly on mismatch ever after (the same discipline the store
+        applies to rebuckets)."""
         import json
         import os
 
@@ -236,7 +240,7 @@ class IncrementalPacker:
             with open(path) as f:
                 rec = json.load(f)
         except FileNotFoundError:
-            if write_if_missing and self.store.exists(self.table):
+            if write_if_missing:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "w") as f:
@@ -288,7 +292,14 @@ class IncrementalPacker:
         positions continuing each shard's already-registered stream. No
         state is mutated — pair with ``register`` for durability. The
         batch's own ``batch_id`` is excluded from the base so a replay
-        assigns the first delivery's exact positions."""
+        assigns the first delivery's exact positions. Raises if the batch
+        was already absorbed by ``fold_progress`` (same enforced horizon
+        as ``register``): past the fold the batch's own contribution is
+        inside the collapsed base and cannot be excluded, so a replay
+        would silently return SHIFTED positions."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import FoldLedger
+
+        FoldLedger(self.store, self.table).check_replayable(batch_id)
         self._check_params()
         base = self._base_for(batch, exclude_batch_id=batch_id)
         return assign_packs(
@@ -307,7 +318,12 @@ class IncrementalPacker:
         )
 
         FoldLedger(self.store, self.table).check_replayable(batch_id)
-        self._check_params()
+        # Pin (or verify) the layout parameters BEFORE any state write:
+        # the old pin-after-commit ordering had a crash window (state
+        # written, params not yet pinned) in which a differently-configured
+        # packer would silently pass the check and pin ITS parameters over
+        # a table laid out with the originals.
+        self._check_params(write_if_missing=True)
 
         def once() -> None:
             store, table = self.store, self.table
@@ -328,9 +344,6 @@ class IncrementalPacker:
             commit_fresh(store, table, fresh, "shard", manifest)
 
         with_occ_retry(once)
-        # pin (or heal, if a first write crashed before pinning) the
-        # layout parameters once the table durably exists
-        self._check_params(write_if_missing=True)
 
     def pack_batch(self, batch: DataFrame, count_col: str, batch_id: str) -> DataFrame:
         """assign_batch + register in one call; returns the assigned

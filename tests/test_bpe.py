@@ -433,6 +433,55 @@ def test_incremental_packer_fold_horizon(spark, tmp_path):
     assert store.read(packer.table).count() <= 4 + 2  # folded rows + run:2 shards
 
 
+def test_incremental_packer_assign_batch_refuses_folded_replay(spark, tmp_path):
+    """assign_batch is documented replay-stable, so it must enforce the
+    same fold horizon as register: past fold_progress the batch's own
+    contribution is inside the collapsed base and cannot be excluded —
+    a replay would silently return SHIFTED positions, with no error
+    until (or unless) register runs."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_pack_af"))
+    docs = spark.createDataFrame([(1, 10), (2, 20), (3, 5)], "doc_id long, n long")
+    packer = IncrementalPacker(store, budget=16, n_shards=4)
+    packer.pack_batch(docs, "n", "run:0")
+    packer.fold_progress()
+    with pytest.raises(RuntimeError, match="folded"):
+        packer.assign_batch(docs, "n", "run:0")
+
+
+def test_incremental_packer_pin_precedes_first_write(spark, tmp_path, monkeypatch):
+    """The layout pin lands BEFORE the first state-table write: a crash
+    between the two can no longer leave an unpinned table that a
+    differently-configured packer would silently adopt and re-pin."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_pack_crash"))
+    docs = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n long")
+    packer = IncrementalPacker(store, budget=64, n_shards=4)
+
+    def boom(*a, **k):
+        raise OSError("injected crash before the state write")
+
+    monkeypatch.setattr(store, "write", boom)
+    with pytest.raises(OSError, match="injected"):
+        packer.register(docs, "n", "b0")
+    monkeypatch.undo()
+    # the crashed first register already pinned its layout: a packer with
+    # different parameters fails loudly instead of healing the pin with
+    # ITS parameters over positions assign_batch may have handed out
+    with pytest.raises(RuntimeError, match="corrupt the pack layout"):
+        IncrementalPacker(store, budget=128, n_shards=4).register(docs, "n", "b0")
+    # the original parameters resume cleanly
+    IncrementalPacker(store, budget=64, n_shards=4).pack_batch(docs, "n", "b0")
+
+
 def test_incremental_packer_pins_layout_params(spark, tmp_path):
     """budget/n_shards are part of the persisted layout: reconstructing
     the packer with different parameters fails loudly instead of silently
