@@ -705,7 +705,25 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
                 payload = bytes(payload)
-                if len(payload) >= 12 and payload[4:8] == b"ftyp":
+                # ISO-BMFF routing needs more than the 4-byte magic: any
+                # payload (text included) can contain 'ftyp' at offset 4
+                # by coincidence, and sending it down the walker would
+                # emit ZERO rows (failure-row convention) instead of the
+                # fixed framing the oracle mirrors. Demand the leading
+                # ftyp box also be PLAUSIBLE — size a multiple of 4 (the
+                # brand list is 4-byte entries), at least 16 (size + type
+                # + major_brand + minor_version), within the payload —
+                # before committing to the MP4 path; only then does a
+                # parse failure mean a genuinely malformed container.
+                box_size = (
+                    _struct.unpack(">I", payload[0:4])[0] if len(payload) >= 12 else 0
+                )
+                if (
+                    len(payload) >= 12
+                    and payload[4:8] == b"ftyp"
+                    and 16 <= box_size <= len(payload)
+                    and box_size % 4 == 0
+                ):
                     try:
                         table = frame_table(payload)
                     except (ValueError, _struct.error):

@@ -632,6 +632,38 @@ def test_mp4_sample_table_hostile_headers(spark):
     assert sample_frames(df).count() == 0  # no rows, no task failure
 
 
+def test_frame_sample_ftyp_magic_coincidence_keeps_fixed_framing(spark):
+    """A non-MP4 payload whose bytes 4:8 happen to spell 'ftyp' (any text
+    can) must NOT be routed down the ISO-BMFF walker — that path emits
+    zero rows on parse failure, silently diverging from the oracle's
+    fixed-FRAME_BYTES arithmetic. The plausibility gate (leading box size
+    a multiple of 4, >= 16, within the payload) sends it to fixed
+    framing; a payload that PASSES the gate but has no sample table
+    still follows the no-rows convention (it committed to being MP4)."""
+    import struct
+
+    from stripe_sync_engine_spark.functions.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        sample_frames,
+    )
+
+    text_like = b"ab: ftyp is mentioned in this plain prose document " * 8
+    assert text_like[4:8] == b"ftyp"  # the coincidence under test
+    size = struct.unpack(">I", text_like[0:4])[0]
+    assert not (16 <= size <= len(text_like) and size % 4 == 0)  # gate rejects
+    committed = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200) + b"x" * 64
+    df = spark.createDataFrame(
+        [(1, bytearray(text_like)), (2, bytearray(committed))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # doc 2: plausible ftyp, no stbl
+    want_idx = list(range(0, len(text_like) // FRAME_BYTES, FRAME_STRIDE))
+    got = sorted((r["frame_idx"], r["frame_off"]) for r in rows)
+    assert got == [(i, i * FRAME_BYTES) for i in want_idx]
+
+
 def test_fold_ledger_epoch_convention():
     """The <prefix>:<int> id form is monotone-epochs-per-prefix BY
     CONTRACT: folding epoch 7 refuses every lower epoch of that prefix
