@@ -451,7 +451,21 @@ class PersistedIVFPQ:
     ``engine.maintain()`` compaction lands mid-commit. The codebook is
     trained once (``train_ivf_pq``) and carried by the caller — retrain
     means rebuild, exactly like raising ``n_bands`` on the LSH index
-    means a backfill."""
+    means a backfill.
+
+    MUTATING-CORPUS maintenance (the postings-index pattern,
+    ``operators/postings.py``): a FORWARD table (vec_id → cell, batch_id)
+    BUCKETED BY VEC_ID makes delete/update bucket-pruned —
+    ``unregister`` probes only the ids' own forward buckets, never the
+    codes table at large, and ``apply_changes`` consumes a corpus
+    change-feed window directly. A vector's identity is its vec_id: a
+    re-register whose embedding CHANGED fails loudly (cell moved → the
+    forward probe sees it; cell kept but code moved → the codes-bucket
+    probe sees it) instead of silently appending-or-skipping, and the
+    sanctioned update path is ``apply_changes`` / unregister-then-
+    register. Indexes persisted before the forward table existed must be
+    rebuilt to enable deletes (unregister raises; register starts
+    recording forward rows for everything it adds)."""
 
     def __init__(
         self,
@@ -460,45 +474,205 @@ class PersistedIVFPQ:
         table: str = "_ivfpq_codes",
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        forward_table: str = "_ivfpq_fwd",
     ):
         self.store = store
         self.index = index
         self.table = table
         self.vec_col = vec_col
         self.id_col = id_col
+        self.forward_table = forward_table
 
-    def register(self, vecs: DataFrame) -> None:
-        """APPEND-ONLY, IMMUTABLE-VECTOR contract: a vec_id's embedding
-        must never change across registrations. The anti-probe checks
-        vec_id only within the batch's OWN cell buckets (that locality is
-        what keeps registration O(batch) at any index size), so a
-        re-registered vector whose embedding moved to a different cell
-        would APPEND a second row while the stale code stays in the old
-        cell — topk could then return either. Replay idempotence holds
-        for byte-identical vectors only; to update a vector, rebuild the
-        index (retrain means rebuild — the class contract above), or
-        delete the old row out-of-band first."""
+    def register(self, vecs: DataFrame, batch_id: str = "_adhoc") -> None:
+        """Durably add the batch's codes + forward rows. Idempotent per
+        vec_id for byte-identical vectors (deterministic encode → replays
+        anti-probe into no-ops; a crash between the codes and forward
+        commits heals on replay). A vec_id whose embedding CHANGED raises
+        instead of corrupting the index — route updates through
+        ``apply_changes``/``unregister``. ``batch_id`` stamps the forward
+        rows so ``apply_changes`` replays keep an update's new version
+        (``_keep_batch_id`` in ``unregister``)."""
         from stripe_sync_engine_spark.operators.incremental_dedup import (
-            anti_probe,
-            commit_fresh,
             with_occ_retry,
         )
 
-        def once() -> None:
-            rows = encode_ivf_pq(vecs, self.index, self.id_col, self.vec_col)
-            store, table = self.store, self.table
-            if not store.exists(table):
-                store.write(table, rows, key="cell")
-                return
+        with_occ_retry(lambda: self._register_once(vecs, batch_id))
+
+    def _register_once(self, vecs: DataFrame, batch_id: str) -> None:
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            anti_probe,
+            commit_fresh,
+        )
+
+        store, table = self.store, self.table
+        rows = encode_ivf_pq(vecs, self.index, self.id_col, self.vec_col).localCheckpoint(
+            eager=True
+        )
+        if rows.isEmpty():
+            return  # delete-only window: nothing to add, create no tables
+        # Embedding-change detection, both halves bucket-pruned:
+        # 1. cell MOVED — the new cell's buckets no longer hold the old
+        #    row, so probe the forward table (vec_id buckets) instead.
+        fwd_manifest = None
+        fwd_known = None
+        if store.exists(self.forward_table):
+            fwd_manifest = store._read_manifest(self.forward_table)
+            fwd_touched = store.buckets_of(
+                rows, key="vec_id", table=self.forward_table
+            )
+            fwd_known = store._scan_manifest(
+                self.forward_table, fwd_manifest, fwd_touched
+            )
+            moved = fwd_known.join(
+                F.broadcast(rows.select("vec_id", F.col("cell").alias("_new_cell"))),
+                "vec_id",
+            ).where(F.col("cell") != F.col("_new_cell"))
+            if not moved.isEmpty():
+                some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
+                raise RuntimeError(
+                    f"vec_ids {some} are registered in a DIFFERENT cell — their "
+                    "embeddings changed since registration. Re-registering would "
+                    "leave the stale code queryable; apply the change via "
+                    "apply_changes (or unregister first)."
+                )
+        if not store.exists(table):
+            store.write(table, rows, key="cell")
+        else:
             manifest = store._read_manifest(table)
             touched = store.buckets_of(rows, key="cell", table=table)
             known = store._scan_manifest(table, manifest, touched)
+            # 2. cell KEPT but code moved — the old row IS in the batch's
+            #    cell buckets; the vec_id anti-probe would silently skip
+            #    the new code. Compare codes and fail loudly instead.
+            mutated = known.join(
+                F.broadcast(rows.select("vec_id", F.col("codes").alias("_new_codes"))),
+                "vec_id",
+            ).where(F.col("codes") != F.col("_new_codes"))
+            if not mutated.isEmpty():
+                some = [r["vec_id"] for r in mutated.select("vec_id").limit(5).collect()]
+                raise RuntimeError(
+                    f"vec_ids {some} are registered with DIFFERENT codes — their "
+                    "embeddings changed since registration. Route the update "
+                    "through apply_changes (or unregister first)."
+                )
             fresh = anti_probe(rows, known, ["vec_id"]).localCheckpoint(eager=True)
-            if fresh.isEmpty():
-                return
-            commit_fresh(store, table, fresh, "cell", manifest)
+            if not fresh.isEmpty():
+                commit_fresh(store, table, fresh, "cell", manifest)
+        # Forward rows LAST (they are unregister's memory — a crash
+        # between the codes and forward commits replays into codes
+        # no-ops and a forward heal).
+        fwd_rows = rows.select(
+            "vec_id", "cell", F.lit(batch_id).alias("batch_id")
+        ).localCheckpoint(eager=True)
+        if fwd_manifest is None:
+            store.write(self.forward_table, fwd_rows, key="vec_id")
+            return
+        fresh_fwd = anti_probe(fwd_rows, fwd_known, ["vec_id"]).localCheckpoint(
+            eager=True
+        )
+        if not fresh_fwd.isEmpty():
+            commit_fresh(
+                store, self.forward_table, fresh_fwd, "vec_id", fwd_manifest
+            )
 
-        with_occ_retry(once)
+    def unregister(self, vec_ids: DataFrame, _keep_batch_id: str | None = None) -> None:
+        """Remove vectors from the index, forward-table bucket-pruned
+        (O(batch) probes, never a codes scan). Idempotent: a replay finds
+        no forward rows and no-ops; a crash between the codes delete and
+        the forward delete heals on replay (the forward rows are the
+        replay's memory, so they go LAST). ``_keep_batch_id``
+        (``apply_changes``): forward rows registered under that id
+        survive, making unregister-then-register replays of an UPDATE
+        stable. Raises on indexes built before the forward table existed
+        — rebuild to enable deletes."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            with_occ_retry,
+        )
+
+        with_occ_retry(lambda: self._unregister_once(vec_ids, _keep_batch_id))
+
+    def _unregister_once(self, vec_ids: DataFrame, keep_batch_id: str | None) -> None:
+        store = self.store
+        ids = (
+            vec_ids.select(F.col(self.id_col).alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if ids.isEmpty():
+            # Checked BEFORE the forward-table probe: apply_changes' first
+            # poll on a brand-new store is a birth window of pure inserts.
+            return
+        if not store.exists(self.forward_table):
+            if not store.exists(self.table):
+                return  # brand-new index: nothing is registered at all
+            raise RuntimeError(
+                f"IVF-PQ index {self.table!r} has no forward table "
+                f"({self.forward_table!r}) — it predates delete support; "
+                "rebuild the index to enable unregister/apply_changes"
+            )
+        fm = store._read_manifest(self.forward_table)
+        fwd_touched = store.buckets_of(ids, key="vec_id", table=self.forward_table)
+        fwd_known = store._scan_manifest(self.forward_table, fm, fwd_touched)
+        targets = fwd_known.join(F.broadcast(ids), "vec_id", "left_semi")
+        if keep_batch_id is not None:
+            targets = targets.where(F.col("batch_id") != keep_batch_id)
+        targets = targets.localCheckpoint(eager=True)
+        if targets.isEmpty():
+            return
+        # 1. delete the codes rows — write set bounded by the targets'
+        # own cells. The (cell, vec_id) pair key never touches an
+        # update's NEW row: during the first delivery it does not exist
+        # yet (unregister precedes register), and on a replay the kept
+        # forward rows empty `targets` before this point.
+        pairs = targets.select("cell", "vec_id").distinct().localCheckpoint(eager=True)
+        pm = store._read_manifest(self.table)
+        write_set = store.buckets_of(pairs, key="cell", table=self.table)
+        if write_set:
+            base = store._scan_manifest(self.table, pm, write_set)
+            keep = base.join(F.broadcast(pairs), ["cell", "vec_id"], "left_anti")
+            store.write_buckets(
+                self.table,
+                keep.localCheckpoint(eager=True),
+                write_set,
+                key="cell",
+                planned_versions=dict(pm["buckets"]),
+            )
+        # 2. forward rows LAST (the replay's memory).
+        fwd_keep = fwd_known.join(F.broadcast(ids), "vec_id", "left_anti")
+        if keep_batch_id is not None:
+            fwd_keep = fwd_keep.unionByName(
+                fwd_known.where(F.col("batch_id") == keep_batch_id).join(
+                    F.broadcast(ids), "vec_id", "left_semi"
+                )
+            )
+        store.write_buckets(
+            self.forward_table,
+            fwd_keep.localCheckpoint(eager=True),
+            fwd_touched,
+            key="vec_id",
+            planned_versions=dict(fm["buckets"]),
+        )
+
+    def apply_changes(self, feed: DataFrame, batch_id: str) -> None:
+        """Maintain the index from one corpus change-feed window
+        (``engine.changes`` / ``consume_changes`` output: id + embedding
+        columns plus ``_change_type``): deletes and updates unregister
+        the old code (forward-table pruned), inserts and updates register
+        the post-image embeddings — the CDC steady state where the vector
+        index tracks a mutating corpus without rescans or rebuilds.
+        Idempotent per ``batch_id``: a replay of a completed window tears
+        nothing down (the update's new rows are kept via the ``:ins``
+        sub-batch id) and a crash at any point heals — unregister before
+        register, each internally ordered for replay."""
+        changed = feed.localCheckpoint(eager=True)
+        old_ids = changed.where(
+            F.col("_change_type").isin("delete", "update")
+        ).select(self.id_col)
+        new_vecs = changed.where(
+            F.col("_change_type").isin("insert", "update")
+        ).drop("_change_type")
+        self.unregister(old_ids, _keep_batch_id=f"{batch_id}:ins")
+        self.register(new_vecs, f"{batch_id}:ins")
 
     def topk(
         self, queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 4

@@ -246,3 +246,214 @@ def test_persisted_ivf_pq_register_and_probe(spark, sf_dir, tmp_path):
         for r in ivf_pq_topk(codes, idx, queries, k=10, nprobe=4).collect()
     )
     assert got == want
+
+
+def _cells_of(spark, idx, X, ids):
+    """vec_id -> coarse cell, computed exactly like encode_ivf_pq."""
+    cel = np.asarray(idx.cells, dtype=np.float64)
+    assign = ((X[:, None, :] - cel[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    return {int(i): int(c) for i, c in zip(ids, assign)}
+
+
+def test_persisted_ivfpq_apply_changes_tracks_mutating_corpus(spark, sf_dir, tmp_path):
+    """CDC-driven ANN maintenance: a corpus window of inserts, updates and
+    deletes applied via apply_changes leaves the codes AND forward tables
+    row-identical to a fresh register over the corpus' current state, and
+    a replay of the whole window changes nothing. Updates are built to
+    MOVE cells (the embedding is swapped with a different-cell vector's),
+    the exact case the old append-only contract corrupted silently."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    cells = _cells_of(spark, idx, X, ids)
+
+    store = TableStore(spark, str(tmp_path / "wh_pq_cdc"), vacuum_retain_s=3600.0)
+    store.write("vectors", vecs, key="vec_id")
+    t0 = store.commits("vectors")[-1]
+    p = PersistedIVFPQ(store, idx)
+    p.register(store.read("vectors"), "b0")
+
+    # mutate: delete 5; update 5 to a DIFFERENT-cell vector's embedding;
+    # insert 5 brand-new ids carrying existing embeddings
+    import time as _t
+
+    _t.sleep(0.002)
+    sorted_ids = sorted(cells)
+    deleted = sorted_ids[:5]
+    to_update = sorted_ids[5:10]
+    donors = {}
+    for u in to_update:
+        donors[u] = next(
+            d for d in sorted_ids[10:] if cells[d] != cells[u]
+        )  # guaranteed cell move
+    emb_of = {int(i): [float(v) for v in X[k]] for k, i in enumerate(ids)}
+    cur = store.read("vectors")
+    upd = spark.createDataFrame(
+        [(u, emb_of[donors[u]]) for u in to_update],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(100000 + j, emb_of[sorted_ids[20 + j]]) for j in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    nxt = (
+        cur.join(spark.createDataFrame([(d,) for d in deleted], "vec_id long"), "vec_id", "left_anti")
+        .join(upd.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    store.write("vectors", nxt, key="vec_id")
+
+    feed = store.read_changes("vectors", t0).localCheckpoint(eager=True)
+    kinds = {r["_change_type"] for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"insert", "update", "delete"}
+    p.apply_changes(feed, "w1")
+
+    fresh_store = TableStore(spark, str(tmp_path / "wh_pq_fresh"))
+    fresh = PersistedIVFPQ(fresh_store, idx)
+    fresh.register(store.read("vectors"), "all")
+
+    def codes_set(s, table):
+        return {
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in s.read(table).collect()
+        }
+
+    assert codes_set(store, p.table) == codes_set(fresh_store, fresh.table)
+    fwd = {
+        (r["vec_id"], r["cell"])
+        for r in store.read(p.forward_table).collect()
+    }
+    fwd_fresh = {
+        (r["vec_id"], r["cell"])
+        for r in fresh_store.read(fresh.forward_table).collect()
+    }
+    assert fwd == fwd_fresh
+    # the updated ids now sit in their donor's cell; deleted ids are gone
+    by_id = {v: c for v, c in fwd}
+    for u in to_update:
+        assert by_id[u] == cells[donors[u]]
+    assert not (set(deleted) & set(by_id))
+
+    # queries agree with the fresh build
+    queries = [(int(i), emb_of[i]) for i in to_update[:2]] + [(99, emb_of[sorted_ids[30]])]
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["approx_dist"], 9))
+        for r in p.topk(queries, k=10, nprobe=4).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], round(r["approx_dist"], 9))
+        for r in fresh.topk(queries, k=10, nprobe=4).collect()
+    )
+    assert got == want
+
+    # full-window replay: nothing moves
+    before = (codes_set(store, p.table), store.read(p.forward_table).count())
+    p.apply_changes(feed, "w1")
+    assert (codes_set(store, p.table), store.read(p.forward_table).count()) == before
+
+    # crash-shaped partial replay: unregister alone (the first half of the
+    # window) then the whole window again — still converges
+    p.unregister(
+        feed.where(F.col("_change_type").isin("delete", "update")).select("vec_id"),
+        _keep_batch_id="w1:ins",
+    )
+    p.apply_changes(feed, "w1")
+    assert codes_set(store, p.table) == codes_set(fresh_store, fresh.table)
+
+
+def test_persisted_ivfpq_register_rejects_changed_embedding(spark, sf_dir, tmp_path):
+    """A vec_id whose embedding changed must fail loudly on direct
+    re-register — BOTH halves: cell moved (forward-table probe) and cell
+    kept but codes moved (codes-bucket probe) — instead of silently
+    appending a second row or skipping the new code."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        encode_ivf_pq,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_pq_rej"))
+    p = PersistedIVFPQ(store, idx)
+    p.register(vecs, "b0")
+
+    cells = _cells_of(spark, idx, X, ids)
+    sorted_ids = sorted(cells)
+    a = sorted_ids[0]
+    donor = next(d for d in sorted_ids[1:] if cells[d] != cells[a])
+    emb_of = {int(i): [float(v) for v in X[k]] for k, i in enumerate(ids)}
+    moved = spark.createDataFrame(
+        [(a, emb_of[donor])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(RuntimeError, match="DIFFERENT cell"):
+        p.register(moved, "b1")
+
+    # same cell, different codes: perturb until the encode keeps the cell
+    # but moves at least one subspace code (deterministic search)
+    base_codes = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in encode_ivf_pq(vecs, idx).collect()
+    }
+    found = None
+    for vid in sorted_ids:
+        for eps in (0.05, 0.1, 0.2, 0.4):
+            pert = [v + eps for v in emb_of[vid]]
+            df = spark.createDataFrame(
+                [(vid, pert)], "vec_id long, embedding array<double>"
+            )
+            r = encode_ivf_pq(df, idx).collect()[0]
+            if r["cell"] == base_codes[vid][0] and tuple(r["codes"]) != base_codes[vid][1]:
+                found = df
+                break
+        if found is not None:
+            break
+    assert found is not None, "corpus admits no same-cell code move — widen eps"
+    with pytest.raises(RuntimeError, match="DIFFERENT codes"):
+        p.register(found, "b2")
+
+    # byte-identical replay still registers nothing and does not raise
+    n = store.read(p.table).count()
+    p.register(vecs.limit(10), "b0")
+    assert store.read(p.table).count() == n
+
+
+def test_persisted_ivfpq_bootstrap_and_legacy(spark, sf_dir, tmp_path):
+    """apply_changes bootstraps a fresh index from a birth window (empty
+    delete side must not wedge on the forward-table check), and an index
+    persisted before the forward table existed raises on unregister
+    instead of silently leaving stale codes."""
+    import pytest
+    import shutil
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_pq_boot"), vacuum_retain_s=3600.0)
+    store.write("vectors", vecs.limit(50), key="vec_id")
+    feed = store.read_changes("vectors", 0).localCheckpoint(eager=True)
+    p = PersistedIVFPQ(store, idx)
+    p.apply_changes(feed, "w0")  # must not raise
+    assert store.read(p.table).count() == 50
+    assert store.read(p.forward_table).count() == 50
+
+    # legacy: forward table dropped → unregister fails loudly
+    shutil.rmtree(f"{store.root}/{p.forward_table}")
+    with pytest.raises(RuntimeError, match="forward table"):
+        p.unregister(spark.createDataFrame([(int(ids[0]),)], "vec_id long"))
