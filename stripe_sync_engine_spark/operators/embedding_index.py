@@ -216,15 +216,22 @@ class IncrementalEmbeddingIndex:
 
     def register(self, batch: DataFrame, _rows: DataFrame | None = None) -> None:
         """Durably index ``batch``'s vectors, idempotently (already-
-        indexed (vector, band) rows register nothing); one OCC-guarded
-        partial commit. Freshness is per (vec_id, BAND), not per vec_id:
+        indexed (bucket, vec_id) rows register nothing); one OCC-guarded
+        partial commit. Freshness is per (BUCKET, vec_id) — strictly
+        finer than per vec_id — which buys two properties at once:
         after raising ``n_bands``, re-registering an already-indexed
-        vector writes exactly its missing higher-band rows — the recall
+        vector writes exactly its missing higher-band rows (the recall
         upgrade back-fills incrementally instead of silently applying
-        only to vectors registered after the switch. Out-of-band writers
-        (``engine.maintain()`` compacting the index) re-plan via
-        ``with_occ_retry``, same as the text gates. ``_rows``:
-        precomputed ``_bq(batch)`` (materialized — a retry re-reads)."""
+        only to vectors registered after the switch); and an UPDATED
+        embedding's new-bucket rows commit instead of being skipped by
+        an id-only probe — the old rows stay as ghosts (the corpus DID
+        contain that embedding; same keep-seen pin as the text gates'
+        ``apply_changes``), except the same-bucket coincidence (changed
+        vector, unchanged bits) where the stale qv row survives — rare
+        and conservative. Out-of-band writers (``engine.maintain()``
+        compacting the index) re-plan via ``with_occ_retry``, same as
+        the text gates. ``_rows``: precomputed ``_bq(batch)``
+        (materialized — a retry re-reads)."""
         with_occ_retry(lambda: self._register_once(batch, _rows))
 
     def _register_once(self, batch: DataFrame, _rows: DataFrame | None = None) -> None:
@@ -237,19 +244,70 @@ class IncrementalEmbeddingIndex:
         manifest = store._read_manifest(table)
         touched = store.buckets_of(rows, key="bucket", table=table)
         index = store._scan_manifest(table, manifest, touched)
-        band_of = F.split(F.col("bucket"), r"\|").getItem(0).alias("band")
-        fresh = (
-            anti_probe(
-                rows.withColumn("band", band_of),
-                index.withColumn("band", band_of),
-                ["vec_id", "band"],
-            )
-            .drop("band")
-            .localCheckpoint(eager=True)  # pre-commit lineage cut (vacuum)
+        fresh = anti_probe(rows, index, ["bucket", "vec_id"]).localCheckpoint(
+            eager=True  # pre-commit lineage cut (vacuum)
         )
         if fresh.isEmpty():
             return
         commit_fresh(store, table, fresh, "bucket", manifest)
+
+    def unregister(self, vecs: DataFrame) -> None:
+        """Remove ``vecs``' index rows — the embedding gate's takedown
+        path (mirrors ``IncrementalNearDeduper.unregister``): a vector
+        deleted from the corpus must stop suppressing future
+        near-identical embeddings. ``vecs`` carries the PRE-IMAGE
+        embeddings AS REGISTERED (a change feed's delete rows); bucket
+        keys are recomputed from them, so deletion reads only the ids'
+        own LSH buckets — O(batch), never an index scan. Matched on
+        (bucket, vec_id), idempotent, OCC-guarded."""
+        with_occ_retry(lambda: self._unregister_once(vecs))
+
+    def _unregister_once(self, vecs: DataFrame) -> None:
+        store, table = self.store, self.table
+        if not store.exists(table):
+            return
+        self._ensure_band_format()
+        pairs = (
+            self._bq(vecs)
+            .select("bucket", "vec_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if pairs.isEmpty():
+            return
+        manifest = store._read_manifest(table)
+        touched = store.buckets_of(pairs, key="bucket", table=table)
+        base = store._scan_manifest(table, manifest, touched)
+        hit = base.join(
+            F.broadcast(pairs), ["bucket", "vec_id"], "left_semi"
+        ).localCheckpoint(eager=True)
+        if hit.isEmpty():
+            return  # replay, or the vectors were never indexed
+        write_set = store.buckets_of(hit, key="bucket", table=table)
+        keep = store._scan_manifest(table, manifest, write_set).join(
+            F.broadcast(pairs), ["bucket", "vec_id"], "left_anti"
+        )
+        store.write_buckets(
+            table,
+            keep.localCheckpoint(eager=True),
+            write_set,
+            key="bucket",
+            planned_versions=dict(manifest["buckets"]),
+        )
+
+    def apply_changes(self, feed: DataFrame) -> None:
+        """Same change-feed contract as the text gates' ``apply_changes``
+        (``IncrementalDeduper.apply_changes`` has the update-pre-image
+        pin): deletes unregister their pre-image rows, insert/update
+        post-images register."""
+        changed = feed.localCheckpoint(eager=True)
+        dels = changed.where(F.col("_change_type") == "delete").drop("_change_type")
+        ups = changed.where(
+            F.col("_change_type").isin("insert", "update")
+        ).drop("_change_type")
+        self.unregister(dels)
+        if not ups.isEmpty():
+            self.register(ups)
 
     def filter_new(self, batch: DataFrame) -> DataFrame:
         """select_new + register in one call — sharing ONE bucket-

@@ -350,6 +350,71 @@ class IncrementalDeduper:
         self.register(survivors)
         return survivors
 
+    def unregister(self, docs: DataFrame) -> None:
+        """Remove ``docs``' content fingerprints — the TAKEDOWN path: a
+        document deleted from the corpus (licensing, right-to-erasure)
+        must stop suppressing future near-identical text, or a revised
+        resubmission is rejected forever by a ghost. ``docs`` carries the
+        PRE-IMAGE content (exactly what a change feed's delete rows hold);
+        only rows whose (fingerprint, registrant id) BOTH match are
+        removed, so taking down a never-registered duplicate leaves the
+        surviving keeper's fingerprint — and the gate — intact.
+        Bucket-pruned by fingerprint, idempotent (a replay matches
+        nothing), OCC-guarded like register."""
+        with_occ_retry(lambda: self._unregister_once(docs))
+
+    def _unregister_once(self, docs: DataFrame) -> None:
+        store, table = self.store, self.table
+        if not store.exists(table):
+            return
+        pairs = (
+            self._fingerprints(docs)
+            .select(FINGERPRINT_COL, "doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if pairs.isEmpty():
+            return
+        manifest = store._read_manifest(table)
+        touched = store.buckets_of(pairs, key=FINGERPRINT_COL, table=table)
+        base = store._scan_manifest(table, manifest, touched)
+        hit = base.join(
+            F.broadcast(pairs), [FINGERPRINT_COL, "doc_id"], "left_semi"
+        ).localCheckpoint(eager=True)
+        if hit.isEmpty():
+            return  # replay, or deleted docs were never the registrant
+        write_set = store.buckets_of(hit, key=FINGERPRINT_COL, table=table)
+        keep = store._scan_manifest(table, manifest, write_set).join(
+            F.broadcast(pairs), [FINGERPRINT_COL, "doc_id"], "left_anti"
+        )
+        store.write_buckets(
+            table,
+            keep.localCheckpoint(eager=True),
+            write_set,
+            key=FINGERPRINT_COL,
+            planned_versions=dict(manifest["buckets"]),
+        )
+
+    def apply_changes(self, feed: DataFrame) -> None:
+        """Keep the gate tracking a mutating corpus from one change-feed
+        window (``read_changes`` output: table columns + ``_change_type``):
+        DELETE rows carry pre-images and unregister; insert/update
+        post-images register (idempotent — already-seen content adds
+        nothing). UPDATE pre-images are NOT in the feed (``read_changes``
+        emits post-images for updates) and their fingerprints stay by
+        contract: the corpus genuinely contained that content, and for a
+        dedup gate "seen once, ever" is the semantics — full erasure of
+        updated-away content is the documented rebuild path (re-register
+        the surviving corpus into a fresh gate table)."""
+        changed = feed.localCheckpoint(eager=True)
+        dels = changed.where(F.col("_change_type") == "delete").drop("_change_type")
+        ups = changed.where(
+            F.col("_change_type").isin("insert", "update")
+        ).drop("_change_type")
+        self.unregister(dels)
+        if not ups.isEmpty():
+            self.register(ups)
+
     def _originals(self, batch: DataFrame, fresh_fps: DataFrame) -> DataFrame:
         """Survivor rows in the batch's ORIGINAL schema (semi-join on the
         surviving (fingerprint, doc_id) pairs, so within-batch duplicate
@@ -479,6 +544,61 @@ class IncrementalNearDeduper:
         )
         self.register(survivors, _rows=surv_rows)
         return survivors
+
+    def unregister(self, docs: DataFrame) -> None:
+        """Remove ``docs``' band rows — the near gate's takedown path
+        (mirrors the exact gate's ``unregister``). ``docs`` carries the
+        PRE-IMAGE content AS REGISTERED: band keys are recomputed from it
+        and pruned to their own buckets, so deletion is O(batch), never an
+        index scan. Rows are matched on (band, band_key, doc_id) — all
+        three — so a hash-coincident other document is never touched.
+        Idempotent, OCC-guarded."""
+        with_occ_retry(lambda: self._unregister_once_near(docs))
+
+    def _unregister_once_near(self, docs: DataFrame) -> None:
+        store, table = self.store, self.table
+        if not store.exists(table):
+            return
+        pairs = (
+            self._band_rows(docs)
+            .select("band", "band_key", "doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if pairs.isEmpty():
+            return  # e.g. every deleted doc was too short to shingle
+        manifest = store._read_manifest(table)
+        touched = store.buckets_of(pairs, key="band_key", table=table)
+        base = store._scan_manifest(table, manifest, touched)
+        hit = base.join(
+            F.broadcast(pairs), ["band", "band_key", "doc_id"], "left_semi"
+        ).localCheckpoint(eager=True)
+        if hit.isEmpty():
+            return
+        write_set = store.buckets_of(hit, key="band_key", table=table)
+        keep = store._scan_manifest(table, manifest, write_set).join(
+            F.broadcast(pairs), ["band", "band_key", "doc_id"], "left_anti"
+        )
+        store.write_buckets(
+            table,
+            keep.localCheckpoint(eager=True),
+            write_set,
+            key="band_key",
+            planned_versions=dict(manifest["buckets"]),
+        )
+
+    def apply_changes(self, feed: DataFrame) -> None:
+        """Same change-feed contract as the exact gate's ``apply_changes``
+        (see it for the update-pre-image pin): deletes unregister their
+        pre-image band rows, insert/update post-images register."""
+        changed = feed.localCheckpoint(eager=True)
+        dels = changed.where(F.col("_change_type") == "delete").drop("_change_type")
+        ups = changed.where(
+            F.col("_change_type").isin("insert", "update")
+        ).drop("_change_type")
+        self.unregister(dels)
+        if not ups.isEmpty():
+            self.register(ups)
 
     def _candidates_against(self, rows: DataFrame, index: DataFrame) -> DataFrame:
         from stripe_sync_engine_spark.plans.dedup import MINHASH_SEEDS

@@ -257,7 +257,19 @@ class IncrementalSpanDeduper:
     At 100 TB: per-batch work is O(batch grams) plus a scan of only the
     store buckets the batch's hashes touch; nothing global, no driver
     state. The gram table holds 24-byte rows for DISTINCT (gram, batch)
-    pairs — sublinear in corpus tokens (Heaps' law) and foldable."""
+    pairs — sublinear in corpus tokens (Heaps' law) and foldable.
+
+    DELETION contract (PINNED, deliberately different from the exact/
+    near gates' ``unregister``): gram counts are aggregate CORPUS
+    STATISTICS, not per-document provenance — after a fold they are not
+    even attributable to documents — so deleting a corpus document does
+    NOT decrement them, exactly as deleting a document does not un-train
+    an n-gram LM. Consequence: spans the deleted document contributed to
+    keep clipping, which is the conservative direction for a dedup gate
+    (over-clipping repeated boilerplate, never under-clipping). The
+    takedown path for the statistics themselves is a REBUILD: register
+    the surviving corpus into a fresh table (pytest-pinned in
+    ``tests/test_span_dedup.py``)."""
 
     def __init__(
         self,

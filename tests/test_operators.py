@@ -981,6 +981,125 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert {r["doc_id"] for r in dd.filter_new(b3).collect()} == {9}
 
 
+def test_incremental_dedup_unregister_takedown(spark, tmp_path):
+    """The takedown path: a document deleted from the corpus stops
+    suppressing future near-identical text — but taking down a
+    NEVER-REGISTERED duplicate leaves the surviving keeper's fingerprint
+    (and the gate) intact, and replays match nothing."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_take"))
+    dd = IncrementalDeduper(store)
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    dd.filter_new(b1)
+    # a later near-identical resubmission is (correctly) rejected
+    resub = spark.createDataFrame([(10, "alpha")], "doc_id long, text string")
+    assert dd.select_new(resub).isEmpty()
+
+    # takedown doc 1 with its pre-image content
+    dd.unregister(spark.createDataFrame([(1, "alpha")], "doc_id long, text string"))
+    assert dd.seen_count() == 2
+    assert {r["doc_id"] for r in dd.select_new(resub).collect()} == {10}  # re-admitted
+
+    # replay of the takedown: no-op, manifest versions unchanged
+    before = store._read_manifest(dd.table)["buckets"]
+    dd.unregister(spark.createDataFrame([(1, "alpha")], "doc_id long, text string"))
+    assert store._read_manifest(dd.table)["buckets"] == before
+
+    # taking down a non-registrant duplicate (content beta registered to
+    # doc 2; a hypothetical doc 99 with the same content was never the
+    # keeper) leaves the gate intact
+    dd.unregister(spark.createDataFrame([(99, "beta")], "doc_id long, text string"))
+    assert dd.seen_count() == 2
+    assert dd.select_new(
+        spark.createDataFrame([(11, "beta")], "doc_id long, text string")
+    ).isEmpty()
+
+
+def test_incremental_dedup_apply_changes_window(spark, tmp_path):
+    """Gate maintenance straight off the change feed: deletes unregister
+    their pre-images, inserts/updates register post-images, and the
+    pinned update contract holds — updated-AWAY content stays registered
+    (the corpus did contain it; the feed has no update pre-image)."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_gatecdc"), vacuum_retain_s=3600.0)
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    store.write("corpus", docs, key="doc_id")
+    t0 = store.commits("corpus")[-1]
+    dd = IncrementalDeduper(store)
+    dd.register(store.read("corpus"))
+
+    import time as _t
+
+    _t.sleep(0.002)
+    nxt = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma prime"), (4, "delta")],  # 1 deleted, 3 updated, 4 new
+        "doc_id long, text string",
+    )
+    store.write("corpus", nxt, key="doc_id")
+    feed = store.read_changes("corpus", t0).localCheckpoint(eager=True)
+    kinds = {r["_change_type"] for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"insert", "update", "delete"}
+    dd.apply_changes(feed)
+
+    probe = spark.createDataFrame(
+        [(21, "alpha"), (22, "gamma"), (23, "gamma prime"), (24, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in dd.select_new(probe).collect()}
+    # alpha re-admitted (deleted, pre-image unregistered); 'gamma' still
+    # suppressed (update pre-image pinned registered); new content seen
+    assert got == {21}
+
+    # replay of the window: converges (register idempotent, unregister
+    # matches nothing)
+    n = store.read(dd.table).count()
+    dd.apply_changes(feed)
+    assert store.read(dd.table).count() == n
+    assert {r["doc_id"] for r in dd.select_new(probe).collect()} == {21}
+
+
+def test_incremental_near_dedup_unregister_takedown(spark, tmp_path):
+    """Near-gate takedown: deleting a registered document's band rows
+    re-admits future near-identical text; the probe is band-bucket
+    pruned and replays are no-ops. Docs too short to shingle unregister
+    to a no-op instead of erroring."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        IncrementalNearDeduper,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd cheers loudly for more music tonight"
+    )
+    store = TableStore(spark, str(tmp_path / "wh_neartake"))
+    near = IncrementalNearDeduper(store, threshold=0.5)
+    near.register(spark.createDataFrame([(1, base)], "doc_id long, text string"))
+
+    twin = spark.createDataFrame(
+        [(10, base + " encore")], "doc_id long, text string"
+    )
+    assert near.select_new(twin).isEmpty()  # suppressed by doc 1
+
+    near.unregister(spark.createDataFrame([(1, base)], "doc_id long, text string"))
+    assert store.read(near.table).count() == 0
+    assert {r["doc_id"] for r in near.select_new(twin).collect()} == {10}
+
+    # replay + short-doc no-ops
+    near.unregister(spark.createDataFrame([(1, base)], "doc_id long, text string"))
+    near.unregister(spark.createDataFrame([(5, "too short")], "doc_id long, text string"))
+
+
 def test_gate_probe_stays_broadcast_without_auto(spark, tmp_path):
     """The gate's membership probe must stay a broadcast plan even when
     the store side is too big for auto-broadcast (simulated by disabling
@@ -1143,6 +1262,57 @@ def test_incremental_embedding_index_gate(spark, tmp_path):
     assert {r["vec_id"] for r in ix.filter_new(mk([(3, anti)])).collect()} == {3}
     assert store._read_manifest(ix.table)["buckets"] == before
     assert store.read(ix.table).count() == 2  # vectors 1 and 3 indexed once each
+
+
+def test_embedding_index_unregister_and_apply_changes(spark, tmp_path):
+    """Embedding-gate takedown + CDC window: deleting an indexed vector
+    (pre-image embedding) re-admits future near-identical vectors; an
+    update's post-image rows COMMIT (freshness is per (bucket, vec_id))
+    while the old-bucket rows stay as ghosts per the keep-seen pin;
+    replays are no-ops."""
+    from stripe_sync_engine_spark.operators.embedding_index import (
+        IncrementalEmbeddingIndex,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    dim = 64
+    base = [0.1] * dim
+    near = [0.1] * (dim - 1) + [0.1001]
+    anti = [-0.1] * dim
+    store = TableStore(spark, str(tmp_path / "wh_emb_take"))
+    ix = IncrementalEmbeddingIndex(store, threshold=0.92)
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    ix.register(mk([(1, base), (2, anti)]))
+    assert ix.select_new(mk([(10, near)])).isEmpty()  # suppressed by 1
+
+    # takedown vector 1 with its pre-image embedding
+    ix.unregister(mk([(1, base)]))
+    assert store.read(ix.table).count() == 1  # only vector 2 remains
+    assert {r["vec_id"] for r in ix.select_new(mk([(10, near)])).collect()} == {10}
+    # replay: no-op
+    before = store._read_manifest(ix.table)["buckets"]
+    ix.unregister(mk([(1, base)]))
+    assert store._read_manifest(ix.table)["buckets"] == before
+
+    # CDC window: 2 updated to base's neighborhood (bucket moves), 3 new
+    feed = spark.createDataFrame(
+        [(2, near, "update"), (3, anti, "insert")],
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    ix.apply_changes(feed)
+    # the update's NEW rows committed: a vector near `near` now gates on 2
+    cands = {
+        (r["vec_id"], r["seen_vec_id"]): r["cosine"]
+        for r in ix.neighbors(mk([(11, base)])).collect()
+    }
+    assert cands.get((11, 2), 0.0) > 0.99
+    # ghost: 2's old anti-bucket row remains (keep-seen pin) next to 3's
+    rows = {(r["vec_id"], r["bucket"]) for r in store.read(ix.table).collect()}
+    assert len([v for v, _ in rows if v == 2]) == 2  # old + new bucket
+    n = store.read(ix.table).count()
+    ix.apply_changes(feed)  # replay converges
+    assert store.read(ix.table).count() == n
 
 
 def test_embedding_index_band_upgrade_backfills(spark, tmp_path):

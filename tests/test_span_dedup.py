@@ -461,3 +461,36 @@ def test_long_horizon_register_fold_register_lifecycle(spark, tmp_path, sf_dir):
     gate.fold_history()
     ids = {r["batch_id"] for r in store.read(gate.table).select("batch_id").distinct().collect()}
     assert ids == {"_folded"}
+
+
+def test_span_gate_deletion_contract_pinned(spark, tmp_path):
+    """The PINNED deletion contract (class docstring): gram counts are
+    aggregate corpus statistics, so deleting a corpus document does NOT
+    decrement them — spans it contributed to keep clipping (conservative
+    over-clipping, like an already-trained LM). The takedown path for
+    the statistics is a REBUILD into a fresh table from the surviving
+    corpus, after which the ghost stops gating."""
+    shared = "one two three four five six"
+    store = TableStore(spark, str(tmp_path / "wh_span_del"))
+    gate = IncrementalSpanDeduper(store, k=3, min_repeats=2)
+    # docs 1 and 2 both carry the shared run; both register
+    gate.register(_docs(spark, [(1, shared + " tail1"), (2, shared + " tail2")]), "b1")
+    probe = _docs(spark, [(10, shared + " probe pad")])
+    assert _spans(gate.spans_in(probe))  # history repeats: clips
+
+    # corpus deletes BOTH contributors — the gate statistics stand
+    assert _spans(gate.spans_in(probe)), "pinned: deletion does not decrement"
+
+    # rebuild from the surviving corpus (doc 2 only): threshold needs 2
+    # total and the probe itself brings 1, so the run still clips —
+    # while a corpus that lost both copies stops gating entirely
+    rebuilt_partial = IncrementalSpanDeduper(
+        TableStore(spark, str(tmp_path / "wh_span_rb1")), k=3, min_repeats=2
+    )
+    rebuilt_partial.register(_docs(spark, [(2, shared + " tail2")]), "b1")
+    assert _spans(rebuilt_partial.spans_in(probe))
+    rebuilt_empty = IncrementalSpanDeduper(
+        TableStore(spark, str(tmp_path / "wh_span_rb2")), k=3, min_repeats=2
+    )
+    rebuilt_empty.register(_docs(spark, [(3, "totally different words here")]), "b1")
+    assert not _spans(rebuilt_empty.spans_in(probe))
