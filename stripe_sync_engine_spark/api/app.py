@@ -140,24 +140,25 @@ class Router:
         """Append one signed envelope to the landing zone as its OWN file:
         Spark's file source discovers new FILES, never appended content, so
         per-request files are the correct granularity (the stream is the
-        batcher). Written to a dot-prefixed temp name first — the file
-        source ignores dot-files, so a half-written envelope is never
-        listed — then atomically renamed visible.
+        batcher). Committed via ``commitio.atomic_write_text``, whose
+        dot-prefixed temp name the file source ignores — a half-written
+        envelope is never listed; the rename makes it visible whole.
 
         Names must be unique ACROSS PROCESS RESTARTS: a monotonic clock
         restarts at boot, so a post-restart name colliding with an earlier
-        envelope would either clobber an unprocessed file via os.replace or
+        envelope would either clobber an unprocessed file via the rename or
         be silently ignored by Spark's file source (which dedups by path).
         wall-clock ns + uuid4 makes collisions impossible in practice."""
         import os
         import uuid
 
-        os.makedirs(self.landing_dir, exist_ok=True)
+        from stripe_sync_engine_spark.commitio import atomic_write_text
+
         name = f"{time.time_ns()}_{uuid.uuid4().hex}.jsonl"
-        tmp = os.path.join(self.landing_dir, f".{name}.tmp")
-        with open(tmp, "w") as f:
-            f.write(json.dumps({"payload": payload, "signature": signature}) + "\n")
-        os.replace(tmp, os.path.join(self.landing_dir, name))
+        atomic_write_text(
+            os.path.join(self.landing_dir, name),
+            json.dumps({"payload": payload, "signature": signature}) + "\n",
+        )
 
     def _sync(self, headers: dict[str, str], body: bytes) -> tuple[int, Any]:
         if self._unauthorized(headers):

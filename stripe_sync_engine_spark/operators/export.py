@@ -41,6 +41,8 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from stripe_sync_engine_spark.commitio import atomic_write_json
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "manifest.json"
@@ -174,10 +176,9 @@ def _sweep_foreign_shards(data_dir: str, n_shards: int) -> None:
 
 
 def _write_manifest(out_dir: str, manifest: dict) -> None:
-    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    atomic_write_json(
+        os.path.join(out_dir, MANIFEST_NAME), manifest, indent=1, sort_keys=True
+    )
 
 
 def read_manifest(out_dir: str) -> dict | None:

@@ -195,8 +195,7 @@ class FoldLedger:
             )
 
     def add_all(self, batch_ids) -> None:
-        import json
-        import os
+        from stripe_sync_engine_spark.commitio import atomic_write_json
 
         led = self._load()
         ids = set(led["ids"])
@@ -208,10 +207,7 @@ class FoldLedger:
             else:
                 ids.add(b)
         led["ids"] = sorted(ids)
-        tmp = f"{self._path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(led, f)
-        os.replace(tmp, self._path)
+        atomic_write_json(self._path, led)
 
 
 def fold_batch_rows(store, table: str, key: str, collapse, into_batch_id: str = "_folded"):

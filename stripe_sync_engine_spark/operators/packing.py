@@ -233,7 +233,8 @@ class IncrementalPacker:
         fail loudly on mismatch ever after (the same discipline the store
         applies to rebuckets)."""
         import json
-        import os
+
+        from stripe_sync_engine_spark.commitio import atomic_write_json
 
         path = self._params_path()
         try:
@@ -241,11 +242,9 @@ class IncrementalPacker:
                 rec = json.load(f)
         except FileNotFoundError:
             if write_if_missing:
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = f"{path}.tmp.{os.getpid()}"
-                with open(tmp, "w") as f:
-                    json.dump({"budget": self.budget, "n_shards": self.n_shards}, f)
-                os.replace(tmp, path)
+                atomic_write_json(
+                    path, {"budget": self.budget, "n_shards": self.n_shards}
+                )
             return
         if rec != {"budget": self.budget, "n_shards": self.n_shards}:
             raise RuntimeError(

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from stripe_sync_engine_spark.commitio import atomic_write_json
 from stripe_sync_engine_spark.schemas.entities import bucket_key, entity_schema, entity_tables
 
 DEFAULT_N_BUCKETS = 32
@@ -147,10 +148,7 @@ class TableStore:
         plans against it, Delta-time-travel style. Always called under the
         commit lock, so history timestamps are strictly increasing per
         table."""
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(table))
+        atomic_write_json(self._manifest_path(table), manifest)
         # History is written AFTER the atomic swap: a crash between the two
         # loses one history entry (as-of reads around that instant resolve
         # to the previous snapshot — older but real data), never records a
@@ -160,8 +158,7 @@ class TableStore:
         ms = int(time.time() * 1000)
         while os.path.exists(os.path.join(hdir, f"{ms}.json")):
             ms += 1
-        with open(os.path.join(hdir, f"{ms}.json"), "w") as f:
-            json.dump(manifest, f)
+        atomic_write_json(os.path.join(hdir, f"{ms}.json"), manifest)
 
     @contextlib.contextmanager
     def _commit_lock(self, table: str):
@@ -1280,10 +1277,7 @@ class TableStore:
                 )
                 latest[table] = checksum
         record = {"tables": entity_tables(), "applied_at": time.time(), "history": history}
-        tmp = self._migrations_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.replace(tmp, self._migrations_path())
+        atomic_write_json(self._migrations_path(), record)
         return applied
 
     def _migrate_schema(self, table: str, new_schema: StructType) -> None:

@@ -78,8 +78,9 @@ def _append_funnel(checkpoint_dir: str, record: dict) -> None:
     import json
     import os
 
-    with open(os.path.join(checkpoint_dir, FUNNEL_FILE), "a") as f:
-        f.write(json.dumps(record) + "\n")
+    from stripe_sync_engine_spark.commitio import append_line
+
+    append_line(os.path.join(checkpoint_dir, FUNNEL_FILE), json.dumps(record))
 
 
 def read_funnel_metrics(checkpoint_dir: str) -> list[dict]:
@@ -211,9 +212,12 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
         run_id = adopted
     except OSError:
         # Filesystem without hardlinks (some FUSE/SMB/object mounts):
-        # degrade to an atomic replace — still never an empty file; a
-        # same-instant race can split ids until the next restart re-reads.
-        os.replace(tmp, path)
+        # degrade to the engine's atomic-replace commit primitive — still
+        # never an empty file; a same-instant race can split ids until
+        # the next restart re-reads.
+        from stripe_sync_engine_spark.commitio import atomic_write_text
+
+        atomic_write_text(path, run_id)
         return run_id
     finally:
         try:

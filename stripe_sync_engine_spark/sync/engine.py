@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from stripe_sync_engine_spark.commitio import atomic_write_json
 from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe, with_occ_retry
 from stripe_sync_engine_spark.operators.merge import (
     delete_by_keys,
@@ -259,12 +260,9 @@ class StripeSparkSync:
             return None
 
     def _set_rollup_applied(self, name: str, ms: int | None) -> None:
-        path = self._rollup_state_path(name)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"applied_source_commit_ms": ms}, f)
-        os.replace(tmp, path)
+        atomic_write_json(
+            self._rollup_state_path(name), {"applied_source_commit_ms": ms}
+        )
 
     def rollup_lag(self, name: str) -> int:
         """Number of source commits the rollup has not applied (0 =
@@ -1211,14 +1209,9 @@ class StripeSparkSync:
         """Durably advance ``consumer``'s cursor on ``entity`` to
         ``cursor_ms`` (the value ``consume_changes`` returned). Atomic
         replace; per-consumer file, so distinct consumers never contend."""
-        path = self._cursor_path(consumer)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         cursors = self._read_cursors(consumer)
         cursors[entity] = int(cursor_ms)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(cursors, f)
-        os.replace(tmp, path)
+        atomic_write_json(self._cursor_path(consumer), cursors)
 
     def materialize_changes(
         self,

@@ -1951,3 +1951,33 @@ def test_persisted_postings_upgrades_legacy_stats_schema(spark, tmp_path):
     idx.register(b2, "b2")
     assert "n_dl_docs" in store.read(idx.stats_table).columns
     assert idx.topk(["alpha"], k=5).count() == 3
+
+
+def test_commitio_primitives(tmp_path):
+    """The one commit seam every durable side-file routes through:
+    atomic JSON/text replace (dot-prefixed temp, no debris on success)
+    and the append-line log primitive."""
+    import json
+    import os
+
+    from stripe_sync_engine_spark.commitio import (
+        append_line,
+        atomic_write_json,
+        atomic_write_text,
+    )
+
+    p = str(tmp_path / "nested" / "dir" / "state.json")
+    atomic_write_json(p, {"a": 1})
+    atomic_write_json(p, {"a": 2})  # replace, not append
+    with open(p) as f:
+        assert json.load(f) == {"a": 2}
+    assert os.listdir(os.path.dirname(p)) == ["state.json"]  # no temp debris
+
+    t = str(tmp_path / "run_id")
+    atomic_write_text(t, "abc")
+    assert open(t).read() == "abc"
+
+    log = str(tmp_path / "funnel.jsonl")
+    append_line(log, json.dumps({"batch_id": 0}))
+    append_line(log, json.dumps({"batch_id": 1}))
+    assert [json.loads(x) for x in open(log)] == [{"batch_id": 0}, {"batch_id": 1}]
