@@ -60,6 +60,13 @@ from pyspark.sql import functions as F
 
 FINGERPRINT_COL = "fingerprint"
 
+# FoldLedger: free-form batch ids (no ``:<int>`` epoch suffix) are kept
+# VERBATIM in the ledger — the O(runs) compaction only applies to the
+# run:epoch convention — so a manual caller minting unique free-form ids
+# per batch grows the ledger file linearly forever. Warn once the list
+# passes this size; the fix is adopting the epoch convention.
+FREEFORM_IDS_WARN = 10_000
+
 
 def anti_probe(batch: DataFrame, indexed: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of ``batch`` whose keys are absent from ``indexed``, with the
@@ -207,10 +214,24 @@ class FoldLedger:
             else:
                 ids.add(b)
         led["ids"] = sorted(ids)
+        if len(led["ids"]) > FREEFORM_IDS_WARN:
+            import warnings
+
+            warnings.warn(
+                f"fold ledger {self._path} holds {len(led['ids'])} FREE-FORM "
+                f"batch ids (> {FREEFORM_IDS_WARN}); free-form ids never "
+                "compact, so the ledger grows per batch forever. Adopt the "
+                "<prefix>:<int> epoch convention, which folds to one horizon "
+                "per run (O(runs) ledger).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         atomic_write_json(self._path, led)
 
 
-def fold_batch_rows(store, table: str, key: str, collapse, into_batch_id: str = "_folded"):
+def fold_batch_rows(
+    store, table: str, key: str, collapse, into_batch_id: str = "_folded"
+) -> dict | None:
     """ONE implementation of the fold protocol the gates share
     (span-gate gram counts, postings stats, packer progress): scan the
     whole table, commit the distinct batch ids to the FoldLedger BEFORE
@@ -221,24 +242,33 @@ def fold_batch_rows(store, table: str, key: str, collapse, into_batch_id: str = 
     (a folded row keyed by ``into_batch_id`` need not hash into a
     present bucket — write_buckets only persists the buckets it is
     given). Keeping the ledger-before-rewrite ordering in one place
-    means a fix to the crash-window reasoning fixes every gate."""
+    means a fix to the crash-window reasoning fixes every gate.
+
+    Returns a fold-stats record — ``{"table", "rows_before",
+    "rows_after", "batches_absorbed", "into_batch_id"}`` — or None when
+    there was nothing to fold, so maintenance can surface state-table
+    health (``engine.maintain`` logs it durably). The extra counts ride
+    frames the fold materializes anyway; a fold is a maintenance-window
+    operation, not a hot path."""
     if not store.exists(table):
-        return
+        return None
     ledger = FoldLedger(store, table)
 
     def body():
         manifest = store._read_manifest(table)
         all_buckets = sorted(int(b) for b in manifest["buckets"])
         if not all_buckets:
-            return
-        rows = store._scan_manifest(table, manifest, all_buckets)
+            return None
+        rows = store._scan_manifest(table, manifest, all_buckets).localCheckpoint(
+            eager=True
+        )
         folded_ids = [
             r["batch_id"]
             for r in rows.select("batch_id").distinct().collect()
             if r["batch_id"] != into_batch_id
         ]
         if not folded_ids:
-            return
+            return None
         ledger.add_all(folded_ids)
         folded = collapse(rows).localCheckpoint(eager=True)
         write_set = sorted(
@@ -251,8 +281,15 @@ def fold_batch_rows(store, table: str, key: str, collapse, into_batch_id: str = 
             key=key,
             planned_versions=dict(manifest["buckets"]),
         )
+        return {
+            "table": table,
+            "rows_before": rows.count(),
+            "rows_after": folded.count(),
+            "batches_absorbed": len(folded_ids),
+            "into_batch_id": into_batch_id,
+        }
 
-    with_occ_retry(body)
+    return with_occ_retry(body)
 
 
 class IncrementalDeduper:

@@ -351,14 +351,15 @@ class IncrementalPacker:
         self.register(batch, count_col, batch_id)
         return out
 
-    def fold_progress(self, into_batch_id: str = "_folded") -> None:
+    def fold_progress(self, into_batch_id: str = "_folded") -> dict | None:
         """Collapse per-batch rows to one row per shard — same enforced
         horizon contract as the other folds (``FoldLedger``: folded ids
         commit BEFORE the rewrite and refuse replays afterwards; a crash
-        in between is conservative and re-running heals)."""
+        in between is conservative and re-running heals). Returns the
+        fold-stats record (``fold_batch_rows``) or None."""
         from stripe_sync_engine_spark.operators.incremental_dedup import fold_batch_rows
 
-        fold_batch_rows(
+        return fold_batch_rows(
             self.store,
             self.table,
             key="shard",

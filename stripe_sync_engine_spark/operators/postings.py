@@ -131,7 +131,7 @@ class PersistedPostingsIndex:
         FoldLedger(self.store, self.stats_table).check_replayable(batch_id)
         with_occ_retry(lambda: self._register_once(batch, batch_id))
 
-    def fold_stats(self, into_batch_id: str = "_folded") -> None:
+    def fold_stats(self, into_batch_id: str = "_folded") -> dict | None:
         """Collapse the per-batch stats rows into ONE ``into_batch_id``
         row — ``_postings_stats`` otherwise grows a row per registered
         batch forever (reads are whole-table, so millions of micro-batches
@@ -142,8 +142,9 @@ class PersistedPostingsIndex:
         folded batch ids are committed to a durable ledger BEFORE the
         rewrite and ``register`` refuses them afterwards; a crash between
         ledger and fold is conservative (ids refused, rows still
-        per-batch — query-time SUM is unchanged; re-running heals)."""
-        fold_batch_rows(
+        per-batch — query-time SUM is unchanged; re-running heals).
+        Returns the fold-stats record (``fold_batch_rows``) or None."""
+        return fold_batch_rows(
             self.store,
             self.stats_table,
             key="batch_id",

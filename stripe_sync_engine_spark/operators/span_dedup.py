@@ -384,7 +384,7 @@ class IncrementalSpanDeduper:
         self.register(batch, batch_id)
         return clipped
 
-    def fold_history(self, into_batch_id: str = "_folded") -> None:
+    def fold_history(self, into_batch_id: str = "_folded") -> dict | None:
         """Collapse all per-batch rows to one row per gram under
         ``into_batch_id`` — bounds table growth for long-lived
         deployments. Only run once the replay horizon has passed (drain
@@ -393,8 +393,9 @@ class IncrementalSpanDeduper:
         durable ledger BEFORE the rewrite, and ``register`` /
         ``filter_batch`` refuse them afterwards instead of silently
         double-counting (a crash between ledger and fold is conservative:
-        ids refused, rows still per-batch, re-running the fold heals)."""
-        fold_batch_rows(
+        ids refused, rows still per-batch, re-running the fold heals).
+        Returns the fold-stats record (``fold_batch_rows``) or None."""
+        return fold_batch_rows(
             self.store,
             self.table,
             key="h",

@@ -1345,21 +1345,30 @@ class StripeSparkSync:
 
             report["landing_removed"] = len(vacuum_landing_zone(*landing))
         if fold_gates_past_horizon:
+            # Folds no longer happen silently: each returns a fold-stats
+            # record (rows before/after, batches absorbed) so a 100 TB
+            # operator watching months of maintenance can see state-table
+            # health — and the whole report lands durably below.
             report["gates_folded"] = []
+            report["gate_fold_stats"] = []
             if self.store.exists("_gram_counts"):
                 from stripe_sync_engine_spark.operators.span_dedup import (
                     IncrementalSpanDeduper,
                 )
 
-                IncrementalSpanDeduper(self.store).fold_history()
+                stats = IncrementalSpanDeduper(self.store).fold_history()
                 report["gates_folded"].append("_gram_counts")
+                if stats:
+                    report["gate_fold_stats"].append(stats)
             if self.store.exists("_postings_stats"):
                 from stripe_sync_engine_spark.operators.postings import (
                     PersistedPostingsIndex,
                 )
 
-                PersistedPostingsIndex(self.store).fold_stats()
+                stats = PersistedPostingsIndex(self.store).fold_stats()
                 report["gates_folded"].append("_postings_stats")
+                if stats:
+                    report["gate_fold_stats"].append(stats)
             if self.store.exists("_pack_progress"):
                 from stripe_sync_engine_spark.operators.packing import (
                     IncrementalPacker,
@@ -1367,9 +1376,42 @@ class StripeSparkSync:
 
                 # budget is irrelevant to the fold (it only sums per-shard
                 # contributions); n_shards rides the stored rows
-                IncrementalPacker(self.store, budget=1).fold_progress()
+                stats = IncrementalPacker(self.store, budget=1).fold_progress()
                 report["gates_folded"].append("_pack_progress")
+                if stats:
+                    report["gate_fold_stats"].append(stats)
+        self._log_maintenance(report)
         return report
+
+    def _log_maintenance(self, report: dict) -> None:
+        """Append the maintenance report to a durable per-store JSONL log
+        (``_maintenance_log.jsonl`` beside the tables) — the operational
+        record of compactions, reclamations, and gate folds over the
+        store's lifetime. Same torn-tail tolerance as the funnel log."""
+        from stripe_sync_engine_spark.commitio import append_line
+
+        rec = dict(report)
+        rec["at_ms"] = int(time.time() * 1000)
+        append_line(
+            os.path.join(self.store.root, "_maintenance_log.jsonl"), json.dumps(rec)
+        )
+
+    def read_maintenance_log(self) -> list[dict]:
+        """The store's maintenance history, oldest first; torn tail lines
+        (a crash mid-append) are skipped, not fatal."""
+        path = os.path.join(self.store.root, "_maintenance_log.jsonl")
+        if not os.path.exists(path):
+            return []
+        out = []
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    continue
+        return out
 
     def _consumers_at_risk(self) -> dict[str, dict[str, int]]:
         """Change-feed consumers whose cursor has fallen within 25% of the

@@ -692,6 +692,49 @@ def test_fold_ledger_epoch_convention():
         led.check_replayable("backfill:3")
 
 
+def test_fold_ledger_free_form_ids_grow_and_warn(tmp_path, monkeypatch):
+    """The free-form branch (no ``:<int>`` suffix) never compacts — each
+    id persists verbatim, refused individually — so the ledger grows
+    per batch BY DESIGN for manual callers. The guard: past
+    FREEFORM_IDS_WARN ids, add_all warns and points at the epoch
+    convention (whose O(runs) claim the epoch test pins)."""
+    import json
+    import os
+    import warnings
+
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators import incremental_dedup as mod
+
+    class _Store:
+        root = str(tmp_path)
+
+    os.makedirs(os.path.join(_Store.root, "t"))
+    led = mod.FoldLedger(_Store(), "t")
+    led.add_all([f"manual-{i}" for i in range(50)])
+    led.add_all(["manual-3", "manual-99"])  # idempotent re-add + growth
+    rec = json.load(open(os.path.join(_Store.root, "t", "_folded_batches.json")))
+    assert len(rec["ids"]) == 51  # verbatim, no compaction
+    assert mod.FoldLedger(_Store(), "t").contains("manual-49")
+    with _pytest.raises(RuntimeError, match="already folded"):
+        mod.FoldLedger(_Store(), "t").check_replayable("manual-0")
+
+    monkeypatch.setattr(mod, "FREEFORM_IDS_WARN", 60)
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        led.add_all([f"manual-x{i}" for i in range(20)])  # 71 > 60
+    assert any("never compact" in str(w.message) for w in seen)
+    # epoch-convention ids stay unaffected by the cap (they compact)
+    os.makedirs(os.path.join(_Store.root, "t2"))
+    led2 = mod.FoldLedger(_Store(), "t2")
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        led2.add_all([f"run:{i}" for i in range(1000)])
+    assert not any("never compact" in str(w.message) for w in seen)
+    rec = json.load(open(os.path.join(_Store.root, "t2", "_folded_batches.json")))
+    assert rec["runs"]["run"] == 999  # 1000 epochs -> ONE horizon
+
+
 def test_audio_windows_segments_and_window_local_stats(spark):
     """audio_windows: fixed-length segments with a partial tail; per-window
     stats are computed INSIDE the window (the boundary pair between two

@@ -2269,8 +2269,24 @@ def test_maintain_folds_gate_state_past_horizon(spark, tmp_path):
     packer.pack_batch(docs.withColumn("n", F.lit(10)), "n", "run:0")
     packer.pack_batch(docs.withColumn("n", F.lit(7)), "n", "run:1")
 
+    before = {
+        t: store.read(t).count()
+        for t in ("_gram_counts", "_postings_stats", "_pack_progress")
+    }
     report = eng.maintain(fold_gates_past_horizon=True)
     assert report["gates_folded"] == ["_gram_counts", "_postings_stats", "_pack_progress"]
+    # fold no longer happens silently: per-gate stats match the outcome
+    stats = {s["table"]: s for s in report["gate_fold_stats"]}
+    assert set(stats) == set(before)
+    for t, s in stats.items():
+        assert s["rows_before"] == before[t]
+        assert s["rows_after"] == store.read(t).count()
+        assert s["batches_absorbed"] == 2  # run:0 and run:1
+        assert s["into_batch_id"] == "_folded"
+    # ... and the report landed durably in the maintenance log
+    log = eng.read_maintenance_log()
+    assert log and log[-1]["gate_fold_stats"] == report["gate_fold_stats"]
+    assert log[-1]["at_ms"] > 0
     assert {r["batch_id"] for r in store.read("_pack_progress").collect()} == {"_folded"}
     with pytest.raises(RuntimeError, match="folded"):
         packer.register(docs.withColumn("n", F.lit(1)), "n", "run:1")
@@ -2280,6 +2296,10 @@ def test_maintain_folds_gate_state_past_horizon(spark, tmp_path):
         span.register(docs.limit(1), "run:0")
     with pytest.raises(RuntimeError, match="folded"):
         idx.register(docs.limit(1), "run:1")
+    # a second fold pass has nothing to absorb and says so
+    report3 = eng.maintain(fold_gates_past_horizon=True)
+    assert report3["gate_fold_stats"] == []
     # steady-state maintain without the flag never touches gate state
     report2 = eng.maintain()
     assert "gates_folded" not in report2
+    assert len(eng.read_maintenance_log()) == 3  # every pass logged
