@@ -584,6 +584,105 @@ def _bench_span_dedup(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _bench_cdc_maintenance(spark, sf_dir: str) -> dict[str, float]:
+    """The CDC-maintenance steady state round 8/9 built, so regressions
+    in it are visible: a mixed insert/update/delete change-feed window
+    applied to the persisted BM25 index (``txt_bm25_cdc_window``:
+    consume the feed + postings.apply_changes + an indexed query) and to
+    the persisted IVF-PQ index (``sim_ivfpq_cdc_window``: same shape
+    over vectors). Index builds over the v1 corpus are setup, not the
+    measurement — the steady-state claim is O(changed docs) per window
+    regardless of index size, so the timed section is exactly one
+    window's consume + apply + query."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.operators.pq_index import PersistedIVFPQ, train_ivf_pq
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.tables import load_table
+
+    out: dict[str, float] = {}
+    wh = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        store = TableStore(spark, wh, vacuum_retain_s=3600.0)
+        # --- BM25 over documents -------------------------------------
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # (vectors written as array<double> below so the mutation frames
+        # union cleanly regardless of the parquet's float width)
+        store.write("corpus", docs, key="doc_id")
+        t0_commit = store.commits("corpus")[-1]
+        idx = PersistedPostingsIndex(store)
+        idx.register(store.read("corpus"), "run:0")
+        # mutate ~3x50 docs: delete, rewrite, insert
+        cur = store.read("corpus")
+        upd = cur.where("doc_id >= 50 and doc_id < 100").withColumn(
+            "text", F.concat(F.lit("rewritten spark corpus body "), F.col("text"))
+        )
+        new = cur.where("doc_id >= 100 and doc_id < 150").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        nxt = (
+            cur.where("doc_id >= 50")
+            .join(upd.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(upd)
+            .unionByName(new)
+        )
+        store.write("corpus", nxt, key="doc_id")
+        t0 = time.perf_counter()
+        feed = store.read_changes("corpus", t0_commit)
+        idx.apply_changes(feed, "w:1")
+        n = idx.topk(["spark", "query", "join"], k=20).count()
+        out["txt_bm25_cdc_window"] = round(time.perf_counter() - t0, 3)
+        assert n > 0
+        # --- IVF-PQ over embeddings ----------------------------------
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        ivf = train_ivf_pq(vecs, n_cells=16, m=8, k=16)
+        store.write("vectors", vecs, key="vec_id")
+        t0_commit = store.commits("vectors")[-1]
+        p = PersistedIVFPQ(store, ivf)
+        p.register(store.read("vectors"), "run:0")
+        cur = store.read("vectors")
+        donors = {
+            r["vec_id"]: r["embedding"]
+            for r in cur.orderBy("vec_id").limit(100).collect()
+        }
+        ids = sorted(donors)
+        upd = spark.createDataFrame(
+            [(ids[i], [float(v) for v in donors[ids[50 + i]]]) for i in range(25)],
+            "vec_id long, embedding array<double>",
+        )
+        new = spark.createDataFrame(
+            [
+                (1_000_000 + i, [float(v) for v in donors[ids[75 + i]]])
+                for i in range(25)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        dels = spark.createDataFrame([(i,) for i in ids[25:50]], "vec_id long")
+        nxt = (
+            cur.join(dels, "vec_id", "left_anti")
+            .join(upd.select("vec_id"), "vec_id", "left_anti")
+            .unionByName(upd.select("vec_id", F.col("embedding").cast("array<double>")))
+            .unionByName(new)
+        )
+        store.write("vectors", nxt, key="vec_id")
+        queries = [(int(i), [float(v) for v in donors[i]]) for i in ids[:8]]
+        t0 = time.perf_counter()
+        feed = store.read_changes("vectors", t0_commit)
+        p.apply_changes(feed, "w:1")
+        n = p.topk(queries, k=10, nprobe=4).count()
+        out["sim_ivfpq_cdc_window"] = round(time.perf_counter() - t0, 3)
+        assert n > 0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -629,6 +728,7 @@ def main() -> None:
     times.update(_bench_audio(spark, sf_dir))
     times.update(_bench_span_dedup(spark, sf_dir))
     times.update(_bench_bm25(spark, sf_dir))
+    times.update(_bench_cdc_maintenance(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(
