@@ -167,15 +167,27 @@ def clip_repeated_spans(
         .withColumn("_toks", _tokens(text_col))
     )
     # Keep the GAPS between spans instead of testing every token against
-    # every span: sort + defensively re-merge the intervals (the two
-    # producers emit disjoint merged intervals already — merge_positions —
-    # but this is a public function), then slice the token array between
-    # consecutive spans. Per doc that is O(spans² copies + tokens) with
-    # spans/doc small, replacing the interpreted per-token F.exists scan
-    # whose O(tokens × spans) bites on boilerplate-heavy corpora.
+    # every span: sort, then slice the token array between consecutive
+    # spans. The two producers emit disjoint merged intervals already
+    # (merge_positions), so the COMMON path is a disjointness check over
+    # adjacent pairs — O(spans) — and the defensive re-merge fold (which
+    # rebuilds its accumulator array per element, O(spans²) copies) runs
+    # ONLY for public callers handing in overlapping intervals. Either
+    # way this replaces the interpreted per-token F.exists scan whose
+    # O(tokens × spans) bites on boilerplate-heavy corpora.
+    srt = F.array_sort("_spans")
+    tail_len = F.greatest(F.size(srt) - 1, F.lit(0))
+    adjacent_overlap = F.exists(
+        F.zip_with(
+            F.slice(srt, 1, tail_len),
+            F.slice(srt, 2, tail_len),
+            lambda a, b: b["span_start"] <= a["span_end"],
+        ),
+        lambda x: x,
+    )
     empty_spans = "CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
-    merged = F.aggregate(
-        F.array_sort("_spans"),
+    merge_fold = F.aggregate(
+        srt,
         F.expr(empty_spans),
         lambda acc, sp: F.when(
             (F.size(acc) > 0)
@@ -193,6 +205,7 @@ def clip_repeated_spans(
             ),
         ).otherwise(F.concat(acc, F.array(sp))),
     )
+    merged = F.when(adjacent_overlap, merge_fold).otherwise(srt)
     gap_starts = F.concat(
         F.array(F.lit(0).cast("long")),
         F.transform("_merged", lambda sp: sp["span_end"]),

@@ -494,3 +494,23 @@ def test_span_gate_deletion_contract_pinned(spark, tmp_path):
     )
     rebuilt_empty.register(_docs(spark, [(3, "totally different words here")]), "b1")
     assert not _spans(rebuilt_empty.spans_in(probe))
+
+
+def test_clip_public_caller_overlapping_spans_still_merge(spark):
+    """clip_repeated_spans is a public function: hand-built OVERLAPPING
+    and abutting intervals (the producers never emit them) take the
+    defensive merge-fold branch and clip as their union; disjoint spans
+    take the O(spans) fast path with identical results."""
+    docs = _docs(spark, [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")])
+    # doc 1: [1,4) overlaps [3,6), abuts [6,7) -> union [1,7) clips b..g
+    # doc 2: disjoint [0,2) and [8,10) -> fast path, clips a b and i j
+    spans = spark.createDataFrame(
+        [(1, 1, 4), (1, 3, 6), (1, 6, 7), (2, 0, 2), (2, 8, 10)],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["tokens_clipped"])
+        for r in clip_repeated_spans(docs, spans).collect()
+    }
+    assert out[1] == ("a h i j", 6)
+    assert out[2] == ("c d e f g h", 4)
