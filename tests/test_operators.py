@@ -1143,6 +1143,54 @@ def test_incremental_near_dedup_unregister_takedown(spark, tmp_path):
     near.unregister(spark.createDataFrame([(5, "too short")], "doc_id long, text string"))
 
 
+def test_incremental_near_dedup_apply_changes_window(spark, tmp_path):
+    """Near-gate CDC maintenance: a delete window's pre-image band rows
+    unregister (future near-identical text re-admitted), insert
+    post-images register, and a replay of the window converges."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        IncrementalNearDeduper,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd cheers loudly for more music tonight"
+    )
+    other = (
+        "completely different words compose this second document about "
+        "spark engines and parquet files in the analytics warehouse"
+    )
+    store = TableStore(spark, str(tmp_path / "wh_nearcdc"), vacuum_retain_s=3600.0)
+    docs = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    store.write("corpus", docs, key="doc_id")
+    t0 = store.commits("corpus")[-1]
+    near = IncrementalNearDeduper(store, threshold=0.5)
+    near.register(store.read("corpus"))
+
+    import time as _t
+
+    _t.sleep(0.002)
+    store.write(
+        "corpus", spark.createDataFrame([(2, other)], "doc_id long, text string"),
+        key="doc_id",
+    )
+    feed = store.read_changes("corpus", t0).localCheckpoint(eager=True)
+    kinds = {r["_change_type"] for r in feed.select("_change_type").collect()}
+    assert kinds == {"insert", "delete"}
+    near.apply_changes(feed)
+
+    twin = spark.createDataFrame([(10, base + " encore")], "doc_id long, text string")
+    other_twin = spark.createDataFrame(
+        [(11, other + " appendix")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in near.select_new(twin).collect()} == {10}  # re-admitted
+    assert near.select_new(other_twin).isEmpty()  # new content registered
+
+    n = store.read(near.table).count()
+    near.apply_changes(feed)  # replay converges
+    assert store.read(near.table).count() == n
+
+
 def test_gate_probe_stays_broadcast_without_auto(spark, tmp_path):
     """The gate's membership probe must stay a broadcast plan even when
     the store side is too big for auto-broadcast (simulated by disabling
