@@ -283,7 +283,18 @@ class PersistedPostingsIndex:
         under that id survive, making unregister-then-register replays of
         an UPDATE stable (the new version's rows are never torn down).
         Raises on indexes built before the forward table existed —
-        rebuild to enable deletes."""
+        rebuild to enable deletes.
+
+        Scale note: a doc's postings spread across its DISTINCT TERMS'
+        buckets, so a delete's write set fans out wider than any other
+        operation in this engine (a 100-doc window can touch thousands
+        of term buckets), each rewritten whole — the touched-bucket
+        write amplification every bucketed-store mutation here pays, at
+        postings' fan-out. The costs amortize per WINDOW, not per doc
+        (the union of a window's pairs rewrites each touched bucket
+        once), so batch deletes through the change feed rather than
+        issuing them one document at a time; the eager rewrite is what
+        keeps ``topk`` free of any tombstone filtering."""
         from stripe_sync_engine_spark.operators.incremental_dedup import FoldLedger
 
         FoldLedger(self.store, self.stats_table).check_replayable(batch_id)

@@ -691,6 +691,34 @@ class PersistedIVFPQ:
         codes = store.read_buckets(table, touched)
         return ivf_pq_topk(codes, self.index, queries, k=k, nprobe=nprobe)
 
+    def topk_reranked(
+        self,
+        queries: list[tuple[int, list[float]]],
+        vectors_table: str,
+        k: int = 10,
+        nprobe: int = 4,
+        expand: int = 10,
+        id_col: str | None = None,
+        vec_col: str | None = None,
+    ) -> DataFrame:
+        """The full store-native serving path: ADC shortlist from the
+        probed cells' code buckets (``k·expand`` over-fetch), then EXACT
+        L2 over only the shortlist's full vectors read from
+        ``vectors_table`` — a corpus table BUCKETED BY the id — so the
+        refinement reads O(shortlist) vector buckets, never the vector
+        corpus (the IVF-PQ+refine recipe with both halves manifest-
+        pruned). ``id_col``/``vec_col`` default to this index's."""
+        id_col = self.id_col if id_col is None else id_col
+        vec_col = self.vec_col if vec_col is None else vec_col
+        shortlist = self.topk(queries, k=k * expand, nprobe=nprobe).localCheckpoint(
+            eager=True
+        )
+        store = self.store
+        ids = shortlist.select(F.col("vec_id").alias(id_col)).distinct()
+        touched = store.buckets_of(ids, key=id_col, table=vectors_table)
+        vecs = store.read_buckets(vectors_table, touched)
+        return rerank_shortlist(shortlist, vecs, queries, k, id_col, vec_col)
+
 
 def pq_topk_rerank(
     codes: DataFrame,

@@ -457,3 +457,43 @@ def test_persisted_ivfpq_bootstrap_and_legacy(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{store.root}/{p.forward_table}")
     with pytest.raises(RuntimeError, match="forward table"):
         p.unregister(spark.createDataFrame([(int(ids[0]),)], "vec_id long"))
+
+
+def test_persisted_ivfpq_topk_reranked_store_native(spark, sf_dir, tmp_path):
+    """The full store-native serving path: ADC shortlist from probed-cell
+    code buckets + exact re-rank reading ONLY the shortlist's vector
+    buckets. Equals rerank_shortlist over the full vector table, and
+    recall@10 is at least the ADC-only path's (re-ranking can only fix
+    quantization error)."""
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        rerank_shortlist,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_pq_rr"))
+    store.write("vectors", vecs, key="vec_id")
+    p = PersistedIVFPQ(store, idx)
+    p.register(store.read("vectors"), "b0")
+
+    queries = [(int(ids[i]), list(X[i])) for i in range(4)]
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["exact_dist"], 9))
+        for r in p.topk_reranked(queries, "vectors", k=10, nprobe=4, expand=5).collect()
+    )
+    shortlist = p.topk(queries, k=50, nprobe=4)
+    want = sorted(
+        (r["query_id"], r["vec_id"], round(r["exact_dist"], 9))
+        for r in rerank_shortlist(shortlist, vecs, queries, 10).collect()
+    )
+    assert got == want and len(got) == 40
+
+    r_adc = _recall_at(_by_query(p.topk(queries, k=10, nprobe=8).collect()), X, ids, queries)
+    r_rr = _recall_at(
+        _by_query(p.topk_reranked(queries, "vectors", k=10, nprobe=8, expand=5).collect()),
+        X, ids, queries,
+    )
+    assert r_rr >= r_adc
