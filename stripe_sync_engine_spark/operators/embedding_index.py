@@ -298,10 +298,15 @@ class IncrementalEmbeddingIndex:
     def apply_changes(self, feed: DataFrame) -> None:
         """Same change-feed contract as the text gates' ``apply_changes``
         (``IncrementalDeduper.apply_changes`` has the update-pre-image
-        pin): deletes unregister their pre-image rows, insert/update
-        post-images register."""
+        pin and the ``emit_update_preimages`` upgrade): deletes — and,
+        when present, ``update_preimage`` rows — unregister their
+        pre-image rows, insert/update post-images register. With
+        pre-images an update leaves NO ghost rows (the keep-seen note on
+        ``register`` applies to the default feed only)."""
         changed = feed.localCheckpoint(eager=True)
-        dels = changed.where(F.col("_change_type") == "delete").drop("_change_type")
+        dels = changed.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).drop("_change_type")
         ups = changed.where(
             F.col("_change_type").isin("insert", "update")
         ).drop("_change_type")

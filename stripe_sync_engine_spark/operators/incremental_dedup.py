@@ -433,14 +433,19 @@ class IncrementalDeduper:
         window (``read_changes`` output: table columns + ``_change_type``):
         DELETE rows carry pre-images and unregister; insert/update
         post-images register (idempotent — already-seen content adds
-        nothing). UPDATE pre-images are NOT in the feed (``read_changes``
-        emits post-images for updates) and their fingerprints stay by
-        contract: the corpus genuinely contained that content, and for a
-        dedup gate "seen once, ever" is the semantics — full erasure of
-        updated-away content is the documented rebuild path (re-register
-        the surviving corpus into a fresh gate table)."""
+        nothing). With the DEFAULT feed, UPDATE pre-images are absent
+        (``read_changes`` emits post-images for updates) and their
+        fingerprints stay by contract: the corpus genuinely contained
+        that content, and for a dedup gate "seen once, ever" is the
+        semantics — full erasure of updated-away content then needs the
+        rebuild path. A feed read with ``emit_update_preimages=True``
+        upgrades the contract: its ``update_preimage`` rows unregister
+        like deletes, so updated-away content retires incrementally
+        too."""
         changed = feed.localCheckpoint(eager=True)
-        dels = changed.where(F.col("_change_type") == "delete").drop("_change_type")
+        dels = changed.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).drop("_change_type")
         ups = changed.where(
             F.col("_change_type").isin("insert", "update")
         ).drop("_change_type")
@@ -622,10 +627,14 @@ class IncrementalNearDeduper:
 
     def apply_changes(self, feed: DataFrame) -> None:
         """Same change-feed contract as the exact gate's ``apply_changes``
-        (see it for the update-pre-image pin): deletes unregister their
-        pre-image band rows, insert/update post-images register."""
+        (see it for the update-pre-image pin and the
+        ``emit_update_preimages`` upgrade): deletes — and, when present,
+        ``update_preimage`` rows — unregister their pre-image band rows,
+        insert/update post-images register."""
         changed = feed.localCheckpoint(eager=True)
-        dels = changed.where(F.col("_change_type") == "delete").drop("_change_type")
+        dels = changed.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).drop("_change_type")
         ups = changed.where(
             F.col("_change_type").isin("insert", "update")
         ).drop("_change_type")

@@ -373,13 +373,17 @@ class TableStore:
         since_ms: int,
         until_ms: int | None = None,
         allow_full_diff: bool = False,
+        emit_update_preimages: bool = False,
     ) -> DataFrame | None:
         """Row-level NET change feed between two retained snapshots: the
         table state current at ``since_ms`` (exclusive) vs at ``until_ms``
         (inclusive; None = the current manifest). Returns the table's
         columns plus ``_change_type`` ∈ {'insert', 'update', 'delete'} —
         post-image rows for insert/update, the pre-image for delete — or
-        None when the table existed at neither bound. A consumer that
+        None when the table existed at neither bound.
+        ``emit_update_preimages=True`` additionally yields each update's
+        OLD row as ``_change_type='update_preimage'`` (Delta CDF's row
+        type; see the inline comment at the emission site). A consumer that
         stores the commit timestamp it last read (``commits()[-1]`` at
         read time) and passes it back as ``since_ms`` sees every later
         change exactly once: the store's answer to Postgres logical
@@ -476,17 +480,33 @@ class TableStore:
             if has_map(schema)
             else F.xxhash64("_old") != F.xxhash64("_new")
         )
-        j = old.join(new, "_k", "full_outer").withColumn(
-            "_change_type",
-            F.when(F.col("_old").isNull(), F.lit("insert"))
-            .when(F.col("_new").isNull(), F.lit("delete"))
-            .when(differs, F.lit("update")),
+        j = (
+            old.join(new, "_k", "full_outer")
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_old").isNull(), F.lit("insert"))
+                .when(F.col("_new").isNull(), F.lit("delete"))
+                .when(differs, F.lit("update")),
+            )
+            .where(F.col("_change_type").isNotNull())
         )
-        return (
-            j.where(F.col("_change_type").isNotNull())
-            .select(F.coalesce("_new", "_old").alias("_row"), "_change_type")
-            .select("_row.*", "_change_type")
-        )
+        out = j.select(F.coalesce("_new", "_old").alias("_row"), "_change_type")
+        if emit_update_preimages:
+            # Delta CDF's update_preimage row type: each update ALSO yields
+            # its OLD row, letting content-keyed consumers (the dedup
+            # gates' apply_changes) fully retire updated-away state instead
+            # of pinning it forever. Opt-in — the default feed stays net
+            # post-images, and consumers that filter on the three net types
+            # never see the extra rows. Batch-only: the streaming source
+            # (stripe_store_changes) emits net post-images by design; a
+            # consumer needing pre-images drives the batch API with its own
+            # cursor (engine.consume_changes passes the flag through).
+            pre = j.where(F.col("_change_type") == "update").select(
+                F.col("_old").alias("_row"),
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            out = out.unionByName(pre)
+        return out.select("_row.*", "_change_type")
 
     # -- per-bucket column statistics / data skipping -------------------
     # The manifest records min/max/null-count per (bucket, column),

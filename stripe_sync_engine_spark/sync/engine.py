@@ -1165,6 +1165,7 @@ class StripeSparkSync:
         entity: str,
         max_commits: int | None = None,
         allow_full_diff: bool = False,
+        emit_update_preimages: bool = False,
     ):
         """At-least-once incremental consumption with a durable cursor:
         returns ``(changes_df, cursor_ms)`` — every change after the
@@ -1200,7 +1201,11 @@ class StripeSparkSync:
             until = commits[-1]
         return (
             self.store.read_changes(
-                entity, since, until_ms=until, allow_full_diff=allow_full_diff
+                entity,
+                since,
+                until_ms=until,
+                allow_full_diff=allow_full_diff,
+                emit_update_preimages=emit_update_preimages,
             ),
             until,
         )

@@ -455,3 +455,35 @@ def test_change_feed_float_edge_parity(spark, tmp_path):
         for row in reader.read(p):
             got[row[0]] = row[-1]
     assert got == {"one": "update"}
+
+
+def test_read_changes_update_preimages_opt_in(spark, tmp_path):
+    """emit_update_preimages=True adds Delta-CDF-style update_preimage
+    rows — each update's OLD row — without disturbing the net feed:
+    consumers filtering on the three net types see exactly the default
+    output, and the pre-image rows carry the pre-update values. The
+    engine cursor API passes the flag through."""
+    store = TableStore(spark, str(tmp_path / "wh_cdc_pre"), vacuum_retain_s=3600.0)
+    store.write("t", _mk(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    t0 = store.commits("t")[-1]
+    time.sleep(0.002)
+    store.write("t", _mk(spark, [("a", 10), ("b", 2), ("d", 4)]))  # upd a, del c, ins d
+
+    default = _changes(store.read_changes("t", t0))
+    assert default == {("a", "update"): 10, ("c", "delete"): 3, ("d", "insert"): 4}
+    with_pre = _changes(store.read_changes("t", t0, emit_update_preimages=True))
+    assert with_pre == {
+        ("a", "update"): 10,
+        ("a", "update_preimage"): 1,  # the OLD value
+        ("c", "delete"): 3,
+        ("d", "insert"): 4,
+    }
+
+    eng = StripeSparkSync(spark, store)
+    df, cursor = eng.consume_changes("gates", "t", emit_update_preimages=True)
+    assert _changes(df.where(F.col("_change_type") != "insert")) == {}  # initial load
+    eng.ack_changes("gates", "t", cursor)
+    time.sleep(0.002)
+    store.write("t", _mk(spark, [("a", 100), ("b", 2), ("d", 4)]))
+    df, cursor = eng.consume_changes("gates", "t", emit_update_preimages=True)
+    assert _changes(df) == {("a", "update"): 100, ("a", "update_preimage"): 10}

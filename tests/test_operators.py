@@ -1111,6 +1111,51 @@ def test_incremental_dedup_apply_changes_window(spark, tmp_path):
     assert {r["doc_id"] for r in dd.select_new(probe).collect()} == {21}
 
 
+def test_incremental_dedup_apply_changes_with_update_preimages(spark, tmp_path):
+    """A feed read with emit_update_preimages=True upgrades the gate's
+    update contract: updated-away content retires incrementally (its
+    update_preimage row unregisters like a delete), so a resubmission of
+    the OLD text is re-admitted — no rebuild needed."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_gatepre"), vacuum_retain_s=3600.0)
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    store.write("corpus", docs, key="doc_id")
+    t0 = store.commits("corpus")[-1]
+    dd = IncrementalDeduper(store)
+    dd.register(store.read("corpus"))
+
+    import time as _t
+
+    _t.sleep(0.002)
+    store.write(
+        "corpus",
+        spark.createDataFrame([(1, "alpha prime"), (2, "beta")], "doc_id long, text string"),
+        key="doc_id",
+    )
+    feed = store.read_changes("corpus", t0, emit_update_preimages=True).localCheckpoint(
+        eager=True
+    )
+    kinds = {r["_change_type"] for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"update", "update_preimage"}
+    dd.apply_changes(feed)
+
+    probe = spark.createDataFrame(
+        [(21, "alpha"), (22, "alpha prime")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in dd.select_new(probe).collect()}
+    assert got == {21}  # old content retired; new content registered
+
+    n = store.read(dd.table).count()
+    dd.apply_changes(feed)  # replay converges
+    assert store.read(dd.table).count() == n
+
+
 def test_incremental_near_dedup_unregister_takedown(spark, tmp_path):
     """Near-gate takedown: deleting a registered document's band rows
     re-admits future near-identical text; the probe is band-bucket
