@@ -229,6 +229,22 @@ class FoldLedger:
         atomic_write_json(self._path, led)
 
 
+def sub_batch_id(batch_id: str, kind: str) -> str:
+    """Namespace a CDC window's sub-batches (postings/ANN apply_changes
+    split a window into a delete and an insert half) WITHOUT breaking
+    the FoldLedger's O(runs) compaction: an epoch-convention window id
+    keeps the convention — ``'gates:7'`` → ``'gates:del:7'`` (prefix
+    ``gates:del``, epoch 7, still one ledger horizon per consumer) —
+    while a free-form id keeps the verbatim ``'<id>:del'`` suffix. A
+    naive ``f"{batch_id}:{kind}"`` would turn EVERY epoch id free-form
+    (the suffix is not an int), growing the ledger per window forever."""
+    parts = FoldLedger._split(batch_id)
+    if parts is not None:
+        run, epoch = parts
+        return f"{run}:{kind}:{epoch}"
+    return f"{batch_id}:{kind}"
+
+
 def fold_batch_rows(
     store, table: str, key: str, collapse, into_batch_id: str = "_folded"
 ) -> dict | None:

@@ -392,11 +392,17 @@ class PersistedPostingsIndex:
         postings (forward-index pruned), inserts and updates register the
         post-images — the CDC-driven steady state where the retrieval
         index tracks a mutating corpus without ever rescanning it.
-        Idempotent per ``batch_id`` (sub-batches ``<id>:del`` /
-        ``<id>:ins``): a replay of a completed window tears nothing down
-        (the update's new rows are registered under the kept ins id) and
-        a crash at any point heals — unregister before register, each
-        internally ordered for replay (see their docstrings)."""
+        Idempotent per ``batch_id`` (sub-batches via ``sub_batch_id`` —
+        epoch-convention window ids stay epoch-convention in the fold
+        ledger, so a long-lived CDC consumer's ledger stays O(consumers),
+        not O(windows)): a replay of a completed window tears nothing
+        down (the update's new rows are registered under the kept ins
+        id) and a crash at any point heals — unregister before register,
+        each internally ordered for replay (see their docstrings).
+        ``update_preimage`` rows (a pre-image feed) are ignored here —
+        postings deletes are id-keyed via the forward table."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import sub_batch_id
+
         changed = feed.localCheckpoint(eager=True)
         old_ids = changed.where(
             F.col("_change_type").isin("delete", "update")
@@ -404,8 +410,9 @@ class PersistedPostingsIndex:
         new_docs = changed.where(
             F.col("_change_type").isin("insert", "update")
         ).drop("_change_type")
-        self.unregister(old_ids, f"{batch_id}:del", _keep_batch_id=f"{batch_id}:ins")
-        self.register(new_docs, f"{batch_id}:ins")
+        ins_id = sub_batch_id(batch_id, "ins")
+        self.unregister(old_ids, sub_batch_id(batch_id, "del"), _keep_batch_id=ins_id)
+        self.register(new_docs, ins_id)
 
     def topk(self, query_terms: list[str], k: int = 20) -> DataFrame:
         """``(doc_id, score)`` — BM25 top-k from the index: reads ONLY

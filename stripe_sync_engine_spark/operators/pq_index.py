@@ -664,6 +664,8 @@ class PersistedIVFPQ:
         nothing down (the update's new rows are kept via the ``:ins``
         sub-batch id) and a crash at any point heals — unregister before
         register, each internally ordered for replay."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import sub_batch_id
+
         changed = feed.localCheckpoint(eager=True)
         old_ids = changed.where(
             F.col("_change_type").isin("delete", "update")
@@ -671,8 +673,9 @@ class PersistedIVFPQ:
         new_vecs = changed.where(
             F.col("_change_type").isin("insert", "update")
         ).drop("_change_type")
-        self.unregister(old_ids, _keep_batch_id=f"{batch_id}:ins")
-        self.register(new_vecs, f"{batch_id}:ins")
+        ins_id = sub_batch_id(batch_id, "ins")
+        self.unregister(old_ids, _keep_batch_id=ins_id)
+        self.register(new_vecs, ins_id)
 
     def topk(
         self, queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 4

@@ -1218,6 +1218,59 @@ class StripeSparkSync:
         cursors[entity] = int(cursor_ms)
         atomic_write_json(self._cursor_path(consumer), cursors)
 
+    def maintain_corpus_indexes(
+        self,
+        consumer: str,
+        entity: str,
+        gates: Iterable = (),
+        postings=None,
+        ann=None,
+        max_commits: int | None = None,
+        emit_update_preimages: bool = False,
+        allow_full_diff: bool = False,
+    ) -> dict:
+        """One poll of the corpus CDC fan-out: consume ``entity``'s
+        change window under ``consumer``'s durable cursor, apply it to
+        every derived-index target — ``gates`` (objects with
+        ``apply_changes(feed)``: the exact/near/embedding gates),
+        ``postings`` (``PersistedPostingsIndex``), ``ann``
+        (``PersistedIVFPQ``) — and ack ONLY after every target applied.
+        The glue a corpus operator runs from cron so the retrieval and
+        dedup layers track the mutating corpus together.
+
+        At-least-once end to end: a crash anywhere before the ack
+        re-delivers the same window, and every target's apply_changes is
+        replay-idempotent (their own tests pin it), so the fan-out
+        converges with no coordination beyond the single cursor. The
+        window's batch id is ``<consumer>:<cursor_ms>`` — the epoch
+        convention, so the postings fold ledger stays O(consumers) no
+        matter how many windows ever apply (``sub_batch_id``). Pass
+        ``emit_update_preimages=True`` when the gates should retire
+        updated-away content incrementally (pre-image rows are ignored
+        by the id-keyed postings/ANN targets). Returns
+        ``{"cursor", "applied", "rows"}``."""
+        feed, cursor = self.consume_changes(
+            consumer,
+            entity,
+            max_commits=max_commits,
+            allow_full_diff=allow_full_diff,
+            emit_update_preimages=emit_update_preimages,
+        )
+        if feed is None:
+            return {"cursor": cursor, "applied": False, "rows": 0}
+        feed = feed.localCheckpoint(eager=True)
+        n = feed.count()
+        if n:
+            window = f"{consumer}:{cursor}"
+            for gate in gates:
+                gate.apply_changes(feed)
+            if postings is not None:
+                postings.apply_changes(feed, window)
+            if ann is not None:
+                ann.apply_changes(feed, window)
+        self.ack_changes(consumer, entity, cursor)
+        return {"cursor": cursor, "applied": bool(n), "rows": n}
+
     def materialize_changes(
         self,
         consumer: str,

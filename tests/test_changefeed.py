@@ -487,3 +487,85 @@ def test_read_changes_update_preimages_opt_in(spark, tmp_path):
     store.write("t", _mk(spark, [("a", 100), ("b", 2), ("d", 4)]))
     df, cursor = eng.consume_changes("gates", "t", emit_update_preimages=True)
     assert _changes(df) == {("a", "update"): 100, ("a", "update_preimage"): 10}
+
+
+def test_maintain_corpus_indexes_fans_out_one_window(spark, tmp_path, monkeypatch):
+    """The corpus CDC fan-out glue: one poll consumes a window under one
+    durable cursor, applies it to the exact gate AND the postings index,
+    and acks only after both — a crash before the ack re-delivers the
+    window and every target converges idempotently. Window batch ids use
+    the epoch convention, so folding the postings stats afterwards keeps
+    the ledger O(consumers), not O(windows)."""
+    import json
+    import math
+    import os
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+
+    store = TableStore(spark, str(tmp_path / "wh_fanout"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"alpha corpus doc {i} words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    gate = IncrementalDeduper(store)
+    idx = PersistedPostingsIndex(store)
+
+    # birth window: builds both targets from the initial load
+    rep = eng.maintain_corpus_indexes("gates", "corpus", gates=[gate], postings=idx)
+    assert rep["applied"] and rep["rows"] == 8
+    assert idx.topk(["alpha"], k=10).count() == 8
+    assert gate.select_new(docs).isEmpty()
+
+    # steady state: nothing pending is an ack-only no-op
+    rep2 = eng.maintain_corpus_indexes("gates", "corpus", gates=[gate], postings=idx)
+    assert not rep2["applied"] and rep2["cursor"] == rep["cursor"]
+
+    # mutate, then crash BEFORE the ack: the window re-delivers whole
+    import time as _t
+
+    _t.sleep(0.002)
+    nxt = spark.createDataFrame(
+        [(i, f"alpha corpus doc {i} words") for i in range(2, 8)]
+        + [(7, "rewritten gamma body seven"), (100, "fresh delta doc")],
+        "doc_id long, text string",
+    )
+    nxt = nxt.groupBy("doc_id").agg(F.max("text").alias("text"))  # doc 7 rewritten
+    store.write("corpus", nxt, key="doc_id")
+
+    real_ack = eng.ack_changes
+    calls = {"n": 0}
+
+    def flaky_ack(consumer, entity, cursor_ms):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash before ack")
+        real_ack(consumer, entity, cursor_ms)
+
+    monkeypatch.setattr(eng, "ack_changes", flaky_ack)
+    with pytest.raises(OSError, match="injected"):
+        eng.maintain_corpus_indexes("gates", "corpus", gates=[gate], postings=idx)
+    rep3 = eng.maintain_corpus_indexes("gates", "corpus", gates=[gate], postings=idx)
+    assert rep3["applied"]  # replayed and acked this time
+
+    fresh = PersistedPostingsIndex(
+        TableStore(spark, str(tmp_path / "wh_fanout_fresh"))
+    )
+    fresh.register(store.read("corpus"), "all")
+    for terms in (["alpha"], ["gamma", "delta"]):
+        got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=20).collect()}
+        want = {r["doc_id"]: r["score"] for r in fresh.topk(terms, k=20).collect()}
+        assert set(got) == set(want)
+        for d, s in want.items():
+            assert math.isclose(got[d], s, rel_tol=1e-9)
+
+    # fold: the epoch-convention window ids compact to one horizon per
+    # (consumer, half) — the ledger does not grow with window count
+    idx.fold_stats()
+    led = json.load(
+        open(os.path.join(store.root, idx.stats_table, "_folded_batches.json"))
+    )
+    assert led["ids"] == []  # nothing free-form
+    assert set(led["runs"]) <= {"gates:ins", "gates:del"}
