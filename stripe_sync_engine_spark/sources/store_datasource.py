@@ -325,18 +325,27 @@ def build_changes_datasource():
         return manifest
 
     class _DiffPartition(InputPartition):
-        def __init__(self, key: str, old_dir: str | None, new_dir: str | None, schema_json: str):
+        def __init__(
+            self,
+            key: str,
+            old_dir: str | None,
+            new_dir: str | None,
+            schema_json: str,
+            emit_pre: bool = False,
+        ):
             self.key = key
             self.old_dir = old_dir
             self.new_dir = new_dir
             self.schema_json = schema_json
+            self.emit_pre = emit_pre
 
     class ChangesStreamReader(DataSourceStreamReader):
-        def __init__(self, root: str, table: str, start_ms: int):
+        def __init__(self, root: str, table: str, start_ms: int, emit_pre: bool = False):
             import os
 
             self._tdir = os.path.join(root, table)
             self._start = start_ms
+            self._emit_pre = emit_pre
 
         def initialOffset(self) -> dict:
             return {"commit_ms": self._start}
@@ -376,6 +385,7 @@ def build_changes_datasource():
                     os.path.join(self._tdir, ob[b], f"_bucket={b}") if b in ob else None,
                     os.path.join(self._tdir, nb[b], f"_bucket={b}") if b in nb else None,
                     schema_json,
+                    self._emit_pre,
                 )
                 for b in sorted(set(ob) | set(nb))
                 if ob.get(b) != nb.get(b)
@@ -431,11 +441,16 @@ def build_changes_datasource():
                 # old-snapshot rows may predate added columns: null-fill
                 return tuple(r.get(c) for c in cols) + (ct,)
 
+            emit_pre = getattr(partition, "emit_pre", False)
             for k, r in new.items():
                 if k not in old:
                     yield out(r, "insert")
                 elif not eq({c: old[k].get(c) for c in cols}, {c: r.get(c) for c in cols}):
                     yield out(r, "update")
+                    if emit_pre:
+                        # Delta CDF's update_preimage row type, same opt-in
+                        # contract as the batch feed (storage.read_changes)
+                        yield out(old[k], "update_preimage")
             for k, r in old.items():
                 if k not in new:
                     yield out(r, "delete")
@@ -466,6 +481,8 @@ def build_changes_datasource():
                 self.options["root"],
                 self.options["table"],
                 int(self.options.get("starting_commit_ms", 0)),
+                str(self.options.get("emit_update_preimages", "false")).lower()
+                == "true",
             )
 
     return ChangesDataSource

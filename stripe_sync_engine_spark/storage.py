@@ -497,10 +497,9 @@ class TableStore:
             # gates' apply_changes) fully retire updated-away state instead
             # of pinning it forever. Opt-in — the default feed stays net
             # post-images, and consumers that filter on the three net types
-            # never see the extra rows. Batch-only: the streaming source
-            # (stripe_store_changes) emits net post-images by design; a
-            # consumer needing pre-images drives the batch API with its own
-            # cursor (engine.consume_changes passes the flag through).
+            # never see the extra rows. ONE contract across both surfaces:
+            # the streaming source (stripe_store_changes) honors the same
+            # option, and engine.consume_changes passes the flag through.
             pre = j.where(F.col("_change_type") == "update").select(
                 F.col("_old").alias("_row"),
                 F.lit("update_preimage").alias("_change_type"),

@@ -1127,7 +1127,12 @@ class StripeSparkSync:
             entity, since_ms, until_ms=until_ms, allow_full_diff=allow_full_diff
         )
 
-    def read_changes_stream(self, entity: str, starting_commit_ms: int = 0) -> DataFrame:
+    def read_changes_stream(
+        self,
+        entity: str,
+        starting_commit_ms: int = 0,
+        emit_update_preimages: bool = False,
+    ) -> DataFrame:
         """The change feed as a Structured Streaming source: each
         micro-batch is the net row-level diff between two retained
         snapshots, with Spark's checkpoint as the cursor (exactly-once
@@ -1135,7 +1140,10 @@ class StripeSparkSync:
         One input partition per changed bucket, diffed locally (bucket
         widths pair old and new rows — zero shuffle); see
         ``sources/store_datasource.build_changes_datasource``. Default
-        start = 0: the first batch delivers the whole table as inserts."""
+        start = 0: the first batch delivers the whole table as inserts.
+        ``emit_update_preimages`` matches the batch feed's option (one
+        contract across both surfaces): each update also yields its OLD
+        row as ``_change_type='update_preimage'``."""
         from stripe_sync_engine_spark.sources.store_datasource import (
             build_changes_datasource,
         )
@@ -1146,6 +1154,7 @@ class StripeSparkSync:
             .option("root", self.store.root)
             .option("table", entity)
             .option("starting_commit_ms", str(starting_commit_ms))
+            .option("emit_update_preimages", str(emit_update_preimages).lower())
             .load()
         )
 

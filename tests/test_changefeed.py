@@ -569,3 +569,36 @@ def test_maintain_corpus_indexes_fans_out_one_window(spark, tmp_path, monkeypatc
     )
     assert led["ids"] == []  # nothing free-form
     assert set(led["runs"]) <= {"gates:ins", "gates:del"}
+
+
+def test_streaming_change_feed_update_preimages(spark, tmp_path):
+    """The streaming source honors the same emit_update_preimages option
+    as the batch feed (one contract across both surfaces): each update
+    also delivers its OLD row, and the default stream is untouched."""
+    root = str(tmp_path / "wh_cdc_spre")
+    eng = StripeSparkSync(spark, TableStore(spark, root, vacuum_retain_s=3600.0))
+    store = eng.store
+    store.write("t", _mk(spark, [("a", 1), ("b", 2)]))
+    out, ckpt = str(tmp_path / "out_pre"), str(tmp_path / "ckpt_pre")
+    _run_once(eng.read_changes_stream("t", emit_update_preimages=True), ckpt, out)
+
+    time.sleep(0.002)
+    store.write("t", _mk(spark, [("a", 10), ("c", 3)]))  # upd a, del b, ins c
+    _run_once(eng.read_changes_stream("t", emit_update_preimages=True), ckpt, out)
+    got = {
+        (r["id"], r["_change_type"]): r["v"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("a", "insert"): 1,  # initial load
+        ("b", "insert"): 2,
+        ("a", "update"): 10,  # the window's changes, pre-image included
+        ("a", "update_preimage"): 1,
+        ("b", "delete"): 2,
+        ("c", "insert"): 3,
+    }
+
+    # default stream: no preimage rows anywhere
+    out2 = str(tmp_path / "out_nopre")
+    _run_once(eng.read_changes_stream("t"), str(tmp_path / "ckpt_nopre"), out2)
+    kinds = {r["_change_type"] for r in spark.read.parquet(out2).collect()}
+    assert "update_preimage" not in kinds
