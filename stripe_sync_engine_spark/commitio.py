@@ -7,11 +7,13 @@ PORTABILITY CONTRACT (stated once, in one place, so the assumption is
 explicit and swappable): these primitives rely on POSIX filesystem
 semantics —
 
-* ``atomic_write_*`` commits via write-to-temp + ``os.replace``, which
-  POSIX guarantees is an ATOMIC pointer swap on the same filesystem: a
-  reader sees the old complete content or the new complete content,
-  never a torn file, and a crash mid-write leaves only an ignorable
-  ``*.tmp.<pid>`` beside the target.
+* ``atomic_write_*`` commits via write-to-temp + fsync + ``os.replace``
+  + parent-directory fsync. POSIX guarantees the replace is an ATOMIC
+  pointer swap on the same filesystem: a reader sees the old complete
+  content or the new complete content, never a torn file, and a crash
+  mid-write leaves only an ignorable dot-prefixed temp beside the
+  target. The two fsyncs extend all-or-nothing from process crashes to
+  MACHINE crashes (journal replay cannot surface an empty target).
 * ``append_line`` relies on small single-``write()`` appends landing
   intact (the funnel log additionally tolerates torn tails by skipping
   unparseable lines on read).
@@ -52,7 +54,26 @@ def atomic_write_text(path: str, text: str) -> None:
     tmp = os.path.join(d, f".{base}.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         f.write(text)
+        # fsync BEFORE the rename, and the parent dir after: without
+        # both, a power loss shortly after os.replace can surface an
+        # empty or missing target on journal replay — the same reason
+        # Delta's HDFS LogStore syncs file and directory. A crashed
+        # PROCESS never needs this (the page cache survives); this is
+        # the machine-crash half of the durability contract.
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    if d:
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+        except OSError:
+            return  # directory fsync unsupported (some mounts): best effort
+        try:
+            os.fsync(dfd)
+        except OSError:
+            pass
+        finally:
+            os.close(dfd)
 
 
 def atomic_write_json(path: str, obj, **dump_kwargs) -> None:
@@ -64,8 +85,10 @@ def atomic_write_json(path: str, obj, **dump_kwargs) -> None:
 
 def append_line(path: str, line: str) -> None:
     """Append ``line`` (newline added) to ``path`` in one ``write()``
-    call — the durable-log primitive (funnel metrics). Readers must
-    tolerate a torn final line after a crash; ``read_funnel_metrics``
-    does (skip-unparseable)."""
+    call — the durable-log primitive (funnel metrics, maintenance log).
+    Deliberately NOT fsynced: readers tolerate a torn or lost tail line
+    after a crash (``read_funnel_metrics`` skips unparseable lines, and
+    a lost funnel line is re-appended by the batch's replay), so paying
+    a sync per log line buys nothing the contract needs."""
     with open(path, "a") as f:
         f.write(line + "\n")

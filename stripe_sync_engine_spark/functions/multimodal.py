@@ -710,20 +710,29 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
                 # by coincidence, and sending it down the walker would
                 # emit ZERO rows (failure-row convention) instead of the
                 # fixed framing the oracle mirrors. Demand the leading
-                # ftyp box also be PLAUSIBLE — size a multiple of 4 (the
-                # brand list is 4-byte entries), at least 16 (size + type
-                # + major_brand + minor_version), within the payload —
-                # before committing to the MP4 path; only then does a
-                # parse failure mean a genuinely malformed container.
-                box_size = (
-                    _struct.unpack(">I", payload[0:4])[0] if len(payload) >= 12 else 0
-                )
-                if (
-                    len(payload) >= 12
-                    and payload[4:8] == b"ftyp"
-                    and 16 <= box_size <= len(payload)
-                    and box_size % 4 == 0
-                ):
+                # ftyp box also be PLAUSIBLE before committing to the MP4
+                # path — only then does a parse failure mean a genuinely
+                # malformed container. Plausible = the spec's three size
+                # encodings: the common explicit size (a multiple of 4 —
+                # the brand list is 4-byte entries — at least 16 and
+                # within the payload), size==0 (box extends to EOF), or
+                # size==1 with a sane 64-bit largesize at bytes 8..16 —
+                # the walker handles all three, and text payloads cannot
+                # produce the leading NUL bytes of the 0/1 forms.
+                if len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    box_size = _struct.unpack(">I", payload[0:4])[0]
+                    plausible = (
+                        box_size == 0
+                        or (
+                            box_size == 1
+                            and len(payload) >= 16
+                            and 16 <= _struct.unpack(">Q", payload[8:16])[0] <= len(payload)
+                        )
+                        or (16 <= box_size <= len(payload) and box_size % 4 == 0)
+                    )
+                else:
+                    plausible = False
+                if plausible:
                     try:
                         table = frame_table(payload)
                     except (ValueError, _struct.error):

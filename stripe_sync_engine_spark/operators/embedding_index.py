@@ -263,8 +263,11 @@ class IncrementalEmbeddingIndex:
         with_occ_retry(lambda: self._unregister_once(vecs))
 
     def _unregister_once(self, vecs: DataFrame) -> None:
-        store, table = self.store, self.table
-        if not store.exists(table):
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            delete_matching_rows,
+        )
+
+        if not self.store.exists(self.table):
             return
         self._ensure_band_format()
         pairs = (
@@ -273,26 +276,8 @@ class IncrementalEmbeddingIndex:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if pairs.isEmpty():
-            return
-        manifest = store._read_manifest(table)
-        touched = store.buckets_of(pairs, key="bucket", table=table)
-        base = store._scan_manifest(table, manifest, touched)
-        hit = base.join(
-            F.broadcast(pairs), ["bucket", "vec_id"], "left_semi"
-        ).localCheckpoint(eager=True)
-        if hit.isEmpty():
-            return  # replay, or the vectors were never indexed
-        write_set = store.buckets_of(hit, key="bucket", table=table)
-        keep = store._scan_manifest(table, manifest, write_set).join(
-            F.broadcast(pairs), ["bucket", "vec_id"], "left_anti"
-        )
-        store.write_buckets(
-            table,
-            keep.localCheckpoint(eager=True),
-            write_set,
-            key="bucket",
-            planned_versions=dict(manifest["buckets"]),
+        delete_matching_rows(
+            self.store, self.table, pairs, ["bucket", "vec_id"], "bucket"
         )
 
     def apply_changes(self, feed: DataFrame) -> None:
@@ -303,16 +288,11 @@ class IncrementalEmbeddingIndex:
         pre-image rows, insert/update post-images register. With
         pre-images an update leaves NO ghost rows (the keep-seen note on
         ``register`` applies to the default feed only)."""
-        changed = feed.localCheckpoint(eager=True)
-        dels = changed.where(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ).drop("_change_type")
-        ups = changed.where(
-            F.col("_change_type").isin("insert", "update")
-        ).drop("_change_type")
-        self.unregister(dels)
-        if not ups.isEmpty():
-            self.register(ups)
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            apply_feed_changes,
+        )
+
+        apply_feed_changes(self, feed)
 
     def filter_new(self, batch: DataFrame) -> DataFrame:
         """select_new + register in one call — sharing ONE bucket-

@@ -229,6 +229,57 @@ class FoldLedger:
         atomic_write_json(self._path, led)
 
 
+def apply_feed_changes(gate, feed: DataFrame) -> None:
+    """ONE implementation of the gates' change-window protocol (the
+    exact, near, and embedding gates' ``apply_changes`` all delegate
+    here — a fix to the split or the ordering fixes every gate, the
+    ``fold_batch_rows`` discipline): delete and ``update_preimage``
+    rows unregister their pre-images; insert/update post-images
+    register. Unregister FIRST so an in-window content swap (doc A
+    deletes 'x' while doc B inserts 'x') lands registered, not erased."""
+    changed = feed.localCheckpoint(eager=True)
+    dels = changed.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).drop("_change_type")
+    ups = changed.where(
+        F.col("_change_type").isin("insert", "update")
+    ).drop("_change_type")
+    gate.unregister(dels)
+    if not ups.isEmpty():
+        gate.register(ups)
+
+
+def delete_matching_rows(
+    store, table: str, pairs: DataFrame, keys: list[str], bucket_key: str
+) -> None:
+    """ONE implementation of the gates' bucket-pruned delete (the
+    unregister dance the three gates share): probe only the buckets the
+    ``pairs`` hash into, no-op when nothing matches (replays), and
+    rewrite ONLY the buckets actually losing rows — anti-joined on ALL
+    of ``keys``, so a partial match never deletes a bystander row.
+    ``pairs`` must be materialized (callers localCheckpoint — the
+    commit's vacuum deletes files its lineage could re-read)."""
+    if pairs.isEmpty():
+        return
+    manifest = store._read_manifest(table)
+    touched = store.buckets_of(pairs, key=bucket_key, table=table)
+    base = store._scan_manifest(table, manifest, touched)
+    hit = base.join(F.broadcast(pairs), keys, "left_semi").localCheckpoint(eager=True)
+    if hit.isEmpty():
+        return
+    write_set = store.buckets_of(hit, key=bucket_key, table=table)
+    keep = store._scan_manifest(table, manifest, write_set).join(
+        F.broadcast(pairs), keys, "left_anti"
+    )
+    store.write_buckets(
+        table,
+        keep.localCheckpoint(eager=True),
+        write_set,
+        key=bucket_key,
+        planned_versions=dict(manifest["buckets"]),
+    )
+
+
 def sub_batch_id(batch_id: str, kind: str) -> str:
     """Namespace a CDC window's sub-batches (postings/ANN apply_changes
     split a window into a delete and an insert half) WITHOUT breaking
@@ -263,9 +314,13 @@ def fold_batch_rows(
     Returns a fold-stats record — ``{"table", "rows_before",
     "rows_after", "batches_absorbed", "into_batch_id"}`` — or None when
     there was nothing to fold, so maintenance can surface state-table
-    health (``engine.maintain`` logs it durably). The extra counts ride
-    frames the fold materializes anyway; a fold is a maintenance-window
-    operation, not a hot path."""
+    health (``engine.maintain`` logs it durably). ``rows_before`` is one
+    extra lazy pass over the pre-fold state, taken BEFORE the rewrite
+    (the commit's vacuum may delete the files that lineage reads);
+    ``rows_after`` rides the already-checkpointed folded frame. The raw
+    rows are never materialized — at scale the state table is the thing
+    the fold exists to bound, but it can still be large right before the
+    fold runs."""
     if not store.exists(table):
         return None
     ledger = FoldLedger(store, table)
@@ -275,9 +330,7 @@ def fold_batch_rows(
         all_buckets = sorted(int(b) for b in manifest["buckets"])
         if not all_buckets:
             return None
-        rows = store._scan_manifest(table, manifest, all_buckets).localCheckpoint(
-            eager=True
-        )
+        rows = store._scan_manifest(table, manifest, all_buckets)
         folded_ids = [
             r["batch_id"]
             for r in rows.select("batch_id").distinct().collect()
@@ -285,6 +338,7 @@ def fold_batch_rows(
         ]
         if not folded_ids:
             return None
+        rows_before = rows.count()
         ledger.add_all(folded_ids)
         folded = collapse(rows).localCheckpoint(eager=True)
         write_set = sorted(
@@ -299,7 +353,7 @@ def fold_batch_rows(
         )
         return {
             "table": table,
-            "rows_before": rows.count(),
+            "rows_before": rows_before,
             "rows_after": folded.count(),
             "batches_absorbed": len(folded_ids),
             "into_batch_id": into_batch_id,
@@ -409,12 +463,21 @@ class IncrementalDeduper:
         removed, so taking down a never-registered duplicate leaves the
         surviving keeper's fingerprint — and the gate — intact.
         Bucket-pruned by fingerprint, idempotent (a replay matches
-        nothing), OCC-guarded like register."""
+        nothing), OCC-guarded like register.
+
+        Known non-refcounted edge: the gate stores ONE registrant per
+        fingerprint, so if identical content entered the corpus OUTSIDE
+        the gate (e.g. an out-of-band UPDATE rewrote another doc to the
+        keeper's exact text) and the keeper is then taken down, the
+        fingerprint is removed even though a copy survives — future
+        identical submissions re-admit. Content-level refcounting is
+        deliberately out of scope (gate-composed ingestion never admits
+        the second copy in the first place); corpora mutated out-of-band
+        should re-register the surviving corpus after takedowns."""
         with_occ_retry(lambda: self._unregister_once(docs))
 
     def _unregister_once(self, docs: DataFrame) -> None:
-        store, table = self.store, self.table
-        if not store.exists(table):
+        if not self.store.exists(self.table):
             return
         pairs = (
             self._fingerprints(docs)
@@ -422,26 +485,8 @@ class IncrementalDeduper:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if pairs.isEmpty():
-            return
-        manifest = store._read_manifest(table)
-        touched = store.buckets_of(pairs, key=FINGERPRINT_COL, table=table)
-        base = store._scan_manifest(table, manifest, touched)
-        hit = base.join(
-            F.broadcast(pairs), [FINGERPRINT_COL, "doc_id"], "left_semi"
-        ).localCheckpoint(eager=True)
-        if hit.isEmpty():
-            return  # replay, or deleted docs were never the registrant
-        write_set = store.buckets_of(hit, key=FINGERPRINT_COL, table=table)
-        keep = store._scan_manifest(table, manifest, write_set).join(
-            F.broadcast(pairs), [FINGERPRINT_COL, "doc_id"], "left_anti"
-        )
-        store.write_buckets(
-            table,
-            keep.localCheckpoint(eager=True),
-            write_set,
-            key=FINGERPRINT_COL,
-            planned_versions=dict(manifest["buckets"]),
+        delete_matching_rows(
+            self.store, self.table, pairs, [FINGERPRINT_COL, "doc_id"], FINGERPRINT_COL
         )
 
     def apply_changes(self, feed: DataFrame) -> None:
@@ -458,16 +503,7 @@ class IncrementalDeduper:
         upgrades the contract: its ``update_preimage`` rows unregister
         like deletes, so updated-away content retires incrementally
         too."""
-        changed = feed.localCheckpoint(eager=True)
-        dels = changed.where(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ).drop("_change_type")
-        ups = changed.where(
-            F.col("_change_type").isin("insert", "update")
-        ).drop("_change_type")
-        self.unregister(dels)
-        if not ups.isEmpty():
-            self.register(ups)
+        apply_feed_changes(self, feed)
 
     def _originals(self, batch: DataFrame, fresh_fps: DataFrame) -> DataFrame:
         """Survivor rows in the batch's ORIGINAL schema (semi-join on the
@@ -610,35 +646,18 @@ class IncrementalNearDeduper:
         with_occ_retry(lambda: self._unregister_once_near(docs))
 
     def _unregister_once_near(self, docs: DataFrame) -> None:
-        store, table = self.store, self.table
-        if not store.exists(table):
+        if not self.store.exists(self.table):
             return
+        # pairs may be empty when every deleted doc was too short to
+        # shingle — delete_matching_rows no-ops on that
         pairs = (
             self._band_rows(docs)
             .select("band", "band_key", "doc_id")
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if pairs.isEmpty():
-            return  # e.g. every deleted doc was too short to shingle
-        manifest = store._read_manifest(table)
-        touched = store.buckets_of(pairs, key="band_key", table=table)
-        base = store._scan_manifest(table, manifest, touched)
-        hit = base.join(
-            F.broadcast(pairs), ["band", "band_key", "doc_id"], "left_semi"
-        ).localCheckpoint(eager=True)
-        if hit.isEmpty():
-            return
-        write_set = store.buckets_of(hit, key="band_key", table=table)
-        keep = store._scan_manifest(table, manifest, write_set).join(
-            F.broadcast(pairs), ["band", "band_key", "doc_id"], "left_anti"
-        )
-        store.write_buckets(
-            table,
-            keep.localCheckpoint(eager=True),
-            write_set,
-            key="band_key",
-            planned_versions=dict(manifest["buckets"]),
+        delete_matching_rows(
+            self.store, self.table, pairs, ["band", "band_key", "doc_id"], "band_key"
         )
 
     def apply_changes(self, feed: DataFrame) -> None:
@@ -647,16 +666,7 @@ class IncrementalNearDeduper:
         ``emit_update_preimages`` upgrade): deletes — and, when present,
         ``update_preimage`` rows — unregister their pre-image band rows,
         insert/update post-images register."""
-        changed = feed.localCheckpoint(eager=True)
-        dels = changed.where(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ).drop("_change_type")
-        ups = changed.where(
-            F.col("_change_type").isin("insert", "update")
-        ).drop("_change_type")
-        self.unregister(dels)
-        if not ups.isEmpty():
-            self.register(ups)
+        apply_feed_changes(self, feed)
 
     def _candidates_against(self, rows: DataFrame, index: DataFrame) -> DataFrame:
         from stripe_sync_engine_spark.plans.dedup import MINHASH_SEEDS

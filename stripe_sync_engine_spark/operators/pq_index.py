@@ -465,7 +465,9 @@ class PersistedIVFPQ:
     sanctioned update path is ``apply_changes`` / unregister-then-
     register. Indexes persisted before the forward table existed must be
     rebuilt to enable deletes (unregister raises; register starts
-    recording forward rows for everything it adds)."""
+    recording forward rows for everything it adds, and keeps the
+    fails-loudly guarantee meanwhile via a one-time full-codes-scan
+    moved-cell probe — no silent append even on the upgrade path)."""
 
     def __init__(
         self,
@@ -527,14 +529,30 @@ class PersistedIVFPQ:
                 F.broadcast(rows.select("vec_id", F.col("cell").alias("_new_cell"))),
                 "vec_id",
             ).where(F.col("cell") != F.col("_new_cell"))
-            if not moved.isEmpty():
-                some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
-                raise RuntimeError(
-                    f"vec_ids {some} are registered in a DIFFERENT cell — their "
-                    "embeddings changed since registration. Re-registering would "
-                    "leave the stale code queryable; apply the change via "
-                    "apply_changes (or unregister first)."
-                )
+        elif store.exists(table):
+            # No forward table but codes exist: a pre-forward-table index
+            # being upgraded, or the crash window between a first
+            # register's codes and forward commits. The fails-loudly
+            # contract must hold HERE too — without this, a moved-cell
+            # re-register would silently append while the stale code
+            # stays queryable (the exact corruption the contract bans) —
+            # so fall back to probing the WHOLE codes table by vec_id
+            # (no cell pruning is possible without the forward rows; a
+            # one-time full-scan broadcast semi on this rare path).
+            moved = store.read(table).join(
+                F.broadcast(rows.select("vec_id", F.col("cell").alias("_new_cell"))),
+                "vec_id",
+            ).where(F.col("cell") != F.col("_new_cell"))
+        else:
+            moved = None
+        if moved is not None and not moved.isEmpty():
+            some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
+            raise RuntimeError(
+                f"vec_ids {some} are registered in a DIFFERENT cell — their "
+                "embeddings changed since registration. Re-registering would "
+                "leave the stale code queryable; apply the change via "
+                "apply_changes (or unregister first)."
+            )
         if not store.exists(table):
             store.write(table, rows, key="cell")
         else:

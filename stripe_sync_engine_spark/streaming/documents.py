@@ -184,7 +184,11 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
     # Reclaim tmp files of CRASHED minters (age-gated so a live racer's
     # in-flight tmp is never touched).
     for name in os.listdir(checkpoint_dir):
-        if name.startswith("span_gate_run_id.tmp."):
+        # both tmp shapes: the link path's own (bare) and the commitio
+        # fallback's dot-prefixed — neither may accumulate forever
+        if name.startswith("span_gate_run_id.tmp.") or name.startswith(
+            ".span_gate_run_id.tmp."
+        ):
             p = os.path.join(checkpoint_dir, name)
             try:
                 if time.time() - os.path.getmtime(p) > 3600:

@@ -1114,6 +1114,7 @@ class StripeSparkSync:
         since_ms: int,
         until_ms: int | None = None,
         allow_full_diff: bool = False,
+        emit_update_preimages: bool = False,
     ):
         """Row-level net changes of one synced table between two retained
         snapshots — ``TableStore.read_changes`` with the entity's table
@@ -1122,9 +1123,15 @@ class StripeSparkSync:
         that capability native to the store: O(changed buckets), with
         compaction invisible. See ``consume_changes`` for the
         managed-cursor form. A rebucket inside the window raises unless
-        ``allow_full_diff=True`` (the explicit O(table) recovery path)."""
+        ``allow_full_diff=True`` (the explicit O(table) recovery path);
+        ``emit_update_preimages`` passes through like every other feed
+        surface."""
         return self.store.read_changes(
-            entity, since_ms, until_ms=until_ms, allow_full_diff=allow_full_diff
+            entity,
+            since_ms,
+            until_ms=until_ms,
+            allow_full_diff=allow_full_diff,
+            emit_update_preimages=emit_update_preimages,
         )
 
     def read_changes_stream(

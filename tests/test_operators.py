@@ -664,6 +664,35 @@ def test_frame_sample_ftyp_magic_coincidence_keeps_fixed_framing(spark):
     assert got == [(i, i * FRAME_BYTES) for i in want_idx]
 
 
+def test_frame_sample_spec_valid_size01_ftyp_takes_mp4_path(spark):
+    """ISO-BMFF's other two size encodings — size==0 (box to EOF) and
+    size==1 (64-bit largesize) — are spec-valid leading ftyp forms the
+    walker supports, so the plausibility gate must route them down the
+    MP4 path (zero rows without a sample table — the failure-row
+    convention), NOT the fixed framing a rejected payload gets. Text
+    payloads cannot produce the leading NUL bytes of either form."""
+    import struct
+
+    from stripe_sync_engine_spark.functions.multimodal import sample_frames
+
+    size0 = struct.pack(">I", 0) + b"ftyp" + b"x" * 120
+    size1 = (
+        struct.pack(">I", 1)
+        + b"ftyp"
+        + struct.pack(">Q", 24)
+        + b"isom"
+        + struct.pack(">I", 0x200)
+        + b"x" * 100
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(size0)), (2, bytearray(size1))],
+        "doc_id long, payload binary",
+    )
+    # both payloads exceed FRAME_BYTES, so fixed framing WOULD emit rows;
+    # zero rows proves they took (and failed inside) the MP4 walker
+    assert sample_frames(df).count() == 0
+
+
 def test_fold_ledger_epoch_convention():
     """The <prefix>:<int> id form is monotone-epochs-per-prefix BY
     CONTRACT: folding epoch 7 refuses every lower epoch of that prefix

@@ -497,3 +497,43 @@ def test_persisted_ivfpq_topk_reranked_store_native(spark, sf_dir, tmp_path):
         X, ids, queries,
     )
     assert r_rr >= r_adc
+
+
+def test_persisted_ivfpq_legacy_index_still_fails_loudly_on_moved_cell(spark, sf_dir, tmp_path):
+    """The fails-loudly contract must hold even on a pre-forward-table
+    index (or inside the first register's crash window): with no forward
+    rows to probe, register falls back to a full-codes-scan moved-cell
+    check instead of silently appending a second row while the stale
+    code stays queryable. Byte-identical re-registers still heal (and
+    start recording forward rows)."""
+    import shutil
+
+    import pytest
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_pq_leg"))
+    p = PersistedIVFPQ(store, idx)
+    p.register(vecs, "b0")
+    shutil.rmtree(f"{store.root}/{p.forward_table}")  # simulate legacy index
+
+    cells = _cells_of(spark, idx, X, ids)
+    sorted_ids = sorted(cells)
+    a = sorted_ids[0]
+    donor = next(d for d in sorted_ids[1:] if cells[d] != cells[a])
+    emb_of = {int(i): [float(v) for v in X[k]] for k, i in enumerate(ids)}
+    moved = spark.createDataFrame(
+        [(a, emb_of[donor])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(RuntimeError, match="DIFFERENT cell"):
+        p.register(moved, "b1")
+    n = store.read(p.table).count()
+    p.register(vecs.limit(10), "b0")  # identical replay: no-op + fwd heal
+    assert store.read(p.table).count() == n
+    assert store.exists(p.forward_table)  # upgrade path records new rows
