@@ -268,12 +268,17 @@ def delete_matching_rows(
     if hit.isEmpty():
         return
     write_set = store.buckets_of(hit, key=bucket_key, table=table)
+    # `keep` feeds the write directly, UNCHECKPOINTED: the commit
+    # consumes the lineage exactly once while the old version files it
+    # reads still exist, and an OCC retry re-derives everything from a
+    # fresh manifest — eagerly materializing the survivors here would
+    # double-scan the table's biggest frame for nothing.
     keep = store._scan_manifest(table, manifest, write_set).join(
         F.broadcast(pairs), keys, "left_anti"
     )
     store.write_buckets(
         table,
-        keep.localCheckpoint(eager=True),
+        keep,
         write_set,
         key=bucket_key,
         planned_versions=dict(manifest["buckets"]),

@@ -359,16 +359,20 @@ class PersistedPostingsIndex:
         pm = store._read_manifest(self.table)
         write_set = store.buckets_of(pairs, key="term_h", table=self.table)
         if write_set:
+            # uncheckpointed: the write consumes this lineage exactly
+            # once (see delete_matching_rows) — materializing the kept
+            # postings first would double-scan the table's biggest frame
             base = store._scan_manifest(self.table, pm, write_set)
             keep = base.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
             store.write_buckets(
                 self.table,
-                keep.localCheckpoint(eager=True),
+                keep,
                 write_set,
                 key="term_h",
                 planned_versions=dict(pm["buckets"]),
             )
-        # 3. forward rows LAST (they are the replay's memory).
+        # 3. forward rows LAST (they are the replay's memory);
+        # uncheckpointed like the postings rewrite above.
         if fwd_touched:
             fwd_keep = fwd_known.join(F.broadcast(ids), "doc_id", "left_anti")
             if keep_batch_id is not None:
@@ -379,7 +383,7 @@ class PersistedPostingsIndex:
                 )
             store.write_buckets(
                 self.forward_table,
-                fwd_keep.localCheckpoint(eager=True),
+                fwd_keep,
                 fwd_touched,
                 key="doc_id",
                 planned_versions=dict(fm["buckets"]),

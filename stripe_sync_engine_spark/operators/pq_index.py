@@ -646,16 +646,18 @@ class PersistedIVFPQ:
         pm = store._read_manifest(self.table)
         write_set = store.buckets_of(pairs, key="cell", table=self.table)
         if write_set:
+            # uncheckpointed: the write consumes this lineage exactly
+            # once (see incremental_dedup.delete_matching_rows)
             base = store._scan_manifest(self.table, pm, write_set)
             keep = base.join(F.broadcast(pairs), ["cell", "vec_id"], "left_anti")
             store.write_buckets(
                 self.table,
-                keep.localCheckpoint(eager=True),
+                keep,
                 write_set,
                 key="cell",
                 planned_versions=dict(pm["buckets"]),
             )
-        # 2. forward rows LAST (the replay's memory).
+        # 2. forward rows LAST (the replay's memory); uncheckpointed too.
         fwd_keep = fwd_known.join(F.broadcast(ids), "vec_id", "left_anti")
         if keep_batch_id is not None:
             fwd_keep = fwd_keep.unionByName(
@@ -665,7 +667,7 @@ class PersistedIVFPQ:
             )
         store.write_buckets(
             self.forward_table,
-            fwd_keep.localCheckpoint(eager=True),
+            fwd_keep,
             fwd_touched,
             key="vec_id",
             planned_versions=dict(fm["buckets"]),
