@@ -721,13 +721,17 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
                 # produce the leading NUL bytes of the 0/1 forms.
                 if len(payload) >= 12 and payload[4:8] == b"ftyp":
                     box_size = _struct.unpack(">I", payload[0:4])[0]
+                    largesize = (
+                        _struct.unpack(">Q", payload[8:16])[0]
+                        if box_size == 1 and len(payload) >= 16
+                        else 0
+                    )
                     plausible = (
                         box_size == 0
-                        or (
-                            box_size == 1
-                            and len(payload) >= 16
-                            and 16 <= _struct.unpack(">Q", payload[8:16])[0] <= len(payload)
-                        )
+                        # size==1: the 16-byte header (size+type+largesize)
+                        # leaves no room for major_brand+minor_version below
+                        # 24, and the same %4 brand-list rule applies
+                        or (24 <= largesize <= len(payload) and largesize % 4 == 0)
                         or (16 <= box_size <= len(payload) and box_size % 4 == 0)
                     )
                 else:

@@ -325,7 +325,17 @@ def fold_batch_rows(
     ``rows_after`` rides the already-checkpointed folded frame. The raw
     rows are never materialized — at scale the state table is the thing
     the fold exists to bound, but it can still be large right before the
-    fold runs."""
+    fold runs.
+
+    Retention contract (the engine-wide read-modify-write rule, stated
+    here because folds span several jobs over one lazy scan): when live
+    registrars share the table, run folds under NONZERO
+    ``vacuum_retain_s`` — at retain=0 a concurrent commit's vacuum can
+    delete version files this scan's lineage still pins mid-fold (a
+    FileNotFound, not a clean OCC retry). With retention, the race
+    resolves at ``write_buckets``' planned_versions precondition and
+    ``with_occ_retry`` re-plans. Same rule every compaction and
+    read-modify-write maintenance path here already lives by."""
     if not store.exists(table):
         return None
     ledger = FoldLedger(store, table)

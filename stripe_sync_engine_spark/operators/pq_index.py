@@ -514,7 +514,13 @@ class PersistedIVFPQ:
             return  # delete-only window: nothing to add, create no tables
         # Embedding-change detection, both halves bucket-pruned:
         # 1. cell MOVED — the new cell's buckets no longer hold the old
-        #    row, so probe the forward table (vec_id buckets) instead.
+        #    row, so probe the forward table (vec_id buckets); when the
+        #    forward table is absent but codes exist (a pre-forward-table
+        #    index being upgraded, or the crash window between a first
+        #    register's codes and forward commits), probe the WHOLE codes
+        #    table instead — the fails-loudly contract must hold on the
+        #    upgrade path too, and the forward BACKFILL below makes this
+        #    full scan a one-time cost, never a steady state.
         fwd_manifest = None
         fwd_known = None
         if store.exists(self.forward_table):
@@ -525,34 +531,24 @@ class PersistedIVFPQ:
             fwd_known = store._scan_manifest(
                 self.forward_table, fwd_manifest, fwd_touched
             )
-            moved = fwd_known.join(
-                F.broadcast(rows.select("vec_id", F.col("cell").alias("_new_cell"))),
-                "vec_id",
-            ).where(F.col("cell") != F.col("_new_cell"))
+            probe_base = fwd_known
         elif store.exists(table):
-            # No forward table but codes exist: a pre-forward-table index
-            # being upgraded, or the crash window between a first
-            # register's codes and forward commits. The fails-loudly
-            # contract must hold HERE too — without this, a moved-cell
-            # re-register would silently append while the stale code
-            # stays queryable (the exact corruption the contract bans) —
-            # so fall back to probing the WHOLE codes table by vec_id
-            # (no cell pruning is possible without the forward rows; a
-            # one-time full-scan broadcast semi on this rare path).
-            moved = store.read(table).join(
+            probe_base = store.read(table)
+        else:
+            probe_base = None
+        if probe_base is not None:
+            moved = probe_base.join(
                 F.broadcast(rows.select("vec_id", F.col("cell").alias("_new_cell"))),
                 "vec_id",
             ).where(F.col("cell") != F.col("_new_cell"))
-        else:
-            moved = None
-        if moved is not None and not moved.isEmpty():
-            some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
-            raise RuntimeError(
-                f"vec_ids {some} are registered in a DIFFERENT cell — their "
-                "embeddings changed since registration. Re-registering would "
-                "leave the stale code queryable; apply the change via "
-                "apply_changes (or unregister first)."
-            )
+            if not moved.isEmpty():
+                some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
+                raise RuntimeError(
+                    f"vec_ids {some} are registered in a DIFFERENT cell — their "
+                    "embeddings changed since registration. Re-registering would "
+                    "leave the stale code queryable; apply the change via "
+                    "apply_changes (or unregister first)."
+                )
         if not store.exists(table):
             store.write(table, rows, key="cell")
         else:
@@ -583,7 +579,24 @@ class PersistedIVFPQ:
             "vec_id", "cell", F.lit(batch_id).alias("batch_id")
         ).localCheckpoint(eager=True)
         if fwd_manifest is None:
-            store.write(self.forward_table, fwd_rows, key="vec_id")
+            # Creating the forward table: BACKFILL it from the FULL codes
+            # table (post-commit read — includes this batch), not just
+            # this batch's rows. A partial forward table would silently
+            # re-open the moved-cell hole one register later (the forward
+            # probe finds nothing for legacy vec_ids and the full-scan
+            # fallback above no longer fires once the table exists). The
+            # full scan is the one-time upgrade price; on a genuinely
+            # fresh index the codes table IS this batch and the backfill
+            # anti-join is empty.
+            backfill = (
+                store.read(table)
+                .select("vec_id", "cell")
+                .join(F.broadcast(rows.select("vec_id")), "vec_id", "left_anti")
+                .select("vec_id", "cell", F.lit("_backfill").alias("batch_id"))
+            )
+            store.write(
+                self.forward_table, backfill.unionByName(fwd_rows), key="vec_id"
+            )
             return
         fresh_fwd = anti_probe(fwd_rows, fwd_known, ["vec_id"]).localCheckpoint(
             eager=True

@@ -536,4 +536,9 @@ def test_persisted_ivfpq_legacy_index_still_fails_loudly_on_moved_cell(spark, sf
     n = store.read(p.table).count()
     p.register(vecs.limit(10), "b0")  # identical replay: no-op + fwd heal
     assert store.read(p.table).count() == n
-    assert store.exists(p.forward_table)  # upgrade path records new rows
+    # the upgrade register BACKFILLS the forward table from the full
+    # codes table — a partial forward table would silently re-open the
+    # moved-cell hole one register later (the reviewer's repro)
+    assert store.read(p.forward_table).count() == n
+    with pytest.raises(RuntimeError, match="DIFFERENT cell"):
+        p.register(moved, "b2")  # now caught by the FORWARD probe, post-upgrade
