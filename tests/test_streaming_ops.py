@@ -650,3 +650,80 @@ def test_funnel_attribution_survives_crash_replay(spark, tmp_path):
     recs = docmod.read_funnel_metrics(str(ckpt))
     assert [(r["batch_id"], r["inserted"], r["exact_dup"]) for r in recs] == [(0, 2, 0)]
     assert store.read("corpus_documents").count() == 2  # matches 'inserted'
+
+
+def test_index_maintenance_stream_tracks_mutating_corpus(spark, tmp_path):
+    """The streaming twin of maintain_corpus_indexes: the first
+    micro-batch (initial load) BUILDS the exact gate and postings index,
+    a later run over the same checkpoint applies the corpus's
+    insert/update/delete window, and the result is score-identical to a
+    fresh build over the current corpus. A third run with no new
+    commits is a no-op, and the window ids compact in the fold ledger
+    (epoch convention per checkpoint run)."""
+    import math
+
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.index_maintenance import (
+        start_index_maintenance_stream,
+    )
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_ims"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"alpha stream doc {i} words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    gate = IncrementalDeduper(store)
+    idx = PersistedPostingsIndex(store)
+    ckpt = str(tmp_path / "ckpt_ims")
+
+    def run_once():
+        q = start_index_maintenance_stream(
+            eng, "corpus", ckpt, gates=[gate], postings=idx
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()  # initial load builds both targets
+    assert idx.topk(["alpha"], k=10).count() == 8
+    assert gate.select_new(docs).isEmpty()
+
+    import time as _t
+
+    _t.sleep(0.002)
+    nxt = (
+        docs.where("doc_id >= 2")
+        .where("doc_id != 7")
+        .unionByName(
+            spark.createDataFrame(
+                [(7, "rewritten gamma body seven"), (100, "fresh delta doc")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    store.write("corpus", nxt, key="doc_id")
+    run_once()  # the mutation window applies through the same checkpoint
+
+    fresh = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_ims_f")))
+    fresh.register(store.read("corpus"), "all")
+    for terms in (["alpha"], ["gamma", "delta"]):
+        got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=20).collect()}
+        want = {r["doc_id"]: r["score"] for r in fresh.topk(terms, k=20).collect()}
+        assert set(got) == set(want), terms
+        for d, s in want.items():
+            assert math.isclose(got[d], s, rel_tol=1e-9)
+
+    before = store.read(idx.stats_table).count()
+    run_once()  # no new commits: a no-op
+    assert store.read(idx.stats_table).count() == before
+
+    # window ids are epoch-convention per checkpoint run: fold compacts
+    idx.fold_stats()
+    led = json.load(
+        open(os.path.join(store.root, idx.stats_table, "_folded_batches.json"))
+    )
+    assert led["ids"] == []
