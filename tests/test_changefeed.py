@@ -602,3 +602,70 @@ def test_streaming_change_feed_update_preimages(spark, tmp_path):
     _run_once(eng.read_changes_stream("t"), str(tmp_path / "ckpt_nopre"), out2)
     kinds = {r["_change_type"] for r in spark.read.parquet(out2).collect()}
     assert "update_preimage" not in kinds
+
+
+def test_maintain_corpus_indexes_vector_targets(spark, tmp_path):
+    """The fan-out's vector side: one window applied to the embedding
+    gate AND the IVF-PQ index (ann=), with pre-images so the gate
+    retires updated-away embeddings; codes end row-identical to a fresh
+    register over the mutated corpus."""
+    import numpy as np
+
+    from stripe_sync_engine_spark.operators.embedding_index import (
+        IncrementalEmbeddingIndex,
+    )
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+
+    rng = [[(0.01 * ((i * 7 + d * 3) % 50) - 0.25) for d in range(64)] for i in range(64)]
+    store = TableStore(spark, str(tmp_path / "wh_vec_fan"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    vecs = spark.createDataFrame(
+        [(i, rng[i]) for i in range(48)], "vec_id long, embedding array<double>"
+    )
+    store.write("vectors", vecs, key="vec_id")
+    idx = train_ivf_pq(vecs, n_cells=4, m=8, k=8)
+    gate = IncrementalEmbeddingIndex(store, id_col="vec_id")
+    ann = PersistedIVFPQ(store, idx)
+
+    rep = eng.maintain_corpus_indexes(
+        "vec_gates", "vectors", gates=[gate], ann=ann, emit_update_preimages=True
+    )
+    assert rep["applied"] and store.read(ann.table).count() == 48
+
+    # mutate: delete 4, update 4 to other vectors' embeddings, insert 4
+    import time as _t
+
+    _t.sleep(0.002)
+    upd = spark.createDataFrame(
+        [(4 + j, rng[40 + j]) for j in range(4)], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(1000 + j, rng[30 + j]) for j in range(4)], "vec_id long, embedding array<double>"
+    )
+    cur = store.read("vectors")
+    nxt = (
+        cur.where("vec_id >= 4")
+        .join(upd.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    store.write("vectors", nxt, key="vec_id")
+    rep2 = eng.maintain_corpus_indexes(
+        "vec_gates", "vectors", gates=[gate], ann=ann, emit_update_preimages=True
+    )
+    assert rep2["applied"]
+
+    fresh_store = TableStore(spark, str(tmp_path / "wh_vec_fan_f"))
+    fresh = PersistedIVFPQ(fresh_store, idx)
+    fresh.register(store.read("vectors"), "all")
+
+    def codes_set(s, t):
+        return {(r["vec_id"], r["cell"], tuple(r["codes"])) for r in s.read(t).collect()}
+
+    assert codes_set(store, ann.table) == codes_set(fresh_store, fresh.table)
+    # the gate followed too: deleted vec 0's embedding no longer gates
+    probe = spark.createDataFrame([(9000, rng[0])], "vec_id long, embedding array<double>")
+    assert {r["vec_id"] for r in gate.select_new(probe).collect()} == {9000}
