@@ -39,35 +39,43 @@ def start_index_maintenance_stream(
     ann=None,
     emit_update_preimages: bool = False,
     available_now: bool = True,
+    starting_commit_ms: int = 0,
 ) -> StreamingQuery:
     """Subscribe the index fan-out to ``entity``'s change feed: every
     micro-batch applies to ``gates`` (objects with ``apply_changes(feed)``
     — the exact/near/embedding gates), ``postings``
-    (``PersistedPostingsIndex``), and ``ann`` (``PersistedIVFPQ``).
-    The first batch from a fresh checkpoint is the initial load (the
-    whole table as inserts) — it BUILDS the indexes; later batches
-    maintain them. ``emit_update_preimages=True`` lets the content-keyed
-    gates retire updated-away state incrementally (id-keyed targets
-    ignore the extra rows). Pass ``available_now=False`` for a
-    continuously-running query."""
+    (``PersistedPostingsIndex``), and ``ann`` (``PersistedIVFPQ``), via
+    the SAME fan-out body as the cron form
+    (``engine._apply_change_window``).
+
+    ``starting_commit_ms`` is part of the correctness contract, not a
+    convenience: a fresh checkpoint's first batch is the table AS OF
+    that offset delivered as inserts. Default 0 means the initial load
+    BUILDS the indexes — correct only when they start EMPTY. Subscribing
+    to indexes that already exist (e.g. built by
+    ``maintain_corpus_indexes``) must pass the commit they are current
+    to (``engine.store.commits(entity)[-1]``), or the re-delivered
+    initial load double-counts the postings corpus stats (postings rows
+    dedupe on (term_h, doc_id), but the N/avgdl increment is per
+    batch_id — a second whole-table row under the new run's id would
+    silently corrupt every later BM25 score). Same rule when wiping a
+    checkpoint: wipe or re-baseline the indexes with it.
+
+    ``emit_update_preimages=True`` lets the content-keyed gates retire
+    updated-away state incrementally (id-keyed targets ignore the extra
+    rows). Pass ``available_now=False`` for a continuously-running
+    query."""
     run_id = _checkpoint_run_id(checkpoint_dir)
     feed = engine.read_changes_stream(
-        entity, emit_update_preimages=emit_update_preimages
+        entity,
+        starting_commit_ms=starting_commit_ms,
+        emit_update_preimages=emit_update_preimages,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        window = f"{run_id}:{batch_id}"
-        # one deterministic snapshot feeds every target (apply_changes
-        # would each checkpoint otherwise, re-running the diff lineage)
-        changed = batch_df.localCheckpoint(eager=True)
-        for gate in gates:
-            gate.apply_changes(changed)
-        if postings is not None:
-            postings.apply_changes(changed, window)
-        if ann is not None:
-            ann.apply_changes(changed, window)
+        engine._apply_change_window(
+            batch_df, f"{run_id}:{batch_id}", gates, postings, ann
+        )
 
     writer = feed.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1274,18 +1274,31 @@ class StripeSparkSync:
         )
         if feed is None:
             return {"cursor": cursor, "applied": False, "rows": 0}
+        n = self._apply_change_window(
+            feed, f"{consumer}:{cursor}", gates, postings, ann
+        )
+        self.ack_changes(consumer, entity, cursor)
+        return {"cursor": cursor, "applied": bool(n), "rows": n}
+
+    @staticmethod
+    def _apply_change_window(feed, window: str, gates, postings, ann) -> int:
+        """ONE implementation of the derived-index fan-out body shared by
+        the cron form (``maintain_corpus_indexes``) and the streaming
+        twin (``streaming/index_maintenance``) — a fix to the apply
+        ordering or a new target kind lands on both surfaces at once.
+        Checkpoints the window FIRST so every target (and the emptiness
+        probe) reads one cached snapshot instead of re-running the diff
+        lineage. Returns the window's row count."""
         feed = feed.localCheckpoint(eager=True)
         n = feed.count()
         if n:
-            window = f"{consumer}:{cursor}"
             for gate in gates:
                 gate.apply_changes(feed)
             if postings is not None:
                 postings.apply_changes(feed, window)
             if ann is not None:
                 ann.apply_changes(feed, window)
-        self.ack_changes(consumer, entity, cursor)
-        return {"cursor": cursor, "applied": bool(n), "rows": n}
+        return n
 
     def materialize_changes(
         self,

@@ -609,7 +609,6 @@ def test_maintain_corpus_indexes_vector_targets(spark, tmp_path):
     gate AND the IVF-PQ index (ann=), with pre-images so the gate
     retires updated-away embeddings; codes end row-identical to a fresh
     register over the mutated corpus."""
-    import numpy as np
 
     from stripe_sync_engine_spark.operators.embedding_index import (
         IncrementalEmbeddingIndex,

@@ -685,7 +685,7 @@ def test_index_maintenance_stream_tracks_mutating_corpus(spark, tmp_path):
         q = start_index_maintenance_stream(
             eng, "corpus", ckpt, gates=[gate], postings=idx
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "availableNow run did not finish"
         q.stop()
 
     run_once()  # initial load builds both targets
@@ -727,3 +727,61 @@ def test_index_maintenance_stream_tracks_mutating_corpus(spark, tmp_path):
         open(os.path.join(store.root, idx.stats_table, "_folded_batches.json"))
     )
     assert led["ids"] == []
+
+
+def test_index_maintenance_stream_handover_from_prebuilt_index(spark, tmp_path):
+    """Subscribing the stream to indexes that ALREADY exist must pass
+    starting_commit_ms (the commit the indexes are current to) — the
+    handover then delivers NO initial load (postings stats stay exactly
+    one batch row: no double-counted N/avgdl), and only later corpus
+    windows apply."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.index_maintenance import (
+        start_index_maintenance_stream,
+    )
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_imh"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"alpha handover doc {i} words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    idx = PersistedPostingsIndex(store)
+    idx.register(store.read("corpus"), "prebuilt:0")  # built OUTSIDE the stream
+    t0 = store.commits("corpus")[-1]
+    ckpt = str(tmp_path / "ckpt_imh")
+
+    def run_once():
+        q = start_index_maintenance_stream(
+            eng, "corpus", ckpt, postings=idx, starting_commit_ms=t0
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run_once()  # handover: nothing re-delivered
+    stats_ids = [r["batch_id"] for r in store.read(idx.stats_table).collect()]
+    assert stats_ids == ["prebuilt:0"]  # no second whole-table stats row
+
+    import time as _t
+
+    _t.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(100, "fresh delta doc")], "doc_id long, text string")
+        ),
+        key="doc_id",
+    )
+    run_once()  # the post-handover window applies
+    fresh = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_imh_f")))
+    fresh.register(store.read("corpus"), "all")
+    got = {r["doc_id"]: r["score"] for r in idx.topk(["alpha", "delta"], k=20).collect()}
+    want = {r["doc_id"]: r["score"] for r in fresh.topk(["alpha", "delta"], k=20).collect()}
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-9)
