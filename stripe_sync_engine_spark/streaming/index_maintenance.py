@@ -24,10 +24,39 @@ consumers poll Postgres).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from stripe_sync_engine_spark.streaming.documents import _checkpoint_run_id
+
+
+def _checkpoint_is_fresh(checkpoint_dir: str) -> bool:
+    """True when no micro-batch has ever committed an offset under this
+    checkpoint — the only situation where ``starting_commit_ms`` decides
+    what the first batch contains (a resumed checkpoint replays its own
+    recorded offsets and ignores the parameter)."""
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    try:
+        return not os.listdir(offsets)
+    except FileNotFoundError:
+        return True
+
+
+def _existing_target_state(gates, postings, ann) -> list[str]:
+    """Names of every target state table that already exists — the
+    evidence that an initial load would re-deliver rows these indexes
+    already absorbed."""
+    existing: list[str] = []
+    for target in (*gates, postings, ann):
+        if target is None:
+            continue
+        for attr in ("table", "stats_table", "forward_table"):
+            name = getattr(target, attr, None)
+            if name and target.store.exists(name):
+                existing.append(name)
+    return existing
 
 
 def start_index_maintenance_stream(
@@ -40,6 +69,7 @@ def start_index_maintenance_stream(
     emit_update_preimages: bool = False,
     available_now: bool = True,
     starting_commit_ms: int = 0,
+    allow_initial_load_over_existing: bool = False,
 ) -> StreamingQuery:
     """Subscribe the index fan-out to ``entity``'s change feed: every
     micro-batch applies to ``gates`` (objects with ``apply_changes(feed)``
@@ -61,10 +91,38 @@ def start_index_maintenance_stream(
     silently corrupt every later BM25 score). Same rule when wiping a
     checkpoint: wipe or re-baseline the indexes with it.
 
+    The contract is ENFORCED, not just documented: a fresh checkpoint
+    whose first batch would be an initial load (``starting_commit_ms=0``)
+    raises at start when any target already has state, naming the tables
+    — the same loud-failure standard as the packer's params pin and the
+    fold-horizon refusal. ``allow_initial_load_over_existing=True`` is
+    the explicit override for the one legitimate shape (targets known to
+    be behind commit 0 — e.g. manually truncated stats after a forensic
+    rebuild); by default the misuse path cannot silently corrupt.
+
     ``emit_update_preimages=True`` lets the content-keyed gates retire
     updated-away state incrementally (id-keyed targets ignore the extra
     rows). Pass ``available_now=False`` for a continuously-running
-    query."""
+    query. Each applied micro-batch is appended to the store's durable
+    ``_maintenance_log.jsonl`` with its window id and net row count."""
+    gates = tuple(gates)
+    if (
+        starting_commit_ms == 0
+        and not allow_initial_load_over_existing
+        and _checkpoint_is_fresh(checkpoint_dir)
+    ):
+        existing = _existing_target_state(gates, postings, ann)
+        if existing:
+            raise RuntimeError(
+                "fresh checkpoint with starting_commit_ms=0 would deliver "
+                "the whole table as an initial load, but these target "
+                f"state tables already exist: {sorted(set(existing))} — "
+                "the re-delivered rows would double-count batch-id-keyed "
+                "state (postings N/avgdl). Pass starting_commit_ms="
+                "engine.store.commits(entity)[-1] (the commit the indexes "
+                "are current to), or allow_initial_load_over_existing=True "
+                "if the initial load is genuinely intended"
+            )
     run_id = _checkpoint_run_id(checkpoint_dir)
     feed = engine.read_changes_stream(
         entity,
@@ -73,8 +131,21 @@ def start_index_maintenance_stream(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        engine._apply_change_window(
-            batch_df, f"{run_id}:{batch_id}", gates, postings, ann
+        window = f"{run_id}:{batch_id}"
+        n = engine._apply_change_window(batch_df, window, gates, postings, ann)
+        engine._log_maintenance(
+            {
+                "op": "corpus_cdc_fanout_stream",
+                "entity": entity,
+                "window": window,
+                "applied": bool(n),
+                "rows": n,
+                "targets": {
+                    "gates": len(gates),
+                    "postings": postings is not None,
+                    "ann": ann is not None,
+                },
+            }
         )
 
     writer = feed.writeStream.foreachBatch(process_batch).option(

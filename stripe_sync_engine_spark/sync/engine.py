@@ -1175,6 +1175,16 @@ class StripeSparkSync:
         except FileNotFoundError:
             return {}
 
+    def _pending_path(self, consumer: str) -> str:
+        return os.path.join(self.store.root, "_cursors", f"{consumer}.pending.json")
+
+    def _read_pending(self, consumer: str) -> dict:
+        try:
+            with open(self._pending_path(consumer)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
     def consume_changes(
         self,
         consumer: str,
@@ -1182,6 +1192,7 @@ class StripeSparkSync:
         max_commits: int | None = None,
         allow_full_diff: bool = False,
         emit_update_preimages: bool = False,
+        pin_window: bool = False,
     ):
         """At-least-once incremental consumption with a durable cursor:
         returns ``(changes_df, cursor_ms)`` — every change after the
@@ -1204,17 +1215,47 @@ class StripeSparkSync:
         advances at most that many source commits per poll, so each
         batch stays proportional to a bounded slice of the write
         history and the consumer drains its backlog in steady,
-        ack-checkpointed steps."""
+        ack-checkpointed steps.
+
+        ``pin_window=True`` makes the re-delivered window IDENTICAL
+        across crash-retries (the two-phase cursor): the planned
+        ``until`` is durably recorded BEFORE the frame is returned and
+        reused on the next poll until the ack clears it — without the
+        pin, a crash between apply and ack followed by any new source
+        commit re-delivers the overlap under a LATER ``until``, so a
+        consumer that keys work on the cursor (the fan-out's batch ids,
+        hence the postings N/avgdl increments) would double-count the
+        overlap under the new id. Net-window consumers keyed on row
+        identity (``materialize_changes``) don't need it."""
         cursors = self._read_cursors(consumer)
         since = int(cursors.get(entity, 0))
         commits = self.store.commits(entity)
         if not commits:
             return None, since  # table has never committed
-        pending = [c for c in commits if c > since]
-        if max_commits is not None and len(pending) > max_commits:
-            until = pending[max_commits - 1]
+        pinned = int(self._read_pending(consumer).get(entity, 0)) if pin_window else 0
+        if pinned > since:
+            # A prior poll planned this window and may have partially
+            # applied under its id — re-deliver EXACTLY it. A pin that no
+            # longer matches any commit means the store's history was
+            # rewritten underneath the consumer; identical re-delivery is
+            # impossible, so fail loudly rather than double-apply.
+            if pinned not in commits:
+                raise RuntimeError(
+                    f"pinned change window {pinned} for consumer "
+                    f"{consumer!r} on {entity!r} matches no commit — the "
+                    "store history changed; rebuild the consumer's targets"
+                )
+            until = pinned
         else:
-            until = commits[-1]
+            pending = [c for c in commits if c > since]
+            if max_commits is not None and len(pending) > max_commits:
+                until = pending[max_commits - 1]
+            else:
+                until = commits[-1]
+            if pin_window and until > since:
+                pend = self._read_pending(consumer)
+                pend[entity] = int(until)
+                atomic_write_json(self._pending_path(consumer), pend)
         return (
             self.store.read_changes(
                 entity,
@@ -1229,10 +1270,18 @@ class StripeSparkSync:
     def ack_changes(self, consumer: str, entity: str, cursor_ms: int) -> None:
         """Durably advance ``consumer``'s cursor on ``entity`` to
         ``cursor_ms`` (the value ``consume_changes`` returned). Atomic
-        replace; per-consumer file, so distinct consumers never contend."""
+        replace; per-consumer file, so distinct consumers never contend.
+        Clears any pinned window at or below the new cursor (the second
+        phase of ``pin_window``'s two-phase cursor); cursor FIRST, so a
+        crash between the writes leaves a stale pin the next poll
+        ignores (``pinned > since`` fails) rather than a lost ack."""
         cursors = self._read_cursors(consumer)
         cursors[entity] = int(cursor_ms)
         atomic_write_json(self._cursor_path(consumer), cursors)
+        pend = self._read_pending(consumer)
+        if entity in pend and int(pend[entity]) <= int(cursor_ms):
+            del pend[entity]
+            atomic_write_json(self._pending_path(consumer), pend)
 
     def maintain_corpus_indexes(
         self,
@@ -1260,17 +1309,27 @@ class StripeSparkSync:
         converges with no coordination beyond the single cursor. The
         window's batch id is ``<consumer>:<cursor_ms>`` — the epoch
         convention, so the postings fold ledger stays O(consumers) no
-        matter how many windows ever apply (``sub_batch_id``). Pass
-        ``emit_update_preimages=True`` when the gates should retire
-        updated-away content incrementally (pre-image rows are ignored
-        by the id-keyed postings/ANN targets). Returns
-        ``{"cursor", "applied", "rows"}``."""
+        matter how many windows ever apply (``sub_batch_id``) — and the
+        window is PINNED (``consume_changes(pin_window=True)``): a crash
+        between apply and ack re-delivers the identical window under the
+        identical id even when new source commits landed in between, so
+        the batch-id-keyed postings stats never see the overlap twice
+        (the retry is a true replay; the new commits become the NEXT
+        window). Pass ``emit_update_preimages=True`` when the gates
+        should retire updated-away content incrementally (pre-image rows
+        are ignored by the id-keyed postings/ANN targets). Returns
+        ``{"cursor", "applied", "rows"}`` (``rows`` = net change rows,
+        pre-image rows excluded) and appends the same record to the
+        store's durable ``_maintenance_log.jsonl`` — the cron loop an
+        operator runs forever leaves an auditable trace."""
+        gates = tuple(gates)
         feed, cursor = self.consume_changes(
             consumer,
             entity,
             max_commits=max_commits,
             allow_full_diff=allow_full_diff,
             emit_update_preimages=emit_update_preimages,
+            pin_window=True,
         )
         if feed is None:
             return {"cursor": cursor, "applied": False, "rows": 0}
@@ -1278,6 +1337,21 @@ class StripeSparkSync:
             feed, f"{consumer}:{cursor}", gates, postings, ann
         )
         self.ack_changes(consumer, entity, cursor)
+        report = {
+            "op": "corpus_cdc_fanout",
+            "consumer": consumer,
+            "entity": entity,
+            "window": f"{consumer}:{cursor}",
+            "cursor": cursor,
+            "applied": bool(n),
+            "rows": n,
+            "targets": {
+                "gates": len(gates),
+                "postings": postings is not None,
+                "ann": ann is not None,
+            },
+        }
+        self._log_maintenance(report)
         return {"cursor": cursor, "applied": bool(n), "rows": n}
 
     @staticmethod
@@ -1288,17 +1362,25 @@ class StripeSparkSync:
         ordering or a new target kind lands on both surfaces at once.
         Checkpoints the window FIRST so every target (and the emptiness
         probe) reads one cached snapshot instead of re-running the diff
-        lineage. Returns the window's row count."""
+        lineage. Returns the window's NET row count — ``update_preimage``
+        rows (present when the feed opted into pre-images) describe the
+        same updates their post-image rows already count, so including
+        them would overstate every report's window size."""
         feed = feed.localCheckpoint(eager=True)
-        n = feed.count()
-        if n:
+        counts = feed.agg(
+            F.count(F.lit(1)).alias("all"),
+            F.count(
+                F.when(F.col("_change_type") != "update_preimage", F.lit(1))
+            ).alias("net"),
+        ).first()
+        if counts["all"]:
             for gate in gates:
                 gate.apply_changes(feed)
             if postings is not None:
                 postings.apply_changes(feed, window)
             if ann is not None:
                 ann.apply_changes(feed, window)
-        return n
+        return int(counts["net"])
 
     def materialize_changes(
         self,

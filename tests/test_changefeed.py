@@ -668,3 +668,133 @@ def test_maintain_corpus_indexes_vector_targets(spark, tmp_path):
     # the gate followed too: deleted vec 0's embedding no longer gates
     probe = spark.createDataFrame([(9000, rng[0])], "vec_id long, embedding array<double>")
     assert {r["vec_id"] for r in gate.select_new(probe).collect()} == {9000}
+
+
+def test_fanout_crash_retry_with_new_commit_pins_the_window(
+    spark, tmp_path, monkeypatch
+):
+    """The two-phase cursor: a crash between apply and ack, followed by a
+    NEW source commit, must re-deliver the IDENTICAL window under the
+    IDENTICAL batch id — without the pin the retry would plan a later
+    `until`, and the overlap's postings stats (keyed per batch id) would
+    double-count N/avgdl, silently corrupting every later BM25 score.
+    The new commit becomes its own next window."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+
+    store = TableStore(spark, str(tmp_path / "wh_pin"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"alpha corpus doc {i} words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    idx = PersistedPostingsIndex(store)
+    eng.maintain_corpus_indexes("gates", "corpus", postings=idx)  # birth window
+
+    # mutation window W1: delete 0,1; update 7; insert 100
+    time.sleep(0.002)
+    nxt = (
+        docs.where("doc_id >= 2")
+        .where("doc_id != 7")
+        .unionByName(
+            spark.createDataFrame(
+                [(7, "rewritten gamma body seven"), (100, "fresh delta doc")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    store.write("corpus", nxt, key="doc_id")
+
+    real_ack = eng.ack_changes
+    calls = {"n": 0}
+
+    def flaky_ack(consumer, entity, cursor_ms):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash before ack")
+        real_ack(consumer, entity, cursor_ms)
+
+    monkeypatch.setattr(eng, "ack_changes", flaky_ack)
+    with pytest.raises(OSError, match="injected"):
+        eng.maintain_corpus_indexes("gates", "corpus", postings=idx)
+    w1 = store.commits("corpus")[-1]
+    assert eng._read_pending("gates") == {"corpus": w1}  # the pin survived
+
+    # a NEW commit lands BEFORE the retry — the trap the pin defuses
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(200, "late epsilon doc")], "doc_id long, text string"
+            )
+        ),
+        key="doc_id",
+    )
+    rep = eng.maintain_corpus_indexes("gates", "corpus", postings=idx)
+    assert rep["cursor"] == w1  # the retry replayed EXACTLY the pinned window
+    rep2 = eng.maintain_corpus_indexes("gates", "corpus", postings=idx)
+    assert rep2["applied"] and rep2["rows"] == 1  # then the late commit, alone
+    assert rep2["cursor"] == store.commits("corpus")[-1]
+    assert eng._read_pending("gates") == {}  # ack cleared the pin
+
+    # the corruption probe: stats sums AND scores equal a fresh rebuild
+    fresh = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_pin_f")))
+    fresh.register(store.read("corpus"), "all")
+
+    def sums(ix, st):
+        r = st.read(ix.stats_table).agg(
+            F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl")
+        ).first()
+        return (r["n"], r["dl"])
+
+    assert sums(idx, store) == sums(fresh, fresh.store)
+    for terms in (["alpha"], ["gamma", "delta", "epsilon"]):
+        got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=20).collect()}
+        want = {r["doc_id"]: r["score"] for r in fresh.topk(terms, k=20).collect()}
+        assert set(got) == set(want), terms
+        for d, s in want.items():
+            assert math.isclose(got[d], s, rel_tol=1e-9)
+
+
+def test_fanout_logs_durably_and_counts_net_rows(spark, tmp_path):
+    """Every cron fan-out poll appends its outcome to the store's durable
+    _maintenance_log.jsonl (matching the returned report), and `rows`
+    counts NET change rows — update_preimage rows describe updates the
+    post-image rows already count."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import IncrementalDeduper
+
+    store = TableStore(spark, str(tmp_path / "wh_log"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"body of doc {i}") for i in range(4)], "doc_id long, text string"
+    )
+    store.write("corpus", docs, key="doc_id")
+    gate = IncrementalDeduper(store)
+    rep = eng.maintain_corpus_indexes(
+        "g", "corpus", gates=[gate], emit_update_preimages=True
+    )
+    assert rep["rows"] == 4
+
+    time.sleep(0.002)
+    # update 1, delete 3, insert 10: net window = 3 rows (+1 pre-image)
+    nxt = spark.createDataFrame(
+        [(0, "body of doc 0"), (1, "rewritten one"), (2, "body of doc 2"),
+         (10, "brand new ten")],
+        "doc_id long, text string",
+    )
+    store.write("corpus", nxt, key="doc_id")
+    rep2 = eng.maintain_corpus_indexes(
+        "g", "corpus", gates=[gate], emit_update_preimages=True
+    )
+    assert rep2["applied"] and rep2["rows"] == 3  # NOT 4: pre-image excluded
+
+    log = [r for r in eng.read_maintenance_log() if r.get("op") == "corpus_cdc_fanout"]
+    assert len(log) == 2
+    assert log[-1]["consumer"] == "g" and log[-1]["entity"] == "corpus"
+    assert log[-1]["cursor"] == rep2["cursor"]
+    assert log[-1]["window"] == f"g:{rep2['cursor']}"
+    assert log[-1]["rows"] == 3 and log[-1]["applied"] is True
+    assert log[-1]["targets"] == {"gates": 1, "postings": False, "ann": False}

@@ -785,3 +785,69 @@ def test_index_maintenance_stream_handover_from_prebuilt_index(spark, tmp_path):
     assert set(got) == set(want)
     for d, s in want.items():
         assert math.isclose(got[d], s, rel_tol=1e-9)
+
+
+def test_index_maintenance_stream_guards_initial_load_over_existing(spark, tmp_path):
+    """The handover contract is ENFORCED: a fresh checkpoint with the
+    default starting_commit_ms=0 over targets that already have state
+    raises at start (naming the tables) instead of silently re-delivering
+    the whole table and double-counting the postings N/avgdl. The
+    explicit opt-in flag and a non-zero baseline both start cleanly, and
+    a RESUMED checkpoint is exempt (its offsets, not the parameter,
+    decide what replays)."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.index_maintenance import (
+        start_index_maintenance_stream,
+    )
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_img"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"alpha guard doc {i} words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    idx = PersistedPostingsIndex(store)
+    idx.register(store.read("corpus"), "prebuilt:0")
+
+    with pytest.raises(RuntimeError, match="_postings_stats"):
+        start_index_maintenance_stream(
+            eng, "corpus", str(tmp_path / "ckpt_img_fresh"), postings=idx
+        )
+
+    # correct handover still starts (and is pinned by the sibling test)
+    t0 = store.commits("corpus")[-1]
+    q = start_index_maintenance_stream(
+        eng, "corpus", str(tmp_path / "ckpt_img_ok"), postings=idx,
+        starting_commit_ms=t0,
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    # a resumed checkpoint is exempt: build fresh targets through an
+    # initial load, then re-run with the default 0 over the SAME
+    # checkpoint — offsets exist, no raise, no re-delivery
+    store2 = TableStore(spark, str(tmp_path / "wh_img2"), vacuum_retain_s=3600.0)
+    eng2 = StripeSparkSync(spark, store2)
+    store2.write("corpus", docs, key="doc_id")
+    idx2 = PersistedPostingsIndex(store2)
+    ckpt2 = str(tmp_path / "ckpt_img_resume")
+    for _ in range(2):
+        q = start_index_maintenance_stream(eng2, "corpus", ckpt2, postings=idx2)
+        assert q.awaitTermination(120)
+        q.stop()
+    ids = [r["batch_id"] for r in store2.read(idx2.stats_table).collect()]
+    assert len(ids) == 1  # one initial load, never re-delivered
+
+    # the streaming form logs each applied window durably
+    log = [
+        r
+        for r in eng2.read_maintenance_log()
+        if r.get("op") == "corpus_cdc_fanout_stream"
+    ]
+    assert log and log[0]["entity"] == "corpus" and log[0]["rows"] == 5
+    assert log[0]["applied"] is True and log[0]["targets"]["postings"] is True
