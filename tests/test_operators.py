@@ -693,6 +693,43 @@ def test_frame_sample_spec_valid_size01_ftyp_takes_mp4_path(spark):
     assert sample_frames(df).count() == 0
 
 
+def test_frame_sample_implausible_ftyp_routes_to_fixed_framing(spark):
+    """PINNED ROUTING for ftyp-magic payloads whose leading box is
+    IMPLAUSIBLE (size 8/12, not a multiple of 4, or past the payload end
+    — e.g. a file truncated inside its own ftyp box): they take the
+    fixed-FRAME_BYTES framing, NOT the walker's zero-row failure branch.
+    The gate cannot distinguish a truncated real MP4 from prose that
+    coincidentally spells 'ftyp', and the driver's oracle mirrors fixed
+    framing for every non-plausible payload — so implausible means
+    'not committed to being MP4', deterministically. This test is the
+    contract: changing the routing must change it knowingly."""
+    import struct
+
+    from stripe_sync_engine_spark.functions.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        sample_frames,
+    )
+
+    body = b"x" * 160
+    truncated = struct.pack(">I", 4096) + b"ftypisom" + body  # size past EOF
+    tiny = struct.pack(">I", 12) + b"ftypisom" + body  # below the 16 floor
+    odd = struct.pack(">I", 18) + b"ftypisom" + body  # brand list can't be %4
+    df = spark.createDataFrame(
+        [(1, bytearray(truncated)), (2, bytearray(tiny)), (3, bytearray(odd))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    n = len(truncated)  # all three payloads are the same length
+    want_idx = list(range(0, n // FRAME_BYTES, FRAME_STRIDE))
+    for d in (1, 2, 3):
+        got = sorted(
+            (r["frame_idx"], r["frame_off"]) for r in rows if r["doc_id"] == d
+        )
+        assert got == [(i, i * FRAME_BYTES) for i in want_idx]
+
+
 def test_fold_ledger_epoch_convention():
     """The <prefix>:<int> id form is monotone-epochs-per-prefix BY
     CONTRACT: folding epoch 7 refuses every lower epoch of that prefix
