@@ -30,6 +30,15 @@ backend. Data files never need the swap — they are immutable
 write-once version dirs; only these pointer/side files carry the
 rename-atomicity assumption.
 
+The swap is a VALIDATED seam, not just a stated one: the primitives
+delegate to an injectable backend (``set_backend``), the default being
+``PosixRenameBackend`` (the contract above), and
+``InMemoryConditionalPutBackend`` is the if-match-generation fake that
+proves the interface suffices — the side-file suite (manifest commits,
+cursors, fold ledgers, the packer pin) runs green against it with no
+rename anywhere (``tests/test_commitio_backends.py``), so a real
+S3/GCS backend only has to implement these two methods.
+
 Single-writer expectations stay with the CALLERS (the store's commit
 lock, the gates' external-serialization contract, the stream's serial
 foreachBatch); this module only guarantees that each individual commit
@@ -42,38 +51,122 @@ import json
 import os
 
 
+class PosixRenameBackend:
+    """The default backend: write-to-temp + fsync + atomic rename +
+    parent-directory fsync (the POSIX half of the module contract)."""
+
+    def put_atomic(self, path: str, text: str) -> None:
+        d, base = os.path.split(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{base}.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(text)
+            # fsync BEFORE the rename, and the parent dir after: without
+            # both, a power loss shortly after os.replace can surface an
+            # empty or missing target on journal replay — the same reason
+            # Delta's HDFS LogStore syncs file and directory. A crashed
+            # PROCESS never needs this (the page cache survives); this is
+            # the machine-crash half of the durability contract.
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        if d:
+            try:
+                dfd = os.open(d, os.O_RDONLY)
+            except OSError:
+                return  # directory fsync unsupported (some mounts): best effort
+            try:
+                os.fsync(dfd)
+            except OSError:
+                pass
+            finally:
+                os.close(dfd)
+
+    def append(self, path: str, line: str) -> None:
+        with open(path, "a") as f:
+            f.write(line + "\n")
+
+
+class ConditionalPutConflict(RuntimeError):
+    """The object's generation moved between read and put — another
+    writer committed first (S3 412 Precondition Failed / GCS
+    ifGenerationMatch failure). Surfacing it loudly is the point: the
+    engine's side-files are single-writer by contract, so a conflict
+    here means that contract was violated, not that a retry is owed."""
+
+
+class InMemoryConditionalPutBackend:
+    """The object-store fake that VALIDATES the swap seam: every commit
+    is a compare-and-swap on a per-object generation number — exactly
+    the if-match/if-generation-match precondition S3 and GCS expose —
+    with NO rename, temp file, or directory fsync anywhere. On success
+    the object's bytes land at the path in one whole-object write
+    (object stores have no torn GETs; readers keep using plain
+    ``open``), so the rest of the engine runs unmodified on top.
+
+    ``append`` is read-modify-write under the same CAS — object stores
+    have no append primitive, which is why the real deployment would
+    point the append-only logs at the store's compose/multipart path or
+    accept RMW; the fake pins that the INTERFACE (two methods) is the
+    entire surface a backend must provide."""
+
+    def __init__(self):
+        self.generations: dict[str, int] = {}
+        self.puts = 0  # observability for the seam tests
+
+    def _conditional_put(self, path: str, text: str, if_generation_match: int) -> None:
+        current = self.generations.get(path, 0)
+        if current != if_generation_match:
+            raise ConditionalPutConflict(
+                f"{path}: generation {current} != expected {if_generation_match}"
+            )
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+        self.generations[path] = current + 1
+        self.puts += 1
+
+    def put_atomic(self, path: str, text: str) -> None:
+        self._conditional_put(path, text, self.generations.get(path, 0))
+
+    def append(self, path: str, line: str) -> None:
+        gen = self.generations.get(path, 0)
+        try:
+            with open(path) as f:
+                prior = f.read()
+        except FileNotFoundError:
+            prior = ""
+        self._conditional_put(path, prior + line + "\n", gen)
+
+
+_backend = PosixRenameBackend()
+
+
+def set_backend(backend):
+    """Swap the commit backend (the Delta LogStore move); returns the
+    previous one so tests can restore it. Everything that commits a
+    durable side-file — and ONLY side-files; immutable data files never
+    route here — flows through the active backend."""
+    global _backend
+    previous = _backend
+    _backend = backend
+    return previous
+
+
+def get_backend():
+    return _backend
+
+
 def atomic_write_text(path: str, text: str) -> None:
     """Atomically replace ``path`` with ``text`` (see module contract).
-    Creates the parent directory if needed. The temp name is
-    DOT-PREFIXED: Spark's file-stream source ignores dot-files, so a
-    half-written landing envelope is never listed — and the prefix is
-    harmless for every other side-file."""
-    d, base = os.path.split(path)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".{base}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        f.write(text)
-        # fsync BEFORE the rename, and the parent dir after: without
-        # both, a power loss shortly after os.replace can surface an
-        # empty or missing target on journal replay — the same reason
-        # Delta's HDFS LogStore syncs file and directory. A crashed
-        # PROCESS never needs this (the page cache survives); this is
-        # the machine-crash half of the durability contract.
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-    if d:
-        try:
-            dfd = os.open(d, os.O_RDONLY)
-        except OSError:
-            return  # directory fsync unsupported (some mounts): best effort
-        try:
-            os.fsync(dfd)
-        except OSError:
-            pass
-        finally:
-            os.close(dfd)
+    Creates the parent directory if needed. Under the default backend
+    the temp name is DOT-PREFIXED: Spark's file-stream source ignores
+    dot-files, so a half-written landing envelope is never listed — and
+    the prefix is harmless for every other side-file."""
+    _backend.put_atomic(path, text)
 
 
 def atomic_write_json(path: str, obj, **dump_kwargs) -> None:
@@ -84,11 +177,11 @@ def atomic_write_json(path: str, obj, **dump_kwargs) -> None:
 
 
 def append_line(path: str, line: str) -> None:
-    """Append ``line`` (newline added) to ``path`` in one ``write()``
-    call — the durable-log primitive (funnel metrics, maintenance log).
-    Deliberately NOT fsynced: readers tolerate a torn or lost tail line
-    after a crash (``read_funnel_metrics`` skips unparseable lines, and
-    a lost funnel line is re-appended by the batch's replay), so paying
-    a sync per log line buys nothing the contract needs."""
-    with open(path, "a") as f:
-        f.write(line + "\n")
+    """Append ``line`` (newline added) to ``path`` — the durable-log
+    primitive (funnel metrics, maintenance log). Under the default
+    backend this is one ``write()`` call, deliberately NOT fsynced:
+    readers tolerate a torn or lost tail line after a crash
+    (``read_funnel_metrics`` skips unparseable lines, and a lost funnel
+    line is re-appended by the batch's replay), so paying a sync per log
+    line buys nothing the contract needs."""
+    _backend.append(path, line)

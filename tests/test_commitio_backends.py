@@ -1,0 +1,128 @@
+"""commitio's backend seam, VALIDATED: the module docstring claims that
+deploying the metadata layer on an object store means swapping its two
+write primitives for a conditional-put — these tests prove the claim's
+shape by running the side-file flows (manifest commits, consumer
+cursors incl. the two-phase pin, the fold ledger, the packer pin)
+against an in-memory if-match-generation backend with no rename, temp
+file, or directory fsync anywhere. Reference analog: none — the
+reference delegates durability to Postgres; this is the engine's
+Delta-LogStore-style portability seam."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+import stripe_sync_engine_spark.commitio as cio
+from stripe_sync_engine_spark.storage import TableStore
+from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+
+@pytest.fixture(params=["posix", "conditional-put"])
+def seam_backend(request):
+    """Run the decorated test under each backend; yields the fake (for
+    observability asserts) or None under the default POSIX backend."""
+    if request.param == "posix":
+        yield None
+        return
+    fake = cio.InMemoryConditionalPutBackend()
+    prev = cio.set_backend(fake)
+    try:
+        yield fake
+    finally:
+        cio.set_backend(prev)
+
+
+def test_conditional_put_semantics(tmp_path):
+    """The fake is a faithful CAS: generations advance per successful
+    put, a stale if-match precondition fails LOUDLY and leaves the
+    object untouched, and append is read-modify-write under the same
+    precondition."""
+    fake = cio.InMemoryConditionalPutBackend()
+    p = str(tmp_path / "nested" / "obj.json")
+    fake.put_atomic(p, "v1")
+    assert open(p).read() == "v1" and fake.generations[p] == 1
+    fake.put_atomic(p, "v2")
+    assert open(p).read() == "v2" and fake.generations[p] == 2
+    with pytest.raises(cio.ConditionalPutConflict, match="generation 2"):
+        fake._conditional_put(p, "v3", if_generation_match=0)
+    assert open(p).read() == "v2"  # the failed put changed nothing
+    log = str(tmp_path / "log.jsonl")
+    fake.append(log, "l1")
+    fake.append(log, "l2")
+    assert open(log).read() == "l1\nl2\n"
+    assert fake.generations[log] == 2
+
+
+def test_set_backend_swaps_and_restores(tmp_path):
+    """atomic_write_text / append_line route through the ACTIVE backend
+    — the injectable seam itself — and set_backend returns the previous
+    backend so callers can restore it."""
+    fake = cio.InMemoryConditionalPutBackend()
+    prev = cio.set_backend(fake)
+    try:
+        assert isinstance(prev, cio.PosixRenameBackend)
+        p = str(tmp_path / "a.json")
+        cio.atomic_write_json(p, {"k": 1})
+        cio.append_line(str(tmp_path / "b.log"), "x")
+        assert fake.puts == 2 and fake.generations[p] == 1
+    finally:
+        cio.set_backend(prev)
+    assert cio.get_backend() is prev
+
+
+def test_side_file_suite_runs_on_either_backend(spark, tmp_path, seam_backend):
+    """The capstone: a store's manifest commit + change-feed cursor
+    (with the two-phase pin), a FoldLedger horizon, and the packer's
+    parameter pin all behave identically on the POSIX and
+    conditional-put backends — commitio's two-method interface is the
+    ENTIRE surface a real S3/GCS backend must implement."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import FoldLedger
+    from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+
+    store = TableStore(spark, str(tmp_path / "wh_seam"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"seam doc {i} body", 4) for i in range(6)],
+        "doc_id long, text string, n_tokens long",
+    )
+    store.write("corpus", docs, key="doc_id")
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        docs.where("doc_id < 5").unionByName(
+            spark.createDataFrame(
+                [(9, "seam doc nine body", 4)], "doc_id long, text string, n_tokens long"
+            )
+        ),
+        key="doc_id",
+    )
+    assert store.read("corpus").count() == 6  # manifests committed and readable
+
+    # cursor + two-phase pin lifecycle
+    feed, cur = eng.consume_changes("c", "corpus", pin_window=True)
+    assert feed is not None and eng._read_pending("c") == {"corpus": cur}
+    eng.ack_changes("c", "corpus", cur)
+    assert eng._read_pending("c") == {} and eng._read_cursors("c") == {"corpus": cur}
+
+    # fold-ledger horizon: epochs compact, replays behind it refuse
+    led = FoldLedger(store, "corpus")
+    led.add_all(["run:3", "freeform"])
+    with pytest.raises(RuntimeError, match="already folded"):
+        led.check_replayable("run:2")
+    with pytest.raises(RuntimeError, match="already folded"):
+        led.check_replayable("freeform")
+    led.check_replayable("run:4")  # above the horizon
+
+    # packer pin: pinned at first write, loud mismatch ever after
+    pk = IncrementalPacker(store, budget=8)
+    pk.register(docs, "n_tokens", "b:0")
+    with pytest.raises(RuntimeError, match="budget=8"):
+        IncrementalPacker(store, budget=16).assign_batch(docs, "n_tokens", "b:1")
+
+    if seam_backend is not None:
+        # the commits genuinely flowed through the CAS, and every commit
+        # advanced a generation exactly once per put
+        assert seam_backend.puts > 0
+        assert seam_backend.puts == sum(seam_backend.generations.values())
