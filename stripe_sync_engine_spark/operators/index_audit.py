@@ -1,0 +1,281 @@
+"""Sampled drift audit for the derived indexes — ``verify_export`` for
+the retrieval/dedup layer.
+
+The gates, the postings index, and the IVF-PQ index each maintain
+replay-idempotent state through the change feed, but OUT-OF-BAND
+mutations (a hand-deleted fingerprint, a takedown of a keeper whose
+content survived elsewhere — the exact gate's documented non-refcounted
+edge — a moved code row, a truncated stats table) leave no trace in any
+ledger. This module detects them the way ``operators/export.py``'s
+``verify_export`` detects shard corruption: recompute what the index
+SHOULD hold for a bounded deterministic sample of the corpus and probe
+the actual state tables, bucket-pruned, for exactly those rows.
+
+Contract: the audit assumes MAINTAINED indexes — every corpus row was
+registered (true for anything fed by ``maintain_corpus_indexes`` /
+the streaming fan-out, and for curation flows when audited against the
+survivor corpus the gates admitted). A clean audit therefore means "the
+sample's derived rows are present and correct", and any drift row is a
+real inconsistency to investigate, never noise.
+
+At 100 TB: the sample is a top-k by hash (one TakeOrderedAndProject
+over the corpus — no full sort), every probe reads only the sample's
+own state buckets, and drift lists are capped at ``REPORT_LIMIT`` ids
+driver-side (the engine's bounded-collect rule). The one whole-table
+read is the postings STATS table — O(batches since last fold), tiny by
+construction.
+
+Reference analog: none (the reference trusts Postgres constraints);
+this is the training-data-pipeline extension's integrity tool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPORT_LIMIT = 20
+
+
+def _sample(corpus: DataFrame, id_col: str, k: int) -> DataFrame:
+    """A deterministic hash-spread sample of ``k`` corpus rows: ordering
+    by xxhash64(id) spreads the picks uniformly over the id space (the
+    first k ids would all land in one bucket's key range), and the id
+    tie-break pins the order. TakeOrderedAndProject — never a full sort."""
+    return (
+        corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _known(store, table: str, probe: DataFrame, key: str) -> DataFrame | None:
+    """Bucket-pruned read of ``table``: only the buckets ``probe``'s
+    ``key`` values hash into. None when the table does not exist."""
+    if not store.exists(table):
+        return None
+    return store.read_buckets(table, store.buckets_of(probe, key=key, table=table))
+
+
+def _ids(df: DataFrame, col: str) -> list:
+    """Bounded drift-id collection (REPORT_LIMIT, the engine's
+    error-reporting cap) — sorted for stable reports."""
+    return sorted(r[col] for r in df.select(col).distinct().limit(REPORT_LIMIT).collect())
+
+
+def _report(table: str, kind: str, checked: int, drift: DataFrame, id_col: str) -> dict:
+    n = drift.count()
+    return {
+        "table": table,
+        "kind": kind,
+        "checked": checked,
+        "drift_count": n,
+        "drift_ids": _ids(drift, id_col) if n else [],
+        "ok": n == 0,
+    }
+
+
+def _missing_table(table: str, kind: str, checked: int) -> dict:
+    return {
+        "table": table,
+        "kind": kind,
+        "checked": checked,
+        "drift_count": checked,
+        "drift_ids": [],
+        "ok": checked == 0,
+        "missing_table": True,
+    }
+
+
+def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64) -> dict:
+    """Every sampled doc's content fingerprint must be registered (under
+    ANY registrant id — the gate keys suppression on content). A missing
+    fingerprint is exactly the non-refcounted takedown edge: identical
+    content survives in the corpus but future submissions would re-admit."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import FINGERPRINT_COL
+
+    s = _sample(corpus, gate.id_col, sample)
+    fps = gate._fingerprints(s).localCheckpoint(eager=True)
+    checked = fps.count()
+    known = _known(gate.store, gate.table, fps, FINGERPRINT_COL)
+    if known is None:
+        return _missing_table(gate.table, "exact_gate", checked)
+    drift = fps.join(known, FINGERPRINT_COL, "left_anti")
+    return _report(gate.table, "exact_gate", checked, drift, "doc_id")
+
+
+def audit_near_gate(gate, corpus: DataFrame, sample: int = 64) -> dict:
+    """Every sampled doc must hold ALL its LSH band rows (register is
+    all-or-nothing per doc, so any missing (doc_id, band_key) row is
+    drift — a partially-removed doc would stop gating some bands)."""
+    s = _sample(corpus, gate.id_col, sample)
+    rows = gate._band_rows(s).select("doc_id", "band_key").localCheckpoint(eager=True)
+    checked = s.count()
+    known = _known(gate.store, gate.table, rows, "band_key")
+    if known is None:
+        return _missing_table(gate.table, "near_gate", checked)
+    drift = rows.join(
+        known.select("doc_id", "band_key"), ["doc_id", "band_key"], "left_anti"
+    )
+    return _report(gate.table, "near_gate", checked, drift, "doc_id")
+
+
+def audit_embedding_index(gate, corpus: DataFrame, sample: int = 64) -> dict:
+    """Every sampled vector must hold all its (band, bucket) rows with
+    the quantization its CURRENT embedding produces — a stale qv row
+    (embedding changed out-of-band) scores wrong cosines silently."""
+    s = _sample(corpus, gate.id_col, sample)
+    rows = gate._bq(s).localCheckpoint(eager=True)
+    checked = s.count()
+    known = _known(gate.store, gate.table, rows, "bucket")
+    if known is None:
+        return _missing_table(gate.table, "embedding_index", checked)
+    drift = rows.join(
+        known.select("vec_id", "bucket", "qv"), ["vec_id", "bucket", "qv"], "left_anti"
+    )
+    return _report(gate.table, "embedding_index", checked, drift, "vec_id")
+
+
+def audit_postings(idx, corpus: DataFrame, sample: int = 64) -> dict:
+    """Three consistency surfaces: (1) every sampled doc's (term, doc)
+    postings rows are present; (2) the forward table's term set and dl
+    for the sample match a recount from the doc's current text (both
+    directions — a stale extra term is drift too); (3) the GLOBAL stats
+    row count N equals the corpus row count (the one whole-table check —
+    the stats table is O(batches since fold), tiny; a drifted N skews
+    every BM25 score, which is why it gets its own field)."""
+    s = _sample(corpus, idx.id_col, sample)
+    base = idx._tokenized(s).localCheckpoint(eager=True)
+    checked = base.count()
+    expected = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform("_toks", lambda t: F.xxhash64(t)))
+            ).alias("term_h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    known_post = _known(idx.store, idx.table, expected, "term_h")
+    if known_post is None:
+        rep = _missing_table(idx.table, "postings", checked)
+    else:
+        drift = expected.join(
+            known_post.select("term_h", "doc_id"), ["term_h", "doc_id"], "left_anti"
+        )
+        rep = _report(idx.table, "postings", checked, drift, "doc_id")
+
+    # forward-table recount: symmetric difference of (doc_id, term_h)
+    # plus a dl mismatch probe — the forward rows are what unregister
+    # trusts, so stale rows there corrupt future deletes
+    ids = base.select("doc_id")
+    fwd_known = _known(idx.store, idx.forward_table, ids, "doc_id")
+    if fwd_known is None:
+        rep["forward_ok"] = checked == 0
+        rep["ok"] = rep["ok"] and rep["forward_ok"]
+    else:
+        actual = (
+            fwd_known.join(F.broadcast(ids), "doc_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        act_pairs = actual.where(F.col("term_h").isNotNull()).select("doc_id", "term_h")
+        missing = expected.join(act_pairs, ["doc_id", "term_h"], "left_anti")
+        stale = act_pairs.join(expected, ["doc_id", "term_h"], "left_anti")
+        dl_bad = (
+            actual.groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .join(base.select("doc_id", F.col("dl").alias("want_dl")), "doc_id")
+            .where(~F.col("dl").eqNullSafe(F.col("want_dl")))
+            .select("doc_id")
+        )
+        fwd_drift = missing.select("doc_id").unionByName(
+            stale.select("doc_id")
+        ).unionByName(dl_bad)
+        n_fwd = fwd_drift.count()
+        rep["forward_ok"] = n_fwd == 0
+        if n_fwd:
+            rep["forward_drift_ids"] = _ids(fwd_drift, "doc_id")
+        rep["ok"] = rep["ok"] and rep["forward_ok"]
+
+    # global stats vs corpus cardinality
+    if idx.store.exists(idx.stats_table):
+        stats_n = (
+            idx.store.read(idx.stats_table)
+            .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n"))
+            .first()["n"]
+        )
+    else:
+        stats_n = 0
+    corpus_rows = corpus.count()
+    rep["stats_n_docs"] = int(stats_n)
+    rep["corpus_rows"] = int(corpus_rows)
+    rep["stats_ok"] = int(stats_n) == int(corpus_rows)
+    rep["ok"] = rep["ok"] and rep["stats_ok"]
+    return rep
+
+
+def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64) -> dict:
+    """Every sampled vector re-encodes to (cell, codes) under the
+    current codebook; the forward row must point at that cell and the
+    codes table must hold that exact row — a moved code row (the
+    injected-drift test case) or a forward row at the wrong cell makes
+    unregister delete the wrong thing later."""
+    from stripe_sync_engine_spark.operators.pq_index import encode_ivf_pq
+
+    s = _sample(corpus, ann.id_col, sample)
+    enc = encode_ivf_pq(s, ann.index, ann.id_col, ann.vec_col).localCheckpoint(
+        eager=True
+    )
+    checked = enc.count()
+    fwd_known = _known(ann.store, ann.forward_table, enc, "vec_id")
+    codes_known = _known(ann.store, ann.table, enc, "cell")
+    if fwd_known is None or codes_known is None:
+        return _missing_table(ann.table, "ivfpq", checked)
+    fwd_drift = enc.select("vec_id", "cell").join(
+        fwd_known.select("vec_id", "cell"), ["vec_id", "cell"], "left_anti"
+    )
+    code_drift = enc.join(
+        codes_known.select("vec_id", "cell", "codes"),
+        ["vec_id", "cell", "codes"],
+        "left_anti",
+    )
+    drift = fwd_drift.select("vec_id").unionByName(code_drift.select("vec_id"))
+    return _report(ann.table, "ivfpq", checked, drift, "vec_id")
+
+
+def audit_corpus_indexes(
+    corpus: DataFrame,
+    gates=(),
+    postings=None,
+    ann=None,
+    sample: int = 64,
+) -> dict:
+    """Audit every fan-out target against ``corpus`` — the same target
+    list ``maintain_corpus_indexes`` takes, so the cron loop can audit
+    exactly what it maintains. Gates dispatch on their signature method
+    (the exact gate fingerprints, the near gate bands, the embedding
+    index buckets). Returns ``{"ok", "sample", "targets": [report...]}``."""
+    reports = []
+    for gate in gates:
+        if hasattr(gate, "_fingerprints"):
+            reports.append(audit_exact_gate(gate, corpus, sample))
+        elif hasattr(gate, "_band_rows"):
+            reports.append(audit_near_gate(gate, corpus, sample))
+        elif hasattr(gate, "_bq"):
+            reports.append(audit_embedding_index(gate, corpus, sample))
+        else:
+            raise TypeError(
+                f"cannot audit gate {type(gate).__name__}: expected one of "
+                "the engine's exact/near/embedding gates"
+            )
+    if postings is not None:
+        reports.append(audit_postings(postings, corpus, sample))
+    if ann is not None:
+        reports.append(audit_ivfpq(ann, corpus, sample))
+    return {
+        "op": "index_audit",
+        "ok": all(r["ok"] for r in reports),
+        "sample": sample,
+        "targets": reports,
+    }

@@ -1354,6 +1354,38 @@ class StripeSparkSync:
         self._log_maintenance(report)
         return {"cursor": cursor, "applied": bool(n), "rows": n}
 
+    def audit_corpus_indexes(
+        self,
+        entity: str,
+        gates: Iterable = (),
+        postings=None,
+        ann=None,
+        sample: int = 64,
+    ) -> dict:
+        """Sampled drift audit of the derived indexes against ``entity``'s
+        CURRENT table — ``verify_export`` for the fan-out targets (see
+        ``operators/index_audit``). Same target list as
+        ``maintain_corpus_indexes``, so a cron loop can audit exactly
+        what it maintains; the report (incl. per-target drift ids,
+        bounded) lands in the durable ``_maintenance_log.jsonl``. Catches
+        out-of-band mutations no ledger can see — e.g. the exact gate's
+        non-refcounted takedown edge, a hand-moved ANN code row, or a
+        truncated postings stats table."""
+        from stripe_sync_engine_spark.operators.index_audit import (
+            audit_corpus_indexes as _audit,
+        )
+
+        report = _audit(
+            self.store.read(entity),
+            gates=tuple(gates),
+            postings=postings,
+            ann=ann,
+            sample=sample,
+        )
+        report["entity"] = entity
+        self._log_maintenance(report)
+        return report
+
     @staticmethod
     def _apply_change_window(feed, window: str, gates, postings, ann) -> int:
         """ONE implementation of the derived-index fan-out body shared by

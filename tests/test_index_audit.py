@@ -1,0 +1,157 @@
+"""Sampled drift audit of the derived indexes (operators/index_audit):
+clean maintained indexes pass; injected out-of-band drift — a
+hand-deleted fingerprint, a hand-removed band row, a hand-moved ANN
+code row, an unmaintained corpus write — is caught and named. The
+audit is verify_export for the retrieval/dedup layer."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from stripe_sync_engine_spark.storage import TableStore
+from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+
+def _docs(spark, n=10):
+    return spark.createDataFrame(
+        [(i, f"alpha audit doc {i} has body words {i % 3}") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_audit_text_targets_clean_then_drifted(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        FINGERPRINT_COL,
+        IncrementalDeduper,
+        IncrementalNearDeduper,
+    )
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+
+    store = TableStore(spark, str(tmp_path / "wh_audit"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    store.write("corpus", _docs(spark), key="doc_id")
+    exact = IncrementalDeduper(store)
+    near = IncrementalNearDeduper(store)
+    idx = PersistedPostingsIndex(store)
+    eng.maintain_corpus_indexes("a", "corpus", gates=[exact, near], postings=idx)
+
+    rep = eng.audit_corpus_indexes("corpus", gates=[exact, near], postings=idx)
+    assert rep["ok"], rep
+    by_kind = {t["kind"]: t for t in rep["targets"]}
+    assert set(by_kind) == {"exact_gate", "near_gate", "postings"}
+    assert all(t["checked"] == 10 for t in rep["targets"])
+    assert by_kind["postings"]["stats_ok"] and by_kind["postings"]["forward_ok"]
+    assert by_kind["postings"]["stats_n_docs"] == 10
+    # the report landed durably
+    audits = [r for r in eng.read_maintenance_log() if r.get("op") == "index_audit"]
+    assert audits and audits[-1]["ok"] is True and audits[-1]["entity"] == "corpus"
+
+    # drift 1: hand-delete doc 3's fingerprint (the takedown edge's shape)
+    fp3 = exact._fingerprints(_docs(spark).where("doc_id = 3")).first()[FINGERPRINT_COL]
+    tbl = store.read(exact.table)
+    store.write(exact.table, tbl.where(F.col(FINGERPRINT_COL) != fp3), key=FINGERPRINT_COL)
+    # drift 2: hand-remove ONE of doc 5's band rows
+    bands = store.read(near.table)
+    victim = bands.where("doc_id = 5").first()
+    store.write(
+        near.table,
+        bands.where(
+            ~((F.col("doc_id") == 5) & (F.col("band_key") == victim["band_key"]))
+        ),
+        key="band_key",
+    )
+
+    rep2 = eng.audit_corpus_indexes("corpus", gates=[exact, near], postings=idx)
+    assert not rep2["ok"]
+    by_kind = {t["kind"]: t for t in rep2["targets"]}
+    assert by_kind["exact_gate"]["drift_ids"] == [3]
+    assert by_kind["near_gate"]["drift_ids"] == [5]
+    assert by_kind["postings"]["ok"]  # untouched target still clean
+
+    # drift 3: an out-of-band corpus write nobody maintained — the stats
+    # cardinality check and the per-doc probes both flag it
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(99, "unmaintained straggler")],
+                                  "doc_id long, text string")
+        ),
+        key="doc_id",
+    )
+    rep3 = eng.audit_corpus_indexes("corpus", gates=[exact], postings=idx)
+    by_kind = {t["kind"]: t for t in rep3["targets"]}
+    assert 99 in by_kind["exact_gate"]["drift_ids"]
+    p = by_kind["postings"]
+    assert not p["stats_ok"] and p["stats_n_docs"] == 10 and p["corpus_rows"] == 11
+    assert 99 in p["drift_ids"] and not p["forward_ok"]
+
+
+def test_audit_vector_targets_clean_then_moved_code_row(spark, tmp_path):
+    from stripe_sync_engine_spark.operators.embedding_index import (
+        IncrementalEmbeddingIndex,
+    )
+    from stripe_sync_engine_spark.operators.pq_index import PersistedIVFPQ, train_ivf_pq
+
+    rng = [[(0.01 * ((i * 7 + d * 3) % 50) - 0.25) for d in range(64)] for i in range(64)]
+    store = TableStore(spark, str(tmp_path / "wh_audit_v"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    vecs = spark.createDataFrame(
+        [(i, rng[i]) for i in range(32)], "vec_id long, embedding array<double>"
+    )
+    store.write("vectors", vecs, key="vec_id")
+    idx = train_ivf_pq(vecs, n_cells=4, m=8, k=8)
+    gate = IncrementalEmbeddingIndex(store, id_col="vec_id")
+    ann = PersistedIVFPQ(store, idx)
+    eng.maintain_corpus_indexes("v", "vectors", gates=[gate], ann=ann)
+
+    rep = eng.audit_corpus_indexes("vectors", gates=[gate], ann=ann)
+    assert rep["ok"], rep
+    by_kind = {t["kind"]: t for t in rep["targets"]}
+    assert set(by_kind) == {"embedding_index", "ivfpq"}
+    assert by_kind["ivfpq"]["checked"] == 32
+
+    # hand-move vec 9's code row to another cell — unregister would later
+    # prune the wrong bucket; the audit catches it from both sides
+    codes = store.read(ann.table)
+    moved = codes.withColumn(
+        "cell",
+        F.when(F.col("vec_id") == 9, (F.col("cell") + 1) % 4).otherwise(F.col("cell")),
+    )
+    store.write(ann.table, moved, key="cell")
+    fwd = store.read(ann.forward_table)
+    store.write(
+        ann.forward_table,
+        fwd.withColumn(
+            "cell",
+            F.when(F.col("vec_id") == 9, (F.col("cell") + 1) % 4).otherwise(
+                F.col("cell")
+            ),
+        ),
+        key="vec_id",
+    )
+    rep2 = eng.audit_corpus_indexes("vectors", gates=[gate], ann=ann)
+    by_kind = {t["kind"]: t for t in rep2["targets"]}
+    assert not rep2["ok"]
+    assert by_kind["ivfpq"]["drift_ids"] == [9]
+    assert by_kind["embedding_index"]["ok"]  # LSH gate untouched
+
+
+def test_audit_missing_and_unknown_targets(spark, tmp_path):
+    """An index that was never built audits as missing (ok only for an
+    empty corpus); an unknown gate type raises rather than silently
+    passing."""
+    from stripe_sync_engine_spark.operators.index_audit import audit_corpus_indexes
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+
+    store = TableStore(spark, str(tmp_path / "wh_audit_m"), vacuum_retain_s=3600.0)
+    docs = _docs(spark, 4)
+    idx = PersistedPostingsIndex(store)  # never registered
+    rep = audit_corpus_indexes(docs, postings=idx)
+    assert not rep["ok"] and rep["targets"][0].get("missing_table")
+
+    with pytest.raises(TypeError, match="cannot audit"):
+        audit_corpus_indexes(docs, gates=[object()])
