@@ -343,6 +343,45 @@ def encode_ivf_pq(
     return vecs.select(id_col, vec_col).mapInPandas(run, IVF_CODES_SCHEMA)
 
 
+def quantization_sq_err(
+    vecs: DataFrame,
+    index: IVFPQIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sq_err): each vector's squared ADC reconstruction error
+    under ``index`` — ``||v - (cell_centroid + decode(encode(v)))||²``,
+    computed directly as the per-subspace min distances the encoder
+    would pick. The codebook-drift metric's kernel: on the training
+    distribution this is the quantization error k-means minimized; as a
+    mutating corpus drifts away from that distribution the error grows,
+    and recall decays with it. Zero shuffle, one Arrow pass."""
+    cells = index.cells
+    cb = index.pq.centroids
+    m, sub = index.pq.m, index.pq.dim // index.pq.m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cel = np.asarray(cells, dtype=np.float64)
+        c = np.asarray(cb, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            assign = ((x[:, None, :] - cel[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            resid = x - cel[assign]
+            err = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(m):
+                rs = resid[:, s * sub : (s + 1) * sub]
+                err += ((rs[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].astype("int64"), "sq_err": err}
+            )
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, sq_err double"
+    )
+
+
 def ivf_pq_topk(
     codes: DataFrame,
     index: IVFPQIndex,
@@ -493,12 +532,106 @@ class PersistedIVFPQ:
         instead of corrupting the index — route updates through
         ``apply_changes``/``unregister``. ``batch_id`` stamps the forward
         rows so ``apply_changes`` replays keep an update's new version
-        (``_keep_batch_id`` in ``unregister``)."""
+        (``_keep_batch_id`` in ``unregister``).
+
+        The first successful register also PINS the codebook's baseline
+        quantization error (``pin_codebook_baseline``) — the reference
+        point ``measure_codebook_drift`` compares against forever after.
+        On an index created before the metric existed, the pin lands on
+        the next register (baseline = error at pin time, stated in the
+        side file)."""
         from stripe_sync_engine_spark.operators.incremental_dedup import (
             with_occ_retry,
         )
 
         with_occ_retry(lambda: self._register_once(vecs, batch_id))
+        import os
+
+        if self.store.exists(self.table) and not os.path.exists(self._baseline_path()):
+            self.pin_codebook_baseline(vecs)
+
+    # -- codebook drift -------------------------------------------------
+    # apply_changes keeps the CODES current, but the codebook/centroids
+    # stay trained on the corpus as of build time ("retrain means
+    # rebuild", class docstring). Over a long-mutating corpus the
+    # quantization error therefore grows SILENTLY and recall decays with
+    # no metric watching it — these two methods are the metric. Rebuild
+    # discipline: when the drift ratio exceeds REBUILD_RATIO (mean ADC
+    # error at 2× its pinned baseline — squared-error doubling roughly
+    # halves the effective bits per subspace), retrain + rebuild.
+
+    REBUILD_RATIO = 2.0
+
+    def _baseline_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, self.table, "_codebook_baseline.json")
+
+    def pin_codebook_baseline(self, vecs: DataFrame, sample: int = 256) -> dict | None:
+        """Durably record the mean squared ADC error over a bounded
+        deterministic sample of ``vecs`` — the codebook's health at pin
+        time. Returns the pinned record (None for an empty batch: a
+        delete-only window pins nothing)."""
+        from stripe_sync_engine_spark.commitio import atomic_write_json
+        from stripe_sync_engine_spark.operators.index_audit import _sample
+
+        s = _sample(vecs, self.id_col, sample)
+        row = quantization_sq_err(s, self.index, self.id_col, self.vec_col).agg(
+            F.avg("sq_err").alias("mse"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if not row["n"]:
+            return None
+        rec = {"mse": float(row["mse"]), "sample": int(row["n"])}
+        atomic_write_json(self._baseline_path(), rec)
+        return rec
+
+    def measure_codebook_drift(
+        self,
+        corpus: DataFrame,
+        sample: int = 256,
+        rebuild_ratio: float | None = None,
+    ) -> dict:
+        """Mean squared ADC error over a bounded deterministic sample of
+        the CURRENT corpus vs the pinned baseline. Returns
+        ``{baseline_mse, current_mse, ratio, rebuild_recommended}``;
+        a never-pinned index (built before the metric) reports
+        ``baseline_mse=None`` and recommends nothing — pin via
+        ``pin_codebook_baseline`` or the next register. O(sample)
+        encode work, zero shuffle — cheap enough for every maintenance
+        poll, which is where ``maintain_corpus_indexes`` reports it."""
+        import json
+        import os
+
+        rebuild_ratio = self.REBUILD_RATIO if rebuild_ratio is None else rebuild_ratio
+        from stripe_sync_engine_spark.operators.index_audit import _sample
+
+        s = _sample(corpus, self.id_col, sample)
+        row = quantization_sq_err(s, self.index, self.id_col, self.vec_col).agg(
+            F.avg("sq_err").alias("mse"), F.count(F.lit(1)).alias("n")
+        ).first()
+        current = float(row["mse"]) if row["n"] else None
+        try:
+            with open(self._baseline_path()) as f:
+                baseline = json.load(f)["mse"]
+        except FileNotFoundError:
+            baseline = None
+        if baseline is None or current is None:
+            return {
+                "baseline_mse": baseline,
+                "current_mse": current,
+                "ratio": None,
+                "rebuild_recommended": False,
+            }
+        # a degenerate zero-error baseline (corpus smaller than the
+        # codebook) makes any nonzero current error infinite drift;
+        # report the ratio against a floor instead of dividing by zero
+        ratio = current / max(baseline, 1e-300)
+        return {
+            "baseline_mse": baseline,
+            "current_mse": current,
+            "ratio": ratio,
+            "rebuild_recommended": ratio > rebuild_ratio,
+        }
 
     def _register_once(self, vecs: DataFrame, batch_id: str) -> None:
         from stripe_sync_engine_spark.operators.incremental_dedup import (

@@ -1351,6 +1351,13 @@ class StripeSparkSync:
                 "ann": ann is not None,
             },
         }
+        if n and ann is not None and hasattr(ann, "measure_codebook_drift"):
+            # apply_changes keeps the codes current but the codebook ages
+            # (pq_index: "retrain means rebuild") — re-measure its
+            # quantization error against the pinned baseline every window
+            # that changed the corpus, so recall decay is VISIBLE in the
+            # maintenance log before it hurts. O(sample) encode work.
+            report["ann_drift"] = ann.measure_codebook_drift(self.store.read(entity))
         self._log_maintenance(report)
         return {"cursor": cursor, "applied": bool(n), "rows": n}
 

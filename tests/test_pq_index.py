@@ -542,3 +542,68 @@ def test_persisted_ivfpq_legacy_index_still_fails_loudly_on_moved_cell(spark, sf
     assert store.read(p.forward_table).count() == n
     with pytest.raises(RuntimeError, match="DIFFERENT cell"):
         p.register(moved, "b2")  # now caught by the FORWARD probe, post-upgrade
+
+
+def test_codebook_drift_metric(spark, sf_dir, tmp_path):
+    """The codebook ages while apply_changes keeps codes current
+    ("retrain means rebuild") — the drift metric makes that visible:
+    register pins the baseline quantization error, a STABLE corpus
+    measures ratio 1.0 (same deterministic sample) with no rebuild
+    flag, a distribution-shifted corpus blows past the rebuild
+    threshold, and the maintenance fan-out reports the metric in its
+    durable log record. A never-pinned legacy index reports
+    baseline None and recommends nothing."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_drift"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    store.write("vectors", vecs, key="vec_id")
+    ann = PersistedIVFPQ(store, idx)
+
+    eng.maintain_corpus_indexes("d", "vectors", ann=ann)  # builds + pins
+    base = json.load(open(ann._baseline_path()))
+    assert base["mse"] > 0 and base["sample"] > 0
+
+    # stable corpus: the deterministic sample is identical → ratio 1.0
+    d = ann.measure_codebook_drift(store.read("vectors"))
+    assert d["ratio"] == _pytest.approx(1.0)
+    assert not d["rebuild_recommended"]
+
+    # the fan-out logged the metric with the applied window
+    rec = [r for r in eng.read_maintenance_log() if r.get("op") == "corpus_cdc_fanout"]
+    assert rec and rec[-1]["ann_drift"]["ratio"] == _pytest.approx(1.0)
+    assert rec[-1]["ann_drift"]["rebuild_recommended"] is False
+
+    # distribution shift: a constant offset pushes every vector far off
+    # the trained cells/codebook — quantization error explodes
+    shifted = vecs.select(
+        "vec_id", F.transform("embedding", lambda v: v + F.lit(5.0)).alias("embedding")
+    )
+    d2 = ann.measure_codebook_drift(shifted)
+    assert d2["ratio"] > PersistedIVFPQ.REBUILD_RATIO
+    assert d2["rebuild_recommended"]
+
+    # legacy index (no pin): honest None, no false alarm; re-pin works
+    os.remove(ann._baseline_path())
+    d3 = ann.measure_codebook_drift(store.read("vectors"))
+    assert d3["baseline_mse"] is None and d3["ratio"] is None
+    assert not d3["rebuild_recommended"]
+    assert ann.pin_codebook_baseline(store.read("vectors"))["mse"] == _pytest.approx(
+        base["mse"]
+    )
+    assert ann.measure_codebook_drift(store.read("vectors"))["ratio"] == _pytest.approx(
+        1.0
+    )
