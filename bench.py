@@ -678,6 +678,52 @@ def _bench_cdc_maintenance(spark, sf_dir: str) -> dict[str, float]:
         n = p.topk(queries, k=10, nprobe=4).count()
         out["sim_ivfpq_cdc_window"] = round(time.perf_counter() - t0, 3)
         assert n > 0
+        # --- the COMPOSED fan-out: one engine poll, one durable cursor,
+        # one mixed window applied to exact gate + postings + IVF-PQ via
+        # maintain_corpus_indexes (consume → fan-out apply → codebook
+        # drift measure → ack + durable log) — the steady-state path a
+        # corpus operator runs from cron. The two probes above isolate
+        # the per-index costs; this is their composition plus the
+        # engine's cursor/pin/log overhead, still O(changed docs +
+        # touched buckets) at any corpus size.
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            IncrementalDeduper,
+        )
+        from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+        eng = StripeSparkSync(spark, store)
+        multi = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        store.write("multidoc", multi, key="doc_id")
+        gate = IncrementalDeduper(store, table="_md_fps")
+        pidx = PersistedPostingsIndex(
+            store,
+            table="_md_postings",
+            stats_table="_md_postings_stats",
+            forward_table="_md_postings_docs",
+        )
+        pann = PersistedIVFPQ(
+            store, ivf, table="_md_codes", id_col="doc_id", forward_table="_md_fwd"
+        )
+        targets = dict(gates=[gate], postings=pidx, ann=pann)
+        eng.maintain_corpus_indexes("fanout", "multidoc", **targets)  # birth = setup
+        cur = store.read("multidoc")
+        upd = cur.where("doc_id >= 50 and doc_id < 100").withColumn(
+            "text", F.concat(F.lit("rewritten spark corpus body "), F.col("text"))
+        )
+        new = cur.where("doc_id >= 100 and doc_id < 150").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "embedding"
+        )
+        nxt = (
+            cur.where("doc_id >= 50")
+            .join(upd.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(upd)
+            .unionByName(new)
+        )
+        store.write("multidoc", nxt, key="doc_id")
+        t0 = time.perf_counter()
+        rep = eng.maintain_corpus_indexes("fanout", "multidoc", **targets)
+        out["corpus_cdc_fanout"] = round(time.perf_counter() - t0, 3)
+        assert rep["applied"] and rep["rows"] >= 150
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out
