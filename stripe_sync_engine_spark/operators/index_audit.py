@@ -189,9 +189,12 @@ def audit_postings(idx, corpus: DataFrame, sample: int = 64) -> dict:
             .where(~F.col("dl").eqNullSafe(F.col("want_dl")))
             .select("doc_id")
         )
-        fwd_drift = missing.select("doc_id").unionByName(
-            stale.select("doc_id")
-        ).unionByName(dl_bad)
+        fwd_drift = (
+            missing.select("doc_id")
+            .unionByName(stale.select("doc_id"))
+            .unionByName(dl_bad)
+            .distinct()  # one drifted doc, however many surfaces disagree
+        )
         n_fwd = fwd_drift.count()
         rep["forward_ok"] = n_fwd == 0
         if n_fwd:
@@ -240,7 +243,11 @@ def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64) -> dict:
         ["vec_id", "cell", "codes"],
         "left_anti",
     )
-    drift = fwd_drift.select("vec_id").unionByName(code_drift.select("vec_id"))
+    drift = (
+        fwd_drift.select("vec_id")
+        .unionByName(code_drift.select("vec_id"))
+        .distinct()  # a vector drifted on BOTH surfaces is one drifted vector
+    )
     return _report(ann.table, "ivfpq", checked, drift, "vec_id")
 
 

@@ -295,6 +295,33 @@ def train_ivf_pq(
     )
 
 
+def codebook_to_dict(index: IVFPQIndex) -> dict:
+    """JSON-serializable form of an IVF-PQ codebook. Exact: CPython's
+    json emits shortest-round-trip float reprs, so loading reproduces
+    the training output bit-for-bit (the determinism tests rely on it)."""
+    return {
+        "cells": [list(c) for c in index.cells],
+        "m": index.pq.m,
+        "k": index.pq.k,
+        "dim": index.pq.dim,
+        "centroids": [[list(c) for c in band] for band in index.pq.centroids],
+    }
+
+
+def codebook_from_dict(rec: dict) -> IVFPQIndex:
+    return IVFPQIndex(
+        cells=tuple(tuple(v) for v in rec["cells"]),
+        pq=PQCodebook(
+            m=rec["m"],
+            k=rec["k"],
+            dim=rec["dim"],
+            centroids=tuple(
+                tuple(tuple(v) for v in band) for band in rec["centroids"]
+            ),
+        ),
+    )
+
+
 IVF_CODES_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
@@ -547,8 +574,101 @@ class PersistedIVFPQ:
         with_occ_retry(lambda: self._register_once(vecs, batch_id))
         import os
 
-        if self.store.exists(self.table) and not os.path.exists(self._baseline_path()):
-            self.pin_codebook_baseline(vecs)
+        if self.store.exists(self.table):
+            if not os.path.exists(self._codebook_path()):
+                self._save_codebook()
+            if not os.path.exists(self._baseline_path()):
+                self.pin_codebook_baseline(vecs)
+
+    @classmethod
+    def load(
+        cls,
+        store,
+        table: str = "_ivfpq_codes",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        forward_table: str = "_ivfpq_fwd",
+    ) -> "PersistedIVFPQ":
+        """Reconstruct a persisted index from its OWN durable codebook
+        (``_codebook.json`` beside the codes, saved at first register /
+        each rebuild) — a new process never has to carry or retrain the
+        IVFPQIndex object. Raises on indexes persisted before codebook
+        persistence existed: their next ``register`` backfills the file,
+        or rebuild."""
+        import json
+        import os
+
+        path = os.path.join(store.root, table, "_codebook.json")
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"IVF-PQ index {table!r} has no persisted codebook ({path}) "
+                "— it predates codebook persistence; register any batch "
+                "with the carried index to backfill it, or rebuild"
+            ) from None
+        return cls(
+            store,
+            codebook_from_dict(rec),
+            table=table,
+            vec_col=vec_col,
+            id_col=id_col,
+            forward_table=forward_table,
+        )
+
+    def _codebook_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, self.table, "_codebook.json")
+
+    def _save_codebook(self) -> None:
+        from stripe_sync_engine_spark.commitio import atomic_write_json
+
+        atomic_write_json(self._codebook_path(), codebook_to_dict(self.index))
+
+    def rebuild(self, corpus: DataFrame, batch_id: str = "_rebuild", **train_kwargs):
+        """Retrain the codebook on the CURRENT corpus and re-encode
+        everything — the sanctioned answer to ``measure_codebook_drift``
+        recommending a rebuild ("retrain means rebuild", class
+        docstring). Geometry defaults to the current index's
+        (n_cells/m/k); ``train_kwargs`` override. Rewrites the codes and
+        forward tables, persists the NEW codebook, re-pins the drift
+        baseline, updates ``self.index``, and returns the new
+        ``IVFPQIndex``.
+
+        OFFLINE operation, by contract: quiesce maintenance on this
+        index while it runs (the engine's single-writer rule — same as
+        rebucket). It is RE-RUNNABLE, not atomic across its four
+        commits: a crash mid-rebuild leaves codes/codebook inconsistent,
+        which the sampled audit (``operators/index_audit``) flags on
+        every sampled vector, and re-running the rebuild heals (training
+        is deterministic, the table writes are full replaces). The
+        codebook file commits LAST — it is the rebuild's commit point
+        for ``load``. Cost is O(corpus): one bounded training collect +
+        one zero-shuffle encode pass + two bucketed table writes."""
+        geometry = dict(
+            n_cells=len(self.index.cells),
+            m=self.index.pq.m,
+            k=self.index.pq.k,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        geometry.update(train_kwargs)
+        new_index = train_ivf_pq(corpus, **geometry)
+        rows = encode_ivf_pq(
+            corpus, new_index, self.id_col, self.vec_col
+        ).localCheckpoint(eager=True)
+        self.store.write(self.table, rows, key="cell")
+        self.store.write(
+            self.forward_table,
+            rows.select("vec_id", "cell", F.lit(batch_id).alias("batch_id")),
+            key="vec_id",
+        )
+        self.index = new_index
+        self.pin_codebook_baseline(corpus)
+        self._save_codebook()
+        return new_index
 
     # -- codebook drift -------------------------------------------------
     # apply_changes keeps the CODES current, but the codebook/centroids

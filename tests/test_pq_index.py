@@ -607,3 +607,121 @@ def test_codebook_drift_metric(spark, sf_dir, tmp_path):
     assert ann.measure_codebook_drift(store.read("vectors"))["ratio"] == _pytest.approx(
         1.0
     )
+
+
+def test_codebook_rebuild_closes_the_drift_loop(spark, sf_dir, tmp_path, monkeypatch):
+    """The sanctioned answer to rebuild_recommended: rebuild() retrains
+    on the current corpus, re-encodes everything, re-pins the baseline
+    (ratio back to 1.0), persists the new codebook, and the rebuilt
+    tables are row-identical to a fresh register under the new index.
+    load() reconstructs the index from its own durable codebook; a crash
+    before the codebook commit leaves load() on the OLD codebook — which
+    the sampled audit flags on every vector — and re-running the rebuild
+    heals."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.index_audit import audit_ivfpq
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_rb"), vacuum_retain_s=3600.0)
+    p = PersistedIVFPQ(store, idx)
+    store.write("vectors", vecs, key="vec_id")
+    p.register(store.read("vectors"), "run:0")
+    t0 = store.commits("vectors")[-1]
+
+    # the corpus drifts: every embedding shifts, through the sanctioned path
+    import time as _t
+
+    _t.sleep(0.002)
+    shifted = vecs.select(
+        "vec_id", F.transform("embedding", lambda v: v + F.lit(5.0)).alias("embedding")
+    )
+    store.write("vectors", shifted, key="vec_id")
+    p.apply_changes(store.read_changes("vectors", t0), "w:1")
+    d = p.measure_codebook_drift(store.read("vectors"))
+    assert d["rebuild_recommended"] and d["ratio"] > PersistedIVFPQ.REBUILD_RATIO
+
+    # inject a crash BEFORE the codebook commit: tables rebuilt, commit
+    # point not reached — a fresh process loads the OLD codebook and the
+    # audit flags the whole sample; re-running heals
+    real_save = p._save_codebook
+    calls = {"n": 0}
+
+    def flaky_save():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash before codebook commit")
+        real_save()
+
+    monkeypatch.setattr(p, "_save_codebook", flaky_save)
+    with _pytest.raises(OSError, match="injected"):
+        p.rebuild(store.read("vectors"))
+    stale = PersistedIVFPQ.load(store)
+    bad = audit_ivfpq(stale, store.read("vectors"), sample=32)
+    assert not bad["ok"] and bad["drift_count"] == 32  # every sampled vector
+
+    new_index = p.rebuild(store.read("vectors"))  # re-run: heals
+    d2 = p.measure_codebook_drift(store.read("vectors"))
+    assert d2["ratio"] == _pytest.approx(1.0) and not d2["rebuild_recommended"]
+
+    # rebuilt tables ≡ a fresh register under the new index
+    fresh_store = TableStore(spark, str(tmp_path / "wh_rb_f"))
+    fresh = PersistedIVFPQ(fresh_store, new_index)
+    fresh.register(store.read("vectors"), "all")
+
+    def codes_set(s, t):
+        return {
+            (r["vec_id"], r["cell"], tuple(r["codes"])) for r in s.read(t).collect()
+        }
+
+    assert codes_set(store, p.table) == codes_set(fresh_store, fresh.table)
+
+    # load() reconstructs the retrained index exactly; audit clean; CDC
+    # continues over the rebuilt forward table
+    p2 = PersistedIVFPQ.load(store)
+    assert p2.index == new_index
+    assert audit_ivfpq(p2, store.read("vectors"), sample=32)["ok"]
+    _t.sleep(0.002)
+    t1 = store.commits("vectors")[-1]
+    cur = store.read("vectors")
+    nxt = cur.where("vec_id != 0").unionByName(
+        cur.where("vec_id = 1").select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    store.write("vectors", nxt, key="vec_id")
+    p2.apply_changes(store.read_changes("vectors", t1), "w:2")
+    assert audit_ivfpq(p2, store.read("vectors"), sample=32)["ok"]
+
+
+def test_codebook_load_requires_persisted_codebook(spark, sf_dir, tmp_path):
+    """A legacy index (persisted before codebook persistence) fails
+    load() loudly; its next register backfills the codebook file and
+    load() works from then on."""
+    import os
+
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_ld"))
+    p = PersistedIVFPQ(store, idx)
+    p.register(vecs.limit(100), "b:0")
+    os.remove(p._codebook_path())  # simulate a pre-persistence index
+    with _pytest.raises(RuntimeError, match="no persisted codebook"):
+        PersistedIVFPQ.load(store)
+    p.register(vecs.limit(100), "b:1")  # replay no-op still backfills
+    assert PersistedIVFPQ.load(store).index == idx
