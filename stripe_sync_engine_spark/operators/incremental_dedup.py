@@ -611,12 +611,15 @@ class IncrementalNearDeduper:
         return batch.join(F.broadcast(dup_ids), self.id_col, "left_anti")
 
     def register(self, docs: DataFrame, _rows: DataFrame | None = None) -> None:
-        """Durably record ``docs``' band rows, idempotently (rows for
-        already-indexed doc ids register nothing) with the same
-        OCC-guarded single partial commit — and the same out-of-band
-        re-plan tolerance — as the exact gate. ``_rows``: precomputed
-        band rows for exactly ``docs`` (must be materialized — a retry
-        re-reads them)."""
+        """Durably record ``docs``' band rows, idempotently per
+        (doc_id, band_key) — replays register nothing, and an UPDATED
+        doc's new band rows commit while rows whose band key didn't
+        change no-op (the embedding gate's freshness design; changed-key
+        old rows stay keep-seen ghosts until a pre-image feed retires
+        them) — with the same OCC-guarded single partial commit and the
+        same out-of-band re-plan tolerance as the exact gate. ``_rows``:
+        precomputed band rows for exactly ``docs`` (must be materialized
+        — a retry re-reads them)."""
         with_occ_retry(lambda: self._register_once(docs, _rows))
 
     def _register_once(self, docs: DataFrame, _rows: DataFrame | None = None) -> None:
@@ -628,7 +631,17 @@ class IncrementalNearDeduper:
         manifest = store._read_manifest(table)
         touched = store.buckets_of(rows, key="band_key", table=table)
         index = store._scan_manifest(table, manifest, touched)
-        fresh = anti_probe(rows, index, ["doc_id"]).localCheckpoint(
+        # Freshness key (doc_id, band_key) — the embedding gate's
+        # (bucket, vec_id) design, for the same reason: an UPDATED doc
+        # shares some band keys with its old rows, and a doc_id-only
+        # probe would see the doc in one shared bucket and drop ALL its
+        # new rows, permanently missing the new content's bands (a
+        # recall hole). Per-pair freshness commits the new bands while
+        # unchanged-key rows no-op; the old rows for CHANGED keys stay as
+        # keep-seen ghosts (conservative — they still gate) until a
+        # pre-image feed retires them (apply_changes). Replays still
+        # register nothing.
+        fresh = anti_probe(rows, index, ["doc_id", "band_key"]).localCheckpoint(
             eager=True
         )  # pre-commit lineage cut (vacuum)
         if fresh.isEmpty():

@@ -18,12 +18,23 @@ survivor corpus the gates admitted). A clean audit therefore means "the
 sample's derived rows are present and correct", and any drift row is a
 real inconsistency to investigate, never noise.
 
-At 100 TB: the sample is a top-k by hash (one TakeOrderedAndProject
-over the corpus — no full sort), every probe reads only the sample's
-own state buckets, and drift lists are capped at ``REPORT_LIMIT`` ids
-driver-side (the engine's bounded-collect rule). The one whole-table
-read is the postings STATS table — O(batches since last fold), tiny by
-construction.
+At 100 TB: the sample is a top-k by hash (a TakeOrderedAndProject over
+the corpus — no full sort; the orchestrator computes it ONCE per
+distinct target id column), every probe reads only the sample's own
+state buckets, and drift lists are capped at ``REPORT_LIMIT`` ids
+driver-side (the engine's bounded-collect rule). Whole-corpus passes
+are exactly the sample scan(s) plus one ``count()`` for the postings
+stats check; the one whole-TABLE state read is the postings STATS
+table — O(batches since last fold), tiny by construction.
+
+Remedies, per target kind (deliberately NOT automated — each is the
+operator's call): exact/near gate drift → re-register the drifted
+docs (content-keyed, no global state, replay-safe); embedding-index
+qv drift → route the changed embeddings through ``apply_changes``;
+postings drift → rebuild the index (a targeted re-register would
+re-increment the batch-keyed N/avgdl stats for rows partially
+present); IVF-PQ drift → ``PersistedIVFPQ.rebuild`` (also the answer
+when ``measure_codebook_drift`` recommends one).
 
 Reference analog: none (the reference trusts Postgres constraints);
 this is the training-data-pipeline extension's integrity tool.
@@ -87,14 +98,14 @@ def _missing_table(table: str, kind: str, checked: int) -> dict:
     }
 
 
-def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64) -> dict:
+def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | None = None) -> dict:
     """Every sampled doc's content fingerprint must be registered (under
     ANY registrant id — the gate keys suppression on content). A missing
     fingerprint is exactly the non-refcounted takedown edge: identical
     content survives in the corpus but future submissions would re-admit."""
     from stripe_sync_engine_spark.operators.incremental_dedup import FINGERPRINT_COL
 
-    s = _sample(corpus, gate.id_col, sample)
+    s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     fps = gate._fingerprints(s).localCheckpoint(eager=True)
     checked = fps.count()
     known = _known(gate.store, gate.table, fps, FINGERPRINT_COL)
@@ -104,11 +115,12 @@ def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64) -> dict:
     return _report(gate.table, "exact_gate", checked, drift, "doc_id")
 
 
-def audit_near_gate(gate, corpus: DataFrame, sample: int = 64) -> dict:
-    """Every sampled doc must hold ALL its LSH band rows (register is
-    all-or-nothing per doc, so any missing (doc_id, band_key) row is
-    drift — a partially-removed doc would stop gating some bands)."""
-    s = _sample(corpus, gate.id_col, sample)
+def audit_near_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | None = None) -> dict:
+    """Every sampled doc must hold ALL the band rows its CURRENT text
+    produces (register freshness is per (doc_id, band_key), so a
+    maintained index converges to that set even across updates); a
+    missing row is drift — the doc would stop gating on that band."""
+    s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     rows = gate._band_rows(s).select("doc_id", "band_key").localCheckpoint(eager=True)
     checked = s.count()
     known = _known(gate.store, gate.table, rows, "band_key")
@@ -120,11 +132,11 @@ def audit_near_gate(gate, corpus: DataFrame, sample: int = 64) -> dict:
     return _report(gate.table, "near_gate", checked, drift, "doc_id")
 
 
-def audit_embedding_index(gate, corpus: DataFrame, sample: int = 64) -> dict:
+def audit_embedding_index(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | None = None) -> dict:
     """Every sampled vector must hold all its (band, bucket) rows with
     the quantization its CURRENT embedding produces — a stale qv row
     (embedding changed out-of-band) scores wrong cosines silently."""
-    s = _sample(corpus, gate.id_col, sample)
+    s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     rows = gate._bq(s).localCheckpoint(eager=True)
     checked = s.count()
     known = _known(gate.store, gate.table, rows, "bucket")
@@ -136,7 +148,7 @@ def audit_embedding_index(gate, corpus: DataFrame, sample: int = 64) -> dict:
     return _report(gate.table, "embedding_index", checked, drift, "vec_id")
 
 
-def audit_postings(idx, corpus: DataFrame, sample: int = 64) -> dict:
+def audit_postings(idx, corpus: DataFrame, sample: int = 64, _s: DataFrame | None = None, _corpus_rows: int | None = None) -> dict:
     """Three consistency surfaces: (1) every sampled doc's (term, doc)
     postings rows are present; (2) the forward table's term set and dl
     for the sample match a recount from the doc's current text (both
@@ -144,16 +156,18 @@ def audit_postings(idx, corpus: DataFrame, sample: int = 64) -> dict:
     row count N equals the corpus row count (the one whole-table check —
     the stats table is O(batches since fold), tiny; a drifted N skews
     every BM25 score, which is why it gets its own field)."""
-    s = _sample(corpus, idx.id_col, sample)
+    s = _s if _s is not None else _sample(corpus, idx.id_col, sample)
     base = idx._tokenized(s).localCheckpoint(eager=True)
     checked = base.count()
+    # the ONE term-hash formula: reuse the index's own forward-row
+    # derivation (repo shared-formula discipline — re-inlining it here
+    # would silently desynchronize the auditor if tokenization/hashing
+    # ever changes); the NULL-term sentinel rows (token-less docs) drop
+    # out since they have no postings to check
     expected = (
-        base.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(F.transform("_toks", lambda t: F.xxhash64(t)))
-            ).alias("term_h"),
-        )
+        idx._forward_rows(base, "_audit")
+        .where(F.col("term_h").isNotNull())
+        .select("doc_id", "term_h")
         .localCheckpoint(eager=True)
     )
 
@@ -210,7 +224,7 @@ def audit_postings(idx, corpus: DataFrame, sample: int = 64) -> dict:
         )
     else:
         stats_n = 0
-    corpus_rows = corpus.count()
+    corpus_rows = corpus.count() if _corpus_rows is None else _corpus_rows
     rep["stats_n_docs"] = int(stats_n)
     rep["corpus_rows"] = int(corpus_rows)
     rep["stats_ok"] = int(stats_n) == int(corpus_rows)
@@ -218,7 +232,7 @@ def audit_postings(idx, corpus: DataFrame, sample: int = 64) -> dict:
     return rep
 
 
-def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64) -> dict:
+def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64, _s: DataFrame | None = None) -> dict:
     """Every sampled vector re-encodes to (cell, codes) under the
     current codebook; the forward row must point at that cell and the
     codes table must hold that exact row — a moved code row (the
@@ -226,7 +240,7 @@ def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64) -> dict:
     unregister delete the wrong thing later."""
     from stripe_sync_engine_spark.operators.pq_index import encode_ivf_pq
 
-    s = _sample(corpus, ann.id_col, sample)
+    s = _s if _s is not None else _sample(corpus, ann.id_col, sample)
     enc = encode_ivf_pq(s, ann.index, ann.id_col, ann.vec_col).localCheckpoint(
         eager=True
     )
@@ -262,24 +276,49 @@ def audit_corpus_indexes(
     list ``maintain_corpus_indexes`` takes, so the cron loop can audit
     exactly what it maintains. Gates dispatch on their signature method
     (the exact gate fingerprints, the near gate bands, the embedding
-    index buckets). Returns ``{"ok", "sample", "targets": [report...]}``."""
+    index buckets). The corpus is sampled ONCE per distinct target id
+    column (and counted once for the postings stats check), however
+    many targets share it — the orchestrator's corpus cost is a couple
+    of scans, not one per target.
+    Returns ``{"ok", "sample", "targets": [report...]}``."""
+    samples: dict[str, DataFrame] = {}
+
+    def shared(id_col: str) -> DataFrame:
+        if id_col not in samples:
+            samples[id_col] = _sample(corpus, id_col, sample)
+        return samples[id_col]
+
     reports = []
     for gate in gates:
         if hasattr(gate, "_fingerprints"):
-            reports.append(audit_exact_gate(gate, corpus, sample))
+            reports.append(
+                audit_exact_gate(gate, corpus, sample, _s=shared(gate.id_col))
+            )
         elif hasattr(gate, "_band_rows"):
-            reports.append(audit_near_gate(gate, corpus, sample))
+            reports.append(
+                audit_near_gate(gate, corpus, sample, _s=shared(gate.id_col))
+            )
         elif hasattr(gate, "_bq"):
-            reports.append(audit_embedding_index(gate, corpus, sample))
+            reports.append(
+                audit_embedding_index(gate, corpus, sample, _s=shared(gate.id_col))
+            )
         else:
             raise TypeError(
                 f"cannot audit gate {type(gate).__name__}: expected one of "
                 "the engine's exact/near/embedding gates"
             )
     if postings is not None:
-        reports.append(audit_postings(postings, corpus, sample))
+        reports.append(
+            audit_postings(
+                postings,
+                corpus,
+                sample,
+                _s=shared(postings.id_col),
+                _corpus_rows=corpus.count(),
+            )
+        )
     if ann is not None:
-        reports.append(audit_ivfpq(ann, corpus, sample))
+        reports.append(audit_ivfpq(ann, corpus, sample, _s=shared(ann.id_col)))
     return {
         "op": "index_audit",
         "ok": all(r["ok"] for r in reports),

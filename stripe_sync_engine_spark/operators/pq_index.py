@@ -561,23 +561,29 @@ class PersistedIVFPQ:
         rows so ``apply_changes`` replays keep an update's new version
         (``_keep_batch_id`` in ``unregister``).
 
-        The first successful register also PINS the codebook's baseline
-        quantization error (``pin_codebook_baseline``) — the reference
+        The register that CREATES the index also PINS the codebook's
+        baseline quantization error (``pin_codebook_baseline``) — the
+        creation batch is the training-era distribution, the reference
         point ``measure_codebook_drift`` compares against forever after.
-        On an index created before the metric existed, the pin lands on
-        the next register (baseline = error at pin time, stated in the
-        side file)."""
+        An index persisted before the metric existed stays UNPINNED
+        (pin explicitly from a representative corpus) — auto-pinning
+        from whatever later window happens to arrive first would anchor
+        the baseline at possibly-already-drifted error and mask exactly
+        the decay the metric exists to catch. The codebook side file
+        (``load``) does backfill on any register: it is the carried
+        object itself, identical whichever window writes it."""
         from stripe_sync_engine_spark.operators.incremental_dedup import (
             with_occ_retry,
         )
 
-        with_occ_retry(lambda: self._register_once(vecs, batch_id))
         import os
 
+        creating = not self.store.exists(self.table)
+        with_occ_retry(lambda: self._register_once(vecs, batch_id))
         if self.store.exists(self.table):
             if not os.path.exists(self._codebook_path()):
                 self._save_codebook()
-            if not os.path.exists(self._baseline_path()):
+            if creating and not os.path.exists(self._baseline_path()):
                 self.pin_codebook_baseline(vecs)
 
     @classmethod
@@ -695,7 +701,9 @@ class PersistedIVFPQ:
         from stripe_sync_engine_spark.commitio import atomic_write_json
         from stripe_sync_engine_spark.operators.index_audit import _sample
 
-        s = _sample(vecs, self.id_col, sample)
+        # project BEFORE sampling: the TakeOrdered scan then reads two
+        # columns, not full-width rows
+        s = _sample(vecs.select(self.id_col, self.vec_col), self.id_col, sample)
         row = quantization_sq_err(s, self.index, self.id_col, self.vec_col).agg(
             F.avg("sq_err").alias("mse"), F.count(F.lit(1)).alias("n")
         ).first()
@@ -712,20 +720,23 @@ class PersistedIVFPQ:
         rebuild_ratio: float | None = None,
     ) -> dict:
         """Mean squared ADC error over a bounded deterministic sample of
-        the CURRENT corpus vs the pinned baseline. Returns
+        ``corpus`` vs the pinned baseline. Returns
         ``{baseline_mse, current_mse, ratio, rebuild_recommended}``;
         a never-pinned index (built before the metric) reports
-        ``baseline_mse=None`` and recommends nothing — pin via
-        ``pin_codebook_baseline`` or the next register. O(sample)
-        encode work, zero shuffle — cheap enough for every maintenance
-        poll, which is where ``maintain_corpus_indexes`` reports it."""
+        ``baseline_mse=None`` and recommends nothing — pin explicitly
+        via ``pin_codebook_baseline`` over a representative corpus.
+        O(sample) encode over whatever frame is passed:
+        ``maintain_corpus_indexes`` passes each window's post-image
+        vectors (the incoming distribution, O(window) per poll); pass
+        the corpus table for the corpus-wide number on an audit
+        schedule."""
         import json
         import os
 
         rebuild_ratio = self.REBUILD_RATIO if rebuild_ratio is None else rebuild_ratio
         from stripe_sync_engine_spark.operators.index_audit import _sample
 
-        s = _sample(corpus, self.id_col, sample)
+        s = _sample(corpus.select(self.id_col, self.vec_col), self.id_col, sample)
         row = quantization_sq_err(s, self.index, self.id_col, self.vec_col).agg(
             F.avg("sq_err").alias("mse"), F.count(F.lit(1)).alias("n")
         ).first()

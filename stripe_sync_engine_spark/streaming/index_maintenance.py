@@ -132,7 +132,7 @@ def start_index_maintenance_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         window = f"{run_id}:{batch_id}"
-        n = engine._apply_change_window(batch_df, window, gates, postings, ann)
+        n, _ = engine._apply_change_window(batch_df, window, gates, postings, ann)
         engine._log_maintenance(
             {
                 "op": "corpus_cdc_fanout_stream",

@@ -1333,7 +1333,7 @@ class StripeSparkSync:
         )
         if feed is None:
             return {"cursor": cursor, "applied": False, "rows": 0}
-        n = self._apply_change_window(
+        n, applied_feed = self._apply_change_window(
             feed, f"{consumer}:{cursor}", gates, postings, ann
         )
         self.ack_changes(consumer, entity, cursor)
@@ -1353,11 +1353,21 @@ class StripeSparkSync:
         }
         if n and ann is not None and hasattr(ann, "measure_codebook_drift"):
             # apply_changes keeps the codes current but the codebook ages
-            # (pq_index: "retrain means rebuild") — re-measure its
-            # quantization error against the pinned baseline every window
-            # that changed the corpus, so recall decay is VISIBLE in the
-            # maintenance log before it hurts. O(sample) encode work.
-            report["ann_drift"] = ann.measure_codebook_drift(self.store.read(entity))
+            # (pq_index: "retrain means rebuild") — measure the WINDOW's
+            # post-image vectors against the pinned baseline: the
+            # incoming distribution vs the training distribution, which
+            # is the drift that ages the codebook, at O(window) cost (a
+            # corpus-wide number is the audit's job, on the operator's
+            # schedule). Post-ack and observability-only, so a failure
+            # here must not make the successfully committed poll look
+            # failed — it lands in the report instead.
+            try:
+                post = applied_feed.where(
+                    F.col("_change_type").isin("insert", "update")
+                )
+                report["ann_drift"] = ann.measure_codebook_drift(post)
+            except Exception as e:  # noqa: BLE001 — reported, never silent
+                report["ann_drift"] = {"error": f"{type(e).__name__}: {e}"}
         self._log_maintenance(report)
         return {"cursor": cursor, "applied": bool(n), "rows": n}
 
@@ -1382,8 +1392,13 @@ class StripeSparkSync:
             audit_corpus_indexes as _audit,
         )
 
+        corpus = self.store.read(entity)
+        if corpus is None:
+            raise ValueError(
+                f"unknown entity {entity!r} — no table to audit against"
+            )
         report = _audit(
-            self.store.read(entity),
+            corpus,
             gates=tuple(gates),
             postings=postings,
             ann=ann,
@@ -1401,10 +1416,13 @@ class StripeSparkSync:
         ordering or a new target kind lands on both surfaces at once.
         Checkpoints the window FIRST so every target (and the emptiness
         probe) reads one cached snapshot instead of re-running the diff
-        lineage. Returns the window's NET row count — ``update_preimage``
-        rows (present when the feed opted into pre-images) describe the
-        same updates their post-image rows already count, so including
-        them would overstate every report's window size."""
+        lineage. Returns ``(net_rows, checkpointed_feed)`` — net excludes
+        ``update_preimage`` rows (present when the feed opted into
+        pre-images), which describe the same updates their post-image
+        rows already count and would overstate every report's window
+        size; the checkpointed feed comes back so callers' post-apply
+        probes (the drift metric) reuse the cached snapshot instead of
+        re-running the diff lineage."""
         feed = feed.localCheckpoint(eager=True)
         counts = feed.agg(
             F.count(F.lit(1)).alias("all"),
@@ -1419,7 +1437,7 @@ class StripeSparkSync:
                 postings.apply_changes(feed, window)
             if ann is not None:
                 ann.apply_changes(feed, window)
-        return int(counts["net"])
+        return int(counts["net"]), feed
 
     def materialize_changes(
         self,

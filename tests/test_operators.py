@@ -2183,3 +2183,52 @@ def test_commitio_primitives(tmp_path):
     append_line(log, json.dumps({"batch_id": 0}))
     append_line(log, json.dumps({"batch_id": 1}))
     assert [json.loads(x) for x in open(log)] == [{"batch_id": 0}, {"batch_id": 1}]
+
+
+def test_near_gate_update_registers_new_bands_without_preimages(spark, tmp_path):
+    """An updated doc whose new text SHARES some band keys with its old
+    rows must still register the new content's other bands — freshness
+    is per (doc_id, band_key), the embedding gate's design. A
+    doc_id-only probe would find the doc in a shared key's bucket and
+    drop ALL the new rows, opening a permanent recall hole for the new
+    content (the pre-image feed only retires OLD rows; it cannot restore
+    rows that were never committed). Changed-key old rows stay as
+    conservative keep-seen ghosts until pre-images retire them."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        IncrementalNearDeduper,
+    )
+    from stripe_sync_engine_spark.plans.dedup import band_rows_of_sigs, minhash_sigs_for
+    from stripe_sync_engine_spark.storage import TableStore
+
+    old_text = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "from home tonight"
+    )
+    new_text = old_text.replace("tonight", "yesterday")
+
+    def pairs(text):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return {
+            (r["doc_id"], r["band_key"])
+            for r in band_rows_of_sigs(minhash_sigs_for(df)).collect()
+        }
+
+    old_pairs, new_pairs = pairs(old_text), pairs(new_text)
+    # the precondition under test: the update KEEPS some band keys and
+    # GAINS at least one (deterministic for this fixed text pair)
+    assert old_pairs & new_pairs and new_pairs - old_pairs
+
+    store = TableStore(spark, str(tmp_path / "wh_near_upd"))
+    gate = IncrementalNearDeduper(store)
+    gate.register(spark.createDataFrame([(1, old_text)], "doc_id long, text string"))
+    gate.register(spark.createDataFrame([(1, new_text)], "doc_id long, text string"))
+    got = {
+        (r["doc_id"], r["band_key"]) for r in store.read(gate.table).collect()
+    }
+    assert new_pairs <= got  # every NEW band row committed
+    assert old_pairs <= got  # old rows remain as conservative ghosts
+
+    # replay of the update registers nothing further
+    n = store.read(gate.table).count()
+    gate.register(spark.createDataFrame([(1, new_text)], "doc_id long, text string"))
+    assert store.read(gate.table).count() == n
