@@ -248,7 +248,18 @@ def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64, _s: DataFrame | None =
     fwd_known = _known(ann.store, ann.forward_table, enc, "vec_id")
     codes_known = _known(ann.store, ann.table, enc, "cell")
     if fwd_known is None or codes_known is None:
-        return _missing_table(ann.table, "ivfpq", checked)
+        # name what is ACTUALLY absent: codes missing means the index was
+        # never built, forward-only missing means a pre-delete-support
+        # index that needs the upgrade register / rebuild — two different
+        # remediations, so the report must not conflate them
+        missing = [
+            t
+            for t, known in ((ann.table, codes_known), (ann.forward_table, fwd_known))
+            if known is None
+        ]
+        rep = _missing_table(" + ".join(missing), "ivfpq", checked)
+        rep["missing_tables"] = missing
+        return rep
     fwd_drift = enc.select("vec_id", "cell").join(
         fwd_known.select("vec_id", "cell"), ["vec_id", "cell"], "left_anti"
     )

@@ -504,6 +504,15 @@ def ivf_pq_topk(
     )
 
 
+def _codebook_sidefile(store, table: str) -> str:
+    """The ONE formula for the codebook side-file path — shared by the
+    instance writers and ``PersistedIVFPQ.load`` (re-inlining it in
+    either place would silently desynchronize save from load)."""
+    import os
+
+    return os.path.join(store.root, table, "_codebook.json")
+
+
 class PersistedIVFPQ:
     """The IVF-PQ index ON the bucketed store: codes live in a table
     BUCKETED BY CELL, so a query's ``nprobe`` scan reads only the probed
@@ -578,13 +587,22 @@ class PersistedIVFPQ:
 
         import os
 
-        creating = not self.store.exists(self.table)
+        if not self.store.exists(self.table) and not os.path.exists(
+            self._baseline_path()
+        ):
+            # Pin BEFORE the creating write (the packer's pin-before-write
+            # discipline): a crash between the codes commit and a
+            # post-commit pin would replay with the table existing, the
+            # creation branch unreachable, and the drift watchdog
+            # permanently disarmed. Pinning first is crash-convergent —
+            # a crash right after the pin replays into an existing-file
+            # no-op here and the registration completing below.
+            self.pin_codebook_baseline(vecs)
         with_occ_retry(lambda: self._register_once(vecs, batch_id))
-        if self.store.exists(self.table):
-            if not os.path.exists(self._codebook_path()):
-                self._save_codebook()
-            if creating and not os.path.exists(self._baseline_path()):
-                self.pin_codebook_baseline(vecs)
+        if self.store.exists(self.table) and not os.path.exists(
+            self._codebook_path()
+        ):
+            self._save_codebook()
 
     @classmethod
     def load(
@@ -602,9 +620,8 @@ class PersistedIVFPQ:
         persistence existed: their next ``register`` backfills the file,
         or rebuild."""
         import json
-        import os
 
-        path = os.path.join(store.root, table, "_codebook.json")
+        path = _codebook_sidefile(store, table)
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -624,9 +641,7 @@ class PersistedIVFPQ:
         )
 
     def _codebook_path(self) -> str:
-        import os
-
-        return os.path.join(self.store.root, self.table, "_codebook.json")
+        return _codebook_sidefile(self.store, self.table)
 
     def _save_codebook(self) -> None:
         from stripe_sync_engine_spark.commitio import atomic_write_json
@@ -699,19 +714,28 @@ class PersistedIVFPQ:
         time. Returns the pinned record (None for an empty batch: a
         delete-only window pins nothing)."""
         from stripe_sync_engine_spark.commitio import atomic_write_json
+
+        mse, n = self._sampled_mse(vecs, sample)
+        if not n:
+            return None
+        rec = {"mse": mse, "sample": n}
+        atomic_write_json(self._baseline_path(), rec)
+        return rec
+
+    def _sampled_mse(self, frame, sample: int):
+        """ONE measurement kernel for baseline AND current: deterministic
+        hash-spread sample (projected to two columns before the
+        TakeOrdered scan), mean squared ADC error. Baseline and drift
+        measurements MUST be computed identically or the ratio-1.0
+        stable-corpus invariant breaks — sharing the kernel makes that
+        structural. Returns ``(mse | None, n)``."""
         from stripe_sync_engine_spark.operators.index_audit import _sample
 
-        # project BEFORE sampling: the TakeOrdered scan then reads two
-        # columns, not full-width rows
-        s = _sample(vecs.select(self.id_col, self.vec_col), self.id_col, sample)
+        s = _sample(frame.select(self.id_col, self.vec_col), self.id_col, sample)
         row = quantization_sq_err(s, self.index, self.id_col, self.vec_col).agg(
             F.avg("sq_err").alias("mse"), F.count(F.lit(1)).alias("n")
         ).first()
-        if not row["n"]:
-            return None
-        rec = {"mse": float(row["mse"]), "sample": int(row["n"])}
-        atomic_write_json(self._baseline_path(), rec)
-        return rec
+        return (float(row["mse"]) if row["n"] else None, int(row["n"]))
 
     def measure_codebook_drift(
         self,
@@ -734,13 +758,7 @@ class PersistedIVFPQ:
         import os
 
         rebuild_ratio = self.REBUILD_RATIO if rebuild_ratio is None else rebuild_ratio
-        from stripe_sync_engine_spark.operators.index_audit import _sample
-
-        s = _sample(corpus.select(self.id_col, self.vec_col), self.id_col, sample)
-        row = quantization_sq_err(s, self.index, self.id_col, self.vec_col).agg(
-            F.avg("sq_err").alias("mse"), F.count(F.lit(1)).alias("n")
-        ).first()
-        current = float(row["mse"]) if row["n"] else None
+        current, _n = self._sampled_mse(corpus, sample)
         try:
             with open(self._baseline_path()) as f:
                 baseline = json.load(f)["mse"]

@@ -1409,7 +1409,7 @@ class StripeSparkSync:
         return report
 
     @staticmethod
-    def _apply_change_window(feed, window: str, gates, postings, ann) -> int:
+    def _apply_change_window(feed, window: str, gates, postings, ann):
         """ONE implementation of the derived-index fan-out body shared by
         the cron form (``maintain_corpus_indexes``) and the streaming
         twin (``streaming/index_maintenance``) — a fix to the apply

@@ -725,3 +725,43 @@ def test_codebook_load_requires_persisted_codebook(spark, sf_dir, tmp_path):
         PersistedIVFPQ.load(store)
     p.register(vecs.limit(100), "b:1")  # replay no-op still backfills
     assert PersistedIVFPQ.load(store).index == idx
+
+
+def test_baseline_pin_survives_creation_crash(spark, sf_dir, tmp_path, monkeypatch):
+    """The drift baseline pins BEFORE the creating write (the packer's
+    pin-before-write discipline): a crash inside the creation register
+    leaves the baseline pinned, so the at-least-once replay — for which
+    the table now exists and the creation branch is unreachable — still
+    has its reference point. A post-commit pin would be silently skipped
+    forever on exactly this path, disarming the drift watchdog."""
+    import os
+
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    store = TableStore(spark, str(tmp_path / "wh_pin_crash"))
+    p = PersistedIVFPQ(store, idx)
+
+    real = PersistedIVFPQ._register_once
+
+    def boom(self, v, b):
+        raise OSError("injected crash inside the creating register")
+
+    monkeypatch.setattr(PersistedIVFPQ, "_register_once", boom)
+    with _pytest.raises(OSError, match="injected"):
+        p.register(vecs, "b:0")
+    assert os.path.exists(p._baseline_path())  # pinned despite the crash
+    assert not store.exists(p.table)
+
+    monkeypatch.setattr(PersistedIVFPQ, "_register_once", real)
+    p.register(vecs, "b:0")  # the replay completes the registration
+    assert store.exists(p.table) and os.path.exists(p._codebook_path())
+    d = p.measure_codebook_drift(vecs)
+    assert d["ratio"] == _pytest.approx(1.0) and not d["rebuild_recommended"]
