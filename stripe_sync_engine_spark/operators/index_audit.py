@@ -103,7 +103,10 @@ def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | 
     ANY registrant id — the gate keys suppression on content). A missing
     fingerprint is exactly the non-refcounted takedown edge: identical
     content survives in the corpus but future submissions would re-admit."""
-    from stripe_sync_engine_spark.operators.incremental_dedup import FINGERPRINT_COL
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        FINGERPRINT_COL,
+        anti_probe,
+    )
 
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     fps = gate._fingerprints(s).localCheckpoint(eager=True)
@@ -111,7 +114,10 @@ def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | 
     known = _known(gate.store, gate.table, fps, FINGERPRINT_COL)
     if known is None:
         return _missing_table(gate.table, "exact_gate", checked)
-    drift = fps.join(known, FINGERPRINT_COL, "left_anti")
+    # anti_probe, not a raw left_anti: the probe side is the tiny sample,
+    # and the flipped build keeps the bucket scan map-side at any store
+    # size (the gates' own discipline — incremental_dedup.anti_probe)
+    drift = anti_probe(fps, known, [FINGERPRINT_COL])
     return _report(gate.table, "exact_gate", checked, drift, "doc_id")
 
 
@@ -123,12 +129,12 @@ def audit_near_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | N
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     rows = gate._band_rows(s).select("doc_id", "band_key").localCheckpoint(eager=True)
     checked = s.count()
+    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
     known = _known(gate.store, gate.table, rows, "band_key")
     if known is None:
         return _missing_table(gate.table, "near_gate", checked)
-    drift = rows.join(
-        known.select("doc_id", "band_key"), ["doc_id", "band_key"], "left_anti"
-    )
+    drift = anti_probe(rows, known, ["doc_id", "band_key"])
     return _report(gate.table, "near_gate", checked, drift, "doc_id")
 
 
@@ -139,12 +145,12 @@ def audit_embedding_index(gate, corpus: DataFrame, sample: int = 64, _s: DataFra
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     rows = gate._bq(s).localCheckpoint(eager=True)
     checked = s.count()
+    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
     known = _known(gate.store, gate.table, rows, "bucket")
     if known is None:
         return _missing_table(gate.table, "embedding_index", checked)
-    drift = rows.join(
-        known.select("vec_id", "bucket", "qv"), ["vec_id", "bucket", "qv"], "left_anti"
-    )
+    drift = anti_probe(rows, known, ["vec_id", "bucket", "qv"])
     return _report(gate.table, "embedding_index", checked, drift, "vec_id")
 
 
@@ -171,13 +177,13 @@ def audit_postings(idx, corpus: DataFrame, sample: int = 64, _s: DataFrame | Non
         .localCheckpoint(eager=True)
     )
 
+    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
     known_post = _known(idx.store, idx.table, expected, "term_h")
     if known_post is None:
         rep = _missing_table(idx.table, "postings", checked)
     else:
-        drift = expected.join(
-            known_post.select("term_h", "doc_id"), ["term_h", "doc_id"], "left_anti"
-        )
+        drift = anti_probe(expected, known_post, ["term_h", "doc_id"])
         rep = _report(idx.table, "postings", checked, drift, "doc_id")
 
     # forward-table recount: symmetric difference of (doc_id, term_h)
@@ -260,14 +266,12 @@ def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64, _s: DataFrame | None =
         rep = _missing_table(" + ".join(missing), "ivfpq", checked)
         rep["missing_tables"] = missing
         return rep
-    fwd_drift = enc.select("vec_id", "cell").join(
-        fwd_known.select("vec_id", "cell"), ["vec_id", "cell"], "left_anti"
+    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
+    fwd_drift = anti_probe(
+        enc.select("vec_id", "cell"), fwd_known, ["vec_id", "cell"]
     )
-    code_drift = enc.join(
-        codes_known.select("vec_id", "cell", "codes"),
-        ["vec_id", "cell", "codes"],
-        "left_anti",
-    )
+    code_drift = anti_probe(enc, codes_known, ["vec_id", "cell", "codes"])
     drift = (
         fwd_drift.select("vec_id")
         .unionByName(code_drift.select("vec_id"))
