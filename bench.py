@@ -379,6 +379,27 @@ def _bench_bpe(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _bench_mixing(spark, sf_dir: str) -> dict[str, float]:
+    """Deterministic weighted corpus mixing (operators/mixing.py): one
+    map-side-combined category histogram + rates solve + the
+    hash-threshold sampling scan (codegen'd md5/CASE filter, zero
+    shuffle) — the data-mixture assembly step, end to end."""
+    from stripe_sync_engine_spark.operators.mixing import assemble_mixture
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    sampled, rates = assemble_mixture(
+        docs,
+        {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1},
+        salt="bench",
+    )
+    n = sampled.count()
+    t = time.perf_counter() - t0
+    assert n > 0 and rates
+    return {"txt_mixture_assemble": round(t, 3)}
+
+
 def _bench_ngram_lm(spark, sf_dir: str) -> dict[str, float]:
     """N-gram LM quality scoring (functions/ngram_lm.py): one-scan
     bigram/unigram counts + driver model build (``txt_lm_train``), then
@@ -771,6 +792,7 @@ def main() -> None:
     times.update(_bench_export(spark, sf_dir))
     times.update(_bench_pq(spark, sf_dir))
     times.update(_bench_ngram_lm(spark, sf_dir))
+    times.update(_bench_mixing(spark, sf_dir))
     times.update(_bench_audio(spark, sf_dir))
     times.update(_bench_span_dedup(spark, sf_dir))
     times.update(_bench_bm25(spark, sf_dir))

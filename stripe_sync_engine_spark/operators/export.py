@@ -72,7 +72,22 @@ def _nibble_sum_sql(var: str, n_chars: int) -> str:
     )
 
 
+def h32_col(col):
+    """Spark side of ``sql_h32``: the ONE md5→int64 32-bit uniform draw
+    (uniform on [0, 2^32) for distinct inputs) — consumers: shard
+    assignment below, the mixing sampler's keep-threshold
+    (``operators/mixing``). Pass any string-able Column; never re-inline
+    the conv/md5/substr chain, or a consumer desynchronizes from its
+    DuckDB oracle."""
+    return F.conv(
+        F.md5(col.cast("string")).substr(1, H32_HEX_CHARS), 16, 10
+    ).cast("long")
+
+
 def _shard_col(id_col: str, n_shards: int):
+    # NOT expressed via h32_col: SHARD_HEX_CHARS is a separate constant
+    # by design (see its comment) — tuning shard width must not move the
+    # h32 consumers' oracles, and vice versa.
     return (
         F.conv(
             F.md5(F.col(id_col).cast("string")).substr(1, SHARD_HEX_CHARS), 16, 10

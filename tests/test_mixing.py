@@ -1,0 +1,115 @@
+"""Deterministic weighted corpus mixing (operators/mixing): the rates
+solver's closed forms and loud infeasibility, hash-threshold sampling's
+determinism / nesting / DuckDB parity (the ONE h32 formula, both
+sides), and the assemble convenience's realized proportions."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from stripe_sync_engine_spark.operators.mixing import (
+    H32_SPACE,
+    assemble_mixture,
+    mixture_rates,
+    mixture_where_sql,
+    sample_mixture,
+)
+from stripe_sync_engine_spark.tables import load_table
+
+
+def test_mixture_rates_closed_forms():
+    counts = {"en": 1000, "fr": 200}
+    # no total: the binding category (fr) sets the waterline — total 400
+    assert mixture_rates(counts, {"en": 0.5, "fr": 0.5}) == {"en": 0.2, "fr": 1.0}
+    # explicit feasible total
+    assert mixture_rates(counts, {"en": 0.5, "fr": 0.5}, total=100) == {
+        "en": 0.05,
+        "fr": 0.25,
+    }
+    # proportions normalize; absent categories are explicit zeros
+    assert mixture_rates(counts, {"en": 2.0}) == {"en": 1.0, "fr": 0.0}
+    # infeasible total names the binding category and the max feasible
+    with pytest.raises(ValueError, match="'fr'.*max feasible total.*400"):
+        mixture_rates(counts, {"en": 0.5, "fr": 0.5}, total=1000)
+    # unrealizable target (no rows in a wanted category)
+    with pytest.raises(ValueError, match="unrealizable"):
+        mixture_rates(counts, {"en": 0.5, "zz": 0.5})
+    with pytest.raises(ValueError, match="empty"):
+        mixture_rates(counts, {})
+
+
+def test_sample_mixture_deterministic_nested_and_oracle_parity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.0, "zh": 0.1}
+
+    def ids(df):
+        return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+    a = ids(sample_mixture(docs, rates, salt="epoch1"))
+    b = ids(sample_mixture(docs, rates, salt="epoch1"))
+    c = ids(sample_mixture(docs, rates, salt="epoch2"))
+    assert a == b  # same salt: byte-identical mixture
+    assert a != c  # different salt: an independent redraw
+    # nesting: a lower-rate draw under the SAME salt is a subset
+    half = {k: v / 2 for k, v in rates.items()}
+    assert ids(sample_mixture(docs, half, salt="epoch1")) <= a
+    # rate 0 excludes the category entirely; rate 1 keeps all of it
+    langs = {
+        r["lang"]
+        for r in sample_mixture(docs, rates, salt="epoch1").select("lang").distinct().collect()
+    }
+    assert "es" not in langs and "fr" in langs
+
+    # DuckDB parity: the ONE h32 formula selects the same rows
+    con = duckdb.connect()
+    import os
+
+    pq = os.path.join(sf_dir, "documents.parquet")
+    where = mixture_where_sql(rates, salt="epoch1")
+    want = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{pq}') WHERE {where}"
+        ).fetchall()
+    }
+    assert a == want
+
+
+def test_assemble_mixture_realizes_proportions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sampled, rates = assemble_mixture(
+        docs, {"en": 0.5, "fr": 0.5}, salt="mix"
+    )
+    # fr is the scarcer category at these proportions: it keeps everything
+    assert rates["fr"] == 1.0 and 0 < rates["en"] < 1 and rates["es"] == 0.0
+    got = {
+        r["lang"]: r["count"]
+        for r in sampled.groupBy("lang").count().collect()
+    }
+    assert set(got) == {"en", "fr"}
+    n_fr = docs.where("lang = 'fr'").count()
+    assert got["fr"] == n_fr  # rate-1.0 category is exact
+    # the hash draw makes the en half binomial around its target; at
+    # sf0.001-sized corpora keep the tolerance generous but meaningful
+    target_en = rates["en"] * docs.where("lang = 'en'").count()
+    assert abs(got["en"] - target_en) <= max(6, 0.35 * target_en)
+
+    # explicit-total path composes with the guard
+    s2, r2 = assemble_mixture(docs, {"en": 1.0}, total=10, salt="mix")
+    assert s2.count() <= docs.where("lang = 'en'").count()
+    with pytest.raises(ValueError, match="infeasible"):
+        assemble_mixture(docs, {"fr": 1.0}, total=10**9)
+
+
+def test_assemble_mixture_guards_high_cardinality_category(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    import stripe_sync_engine_spark.operators.mixing as mixing
+
+    old = mixing.MAX_CATEGORIES
+    mixing.MAX_CATEGORIES = 2  # force the guard with the 5-lang corpus
+    try:
+        with pytest.raises(ValueError, match="not a category column"):
+            assemble_mixture(docs, {"en": 1.0})
+    finally:
+        mixing.MAX_CATEGORIES = old
