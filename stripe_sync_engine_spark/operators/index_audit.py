@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
 REPORT_LIMIT = 20
 
 
@@ -103,10 +105,7 @@ def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | 
     ANY registrant id — the gate keys suppression on content). A missing
     fingerprint is exactly the non-refcounted takedown edge: identical
     content survives in the corpus but future submissions would re-admit."""
-    from stripe_sync_engine_spark.operators.incremental_dedup import (
-        FINGERPRINT_COL,
-        anti_probe,
-    )
+    from stripe_sync_engine_spark.operators.incremental_dedup import FINGERPRINT_COL
 
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     fps = gate._fingerprints(s).localCheckpoint(eager=True)
@@ -129,8 +128,6 @@ def audit_near_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | N
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     rows = gate._band_rows(s).select("doc_id", "band_key").localCheckpoint(eager=True)
     checked = s.count()
-    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
-
     known = _known(gate.store, gate.table, rows, "band_key")
     if known is None:
         return _missing_table(gate.table, "near_gate", checked)
@@ -145,8 +142,6 @@ def audit_embedding_index(gate, corpus: DataFrame, sample: int = 64, _s: DataFra
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
     rows = gate._bq(s).localCheckpoint(eager=True)
     checked = s.count()
-    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
-
     known = _known(gate.store, gate.table, rows, "bucket")
     if known is None:
         return _missing_table(gate.table, "embedding_index", checked)
@@ -176,8 +171,6 @@ def audit_postings(idx, corpus: DataFrame, sample: int = 64, _s: DataFrame | Non
         .select("doc_id", "term_h")
         .localCheckpoint(eager=True)
     )
-
-    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
 
     known_post = _known(idx.store, idx.table, expected, "term_h")
     if known_post is None:
@@ -266,8 +259,6 @@ def audit_ivfpq(ann, corpus: DataFrame, sample: int = 64, _s: DataFrame | None =
         rep = _missing_table(" + ".join(missing), "ivfpq", checked)
         rep["missing_tables"] = missing
         return rep
-    from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
-
     fwd_drift = anti_probe(
         enc.select("vec_id", "cell"), fwd_known, ["vec_id", "cell"]
     )

@@ -30,11 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stripe_sync_engine_spark.operators.export import (
-    _nibble_sum_sql,
-    H32_HEX_CHARS,
-    h32_col,
-)
+from stripe_sync_engine_spark.operators.export import h32_col, sql_h32
 
 #: the draw space of the 32-bit hash: thresholds are rate × H32_SPACE
 H32_SPACE = 1 << 32
@@ -64,6 +60,12 @@ def mixture_rates(
     rate 0.0 — exclusion is explicit in the returned dict."""
     if not target_props:
         raise ValueError("target_props is empty — nothing to mix")
+    if total is not None and total <= 0:
+        raise ValueError(
+            f"total={total} — a mixture needs a positive sample size (a "
+            "mis-computed total must fail loudly, not deliver an empty "
+            "training corpus)"
+        )
     if any(p < 0 for p in target_props.values()) or sum(target_props.values()) <= 0:
         raise ValueError(f"target proportions must be positive: {target_props}")
     norm = sum(target_props.values())
@@ -88,7 +90,12 @@ def mixture_rates(
             f"{props[binding] * total:.0f}; max feasible total preserving "
             f"these proportions is {int(feasible)}"
         )
-    rates = {c: 0.0 for c in category_counts}
+    # NULL categories (None key — real language-ID output has them) can
+    # never be targeted: exclude them here so the returned rates dict is
+    # persistable/sortable and the SQL mirror never sees a None key; the
+    # sampler drops NULL-category rows regardless (their threshold
+    # lookup is NULL → 0).
+    rates = {c: 0.0 for c in category_counts if c is not None}
     for c, p in props.items():
         if p > 0:
             rates[c] = min(1.0, (p * total) / category_counts[c])
@@ -107,7 +114,9 @@ def sample_mixture(
     schema; deterministic; one codegen'd scan, zero shuffle. Nested
     property (useful for curriculum subsets): for the same salt, the
     sample at a lower rate is a SUBSET of the sample at a higher rate."""
-    thresholds = {c: int(round(r * H32_SPACE)) for c, r in rates.items()}
+    thresholds = {
+        c: int(round(r * H32_SPACE)) for c, r in rates.items() if c is not None
+    }
     mapping = F.create_map(
         *[F.lit(x) for cv in thresholds.items() for x in cv]
     )
@@ -124,12 +133,11 @@ def mixture_where_sql(
     """DuckDB mirror of ``sample_mixture``'s predicate (the oracle side
     of the ONE h32 formula) — AND it into a SELECT over the same table
     to reproduce the exact drawn set."""
-    u = _nibble_sum_sql(
-        f"(CAST({id_col} AS VARCHAR) || ':{salt}')", H32_HEX_CHARS
-    )
+    u = sql_h32(f"(CAST({id_col} AS VARCHAR) || ':{salt}')")
     cases = " ".join(
         f"WHEN '{c}' THEN ({u}) < {int(round(r * H32_SPACE))}"
         for c, r in sorted(rates.items())
+        if c is not None  # NULL categories never match a CASE arm anyway
     )
     return f"(CASE {category_col} {cases} ELSE FALSE END)"
 

@@ -113,3 +113,26 @@ def test_assemble_mixture_guards_high_cardinality_category(spark, sf_dir):
             assemble_mixture(docs, {"en": 1.0})
     finally:
         mixing.MAX_CATEGORIES = old
+
+
+def test_null_category_and_bad_total_edges(spark):
+    """NULL categories (real language-ID output) never enter the rates
+    dict — it stays sortable/persistable, the SQL mirror never sees a
+    None key, and NULL-category rows are dropped by the sampler. A
+    non-positive explicit total raises instead of silently producing an
+    empty mixture."""
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", None), (3, "c", "en"), (4, "d", None)],
+        "doc_id long, text string, lang string",
+    )
+    sampled, rates = assemble_mixture(docs, {"en": 1.0}, salt="nulls")
+    assert rates == {"en": 1.0}  # no None key anywhere
+    got = {(r["doc_id"], r["lang"]) for r in sampled.collect()}
+    assert got == {(1, "en"), (3, "en")}  # NULL-category rows dropped
+    # the SQL mirror round-trips the same rates without a TypeError
+    assert "CASE lang WHEN 'en'" in mixture_where_sql(rates, salt="nulls")
+
+    with pytest.raises(ValueError, match="positive sample size"):
+        mixture_rates({"en": 100}, {"en": 1.0}, total=0)
+    with pytest.raises(ValueError, match="positive sample size"):
+        mixture_rates({"en": 100}, {"en": 1.0}, total=-5)
