@@ -136,3 +136,48 @@ def test_null_category_and_bad_total_edges(spark):
         mixture_rates({"en": 100}, {"en": 1.0}, total=0)
     with pytest.raises(ValueError, match="positive sample size"):
         mixture_rates({"en": 100}, {"en": 1.0}, total=-5)
+
+
+def test_mixture_rates_properties():
+    """Property-based pin of the solver's invariants: rates always lie
+    in [0, 1]; the realized expected total equals the requested total
+    (or the feasibility waterline when none is requested); and the
+    realized proportions match the normalized targets exactly —
+    rate_c × count_c / total == prop_c for every targeted category."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cats = st.dictionaries(
+        st.text("abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**6),
+        min_size=1,
+        max_size=8,
+    )
+    props = st.lists(st.floats(0.01, 100.0), min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(counts=cats, weights=props, frac=st.floats(0.01, 1.0))
+    def check(counts, weights, frac):
+        names = sorted(counts)[: len(weights)]
+        target = {c: w for c, w in zip(names, weights)}
+        norm = sum(target.values())
+        feasible = min(counts[c] / (w / norm) for c, w in target.items())
+
+        # no-total form: the waterline
+        rates = mixture_rates(counts, target)
+        assert all(0.0 <= r <= 1.0 for r in rates.values())
+        realized = sum(rates[c] * counts[c] for c in rates)
+        assert realized == pytest.approx(feasible, rel=1e-9)
+        for c, w in target.items():
+            assert rates[c] * counts[c] / feasible == pytest.approx(
+                w / norm, rel=1e-9
+            )
+
+        # explicit-total form: exactly the asked-for expected size
+        total = max(frac * feasible, 1e-6)
+        rates2 = mixture_rates(counts, target, total=total)
+        assert sum(rates2[c] * counts[c] for c in rates2) == pytest.approx(
+            total, rel=1e-9
+        )
+
+    check()
