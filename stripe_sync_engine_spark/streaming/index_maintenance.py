@@ -131,22 +131,34 @@ def start_index_maintenance_stream(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         window = f"{run_id}:{batch_id}"
-        n, _ = engine._apply_change_window(batch_df, window, gates, postings, ann)
-        engine._log_maintenance(
-            {
-                "op": "corpus_cdc_fanout_stream",
-                "entity": entity,
-                "window": window,
-                "applied": bool(n),
-                "rows": n,
-                "targets": {
-                    "gates": len(gates),
-                    "postings": postings is not None,
-                    "ann": ann is not None,
-                },
-            }
+        n, applied = engine._apply_change_window(
+            batch_df, window, gates, postings, ann
         )
+        record = {
+            "op": "corpus_cdc_fanout_stream",
+            "entity": entity,
+            "window": window,
+            "applied": bool(n),
+            "rows": n,
+            "targets": {
+                "gates": len(gates),
+                "postings": postings is not None,
+                "ann": ann is not None,
+            },
+        }
+        if n and ann is not None and hasattr(ann, "measure_codebook_drift"):
+            # parity with the cron form: the window's post-image vectors
+            # vs the pinned baseline, O(window); observability only, so a
+            # failure lands in the record rather than killing the stream
+            try:
+                post = applied.where(F.col("_change_type").isin("insert", "update"))
+                record["ann_drift"] = ann.measure_codebook_drift(post)
+            except Exception as e:  # noqa: BLE001 — reported, never silent
+                record["ann_drift"] = {"error": f"{type(e).__name__}: {e}"}
+        engine._log_maintenance(record)
 
     writer = feed.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -851,3 +851,43 @@ def test_index_maintenance_stream_guards_initial_load_over_existing(spark, tmp_p
     ]
     assert log and log[0]["entity"] == "corpus" and log[0]["rows"] == 5
     assert log[0]["applied"] is True and log[0]["targets"]["postings"] is True
+
+
+def test_index_maintenance_stream_reports_ann_drift(spark, tmp_path):
+    """Parity with the cron form: each applied streaming window with an
+    ANN target logs the codebook drift measured over the window's
+    post-image vectors — on the initial load that is the creation batch
+    itself, so the ratio is exactly 1.0 against the just-pinned
+    baseline."""
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.index_maintenance import (
+        start_index_maintenance_stream,
+    )
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    rng = [[(0.01 * ((i * 7 + d * 3) % 50) - 0.25) for d in range(64)] for i in range(48)]
+    store = TableStore(spark, str(tmp_path / "wh_imd"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    vecs = spark.createDataFrame(
+        [(i, rng[i]) for i in range(48)], "vec_id long, embedding array<double>"
+    )
+    store.write("vectors", vecs, key="vec_id")
+    ann = PersistedIVFPQ(store, train_ivf_pq(vecs, n_cells=4, m=8, k=8))
+    q = start_index_maintenance_stream(
+        eng, "vectors", str(tmp_path / "ckpt_imd"), ann=ann
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    log = [
+        r
+        for r in eng.read_maintenance_log()
+        if r.get("op") == "corpus_cdc_fanout_stream" and r.get("applied")
+    ]
+    assert log and log[-1]["ann_drift"]["ratio"] == _pytest.approx(1.0)
+    assert log[-1]["ann_drift"]["rebuild_recommended"] is False
