@@ -36,8 +36,11 @@ delegate to an injectable backend (``set_backend``), the default being
 ``InMemoryConditionalPutBackend`` is the if-match-generation fake that
 proves the interface suffices — the side-file suite (manifest commits,
 cursors, fold ledgers, the packer pin) runs green against it with no
-rename anywhere (``tests/test_commitio_backends.py``), so a real
-S3/GCS backend only has to implement these two methods.
+rename anywhere, and racing writers serialize through the CAS with no
+lost update (``tests/test_commitio_backends.py``), so a real S3/GCS
+backend only has to implement one conditional put and derive
+``put_atomic`` / ``append`` / ``read_modify_write`` from it exactly as
+the fake does.
 
 Single-writer expectations stay with the CALLERS (the store's commit
 lock, the gates' external-serialization contract, the stream's serial
@@ -49,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 
 class PosixRenameBackend:
@@ -87,13 +91,33 @@ class PosixRenameBackend:
         with open(path, "a") as f:
             f.write(line + "\n")
 
+    def read_modify_write(self, path: str, fn) -> None:
+        """Apply ``fn(current_text) -> new_text`` (missing file reads as
+        ``""``) and commit the result. On POSIX the read-compute-put is
+        NOT self-serializing — multi-writer RMW callers hold locks (the
+        store's commit lock, the gates' external-serialization contract),
+        which is exactly the assumption the conditional-put backend
+        replaces with CAS retries; routing RMW through this method keeps
+        the discipline swappable with the backend."""
+        try:
+            with open(path) as f:
+                prior = f.read()
+        except FileNotFoundError:
+            prior = ""
+        self.put_atomic(path, fn(prior))
+
 
 class ConditionalPutConflict(RuntimeError):
     """The object's generation moved between read and put — another
     writer committed first (S3 412 Precondition Failed / GCS
-    ifGenerationMatch failure). Surfacing it loudly is the point: the
-    engine's side-files are single-writer by contract, so a conflict
-    here means that contract was violated, not that a retry is owed."""
+    ifGenerationMatch failure). For ``put_atomic`` side-files surfacing
+    it loudly is the point: those are single-writer by contract, so a
+    conflict means that contract was violated, not that a retry is owed.
+    For the read-modify-write paths (``append``'s durable logs, which
+    legitimately take concurrent writers — a cron fan-out and a stream
+    both appending the maintenance log), losing the race invalidates no
+    decision: the retry discipline re-reads and re-applies, and THAT
+    loop lives in ``read_modify_write`` so every caller inherits it."""
 
 
 class InMemoryConditionalPutBackend:
@@ -105,41 +129,76 @@ class InMemoryConditionalPutBackend:
     (object stores have no torn GETs; readers keep using plain
     ``open``), so the rest of the engine runs unmodified on top.
 
+    The CAS itself is ATOMIC under an internal lock — a real store
+    serializes the precondition check and the write server-side, and a
+    fake that let two threads interleave between check and write would
+    validate an interface no real backend provides (both "succeeding"
+    is precisely the lost update CAS exists to prevent).
+
     ``append`` is read-modify-write under the same CAS — object stores
     have no append primitive, which is why the real deployment would
     point the append-only logs at the store's compose/multipart path or
-    accept RMW; the fake pins that the INTERFACE (two methods) is the
-    entire surface a backend must provide."""
+    accept RMW; the fake pins that the INTERFACE (two write methods
+    plus the RMW retry discipline composed from the same CAS) is the
+    entire surface a backend must provide. ``read_modify_write`` is the
+    multi-writer-safe primitive: losers of the generation race retry
+    from a fresh read, so N racing writers serialize with no lost
+    update and no filesystem lock anywhere."""
 
     def __init__(self):
         self.generations: dict[str, int] = {}
         self.puts = 0  # observability for the seam tests
+        self.conflicts = 0  # CAS losses (each one a serialized retry)
+        self._lock = threading.Lock()
 
     def _conditional_put(self, path: str, text: str, if_generation_match: int) -> None:
-        current = self.generations.get(path, 0)
-        if current != if_generation_match:
-            raise ConditionalPutConflict(
-                f"{path}: generation {current} != expected {if_generation_match}"
-            )
-        d = os.path.dirname(path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        with open(path, "w") as f:
-            f.write(text)
-        self.generations[path] = current + 1
-        self.puts += 1
+        with self._lock:
+            current = self.generations.get(path, 0)
+            if current != if_generation_match:
+                self.conflicts += 1
+                raise ConditionalPutConflict(
+                    f"{path}: generation {current} != expected {if_generation_match}"
+                )
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            with open(path, "w") as f:
+                f.write(text)
+            self.generations[path] = current + 1
+            self.puts += 1
 
     def put_atomic(self, path: str, text: str) -> None:
+        # expected generation sampled at CALL time, checked atomically in
+        # the CAS: two put_atomic racers interleaved between sample and
+        # check surface a LOUD conflict (these files are single-writer by
+        # contract — a conflict is a caller bug, not a retry)
         self._conditional_put(path, text, self.generations.get(path, 0))
 
+    def read_modify_write(self, path: str, fn, attempts: int = 64) -> None:
+        """The callers' retry discipline for multi-writer side files:
+        snapshot the generation, read, compute, CAS — a lost race
+        re-reads and re-applies (``fn`` must therefore be a pure
+        function of the current content, which every log append is).
+        Bounded so a livelock (or a buggy non-converging ``fn``)
+        surfaces instead of spinning forever."""
+        for _ in range(attempts):
+            gen = self.generations.get(path, 0)
+            try:
+                with open(path) as f:
+                    prior = f.read()
+            except FileNotFoundError:
+                prior = ""
+            try:
+                self._conditional_put(path, fn(prior), gen)
+                return
+            except ConditionalPutConflict:
+                continue
+        raise ConditionalPutConflict(
+            f"{path}: lost the generation race {attempts} times in a row"
+        )
+
     def append(self, path: str, line: str) -> None:
-        gen = self.generations.get(path, 0)
-        try:
-            with open(path) as f:
-                prior = f.read()
-        except FileNotFoundError:
-            prior = ""
-        self._conditional_put(path, prior + line + "\n", gen)
+        self.read_modify_write(path, lambda prior: prior + line + "\n")
 
 
 _backend = PosixRenameBackend()

@@ -612,15 +612,31 @@ class IncrementalNearDeduper:
 
     def register(self, docs: DataFrame, _rows: DataFrame | None = None) -> None:
         """Durably record ``docs``' band rows, idempotently per
-        (doc_id, band_key) — replays register nothing, and an UPDATED
-        doc's new band rows commit while rows whose band key didn't
-        change no-op (the embedding gate's freshness design; changed-key
+        (doc_id, band_key, sig) — replays register nothing, and an
+        UPDATED doc's rows commit whenever ANY of its signature changed,
+        even for band keys the update left intact (the embedding gate's
+        freshness design, widened by the signature digest; superseded
         old rows stay keep-seen ghosts until a pre-image feed retires
         them) — with the same OCC-guarded single partial commit and the
         same out-of-band re-plan tolerance as the exact gate. ``_rows``:
         precomputed band rows for exactly ``docs`` (must be materialized
         — a retry re-reads them)."""
         with_occ_retry(lambda: self._register_once(docs, _rows))
+
+    @staticmethod
+    def _with_sig_key(rows: DataFrame) -> DataFrame:
+        """Band rows plus ``_sig_key``, an md5 over the FULL signature
+        columns — the freshness probe's third key component."""
+        from stripe_sync_engine_spark.plans.dedup import MINHASH_SEEDS
+
+        return rows.withColumn(
+            "_sig_key",
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{s}").cast("string") for s in range(MINHASH_SEEDS)]
+                )
+            ),
+        )
 
     def _register_once(self, docs: DataFrame, _rows: DataFrame | None = None) -> None:
         rows = _rows if _rows is not None else self._band_rows(docs)
@@ -631,18 +647,32 @@ class IncrementalNearDeduper:
         manifest = store._read_manifest(table)
         touched = store.buckets_of(rows, key="band_key", table=table)
         index = store._scan_manifest(table, manifest, touched)
-        # Freshness key (doc_id, band_key) — the embedding gate's
-        # (bucket, vec_id) design, for the same reason: an UPDATED doc
-        # shares some band keys with its old rows, and a doc_id-only
+        # Freshness key (doc_id, band_key, sig_digest). (doc_id, band_key)
+        # is the embedding gate's (bucket, vec_id) design — an UPDATED
+        # doc shares some band keys with its old rows, and a doc_id-only
         # probe would see the doc in one shared bucket and drop ALL its
         # new rows, permanently missing the new content's bands (a
-        # recall hole). Per-pair freshness commits the new bands while
-        # unchanged-key rows no-op; the old rows for CHANGED keys stay as
-        # keep-seen ghosts (conservative — they still gate) until a
-        # pre-image feed retires them (apply_changes). Replays still
-        # register nothing.
-        fresh = anti_probe(rows, index, ["doc_id", "band_key"]).localCheckpoint(
-            eager=True
+        # recall hole). The sig digest closes the REMAINING staleness:
+        # band rows carry the doc's FULL m0..m11 signature, so an update
+        # that keeps a band's own slice (same band_key) but changes other
+        # components would otherwise leave that row's sig columns frozen
+        # at the OLD content, and candidates()'s est_jaccard against it
+        # would score the doc's old text. With the digest in the key,
+        # any signature change re-registers every band row; superseded
+        # same-key rows become keep-seen ghosts (conservative — they
+        # still gate, and max-agreement in candidates() means the fresh
+        # row dominates for current content) until a pre-image feed
+        # retires them (apply_changes unregisters on the (band,
+        # band_key, doc_id) triple, which sweeps every generation).
+        # Replays still register nothing.
+        fresh = (
+            anti_probe(
+                self._with_sig_key(rows),
+                self._with_sig_key(index),
+                ["doc_id", "band_key", "_sig_key"],
+            )
+            .drop("_sig_key")
+            .localCheckpoint(eager=True)
         )  # pre-commit lineage cut (vacuum)
         if fresh.isEmpty():
             return

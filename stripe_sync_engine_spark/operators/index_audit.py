@@ -27,14 +27,17 @@ are exactly the sample scan(s) plus one ``count()`` for the postings
 stats check; the one whole-TABLE state read is the postings STATS
 table — O(batches since last fold), tiny by construction.
 
-Remedies, per target kind (deliberately NOT automated — each is the
-operator's call): exact/near gate drift → re-register the drifted
-docs (content-keyed, no global state, replay-safe); embedding-index
-qv drift → route the changed embeddings through ``apply_changes``;
-postings drift → rebuild the index (a targeted re-register would
-re-increment the batch-keyed N/avgdl stats for rows partially
-present); IVF-PQ drift → ``PersistedIVFPQ.rebuild`` (also the answer
-when ``measure_codebook_drift`` recommends one).
+Remedies, per target kind: the CONTENT-KEYED targets' remedies are
+mechanical and ``repair_from_audit`` closes their loop — exact/near
+gate drift → re-register the drifted docs (content-keyed, no global
+state, replay-safe); embedding-index qv drift → unregister-then-
+register the drifted vectors at their CURRENT buckets (same effect as
+routing the change through ``apply_changes``, without needing the lost
+pre-image). The BATCH-STAT-KEYED targets stay rebuild-only and the
+repairer REFUSES them loudly: postings drift → rebuild the index (a
+targeted re-register would re-increment the batch-keyed N/avgdl stats
+for rows partially present); IVF-PQ drift → ``PersistedIVFPQ.rebuild``
+(also the answer when ``measure_codebook_drift`` recommends one).
 
 Reference analog: none (the reference trusts Postgres constraints);
 this is the training-data-pipeline extension's integrity tool.
@@ -100,23 +103,54 @@ def _missing_table(table: str, kind: str, checked: int) -> dict:
     }
 
 
+def _exact_gate_drift(gate, s: DataFrame) -> tuple[int, DataFrame | None]:
+    """(checked, drift-rows-with-doc_id) for the exact gate's probe;
+    drift None when the gate table does not exist. Shared by the audit
+    (reports) and the repairer (re-registers) so the two can never
+    disagree about what drift IS."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import FINGERPRINT_COL
+
+    fps = gate._fingerprints(s).localCheckpoint(eager=True)
+    checked = fps.count()
+    known = _known(gate.store, gate.table, fps, FINGERPRINT_COL)
+    if known is None:
+        return checked, None
+    # anti_probe, not a raw left_anti: the probe side is the tiny sample,
+    # and the flipped build keeps the bucket scan map-side at any store
+    # size (the gates' own discipline — incremental_dedup.anti_probe)
+    return checked, anti_probe(fps, known, [FINGERPRINT_COL])
+
+
+def _near_gate_drift(gate, s: DataFrame) -> tuple[int, DataFrame | None]:
+    """(checked, drift-rows-with-doc_id) for the near gate's probe."""
+    rows = gate._band_rows(s).select("doc_id", "band_key").localCheckpoint(eager=True)
+    checked = s.count()
+    known = _known(gate.store, gate.table, rows, "band_key")
+    if known is None:
+        return checked, None
+    return checked, anti_probe(rows, known, ["doc_id", "band_key"])
+
+
+def _embedding_drift(gate, s: DataFrame) -> tuple[int, DataFrame | None]:
+    """(checked, drift-rows-with-vec_id) for the embedding index's
+    probe — keyed on qv too, so a stale quantization IS drift."""
+    rows = gate._bq(s).localCheckpoint(eager=True)
+    checked = s.count()
+    known = _known(gate.store, gate.table, rows, "bucket")
+    if known is None:
+        return checked, None
+    return checked, anti_probe(rows, known, ["vec_id", "bucket", "qv"])
+
+
 def audit_exact_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | None = None) -> dict:
     """Every sampled doc's content fingerprint must be registered (under
     ANY registrant id — the gate keys suppression on content). A missing
     fingerprint is exactly the non-refcounted takedown edge: identical
     content survives in the corpus but future submissions would re-admit."""
-    from stripe_sync_engine_spark.operators.incremental_dedup import FINGERPRINT_COL
-
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
-    fps = gate._fingerprints(s).localCheckpoint(eager=True)
-    checked = fps.count()
-    known = _known(gate.store, gate.table, fps, FINGERPRINT_COL)
-    if known is None:
+    checked, drift = _exact_gate_drift(gate, s)
+    if drift is None:
         return _missing_table(gate.table, "exact_gate", checked)
-    # anti_probe, not a raw left_anti: the probe side is the tiny sample,
-    # and the flipped build keeps the bucket scan map-side at any store
-    # size (the gates' own discipline — incremental_dedup.anti_probe)
-    drift = anti_probe(fps, known, [FINGERPRINT_COL])
     return _report(gate.table, "exact_gate", checked, drift, "doc_id")
 
 
@@ -126,12 +160,9 @@ def audit_near_gate(gate, corpus: DataFrame, sample: int = 64, _s: DataFrame | N
     maintained index converges to that set even across updates); a
     missing row is drift — the doc would stop gating on that band."""
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
-    rows = gate._band_rows(s).select("doc_id", "band_key").localCheckpoint(eager=True)
-    checked = s.count()
-    known = _known(gate.store, gate.table, rows, "band_key")
-    if known is None:
+    checked, drift = _near_gate_drift(gate, s)
+    if drift is None:
         return _missing_table(gate.table, "near_gate", checked)
-    drift = anti_probe(rows, known, ["doc_id", "band_key"])
     return _report(gate.table, "near_gate", checked, drift, "doc_id")
 
 
@@ -140,12 +171,9 @@ def audit_embedding_index(gate, corpus: DataFrame, sample: int = 64, _s: DataFra
     the quantization its CURRENT embedding produces — a stale qv row
     (embedding changed out-of-band) scores wrong cosines silently."""
     s = _s if _s is not None else _sample(corpus, gate.id_col, sample)
-    rows = gate._bq(s).localCheckpoint(eager=True)
-    checked = s.count()
-    known = _known(gate.store, gate.table, rows, "bucket")
-    if known is None:
+    checked, drift = _embedding_drift(gate, s)
+    if drift is None:
         return _missing_table(gate.table, "embedding_index", checked)
-    drift = anti_probe(rows, known, ["vec_id", "bucket", "qv"])
     return _report(gate.table, "embedding_index", checked, drift, "vec_id")
 
 
@@ -330,4 +358,143 @@ def audit_corpus_indexes(
         "ok": all(r["ok"] for r in reports),
         "sample": sample,
         "targets": reports,
+    }
+
+
+#: rebuild pointers for the target kinds a sampled repair CANNOT fix
+_REBUILD_ONLY = {
+    "postings": (
+        "postings drift is rebuild-only: a targeted re-register would "
+        "re-increment the batch-keyed N/avgdl stats for rows partially "
+        "present — drop the index state and re-register the full corpus"
+    ),
+    "ivfpq": (
+        "IVF-PQ drift is rebuild-only: PersistedIVFPQ.rebuild() retrains, "
+        "re-encodes, and re-pins the drift baseline"
+    ),
+}
+
+
+def repair_from_audit(
+    report: dict,
+    corpus: DataFrame,
+    gates=(),
+    postings=None,
+    ann=None,
+) -> dict:
+    """Close the loop the audit opens, for the CONTENT-KEYED targets:
+    given an ``audit_corpus_indexes`` report and the SAME target list,
+    re-derive each failing gate's drifted rows (the report's
+    ``drift_ids`` are a ``REPORT_LIMIT``-capped preview, so the repair
+    recomputes the FULL drifted set with the audit's own probe — the
+    sample is deterministic, so it is the same sample) and re-register
+    exactly those corpus rows through the gate. Bucket-pruned end to
+    end; replay-safe: a repair replayed against a clean index finds no
+    drift and registers nothing (the gates' register idempotence makes
+    even a crash mid-repair convergent). The embedding index
+    unregisters-then-registers the drifted vectors so a STALE qv at an
+    unchanged bucket (which register's (bucket, vec_id) freshness would
+    skip) is replaced, not kept.
+
+    Failing ``postings`` / ``ivfpq`` targets are REFUSED with the
+    documented rebuild pointer (``_REBUILD_ONLY``) — their global
+    batch-keyed stats make a sampled re-register corruption, not
+    repair. A gate whose table is missing entirely is refused too: the
+    index was never built, and registering only the audit sample would
+    masquerade as coverage.
+
+    Each repaired target is RE-AUDITED over the same sample before the
+    result is returned, so ``ok=True`` means "verified clean now", not
+    "writes issued". Returns ``{"op", "ok", "repaired": [...],
+    "refused": [...]}``."""
+    sample = int(report.get("sample", 64))
+    by_table = {r["table"]: r for r in report.get("targets", [])}
+    samples: dict[str, DataFrame] = {}
+
+    def shared(id_col: str) -> DataFrame:
+        if id_col not in samples:
+            samples[id_col] = _sample(corpus, id_col, sample)
+        return samples[id_col]
+
+    repaired: list[dict] = []
+    refused: list[dict] = []
+
+    for gate in gates:
+        rep = by_table.get(gate.table)
+        if rep is None or rep["ok"]:
+            continue
+        if hasattr(gate, "_fingerprints"):
+            kind, probe, id_name, audit = (
+                "exact_gate", _exact_gate_drift, "doc_id", audit_exact_gate,
+            )
+        elif hasattr(gate, "_band_rows"):
+            kind, probe, id_name, audit = (
+                "near_gate", _near_gate_drift, "doc_id", audit_near_gate,
+            )
+        elif hasattr(gate, "_bq"):
+            kind, probe, id_name, audit = (
+                "embedding_index", _embedding_drift, "vec_id", audit_embedding_index,
+            )
+        else:
+            raise TypeError(
+                f"cannot repair gate {type(gate).__name__}: expected one of "
+                "the engine's exact/near/embedding gates"
+            )
+        if rep.get("missing_table"):
+            refused.append(
+                {
+                    "table": gate.table,
+                    "kind": kind,
+                    "reason": (
+                        "index table missing — never built; registering only "
+                        "the audit sample would masquerade as coverage. Build "
+                        "it with register / maintain_corpus_indexes over the "
+                        "full corpus"
+                    ),
+                }
+            )
+            continue
+        s = shared(gate.id_col)
+        _, drift = probe(gate, s)
+        ids = drift.select(id_name).distinct()
+        docs = (
+            s.join(F.broadcast(ids.withColumnRenamed(id_name, gate.id_col)),
+                   gate.id_col, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = docs.count()
+        if n:
+            if kind == "embedding_index":
+                # replace, don't skip: register's (bucket, vec_id)
+                # freshness would no-op on a stale qv at an unchanged
+                # bucket — deleting the current-bucket rows first makes
+                # the re-register land the CURRENT quantization
+                gate.unregister(docs)
+            gate.register(docs)
+        post = audit(gate, corpus, sample, _s=s)
+        repaired.append(
+            {
+                "table": gate.table,
+                "kind": kind,
+                "drifted_docs": n,
+                "post_ok": post["ok"],
+            }
+        )
+
+    for target, kind in ((postings, "postings"), (ann, "ivfpq")):
+        if target is None:
+            continue
+        rep = next(
+            (r for r in report.get("targets", []) if r["kind"] == kind), None
+        )
+        if rep is not None and not rep["ok"]:
+            refused.append(
+                {"table": rep["table"], "kind": kind, "reason": _REBUILD_ONLY[kind]}
+            )
+
+    return {
+        "op": "index_repair",
+        "ok": not refused and all(r["post_ok"] for r in repaired),
+        "repaired": repaired,
+        "refused": refused,
     }

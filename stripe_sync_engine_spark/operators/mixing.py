@@ -124,6 +124,14 @@ def sample_mixture(
     return docs.where(u < F.coalesce(mapping[F.col(category_col)], F.lit(0)))
 
 
+def _sql_str(s: str) -> str:
+    """Render a Python string as a SQL string literal, doubling embedded
+    single quotes — a category value like ``don't`` or a quoted salt must
+    produce valid (and non-injectable) oracle SQL, or the DuckDB mirror
+    silently desynchronizes from the Spark draw."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def mixture_where_sql(
     rates: dict[str, float],
     category_col: str = "lang",
@@ -132,10 +140,12 @@ def mixture_where_sql(
 ) -> str:
     """DuckDB mirror of ``sample_mixture``'s predicate (the oracle side
     of the ONE h32 formula) — AND it into a SELECT over the same table
-    to reproduce the exact drawn set."""
-    u = sql_h32(f"(CAST({id_col} AS VARCHAR) || ':{salt}')")
+    to reproduce the exact drawn set. Category values and the salt are
+    quote-escaped so the mirror stays byte-equivalent to the Spark side
+    for any string content."""
+    u = sql_h32(f"(CAST({id_col} AS VARCHAR) || {_sql_str(':' + salt)})")
     cases = " ".join(
-        f"WHEN '{c}' THEN ({u}) < {int(round(r * H32_SPACE))}"
+        f"WHEN {_sql_str(c)} THEN ({u}) < {int(round(r * H32_SPACE))}"
         for c, r in sorted(rates.items())
         if c is not None  # NULL categories never match a CASE arm anyway
     )

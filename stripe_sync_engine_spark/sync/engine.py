@@ -1240,10 +1240,23 @@ class StripeSparkSync:
             # rewritten underneath the consumer; identical re-delivery is
             # impossible, so fail loudly rather than double-apply.
             if pinned not in commits:
+                # Two distinct causes land here: (a) the history was
+                # rewritten underneath the consumer, or (b) retention
+                # aging — vacuum_orphans pruned the pinned commit's
+                # _history entry during an outage longer than the
+                # vacuum's min_age_s. Both make identical re-delivery
+                # impossible, so both fail loudly; the retention
+                # contract is that vacuum min_age_s / vacuum_retain_s
+                # must exceed the maximum fan-out consumer outage so an
+                # outstanding pin stays resolvable.
                 raise RuntimeError(
                     f"pinned change window {pinned} for consumer "
-                    f"{consumer!r} on {entity!r} matches no commit — the "
-                    "store history changed; rebuild the consumer's targets"
+                    f"{consumer!r} on {entity!r} matches no commit — "
+                    "either the store history was rewritten, or vacuum "
+                    "retention pruned the pinned commit during a long "
+                    "consumer outage (keep vacuum min_age_s above the "
+                    "maximum consumer outage). Identical re-delivery is "
+                    "impossible; rebuild the consumer's targets"
                 )
             until = pinned
         else:
@@ -1407,6 +1420,38 @@ class StripeSparkSync:
         report["entity"] = entity
         self._log_maintenance(report)
         return report
+
+    def repair_corpus_indexes(
+        self,
+        entity: str,
+        report: dict,
+        gates: Iterable = (),
+        postings=None,
+        ann=None,
+    ) -> dict:
+        """Repair the content-keyed fan-out targets from an
+        ``audit_corpus_indexes`` report (see ``operators/index_audit.
+        repair_from_audit``): drifted docs re-register through the
+        exact/near gates and the embedding index, each repaired target is
+        re-audited before the result returns, and failing postings /
+        IVF-PQ targets are refused with their rebuild pointer. The
+        outcome lands in the durable ``_maintenance_log.jsonl`` beside
+        the audit that prompted it; a replayed repair is a no-op."""
+        from stripe_sync_engine_spark.operators.index_audit import (
+            repair_from_audit as _repair,
+        )
+
+        corpus = self.store.read(entity)
+        if corpus is None:
+            raise ValueError(
+                f"unknown entity {entity!r} — no table to repair against"
+            )
+        result = _repair(
+            report, corpus, gates=tuple(gates), postings=postings, ann=ann
+        )
+        result["entity"] = entity
+        self._log_maintenance(result)
+        return result
 
     @staticmethod
     def _apply_change_window(feed, window: str, gates, postings, ann):

@@ -140,6 +140,154 @@ def test_audit_vector_targets_clean_then_moved_code_row(spark, tmp_path):
     assert by_kind["embedding_index"]["ok"]  # LSH gate untouched
 
 
+def test_repair_text_targets_closes_drift_and_replay_is_noop(spark, tmp_path):
+    """The loop: injected drift → audit → repair → CLEAN audit. The
+    repairer recomputes the full drifted set with the audit's own probe
+    (drift_ids in the report are a capped preview), re-registers exactly
+    those docs through the gates, re-audits each target before
+    returning, and logs durably. Replaying the repair against the same
+    (now stale) report finds no drift and registers nothing."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        FINGERPRINT_COL,
+        IncrementalDeduper,
+        IncrementalNearDeduper,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh_repair"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    store.write("corpus", _docs(spark), key="doc_id")
+    exact = IncrementalDeduper(store)
+    near = IncrementalNearDeduper(store)
+    eng.maintain_corpus_indexes("a", "corpus", gates=[exact, near])
+
+    # inject the two content-keyed drift shapes
+    fp3 = exact._fingerprints(_docs(spark).where("doc_id = 3")).first()[FINGERPRINT_COL]
+    store.write(
+        exact.table,
+        store.read(exact.table).where(F.col(FINGERPRINT_COL) != fp3),
+        key=FINGERPRINT_COL,
+    )
+    bands = store.read(near.table)
+    victim = bands.where("doc_id = 5").first()
+    store.write(
+        near.table,
+        bands.where(
+            ~((F.col("doc_id") == 5) & (F.col("band_key") == victim["band_key"]))
+        ),
+        key="band_key",
+    )
+
+    rep = eng.audit_corpus_indexes("corpus", gates=[exact, near])
+    assert not rep["ok"]
+    fix = eng.repair_corpus_indexes("corpus", rep, gates=[exact, near])
+    assert fix["ok"] and not fix["refused"]
+    by_kind = {r["kind"]: r for r in fix["repaired"]}
+    assert by_kind["exact_gate"]["drifted_docs"] == 1
+    assert by_kind["near_gate"]["drifted_docs"] == 1
+    assert all(r["post_ok"] for r in fix["repaired"])
+    assert eng.audit_corpus_indexes("corpus", gates=[exact, near])["ok"]
+
+    # replayed repair (same stale report): no drift found, nothing written
+    v_exact = store._read_manifest(exact.table)["buckets"]
+    v_near = store._read_manifest(near.table)["buckets"]
+    fix2 = eng.repair_corpus_indexes("corpus", rep, gates=[exact, near])
+    assert fix2["ok"]
+    assert all(r["drifted_docs"] == 0 for r in fix2["repaired"])
+    assert store._read_manifest(exact.table)["buckets"] == v_exact
+    assert store._read_manifest(near.table)["buckets"] == v_near
+
+    # both outcomes landed durably beside their audits
+    ops = [r["op"] for r in eng.read_maintenance_log()]
+    assert ops.count("index_repair") == 2
+
+
+def test_repair_embedding_replaces_stale_qv(spark, tmp_path):
+    """A stale quantization at an UNCHANGED bucket is the case plain
+    re-register cannot fix (its (bucket, vec_id) freshness skips the
+    row) — the repairer unregisters-then-registers the drifted vectors
+    so the current qv lands."""
+    from stripe_sync_engine_spark.operators.embedding_index import (
+        IncrementalEmbeddingIndex,
+    )
+
+    rng = [[(0.01 * ((i * 7 + d * 3) % 50) - 0.25) for d in range(64)] for i in range(24)]
+    store = TableStore(spark, str(tmp_path / "wh_repair_v"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    vecs = spark.createDataFrame(
+        [(i, rng[i]) for i in range(24)], "vec_id long, embedding array<double>"
+    )
+    store.write("vectors", vecs, key="vec_id")
+    gate = IncrementalEmbeddingIndex(store, id_col="vec_id")
+    eng.maintain_corpus_indexes("v", "vectors", gates=[gate])
+    assert eng.audit_corpus_indexes("vectors", gates=[gate])["ok"]
+
+    # corrupt vec 7's stored quantization in place — bucket unchanged
+    tbl = store.read(gate.table)
+    store.write(
+        gate.table,
+        tbl.withColumn(
+            "qv",
+            F.when(
+                F.col("vec_id") == 7,
+                F.transform(F.col("qv"), lambda x: x + F.lit(1)),
+            ).otherwise(F.col("qv")),
+        ),
+        key="bucket",
+    )
+    rep = eng.audit_corpus_indexes("vectors", gates=[gate])
+    assert not rep["ok"]
+    assert {t["kind"]: t for t in rep["targets"]}["embedding_index"]["drift_ids"] == [7]
+
+    fix = eng.repair_corpus_indexes("vectors", rep, gates=[gate])
+    assert fix["ok"] and fix["repaired"][0]["drifted_docs"] == 1
+    assert eng.audit_corpus_indexes("vectors", gates=[gate])["ok"]
+    # exactly one row per (bucket, vec_id) for vec 7 — replaced, not doubled
+    assert store.read(gate.table).where("vec_id = 7").groupBy(
+        "bucket"
+    ).count().where("count > 1").isEmpty()
+
+
+def test_repair_refuses_rebuild_only_and_missing_targets(spark, tmp_path):
+    """Postings / IVF-PQ drift is refused with the rebuild pointer (a
+    sampled re-register would corrupt the batch-keyed stats), and a gate
+    whose table was never built is refused rather than part-registered."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        IncrementalDeduper,
+    )
+    from stripe_sync_engine_spark.operators.index_audit import (
+        audit_corpus_indexes,
+        repair_from_audit,
+    )
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+
+    store = TableStore(spark, str(tmp_path / "wh_repair_r"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    store.write("corpus", _docs(spark), key="doc_id")
+    idx = PersistedPostingsIndex(store)
+    eng.maintain_corpus_indexes("a", "corpus", postings=idx)
+
+    # truncate the stats table: postings drift that is rebuild-only
+    store.write("corpus_extra", _docs(spark, 1), key="doc_id")  # noop filler
+    stats = store.read(idx.stats_table)
+    store.write(idx.stats_table, stats.limit(0), key="batch_id")
+    rep = eng.audit_corpus_indexes("corpus", gates=[], postings=idx)
+    assert not rep["ok"]
+    fix = eng.repair_corpus_indexes("corpus", rep, postings=idx)
+    assert not fix["ok"] and not fix["repaired"]
+    assert fix["refused"][0]["kind"] == "postings"
+    assert "rebuild" in fix["refused"][0]["reason"]
+
+    # a never-built gate is refused, not sample-registered
+    ghost = IncrementalDeduper(store, table="_never_built")
+    corpus = store.read("corpus")
+    rep2 = audit_corpus_indexes(corpus, gates=[ghost])
+    assert not rep2["ok"] and rep2["targets"][0].get("missing_table")
+    fix2 = repair_from_audit(rep2, corpus, gates=[ghost])
+    assert not fix2["ok"] and fix2["refused"][0]["kind"] == "exact_gate"
+    assert "never built" in fix2["refused"][0]["reason"]
+    assert not store.exists("_never_built")
+
+
 def test_audit_missing_and_unknown_targets(spark, tmp_path):
     """An index that was never built audits as missing (ok only for an
     empty corpus); an unknown gate type raises rather than silently

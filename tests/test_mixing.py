@@ -138,6 +138,37 @@ def test_null_category_and_bad_total_edges(spark):
         mixture_rates({"en": 100}, {"en": 1.0}, total=-5)
 
 
+def test_quoted_category_and_salt_mirror_parity(spark):
+    """A category value or salt containing a single quote must still
+    render valid oracle SQL and select the SAME rows as the Spark draw —
+    raw interpolation would break (or inject into) the DuckDB mirror,
+    silently desynchronizing the reproducibility contract."""
+    rows = [(i, "don't" if i % 2 else "it's", ) for i in range(1, 201)]
+    docs = spark.createDataFrame(
+        [(i, c, f"t{i}") for i, c in rows], "doc_id long, lang string, text string"
+    )
+    rates = {"don't": 0.5, "it's": 0.25}
+    salt = "ep'och"
+    got = {
+        r["doc_id"] for r in sample_mixture(docs, rates, salt=salt).collect()
+    }
+
+    where = mixture_where_sql(rates, salt=salt)
+    assert "''" in where  # the quotes were escaped, not interpolated raw
+    con = duckdb.connect()
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(i, c) for i, c in rows], columns=["doc_id", "lang"]
+    )
+    con.register("docs", pdf)
+    want = {
+        r[0]
+        for r in con.execute(f"SELECT doc_id FROM docs WHERE {where}").fetchall()
+    }
+    assert got == want and got  # parity AND a non-empty draw
+
+
 def test_mixture_rates_properties():
     """Property-based pin of the solver's invariants: rates always lie
     in [0, 1]; the realized expected total equals the requested total

@@ -2232,3 +2232,26 @@ def test_near_gate_update_registers_new_bands_without_preimages(spark, tmp_path)
     n = store.read(gate.table).count()
     gate.register(spark.createDataFrame([(1, new_text)], "doc_id long, text string"))
     assert store.read(gate.table).count() == n
+
+    # the mixed-generation staleness is closed too: band rows carry the
+    # FULL m0..m11 signature, so for the band keys the update KEPT, the
+    # table must hold a row with the NEW signature (freshness keys on
+    # the sig digest, not just (doc_id, band_key)) — otherwise
+    # candidates() would estimate Jaccard against the doc's OLD content
+    # through those rows forever
+    from stripe_sync_engine_spark.plans.dedup import MINHASH_SEEDS
+
+    sig_cols = [f"m{s}" for s in range(MINHASH_SEEDS)]
+    new_sig = tuple(
+        minhash_sigs_for(
+            spark.createDataFrame([(1, new_text)], "doc_id long, text string")
+        )
+        .collect()[0]
+        .asDict()[c]
+        for c in sig_cols
+    )
+    by_key = {}
+    for r in store.read(gate.table).collect():
+        by_key.setdefault(r["band_key"], set()).add(tuple(r[c] for c in sig_cols))
+    for _, bk in old_pairs & new_pairs:
+        assert new_sig in by_key[bk]  # a fresh-generation row exists

@@ -853,6 +853,52 @@ def test_index_maintenance_stream_guards_initial_load_over_existing(spark, tmp_p
     assert log[0]["applied"] is True and log[0]["targets"]["postings"] is True
 
 
+def test_index_maintenance_stream_uri_checkpoint_paths(spark, tmp_path):
+    """A file:-scheme checkpoint URI must not defeat the freshness probe:
+    a checkpoint RESUMED under its file: spelling has offsets, so the
+    initial-load guard must stay quiet (before normalization, listdir on
+    the raw URI raised FileNotFoundError and the resumed checkpoint was
+    misread as fresh → spurious guard raise). A remote scheme the local
+    side-car state can't live on is rejected loudly."""
+    import pytest
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.index_maintenance import (
+        _local_checkpoint_path,
+        start_index_maintenance_stream,
+    )
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    assert _local_checkpoint_path("/plain/path") == "/plain/path"
+    assert _local_checkpoint_path("file:/ck/pt") == "/ck/pt"
+    assert _local_checkpoint_path("file:///ck/pt") == "/ck/pt"
+    with pytest.raises(ValueError, match="hdfs"):
+        _local_checkpoint_path("hdfs://nn:8020/ckpt")
+
+    store = TableStore(spark, str(tmp_path / "wh_uri"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"alpha uri doc {i} words") for i in range(4)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    idx = PersistedPostingsIndex(store)
+    ckpt = str(tmp_path / "ckpt_uri")
+
+    # initial load under the plain spelling builds the index...
+    q = start_index_maintenance_stream(eng, "corpus", ckpt, postings=idx)
+    assert q.awaitTermination(120)
+    q.stop()
+    # ...then resuming under the file: spelling of the SAME checkpoint
+    # must not spuriously raise the initial-load guard
+    q = start_index_maintenance_stream(eng, "corpus", "file://" + ckpt, postings=idx)
+    assert q.awaitTermination(120)
+    q.stop()
+    ids = [r["batch_id"] for r in store.read(idx.stats_table).collect()]
+    assert len(ids) == 1  # one initial load; the file: resume re-delivered nothing
+
+
 def test_index_maintenance_stream_reports_ann_drift(spark, tmp_path):
     """Parity with the cron form: each applied streaming window with an
     ANN target logs the codebook drift measured over the window's
