@@ -397,7 +397,59 @@ def _bench_mixing(spark, sf_dir: str) -> dict[str, float]:
     n = sampled.count()
     t = time.perf_counter() - t0
     assert n > 0 and rates
-    return {"txt_mixture_assemble": round(t, 3)}
+    out = {"txt_mixture_assemble": round(t, 3)}
+
+    # --- steady state: the histogram is MAINTAINED from the change feed
+    # (operators/mixing.CategoryCounts), so an epoch's re-solve costs one
+    # O(changed buckets) poll + an O(1) solve + the zero-shuffle draw —
+    # the corpus is never recounted. Setup (corpus write + initial load)
+    # is untimed; the timed section is one poll over a small change
+    # window plus the assemble from the maintained counts.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    wh = tempfile.mkdtemp(prefix="bench_mix_")
+    try:
+        store = TableStore(spark, wh, vacuum_retain_s=3600.0)
+        eng = StripeSparkSync(spark, store)
+        store.write("mixdocs", docs.select("doc_id", "text", "lang"), key="doc_id")
+        cc = CategoryCounts(eng, "mixdocs")
+        cc.poll()  # initial load — untimed setup
+        cur = store.read("mixdocs")
+        window = (
+            cur.where("doc_id % 400 = 0")
+            .withColumn("lang", F.lit("zh"))  # category moves
+            .unionByName(
+                cur.where("doc_id % 400 = 1").select(
+                    (F.col("doc_id") + 5_000_000).alias("doc_id"), "text", "lang"
+                )
+            )
+        )
+        store.write(
+            "mixdocs",
+            cur.join(window.select("doc_id"), "doc_id", "left_anti").unionByName(window),
+            key="doc_id",
+        )
+        t0 = time.perf_counter()
+        counts = cc.poll()
+        sampled, rates = assemble_mixture(
+            store.read("mixdocs"),
+            {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1},
+            salt="bench-steady",
+            counts=counts,
+        )
+        n2 = sampled.count()
+        out["txt_mixture_assemble_steady"] = round(time.perf_counter() - t0, 3)
+        assert n2 > 0 and rates["zh"] > 0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
 
 
 def _bench_ngram_lm(spark, sf_dir: str) -> dict[str, float]:

@@ -210,6 +210,7 @@ def export_corpus_shards(
     n_shards: int = 8,
     id_col: str = "doc_id",
     resume: bool = False,
+    mixture: dict | None = None,
 ) -> dict:
     """Export ``df`` as verified shards; returns the committed manifest.
 
@@ -218,7 +219,23 @@ def export_corpus_shards(
     only changed/missing shards are rewritten via dynamic partition
     overwrite. The manifest is committed atomically AFTER the data
     writes, so a crash mid-export leaves the previous manifest authoritative.
+
+    ``mixture``: the drawn-mixture recipe this export realizes
+    (``mixing.mixture_record(rates, salt, ...)``) — recorded verbatim in
+    the manifest so membership of every row is re-derivable from the
+    manifest alone, forever (``mixing.verify_mixture`` enforces it).
+    ``resume=True`` with ``mixture=None`` carries the previous
+    manifest's recipe forward; passing a DIFFERENT recipe on resume
+    raises, because the untouched shards still realize the old one —
+    re-export from scratch when the recipe changes.
     """
+    if mixture is not None and not (
+        isinstance(mixture, dict) and "rates" in mixture and "salt" in mixture
+    ):
+        raise ValueError(
+            "mixture must be a mixing.mixture_record(...) dict (needs "
+            "'rates' and 'salt')"
+        )
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
     stats = _shard_stats(df, id_col, n_shards)
@@ -229,6 +246,14 @@ def export_corpus_shards(
             f"resume with n_shards={n_shards} against a manifest written with "
             f"n_shards={prev.get('n_shards')}; re-export without resume"
         )
+    if prev is not None:
+        if mixture is None:
+            mixture = prev.get("mixture")  # the recipe travels with the data
+        elif prev.get("mixture") is not None and prev["mixture"] != mixture:
+            raise ValueError(
+                "resume with a different mixture recipe: the skipped shards "
+                "still realize the previous one — re-export without resume"
+            )
     todo = [
         k
         for k, s in stats.items()
@@ -267,6 +292,8 @@ def export_corpus_shards(
         "shards": {str(k): stats[k] for k in sorted(stats)},
         "shards_rewritten": sorted(todo + emptied),
     }
+    if mixture is not None:
+        manifest["mixture"] = mixture
     _write_manifest(out_dir, manifest)
     return manifest
 

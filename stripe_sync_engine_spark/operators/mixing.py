@@ -102,6 +102,26 @@ def mixture_rates(
     return rates
 
 
+def mixture_member_col(
+    rates: dict[str, float],
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+):
+    """The membership predicate COLUMN of a drawn mixture —
+    ``h32(id || ':' || salt) < rate_c × 2^32`` — shared by the sampler
+    and the export verifier so "in the mixture" has exactly one
+    definition."""
+    thresholds = {
+        c: int(round(r * H32_SPACE)) for c, r in rates.items() if c is not None
+    }
+    mapping = F.create_map(
+        *[F.lit(x) for cv in thresholds.items() for x in cv]
+    )
+    u = h32_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return u < F.coalesce(mapping[F.col(category_col)], F.lit(0))
+
+
 def sample_mixture(
     docs: DataFrame,
     rates: dict[str, float],
@@ -114,14 +134,7 @@ def sample_mixture(
     schema; deterministic; one codegen'd scan, zero shuffle. Nested
     property (useful for curriculum subsets): for the same salt, the
     sample at a lower rate is a SUBSET of the sample at a higher rate."""
-    thresholds = {
-        c: int(round(r * H32_SPACE)) for c, r in rates.items() if c is not None
-    }
-    mapping = F.create_map(
-        *[F.lit(x) for cv in thresholds.items() for x in cv]
-    )
-    u = h32_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    return docs.where(u < F.coalesce(mapping[F.col(category_col)], F.lit(0)))
+    return docs.where(mixture_member_col(rates, category_col, id_col, salt))
 
 
 def _sql_str(s: str) -> str:
@@ -159,20 +172,300 @@ def assemble_mixture(
     category_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "",
+    counts: dict | None = None,
 ) -> tuple[DataFrame, dict[str, float]]:
     """Count → solve → draw, in one call: returns ``(sampled_df,
     rates)`` so the realized recipe is auditable (persist the rates
     beside the corpus manifest and the mixture is reconstructible
     forever). The category histogram is the one aggregation; its
-    driver-side size is guarded by ``MAX_CATEGORIES``."""
-    counts_df = docs.groupBy(category_col).count().limit(MAX_CATEGORIES + 1)
-    rows = counts_df.collect()
-    if len(rows) > MAX_CATEGORIES:
-        raise ValueError(
-            f"{category_col!r} has more than {MAX_CATEGORIES} distinct "
-            "values — not a category column; mixing on it would collect "
-            "an unbounded histogram"
-        )
-    counts = {r[category_col]: int(r["count"]) for r in rows}
+    driver-side size is guarded by ``MAX_CATEGORIES``.
+
+    ``counts``: a precomputed per-category histogram of ``docs`` —
+    pass ``CategoryCounts.poll()`` (the change-feed-maintained exact
+    counts) and the solve is O(1) with ZERO corpus scans, the
+    steady-state path for recipes re-solved per epoch over a mutating
+    corpus. The caller owns the contract that the counts describe
+    ``docs``' current state (the maintained counter's poll does)."""
+    if counts is None:
+        counts_df = docs.groupBy(category_col).count().limit(MAX_CATEGORIES + 1)
+        rows = counts_df.collect()
+        if len(rows) > MAX_CATEGORIES:
+            raise ValueError(
+                f"{category_col!r} has more than {MAX_CATEGORIES} distinct "
+                "values — not a category column; mixing on it would collect "
+                "an unbounded histogram"
+            )
+        counts = {r[category_col]: int(r["count"]) for r in rows}
     rates = mixture_rates(counts, target_props, total=total)
     return sample_mixture(docs, rates, category_col, id_col, salt), rates
+
+
+def mixture_record(
+    rates: dict[str, float],
+    salt: str,
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+) -> dict:
+    """The JSON-able recipe record an export manifest carries
+    (``export_corpus_shards(..., mixture=...)``): everything needed to
+    re-derive any row's membership FOREVER — rates, salt, and the two
+    column names. Takes "persist the rates beside the corpus manifest"
+    from advice to mechanism; ``verify_mixture`` consumes it."""
+    return {
+        "rates": {str(c): float(r) for c, r in rates.items() if c is not None},
+        "salt": str(salt),
+        "category_col": category_col,
+        "id_col": id_col,
+    }
+
+
+def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict:
+    """Re-derive mixture membership for every exported row from the
+    manifest ALONE and fail on any row that should not be in the drawn
+    set (wrong-draw rows, zero-rate or un-recipe'd categories). With
+    ``source`` (the corpus the mixture was drawn from), additionally
+    checks COMPLETENESS: every row the recipe draws from the source must
+    be present in the export.
+
+    One scan of the export (plus one source scan when given), all
+    codegen'd JVM expressions; violation id lists are bounded
+    (``VERIFY_REPORT_LIMIT``) — the engine's bounded-collect rule.
+    Returns ``{"ok", "violations", "violation_ids", "missing",
+    "missing_ids", "total_docs"}``."""
+    import os
+
+    from stripe_sync_engine_spark.operators.export import read_manifest
+
+    manifest = read_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    mix = manifest.get("mixture")
+    if mix is None:
+        raise ValueError(
+            f"manifest under {out_dir} records no mixture — export with "
+            "mixture=mixture_record(rates, salt, ...) to make the drawn "
+            "set verifiable"
+        )
+    rates = mix["rates"]
+    cat, idc, salt = mix["category_col"], mix["id_col"], mix["salt"]
+    member = mixture_member_col(rates, cat, idc, salt)
+
+    data_dir = os.path.join(out_dir, "data")
+    if os.path.isdir(data_dir):
+        exported = spark.read.parquet(data_dir)
+        bad = exported.where(~member).localCheckpoint(eager=True)
+        n_bad = bad.count()
+        bad_ids = (
+            sorted(r[idc] for r in bad.select(idc).limit(VERIFY_REPORT_LIMIT).collect())
+            if n_bad
+            else []
+        )
+        total = exported.count()
+    else:
+        exported, n_bad, bad_ids, total = None, 0, [], 0
+
+    n_missing, missing_ids = 0, []
+    if source is not None:
+        drawn = sample_mixture(source, rates, cat, idc, salt).select(idc)
+        have = (
+            exported.select(idc)
+            if exported is not None
+            else drawn.limit(0)
+        )
+        missing = drawn.join(have, idc, "left_anti").localCheckpoint(eager=True)
+        n_missing = missing.count()
+        if n_missing:
+            missing_ids = sorted(
+                r[idc] for r in missing.limit(VERIFY_REPORT_LIMIT).collect()
+            )
+
+    return {
+        "ok": n_bad == 0 and n_missing == 0,
+        "violations": n_bad,
+        "violation_ids": bad_ids,
+        "missing": n_missing,
+        "missing_ids": missing_ids,
+        "total_docs": total,
+    }
+
+
+#: bounded-collect cap for verify_mixture's violation/missing id lists
+VERIFY_REPORT_LIMIT = 20
+
+
+class CategoryCounts:
+    """Exact per-category row counts of a store table, maintained
+    incrementally from the change feed — the steady-state histogram
+    source for ``mixture_rates``, replacing ``assemble_mixture``'s
+    full ``groupBy(category).count()`` scan with an O(changed buckets)
+    poll.
+
+    Design: one durable change-feed consumer (two-phase pinned window,
+    ``emit_update_preimages=True``) plus one tiny JSON side file holding
+    ``{applied_until, counts}`` — the histogram is ≤ ``MAX_CATEGORIES``
+    entries BY THE SAME GUARD the scan path enforces, so driver-side
+    state is bounded. Each poll aggregates the window's net rows to a
+    per-category delta (insert/update post-images +1, delete and
+    update pre-images -1 — with pre-images an update moves its count
+    between categories exactly) and commits counts + cursor in ONE
+    atomic write BEFORE acking.
+
+    Crash-exactness is the pinned window's: a crash after the state
+    write but before the ack re-delivers the IDENTICAL window
+    (identical ``until``), the state's ``applied_until`` matches, and
+    the apply is skipped — counts are never double-applied. A crash
+    before the state write simply re-applies. Negative counts fail
+    loudly: they mean the feed and the state diverged (an unmaintained
+    rewind, a wiped cursor), and the remedy is ``rebase()``.
+
+    Retention contract: like every feed consumer, the store's
+    ``vacuum_retain_s`` must exceed the maximal poll lag.
+
+    At 100 TB: the poll's cost is the change window's touched buckets;
+    the aggregation is map-side-combined into ≤ |categories| rows. The
+    corpus is never rescanned after the initial load.
+
+    Reference analog: none (training-data-pipeline extension)."""
+
+    def __init__(self, engine, entity: str, category_col: str = "lang"):
+        self.engine = engine
+        self.entity = entity
+        self.category_col = category_col
+        self.consumer = f"mixture_counts:{entity}:{category_col}"
+
+    def _state_path(self) -> str:
+        import os
+
+        return os.path.join(
+            self.engine.store.root,
+            "_mixture_counts",
+            f"{self.entity}.{self.category_col}.json",
+        )
+
+    def _read_state(self) -> dict:
+        import json
+
+        try:
+            with open(self._state_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"applied_until": 0, "counts": []}
+
+    def counts(self) -> dict:
+        """The current maintained histogram (category value → rows;
+        ``None`` is a real category key). Reads only the side file —
+        call ``poll()`` first to fold in new commits."""
+        return {
+            (k if k is None else str(k)): int(v)
+            for k, v in self._read_state()["counts"]
+        }
+
+    def poll(self) -> dict:
+        """Fold one change window into the counts and return the
+        refreshed histogram. Cheap when idle (no new commits: one
+        no-op feed plan). Call it wherever the corpus's other feed
+        consumers poll (the maintenance cron)."""
+        from stripe_sync_engine_spark.commitio import atomic_write_json
+
+        feed, cursor = self.engine.consume_changes(
+            self.consumer,
+            self.entity,
+            emit_update_preimages=True,
+            pin_window=True,
+        )
+        if feed is None:
+            return self.counts()
+        state = self._read_state()
+        if int(cursor) != int(state["applied_until"]):
+            rows = (
+                feed.groupBy(F.col(self.category_col).alias("_cat"))
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.col("_change_type").isin("insert", "update"),
+                            F.lit(1),
+                        ).otherwise(F.lit(-1))
+                    ).alias("_d")
+                )
+                .limit(MAX_CATEGORIES + 1)
+                .collect()
+            )
+            if len(rows) > MAX_CATEGORIES:
+                raise ValueError(
+                    f"{self.category_col!r} produced more than "
+                    f"{MAX_CATEGORIES} distinct values in one change window "
+                    "— not a category column; maintaining counts on it "
+                    "would grow unbounded driver state"
+                )
+            counts = {
+                (k if k is None else str(k)): int(v)
+                for k, v in state["counts"]
+            }
+            for r in rows:
+                cat = r["_cat"] if r["_cat"] is None else str(r["_cat"])
+                n = counts.get(cat, 0) + int(r["_d"])
+                if n < 0:
+                    raise RuntimeError(
+                        f"category {cat!r} count went negative applying "
+                        f"window {cursor} — the feed and the maintained "
+                        "state diverged (wiped cursor / unmaintained "
+                        "rewind); rebase() to recount"
+                    )
+                if n:
+                    counts[cat] = n
+                else:
+                    counts.pop(cat, None)
+            # ONE atomic commit of counts + cursor, BEFORE the ack: the
+            # pinned window makes the crash-retry byte-identical, and the
+            # applied_until match above makes the re-apply a skip
+            atomic_write_json(
+                self._state_path(),
+                {
+                    "applied_until": int(cursor),
+                    "counts": sorted(
+                        counts.items(), key=lambda kv: (kv[0] is None, kv[0])
+                    ),
+                },
+            )
+        self.engine.ack_changes(self.consumer, self.entity, int(cursor))
+        return self.counts()
+
+    def rebase(self) -> dict:
+        """Recount from the current table and restart the feed from its
+        head — initialization for a table with history the consumer
+        never saw, and the drift remedy (the counts analog of
+        ``refresh_rollup``). The recount and the cursor baseline are
+        planned under the same head commit."""
+        from stripe_sync_engine_spark.commitio import atomic_write_json
+
+        commits = self.engine.store.commits(self.entity)
+        head = commits[-1] if commits else 0
+        table = self.engine.store.read(self.entity)
+        counts: dict = {}
+        if table is not None:
+            rows = (
+                table.groupBy(F.col(self.category_col).alias("_cat"))
+                .count()
+                .limit(MAX_CATEGORIES + 1)
+                .collect()
+            )
+            if len(rows) > MAX_CATEGORIES:
+                raise ValueError(
+                    f"{self.category_col!r} has more than {MAX_CATEGORIES} "
+                    "distinct values — not a category column"
+                )
+            counts = {
+                (r["_cat"] if r["_cat"] is None else str(r["_cat"])): int(r["count"])
+                for r in rows
+            }
+        atomic_write_json(
+            self._state_path(),
+            {
+                "applied_until": int(head),
+                "counts": sorted(
+                    counts.items(), key=lambda kv: (kv[0] is None, kv[0])
+                ),
+            },
+        )
+        self.engine.ack_changes(self.consumer, self.entity, int(head))
+        return self.counts()

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from stripe_sync_engine_spark.operators.mixing import (
     H32_SPACE,
@@ -167,6 +168,214 @@ def test_quoted_category_and_salt_mirror_parity(spark):
         for r in con.execute(f"SELECT doc_id FROM docs WHERE {where}").fetchall()
     }
     assert got == want and got  # parity AND a non-empty draw
+
+
+def test_mixture_export_manifest_reconstructs_drawn_set(spark, sf_dir, tmp_path):
+    """The recipe rides the export manifest: membership of every row is
+    re-derivable from the manifest ALONE (Spark and the DuckDB mirror
+    agree), verify_mixture passes a faithful export, fails a row that
+    should not be in the drawn set, and (given the source) a drawn row
+    missing from the export. Resume carries the recipe; resuming with a
+    different recipe raises."""
+    import os
+
+    import pytest as _pytest
+
+    from stripe_sync_engine_spark.operators.export import (
+        export_corpus_shards,
+        read_manifest,
+    )
+    from stripe_sync_engine_spark.operators.mixing import (
+        mixture_record,
+        verify_mixture,
+    )
+    from stripe_sync_engine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    salt = "ep'och-7"  # quoted salt: the record must round-trip it
+    sampled, rates = assemble_mixture(
+        docs, {"en": 0.4, "fr": 0.3, "de": 0.3}, salt=salt
+    )
+    sampled = sampled.localCheckpoint(eager=True)
+    out = str(tmp_path / "exp")
+    rec = mixture_record(rates, salt)
+    m = export_corpus_shards(sampled, out, n_shards=4, mixture=rec)
+    assert m["mixture"] == rec
+
+    rep = verify_mixture(spark, out)
+    assert rep["ok"] and rep["total_docs"] == sampled.count()
+    assert verify_mixture(spark, out, source=docs)["ok"]  # complete too
+
+    # manifest ALONE → the exact drawn set, on both engines
+    mix = read_manifest(out)["mixture"]
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    redrawn = sample_mixture(
+        docs, mix["rates"], mix["category_col"], mix["id_col"], mix["salt"]
+    )
+    exported = spark.read.parquet(os.path.join(out, "data"))
+    assert ids(redrawn) == ids(exported) == ids(sampled)
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "documents.parquet")
+    where = mixture_where_sql(
+        mix["rates"], mix["category_col"], mix["id_col"], mix["salt"]
+    )
+    want = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{pq}') WHERE {where}"
+        ).fetchall()
+    }
+    assert want == ids(sampled)
+
+    # a smuggled non-member row fails verification, named
+    outsider = (
+        docs.join(sampled.select("doc_id"), "doc_id", "left_anti").limit(1)
+        .localCheckpoint(eager=True)
+    )
+    bad_id = outsider.first()["doc_id"]
+    out_bad = str(tmp_path / "exp_bad")
+    export_corpus_shards(
+        sampled.unionByName(outsider), out_bad, n_shards=4, mixture=rec
+    )
+    rep_bad = verify_mixture(spark, out_bad)
+    assert not rep_bad["ok"] and rep_bad["violation_ids"] == [bad_id]
+
+    # a drawn row missing from the export fails the completeness check
+    lost_id = sampled.first()["doc_id"]
+    out_miss = str(tmp_path / "exp_miss")
+    export_corpus_shards(
+        sampled.where(F.col("doc_id") != lost_id), out_miss, n_shards=4, mixture=rec
+    )
+    assert verify_mixture(spark, out_miss)["ok"]  # membership alone can't see it
+    rep_miss = verify_mixture(spark, out_miss, source=docs)
+    assert not rep_miss["ok"] and rep_miss["missing_ids"] == [lost_id]
+
+    # resume: recipe carried forward without repeating it; a different
+    # recipe on resume is refused
+    m2 = export_corpus_shards(sampled, out, n_shards=4, resume=True)
+    assert m2["mixture"] == rec
+    other = mixture_record(rates, "other-salt")
+    with _pytest.raises(ValueError, match="different mixture"):
+        export_corpus_shards(sampled, out, n_shards=4, resume=True, mixture=other)
+
+    # an export with no recorded mixture refuses to verify as one
+    out_plain = str(tmp_path / "exp_plain")
+    export_corpus_shards(sampled, out_plain, n_shards=4)
+    with _pytest.raises(ValueError, match="no mixture"):
+        verify_mixture(spark, out_plain)
+
+
+def _recount(store, entity, col="lang"):
+    return {
+        r[col]: r["count"]
+        for r in store.read(entity).groupBy(col).count().collect()
+    }
+
+
+def test_category_counts_incremental_parity(spark, tmp_path):
+    """The maintained histogram ≡ a full recount across inserts,
+    updates (category moves), deletes, idle polls, replays, and a lost
+    ack — the change-feed rollup that makes steady-state mixture
+    re-solves O(changed buckets) instead of O(corpus)."""
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_cc"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "fr", "de"][i % 3]) for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    assert cc.poll() == _recount(store, "corpus")  # initial load
+
+    def commit(df):
+        time.sleep(0.002)
+        store.write("corpus", df, key="doc_id")
+
+    # inserts (incl. a NEW category and a NULL category)
+    commit(
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(100, "t", "zh"), (101, "t", None), (102, "t", "en")],
+                "doc_id long, text string, lang string",
+            )
+        )
+    )
+    got = cc.poll()
+    want = _recount(store, "corpus")
+    assert got == want and got["zh"] == 1 and got[None] == 1
+
+    # update that MOVES a doc between categories (pre-image -1, post +1)
+    commit(
+        store.read("corpus").withColumn(
+            "lang", F.when(F.col("doc_id") == 0, "fr").otherwise(F.col("lang"))
+        )
+    )
+    assert cc.poll() == _recount(store, "corpus")
+
+    # deletes, incl. the last doc of a category (its key drops entirely)
+    commit(store.read("corpus").where("doc_id not in (100, 5)"))
+    got = cc.poll()
+    assert got == _recount(store, "corpus") and "zh" not in got
+
+    # idle poll: no commits — a no-op, state unchanged
+    before = cc._read_state()
+    assert cc.poll() == got and cc._read_state() == before
+
+    # lost ack (crash after the state write): restore the pre-poll cursor,
+    # re-poll — the pinned window re-delivers the same until, the
+    # applied_until match skips the re-apply, counts stay exact
+    import json
+
+    cur_path = eng._cursor_path(cc.consumer)
+    saved = open(cur_path).read()
+    commit(
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(200, "t", "en")], "doc_id long, text string, lang string")
+        )
+    )
+    assert cc.poll() == _recount(store, "corpus")
+    with open(cur_path, "w") as f:
+        f.write(saved)  # the ack is lost; the state write survived
+    assert cc.poll() == _recount(store, "corpus")  # replay double-counts nothing
+    assert json.load(open(cur_path)) != json.loads(saved)  # re-acked
+
+    # rebase: drift remedy recounts and realigns the cursor
+    assert cc.rebase() == _recount(store, "corpus")
+    assert cc.poll() == _recount(store, "corpus")
+
+
+def test_assemble_mixture_with_maintained_counts(spark, tmp_path):
+    """assemble_mixture(counts=...) solves from the maintained histogram
+    with no corpus count scan and draws the SAME mixture as the scan
+    path (the counts are exact, so the rates are identical)."""
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_ccm"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "fr"][i % 2]) for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    counts = cc.poll()
+
+    corpus = store.read("corpus")
+    s_scan, r_scan = assemble_mixture(corpus, {"en": 0.5, "fr": 0.5}, salt="e")
+    s_cnt, r_cnt = assemble_mixture(
+        corpus, {"en": 0.5, "fr": 0.5}, salt="e", counts=counts
+    )
+    assert r_scan == r_cnt
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(s_scan) == ids(s_cnt)
 
 
 def test_mixture_rates_properties():
