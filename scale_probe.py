@@ -1,0 +1,278 @@
+"""Second-scale-point measurement of the engine's central maintenance
+claim: steady-state CDC/index work is O(changed docs + touched buckets),
+INDEPENDENT of corpus size.
+
+Every CDC probe in ``bench.py`` (``txt_bm25_cdc_window``,
+``sim_ivfpq_cdc_window``, ``corpus_cdc_fanout``, ``dd_incremental_batch``)
+argues that claim in prose; this script turns it into data by running the
+SAME probes, with the SAME-SIZE change window, against the base corpus
+and a ``--mult``× synthesized corpus in one session, then reporting the
+per-probe wall-clock ratio. Flat-within-noise ratios (BASELINE.md's
+variance protocol: ±20% on a shared VM, fixed per-job latency dominating
+small windows) are the claim holding; a ratio tracking the corpus
+multiplier would be the round's bug.
+
+Methodology notes (why this is a fair controlled measurement):
+
+* The synthesized corpus keeps copy 0 byte-identical to the base corpus
+  (ids AND content), so the mutation window — the same doc ids, the same
+  rewrites — is IDENTICAL at both scales. Copies k>=1 get shifted ids and
+  perturbed content so the gates/indexes hold ``mult``× real state, not
+  ``mult`` references to one row.
+* Index builds over the big corpus are SETUP (amortized once per corpus
+  life) and untimed, exactly as in ``bench.py``.
+* Both scales run in one Spark session back-to-back, so host weather
+  hits both sides.
+
+Usage::
+
+    python scale_probe.py            # base $SPARK_GRAFT_SF_DIR (sf0.1), mult 10
+    SCALE_PROBE_MULT=5 python scale_probe.py
+
+Prints ONE JSON line:
+``{"metric": "cdc_window_scale", "sf": ..., "mult": M,
+"probes": {name: {"x1": s, "xM": s, "ratio": r}}}``.
+
+Reference analog: none (training-data-pipeline extension; the claim
+being measured is this engine's, not the reference's).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stripe_sync_engine_spark.session import get_spark  # noqa: E402
+
+
+def _mult_docs(base, mult: int, id_col="doc_id", text_col="text"):
+    """``mult`` copies of the corpus: copy 0 byte-identical, copies k>=1
+    id-shifted and content-perturbed (distinct fingerprints, bands,
+    terms — real state, not duplicates)."""
+    if mult == 1:
+        return base
+    k = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_k")
+    out = base.select(k, *base.columns)
+    cols = []
+    for c in base.columns:
+        if c == id_col:
+            cols.append((F.col(c) + F.col("_k") * 100_000_000).alias(c))
+        elif c == text_col:
+            cols.append(
+                F.when(F.col("_k") == 0, F.col(c))
+                .otherwise(
+                    F.concat(
+                        F.lit("copy"), F.col("_k").cast("string"), F.lit(" "), F.col(c)
+                    )
+                )
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return out.select(*cols)
+
+
+def _mult_vecs(base, mult: int):
+    """``mult`` copies of the vectors: copy 0 identical, copies k>=1
+    id-shifted with per-copy-perturbed components (distinct codes and
+    buckets)."""
+    if mult == 1:
+        return base
+    k = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_k")
+    return base.select(k, *base.columns).select(
+        (F.col("vec_id") + F.col("_k") * 100_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x + F.col("_k").cast("double") * F.lit(1e-4),
+        ).alias("embedding"),
+    )
+
+
+def _mutate(cur, id_col="doc_id"):
+    """The bench probes' fixed mutation window — identical at every
+    scale: rewrite ids 50..99, delete ids < 50, insert 50 fresh rows."""
+    upd = cur.where(f"{id_col} >= 50 and {id_col} < 100").withColumn(
+        "text", F.concat(F.lit("rewritten spark corpus body "), F.col("text"))
+    )
+    new = cur.where(f"{id_col} >= 100 and {id_col} < 150").select(
+        (F.col(id_col) + 1_000_000).alias(id_col),
+        *[c for c in cur.columns if c != id_col],
+    )
+    return (
+        cur.where(f"{id_col} >= 50")
+        .join(upd.select(id_col), id_col, "left_anti")
+        .unionByName(upd)
+        .unionByName(new)
+    )
+
+
+def _probe_scale(
+    spark, sf_dir: str, mult: int, scale_buckets: bool = False
+) -> dict[str, float]:
+    """One full pass at ``mult``× corpus size; returns per-probe seconds
+    for the SAME fixed-size change window / batch as bench.py.
+
+    ``scale_buckets``: raise the store's ``n_buckets`` ∝ corpus size —
+    the deployment posture ``storage.py``'s module docstring prescribes
+    (at 100 TB "you would raise n_buckets into the thousands"). With it,
+    bucket SIZE stays constant as the corpus grows, so a window's
+    touched-bucket rewrites stay O(window); without it (the stress
+    configuration) each touched bucket is ``mult``× bigger and the
+    rewrite cost exposes the bucket-width sensitivity. Both
+    configurations are reported so the claim's operating condition is
+    explicit, not assumed."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        IncrementalDeduper,
+    )
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+    from stripe_sync_engine_spark.tables import load_table
+
+    out: dict[str, float] = {}
+    base_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    docs = _mult_docs(base_docs, mult).localCheckpoint(eager=True)
+    vecs = _mult_vecs(base_vecs, mult).localCheckpoint(eager=True)
+
+    wh = tempfile.mkdtemp(prefix=f"scale_probe_x{mult}_")
+    try:
+        from stripe_sync_engine_spark.storage import DEFAULT_N_BUCKETS
+
+        nb = DEFAULT_N_BUCKETS * (mult if scale_buckets else 1)
+        store = TableStore(spark, wh, vacuum_retain_s=3600.0, n_buckets=nb)
+
+        # --- dd_incremental_batch: 500 replay + 500 fresh vs mult× gate
+        dd = IncrementalDeduper(store, table="_sp_fps")
+        dd.register(docs)  # untimed setup
+        replay = base_docs.limit(500)
+        fresh = base_docs.limit(500).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("NEW:"), F.col("text")).alias("text"),
+        )
+        batch = replay.unionByName(fresh).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        n_new = dd.filter_new(batch).count()
+        out["dd_incremental_batch"] = round(time.perf_counter() - t0, 3)
+        assert n_new == 500, n_new
+
+        # --- txt_bm25_cdc_window: same window vs mult× postings
+        store.write("corpus", docs, key="doc_id")
+        t_base = store.commits("corpus")[-1]
+        idx = PersistedPostingsIndex(store)
+        idx.register(store.read("corpus"), "run:0")  # untimed setup
+        store.write("corpus", _mutate(store.read("corpus")), key="doc_id")
+        t0 = time.perf_counter()
+        feed = store.read_changes("corpus", t_base)
+        idx.apply_changes(feed, "w:1")
+        n = idx.topk(["spark", "query", "join"], k=20).count()
+        out["txt_bm25_cdc_window"] = round(time.perf_counter() - t0, 3)
+        assert n > 0
+
+        # --- sim_ivfpq_cdc_window: same window vs mult× codes
+        ivf = train_ivf_pq(base_vecs, n_cells=16, m=8, k=16)
+        store.write("vectors", vecs, key="vec_id")
+        t_base = store.commits("vectors")[-1]
+        ann = PersistedIVFPQ(store, ivf)
+        ann.register(store.read("vectors"), "run:0")  # untimed setup
+        cur = store.read("vectors")
+        upd = cur.where("vec_id >= 50 and vec_id < 100").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x + F.lit(0.01))
+        )
+        new = cur.where("vec_id >= 100 and vec_id < 150").select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        nxt = (
+            cur.where("vec_id >= 50")
+            .join(upd.select("vec_id"), "vec_id", "left_anti")
+            .unionByName(upd)
+            .unionByName(new)
+        )
+        store.write("vectors", nxt, key="vec_id")
+        queries = [
+            (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+            for r in base_vecs.orderBy("vec_id").limit(8).collect()
+        ]
+        t0 = time.perf_counter()
+        feed = store.read_changes("vectors", t_base)
+        ann.apply_changes(feed, "w:1")
+        n = ann.topk(queries, k=10, nprobe=4).count()
+        out["sim_ivfpq_cdc_window"] = round(time.perf_counter() - t0, 3)
+        assert n > 0
+
+        # --- corpus_cdc_fanout: one engine poll vs mult× targets
+        eng = StripeSparkSync(spark, store)
+        multi = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        store.write("multidoc", multi, key="doc_id")
+        gate = IncrementalDeduper(store, table="_md_fps")
+        pidx = PersistedPostingsIndex(
+            store,
+            table="_md_postings",
+            stats_table="_md_postings_stats",
+            forward_table="_md_postings_docs",
+        )
+        pann = PersistedIVFPQ(
+            store, ivf, table="_md_codes", id_col="doc_id", forward_table="_md_fwd"
+        )
+        targets = dict(gates=[gate], postings=pidx, ann=pann)
+        eng.maintain_corpus_indexes("fanout", "multidoc", **targets)  # birth = setup
+        store.write("multidoc", _mutate(store.read("multidoc")), key="doc_id")
+        t0 = time.perf_counter()
+        rep = eng.maintain_corpus_indexes("fanout", "multidoc", **targets)
+        out["corpus_cdc_fanout"] = round(time.perf_counter() - t0, 3)
+        assert rep["applied"] and rep["rows"] >= 150
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mult = int(os.environ.get("SCALE_PROBE_MULT", "10"))
+    warm_dir = os.environ.get("SCALE_PROBE_WARM_DIR", "/root/testdata/sf0.001")
+    spark = get_spark()
+    scale_buckets = os.environ.get("SCALE_PROBE_SCALE_BUCKETS", "1") != "0"
+    # Discarded warm-up pass at the smallest corpus: JVM JIT + codegen
+    # caches otherwise inflate whichever scale runs first (measured: the
+    # first pass's dd probe runs ~1.7× its warm time), corrupting the
+    # very ratio this script exists to report.
+    _probe_scale(spark, warm_dir, 1)
+    x1 = _probe_scale(spark, sf_dir, 1)
+    xm = _probe_scale(spark, sf_dir, mult, scale_buckets=scale_buckets)
+    probes = {
+        name: {
+            "x1": x1[name],
+            f"x{mult}": xm[name],
+            "ratio": round(xm[name] / x1[name], 3) if x1[name] else None,
+        }
+        for name in sorted(x1)
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_window_scale",
+                "sf": sf_dir,
+                "mult": mult,
+                "scale_buckets": scale_buckets,
+                "probes": probes,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

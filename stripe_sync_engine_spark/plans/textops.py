@@ -696,3 +696,42 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
         .limit(BM25_TOPK_K)
     )
+
+
+# The driver-registered mixture draw: FIXED rates (the solver is
+# pytest/hypothesis-gated — what the oracle must pin is the DRAW, the one
+# salted h32-threshold formula on both engines) over the synthetic
+# corpus's language labels.
+MIXTURE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.0, "zh": 0.1}
+MIXTURE_SALT = "driver-epoch-1"
+
+
+def _mixture_oracle() -> str:
+    from stripe_sync_engine_spark.operators.mixing import mixture_where_sql
+
+    return f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {mixture_where_sql(MIXTURE_RATES, salt=MIXTURE_SALT)}
+    """
+
+
+@register(
+    "txt_mixture_draw",
+    oracle=_mixture_oracle(),
+    operators="TDP-mixing",
+)
+def txt_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing, driver-gated: the salted
+    hash-threshold draw (operators/mixing.sample_mixture) must select the
+    byte-identical row set DuckDB's mirror predicate selects — the
+    reproducibility contract that makes a training mixture auditable and
+    re-derivable forever. Zero shuffle: one codegen'd md5/CASE filter.
+    Rates are fixed constants here; the waterline solver and the
+    incremental category counts are gated in tests/test_mixing.py."""
+    from stripe_sync_engine_spark.operators.mixing import sample_mixture
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return sample_mixture(docs, MIXTURE_RATES, salt=MIXTURE_SALT).select(
+        "doc_id", "lang"
+    )
