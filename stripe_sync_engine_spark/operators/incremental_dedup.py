@@ -488,7 +488,10 @@ class IncrementalDeduper:
         identical submissions re-admit. Content-level refcounting is
         deliberately out of scope (gate-composed ingestion never admits
         the second copy in the first place); corpora mutated out-of-band
-        should re-register the surviving corpus after takedowns."""
+        should re-register the surviving corpus after takedowns — and
+        the drift this edge leaves is exactly what the sampled audit
+        detects and ``index_audit.repair_from_audit`` re-registers
+        (detect → repair → clean re-audit, the operational loop)."""
         with_occ_retry(lambda: self._unregister_once(docs))
 
     def _unregister_once(self, docs: DataFrame) -> None:

@@ -415,6 +415,16 @@ class CategoryCounts:
                     counts[cat] = n
                 else:
                     counts.pop(cat, None)
+            if len(counts) > MAX_CATEGORIES:
+                # each window is bounded above, but the ACCUMULATED set
+                # could still creep past the cap across many windows —
+                # the same unbounded-driver-state failure, caught here
+                raise ValueError(
+                    f"{self.category_col!r} has accumulated more than "
+                    f"{MAX_CATEGORIES} distinct values — not a category "
+                    "column; maintaining counts on it is unbounded "
+                    "driver state"
+                )
             # ONE atomic commit of counts + cursor, BEFORE the ack: the
             # pinned window makes the crash-retry byte-identical, and the
             # applied_until match above makes the re-apply a skip
