@@ -322,6 +322,14 @@ def export_changed_shards(
     the work is. A deleted doc's id still maps to its old shard, so that
     shard recomputes from a ``df`` that no longer contains it — deletions
     shrink the shard correctly.
+
+    A MIXTURE export increments the same way: pass the CURRENT drawn set
+    as ``df`` (``mixing.sample_mixture`` over the mutated corpus) and the
+    corpus feed's changed ids — a category flip that moves a doc into or
+    out of the drawn set is a changed id, so its shard recomputes against
+    the new membership; the manifest's recipe record carries forward
+    (e2e incl. both flip directions:
+    ``tests/test_mixing.py::test_mixture_export_incremental_from_change_feed``).
     """
     prev = read_manifest(out_dir)
     if prev is None:

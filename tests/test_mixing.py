@@ -265,6 +265,98 @@ def test_mixture_export_manifest_reconstructs_drawn_set(spark, sf_dir, tmp_path)
         verify_mixture(spark, out_plain)
 
 
+def test_mixture_export_incremental_from_change_feed(spark, tmp_path):
+    """The pipeline tail, end to end on a MUTATING corpus: the drawn
+    mixture is exported once, then maintained by export_changed_shards
+    straight off the corpus change feed — inserts, deletes, and
+    CATEGORY FLIPS (an update that moves a row into/out of the drawn
+    set) all land by rewriting only the touched shards. The recipe rides
+    the manifest through the increment, verify_mixture stays green
+    against the mutated source, and the incremented export is
+    digest-identical to a from-scratch export of the same drawn set."""
+    from stripe_sync_engine_spark.operators.export import (
+        export_changed_shards,
+        export_corpus_shards,
+        read_manifest,
+    )
+    from stripe_sync_engine_spark.operators.mixing import (
+        mixture_record,
+        verify_mixture,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_mixinc"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    rows = [
+        (i, f"body {i}", ["en", "fr", "de"][i % 3]) for i in range(120)
+    ]
+    store.write(
+        "corpus",
+        spark.createDataFrame(rows, "doc_id long, text string, lang string"),
+        key="doc_id",
+    )
+    rates = {"en": 0.6, "fr": 1.0, "de": 0.0}
+    salt = "inc-epoch"
+    rec = mixture_record(rates, salt)
+
+    def drawn():
+        return sample_mixture(store.read("corpus"), rates, salt=salt).select(
+            "doc_id", "text", "lang"
+        )
+
+    out = str(tmp_path / "mix_out")
+    export_corpus_shards(drawn(), out, n_shards=4, mixture=rec)
+    assert verify_mixture(spark, out, source=store.read("corpus"))["ok"]
+    # baseline the exporter's cursor (the export above covered this state)
+    _, cur0 = eng.consume_changes("exporter", "corpus")
+    eng.ack_changes("exporter", "corpus", cur0)
+
+    # mutate: new docs (one drawn, lang fr; one never drawn, lang de),
+    # delete a drawn doc, and flip memberships both ways via lang updates
+    import time as _t
+
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    drawn_ids = ids(drawn())
+    victim = min(drawn_ids)
+    flip_out = max(i for i, _, l in rows if i in drawn_ids and l == "en")
+    flip_in = max(i for i, _, l in rows if i not in drawn_ids and l == "de")
+    cur = store.read("corpus")
+    nxt = (
+        cur.where(F.col("doc_id") != victim)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") == flip_out, "de")  # rate 0: leaves the set
+            .when(F.col("doc_id") == flip_in, "fr")  # rate 1: joins the set
+            .otherwise(F.col("lang")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(500, "fresh drawn", "fr"), (501, "fresh undrawn", "de")],
+                "doc_id long, text string, lang string",
+            )
+        )
+    )
+    _t.sleep(0.002)
+    store.write("corpus", nxt, key="doc_id")
+
+    feed, cursor = eng.consume_changes("exporter", "corpus")
+    m = export_changed_shards(drawn(), out, feed.select("doc_id"))
+    eng.ack_changes("exporter", "corpus", cursor)
+
+    assert m["mixture"] == rec  # the recipe rode the increment
+    rep = verify_mixture(spark, out, source=store.read("corpus"))
+    assert rep["ok"], rep
+    got = ids(spark.read.parquet(out + "/data"))
+    assert victim not in got and flip_out not in got
+    assert flip_in in got and 500 in got and 501 not in got
+
+    # digest-identical to a from-scratch export of the same drawn set
+    out2 = str(tmp_path / "mix_out2")
+    m2 = export_corpus_shards(drawn(), out2, n_shards=4, mixture=rec)
+    assert m["shards"] == m2["shards"]
+
+
 def _recount(store, entity, col="lang"):
     return {
         r[col]: r["count"]
