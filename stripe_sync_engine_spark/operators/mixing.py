@@ -173,6 +173,7 @@ def assemble_mixture(
     id_col: str = "doc_id",
     salt: str = "",
     counts: dict | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict[str, float]]:
     """Count → solve → draw, in one call: returns ``(sampled_df,
     rates)`` so the realized recipe is auditable (persist the rates
@@ -185,9 +186,23 @@ def assemble_mixture(
     counts) and the solve is O(1) with ZERO corpus scans, the
     steady-state path for recipes re-solved per epoch over a mutating
     corpus. The caller owns the contract that the counts describe
-    ``docs``' current state (the maintained counter's poll does)."""
+    ``docs``' current state (the maintained counter's poll does).
+
+    ``weight_col``: solve the proportions over a per-row WEIGHT (e.g.
+    ``n_tokens``) instead of row counts — training mixtures are
+    specified in tokens, not documents. The histogram becomes
+    ``SUM(weight)`` per category, ``total`` (when given) is a weight
+    total, and the returned rates realize the target proportions in
+    EXPECTATION over the weight (the draw stays the same per-doc salted
+    hash threshold — document membership stays deterministic and
+    reproducible; the realized token share concentrates around the
+    target by independence of the per-doc draws). ``CategoryCounts``
+    takes the same ``weight_col`` for the maintained path."""
     if counts is None:
-        counts_df = docs.groupBy(category_col).count().limit(MAX_CATEGORIES + 1)
+        agg = (
+            F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+        ).alias("count")
+        counts_df = docs.groupBy(category_col).agg(agg).limit(MAX_CATEGORIES + 1)
         rows = counts_df.collect()
         if len(rows) > MAX_CATEGORIES:
             raise ValueError(
@@ -319,7 +334,18 @@ class CategoryCounts:
     rewind, a wiped cursor), and the remedy is ``rebase()``.
 
     Retention contract: like every feed consumer, the store's
-    ``vacuum_retain_s`` must exceed the maximal poll lag.
+    ``vacuum_retain_s`` must exceed the maximal poll lag — and a
+    REBUCKET of the entity inside the consumer's lag window makes the
+    feed raise (bucket ids incomparable across widths); the recovery
+    here is ``rebase()``, which recounts and realigns in one O(table)
+    pass — the same cost the feed's full-diff escape hatch would pay.
+
+    ``weight_col``: maintain ``SUM(weight)`` per category instead of
+    row counts (token-weighted mixtures — see
+    ``assemble_mixture(weight_col=...)``). Update pre-images carry the
+    OLD row's weight, so a weight change moves exactly the delta. A
+    weighted counter keeps its own consumer/state (a doc counter and a
+    token counter on the same column coexist).
 
     At 100 TB: the poll's cost is the change window's touched buckets;
     the aggregation is map-side-combined into ≤ |categories| rows. The
@@ -327,19 +353,31 @@ class CategoryCounts:
 
     Reference analog: none (training-data-pipeline extension)."""
 
-    def __init__(self, engine, entity: str, category_col: str = "lang"):
+    def __init__(
+        self,
+        engine,
+        entity: str,
+        category_col: str = "lang",
+        weight_col: str | None = None,
+    ):
         self.engine = engine
         self.entity = entity
         self.category_col = category_col
-        self.consumer = f"mixture_counts:{entity}:{category_col}"
+        self.weight_col = weight_col
+        tag = f":{weight_col}" if weight_col else ""
+        self.consumer = f"mixture_counts:{entity}:{category_col}{tag}"
+
+    def _weight(self):
+        return F.lit(1) if self.weight_col is None else F.col(self.weight_col)
 
     def _state_path(self) -> str:
         import os
 
+        tag = f".{self.weight_col}" if self.weight_col else ""
         return os.path.join(
             self.engine.store.root,
             "_mixture_counts",
-            f"{self.entity}.{self.category_col}.json",
+            f"{self.entity}.{self.category_col}{tag}.json",
         )
 
     def _read_state(self) -> dict:
@@ -377,14 +415,14 @@ class CategoryCounts:
             return self.counts()
         state = self._read_state()
         if int(cursor) != int(state["applied_until"]):
+            w = self._weight()
             rows = (
                 feed.groupBy(F.col(self.category_col).alias("_cat"))
                 .agg(
                     F.sum(
                         F.when(
-                            F.col("_change_type").isin("insert", "update"),
-                            F.lit(1),
-                        ).otherwise(F.lit(-1))
+                            F.col("_change_type").isin("insert", "update"), w
+                        ).otherwise(-w)
                     ).alias("_d")
                 )
                 .limit(MAX_CATEGORIES + 1)
@@ -455,7 +493,7 @@ class CategoryCounts:
         if table is not None:
             rows = (
                 table.groupBy(F.col(self.category_col).alias("_cat"))
-                .count()
+                .agg(F.sum(self._weight()).alias("_n"))
                 .limit(MAX_CATEGORIES + 1)
                 .collect()
             )
@@ -465,7 +503,7 @@ class CategoryCounts:
                     "distinct values — not a category column"
                 )
             counts = {
-                (r["_cat"] if r["_cat"] is None else str(r["_cat"])): int(r["count"])
+                (r["_cat"] if r["_cat"] is None else str(r["_cat"])): int(r["_n"])
                 for r in rows
             }
         atomic_write_json(

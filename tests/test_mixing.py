@@ -470,6 +470,100 @@ def test_assemble_mixture_with_maintained_counts(spark, tmp_path):
     assert ids(s_scan) == ids(s_cnt)
 
 
+def test_token_weighted_mixing_and_counts(spark, tmp_path):
+    """Training mixtures are specified in TOKENS: with weight_col the
+    histogram is SUM(n_tokens) per category, the rates realize token
+    proportions in expectation (the draw stays the per-doc salted hash —
+    deterministic membership), and the weighted CategoryCounts tracks a
+    full recount across inserts, weight changes, category moves, and
+    deletes — coexisting with a doc counter on the same column."""
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_tw"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    # en docs are LONG (90 tokens), fr docs short (10): token-weighted
+    # rates must differ sharply from doc-weighted ones
+    docs = spark.createDataFrame(
+        [
+            (i, "t", "en" if i % 2 else "fr", 90 if i % 2 else 10)
+            for i in range(200)
+        ],
+        "doc_id long, text string, lang string, n_tokens long",
+    )
+    store.write("corpus", docs, key="doc_id")
+    corpus = store.read("corpus")
+
+    def tok_recount():
+        return {
+            r["lang"]: r["n"]
+            for r in corpus.groupBy("lang").agg(F.sum("n_tokens").alias("n")).collect()
+        }
+
+    tw = CategoryCounts(eng, "corpus", weight_col="n_tokens")
+    dc = CategoryCounts(eng, "corpus")  # doc counter coexists
+    assert tw.poll() == tok_recount() == {"en": 9000, "fr": 1000}
+    assert dc.poll() == {"en": 100, "fr": 100}
+    assert tw._state_path() != dc._state_path() and tw.consumer != dc.consumer
+
+    # 50/50 token recipe: fr (scarce in tokens) keeps all, en downsamples
+    # to 1000 expected tokens = rate 1/9 — a doc-weighted solve would say
+    # rate 1.0 for both (equal doc counts); the weighted one must not
+    sampled, rates = assemble_mixture(
+        corpus, {"en": 0.5, "fr": 0.5}, weight_col="n_tokens", salt="tw"
+    )
+    assert rates["fr"] == 1.0 and rates["en"] == pytest.approx(1000 / 9000)
+    got = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(F.sum("n_tokens").alias("n")).collect()
+    }
+    assert got["fr"] == 1000  # rate-1.0 side exact
+    # en realized tokens binomial around 1000 (100 docs × p=1/9 × 90)
+    assert abs(got.get("en", 0) - 1000) <= 600
+
+    # the maintained path solves identically to the scan path
+    _, rates2 = assemble_mixture(
+        corpus, {"en": 0.5, "fr": 0.5}, salt="tw", counts=tw.counts()
+    )
+    assert rates2 == rates
+    # explicit totals are WEIGHT totals now; infeasible still raises
+    with pytest.raises(ValueError, match="infeasible"):
+        assemble_mixture(
+            corpus, {"fr": 1.0}, total=2000, weight_col="n_tokens", salt="tw"
+        )
+
+    # mutate: weight change, category move, delete, insert — weighted
+    # parity holds (update pre-images carry the OLD weight)
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        corpus.where("doc_id not in (0, 2)")  # delete two fr docs (-20)
+        .withColumn(
+            "n_tokens",
+            F.when(F.col("doc_id") == 1, F.lit(900)).otherwise(F.col("n_tokens")),
+        )  # en doc grows 90 -> 900
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") == 3, "fr").otherwise(F.col("lang")),
+        )  # moves 90 en-tokens to fr
+        .unionByName(
+            spark.createDataFrame(
+                [(900, "t", "de", 7)], "doc_id long, text string, lang string, n_tokens long"
+            )
+        ),
+        key="doc_id",
+    )
+    corpus = store.read("corpus")
+    want = tok_recount()
+    assert tw.poll() == want
+    assert want == {"en": 9000 - 90 - 90 + 900, "fr": 1000 - 20 + 90, "de": 7}
+    assert dc.poll() == {"en": 99, "fr": 99, "de": 1}  # doc counter unaffected
+    assert tw.rebase() == want  # weighted rebase recounts the same
+
+
 def test_mixture_rates_properties():
     """Property-based pin of the solver's invariants: rates always lie
     in [0, 1]; the realized expected total equals the requested total
