@@ -797,6 +797,15 @@ def _bench_cdc_maintenance(spark, sf_dir: str) -> dict[str, float]:
         rep = eng.maintain_corpus_indexes("fanout", "multidoc", **targets)
         out["corpus_cdc_fanout"] = round(time.perf_counter() - t0, 3)
         assert rep["applied"] and rep["rows"] >= 150
+        # --- the integrity schedule's unit: ONE sampled drift audit over
+        # the same maintained targets (hash-spread TakeOrderedAndProject
+        # sample, bucket-pruned state probes, one tiny stats read) —
+        # the cost an operator pays per audit cron tick, O(sample ×
+        # touched buckets) at any corpus size.
+        t0 = time.perf_counter()
+        audit = eng.audit_corpus_indexes("multidoc", **targets)
+        out["corpus_index_audit"] = round(time.perf_counter() - t0, 3)
+        assert audit["ok"], audit
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out
