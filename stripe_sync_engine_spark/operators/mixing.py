@@ -234,6 +234,10 @@ def mixture_record(
     }
 
 
+#: bounded-collect cap for verify_mixture's violation/missing id lists
+VERIFY_REPORT_LIMIT = 20
+
+
 def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict:
     """Re-derive mixture membership for every exported row from the
     manifest ALONE and fail on any row that should not be in the drawn
@@ -302,10 +306,6 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
         "missing_ids": missing_ids,
         "total_docs": total,
     }
-
-
-#: bounded-collect cap for verify_mixture's violation/missing id lists
-VERIFY_REPORT_LIMIT = 20
 
 
 class CategoryCounts:
