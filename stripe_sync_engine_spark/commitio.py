@@ -244,3 +244,19 @@ def append_line(path: str, line: str) -> None:
     line is re-appended by the batch's replay), so paying a sync per log
     line buys nothing the contract needs."""
     _backend.append(path, line)
+
+
+def read_modify_write(path: str, fn) -> None:
+    """Apply ``fn(current_text) -> new_text`` (missing file reads as
+    ``""``) and commit the result through the active backend — the ONE
+    correct way to update a side file whose new content derives from its
+    old content when writers may race. On the conditional-put backend
+    the loser of the generation race re-reads and re-applies (``fn``
+    must be a pure function of the current content); on POSIX the caller
+    holds the engine's usual locks and this is read + ``put_atomic``.
+    Engine state files today are single-writer by contract and use
+    ``atomic_write_*`` directly; route any FUTURE multi-writer
+    read-modify-write file through here, never through a bare
+    read-then-``atomic_write_text`` (which is last-writer-wins on every
+    backend)."""
+    _backend.read_modify_write(path, fn)

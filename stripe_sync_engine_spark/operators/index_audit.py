@@ -456,6 +456,23 @@ def repair_from_audit(
             continue
         s = shared(gate.id_col)
         _, drift = probe(gate, s)
+        if drift is None:
+            # the table existed when the report was taken but is gone
+            # NOW (an operator dropped it for a rebuild, then ran repair
+            # with the stale report) — refuse like the report-time
+            # missing-table path, never crash
+            refused.append(
+                {
+                    "table": gate.table,
+                    "kind": kind,
+                    "reason": (
+                        "index table disappeared since the audit — a "
+                        "sampled repair cannot rebuild it; register / "
+                        "maintain_corpus_indexes over the full corpus"
+                    ),
+                }
+            )
+            continue
         ids = drift.select(id_name).distinct()
         docs = (
             s.join(F.broadcast(ids.withColumnRenamed(id_name, gate.id_col)),

@@ -246,11 +246,13 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
     checks COMPLETENESS: every row the recipe draws from the source must
     be present in the export.
 
-    One scan of the export (plus one source scan when given), all
-    codegen'd JVM expressions; violation id lists are bounded
-    (``VERIFY_REPORT_LIMIT``) — the engine's bounded-collect rule.
-    Returns ``{"ok", "violations", "violation_ids", "missing",
-    "missing_ids", "total_docs"}``."""
+    ONE column-pruned scan of the export: the (id, member) projection is
+    cached, and the totals aggregate, the bounded violation-id collect,
+    and the completeness anti-join all reuse it (plus one source scan
+    when given); all codegen'd JVM expressions. Violation/missing id
+    lists are bounded (``VERIFY_REPORT_LIMIT``) — the engine's
+    bounded-collect rule. Returns ``{"ok", "violations",
+    "violation_ids", "missing", "missing_ids", "total_docs"}``."""
     import os
 
     from stripe_sync_engine_spark.operators.export import read_manifest
@@ -270,33 +272,46 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
     member = mixture_member_col(rates, cat, idc, salt)
 
     data_dir = os.path.join(out_dir, "data")
-    if os.path.isdir(data_dir):
-        exported = spark.read.parquet(data_dir)
-        bad = exported.where(~member).localCheckpoint(eager=True)
-        n_bad = bad.count()
-        bad_ids = (
-            sorted(r[idc] for r in bad.select(idc).limit(VERIFY_REPORT_LIMIT).collect())
-            if n_bad
-            else []
-        )
-        total = exported.count()
-    else:
-        exported, n_bad, bad_ids, total = None, 0, [], 0
-
-    n_missing, missing_ids = 0, []
-    if source is not None:
-        drawn = sample_mixture(source, rates, cat, idc, salt).select(idc)
-        have = (
-            exported.select(idc)
-            if exported is not None
-            else drawn.limit(0)
-        )
-        missing = drawn.join(have, idc, "left_anti").localCheckpoint(eager=True)
-        n_missing = missing.count()
-        if n_missing:
-            missing_ids = sorted(
-                r[idc] for r in missing.limit(VERIFY_REPORT_LIMIT).collect()
+    probe = None
+    try:
+        if os.path.isdir(data_dir):
+            probe = (
+                spark.read.parquet(data_dir)
+                .select(F.col(idc), member.alias("_member"))
+                .persist()
             )
+            agg = probe.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(~F.col("_member"), F.lit(1))).alias("bad"),
+            ).first()
+            total, n_bad = int(agg["n"]), int(agg["bad"])
+            bad_ids = (
+                sorted(
+                    r[idc]
+                    for r in probe.where(~F.col("_member"))
+                    .select(idc)
+                    .limit(VERIFY_REPORT_LIMIT)
+                    .collect()
+                )
+                if n_bad
+                else []
+            )
+        else:
+            n_bad, bad_ids, total = 0, [], 0
+
+        n_missing, missing_ids = 0, []
+        if source is not None:
+            drawn = sample_mixture(source, rates, cat, idc, salt).select(idc)
+            have = probe.select(idc) if probe is not None else drawn.limit(0)
+            missing = drawn.join(have, idc, "left_anti").localCheckpoint(eager=True)
+            n_missing = missing.count()
+            if n_missing:
+                missing_ids = sorted(
+                    r[idc] for r in missing.limit(VERIFY_REPORT_LIMIT).collect()
+                )
+    finally:
+        if probe is not None:
+            probe.unpersist()
 
     return {
         "ok": n_bad == 0 and n_missing == 0,
@@ -405,6 +420,27 @@ class CategoryCounts:
         consumers poll (the maintenance cron)."""
         from stripe_sync_engine_spark.commitio import atomic_write_json
 
+        state = self._read_state()
+        if int(state["applied_until"]) > 0:
+            # Divergence guard (the fan-out stream's handover contract,
+            # for counts): counts exist but the consumer's cursor is
+            # gone, so the next window would be the WHOLE table as
+            # inserts re-applied on top of non-empty counts — every
+            # delta positive, the negative-count check blind, every
+            # category silently ~doubled. The one legitimate
+            # cursor=0-with-state shape is the crash retry of the
+            # initial load itself, identified by its pinned window
+            # matching the state's applied_until.
+            cur0 = int(self.engine._read_cursors(self.consumer).get(self.entity, 0))
+            pin0 = int(self.engine._read_pending(self.consumer).get(self.entity, 0))
+            if cur0 == 0 and pin0 != int(state["applied_until"]):
+                raise RuntimeError(
+                    f"counts state for {self.entity!r}/{self.category_col!r} "
+                    f"is at commit {state['applied_until']} but consumer "
+                    f"{self.consumer!r} has no cursor — a wiped cursor would "
+                    "re-deliver the initial load and double every count; "
+                    "rebase() to recount and realign"
+                )
         feed, cursor = self.engine.consume_changes(
             self.consumer,
             self.entity,
@@ -413,7 +449,6 @@ class CategoryCounts:
         )
         if feed is None:
             return self.counts()
-        state = self._read_state()
         if int(cursor) != int(state["applied_until"]):
             w = self._weight()
             rows = (
@@ -488,7 +523,12 @@ class CategoryCounts:
 
         commits = self.engine.store.commits(self.entity)
         head = commits[-1] if commits else 0
-        table = self.engine.store.read(self.entity)
+        # pinned AS OF the head the cursor is baselined to: a writer
+        # landing between the commits() read and the recount would
+        # otherwise be counted now AND re-delivered by the next poll
+        table = (
+            self.engine.store.read(self.entity, as_of_ms=head) if head else None
+        )
         counts: dict = {}
         if table is not None:
             rows = (

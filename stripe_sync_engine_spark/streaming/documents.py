@@ -140,6 +140,38 @@ def _merge_documents(store, table: str, rows: DataFrame) -> int:
     return with_occ_retry(attempt)
 
 
+def _local_checkpoint_path(checkpoint_dir: str) -> str:
+    """Normalize ``checkpoint_dir`` to a plain local path — the SHARED
+    rule for every stream that keeps side-car state beside a Spark
+    checkpoint (the run-id file here, the fan-out's offset freshness
+    probe, funnel metrics, landing-zone vacuum bookkeeping): those read
+    the directory with ``os`` calls, so a ``file:``-scheme URI must be
+    unwrapped or the side-cars silently land in a literal ``./file:/...``
+    tree while Spark checkpoints to the real path. A remote scheme
+    (hdfs://, s3a://, ...) can't host the local side-cars at all and is
+    rejected loudly."""
+    import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(checkpoint_dir)
+    if not parsed.scheme or (len(parsed.scheme) == 1 and os.name == "nt"):
+        return checkpoint_dir  # plain path (or a Windows drive letter)
+    if parsed.scheme == "file":
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file: checkpoint URI with a remote host is unsupported: "
+                f"{checkpoint_dir}"
+            )
+        return parsed.path
+    raise ValueError(
+        f"checkpoint_dir {checkpoint_dir!r} uses scheme "
+        f"{parsed.scheme!r}: this stream keeps side-car state (run id, "
+        "offset freshness probe, funnel metrics) on the local "
+        "filesystem, so only plain local paths or file: URIs are "
+        "supported"
+    )
+
+
 def _checkpoint_run_id(checkpoint_dir: str) -> str:
     """The run id tied to this checkpoint's lifetime: minted on first
     use, re-read on restart, gone (re-minted) when the checkpoint is
@@ -303,6 +335,7 @@ def start_document_stream(
     the corpus. Counting costs a few extra jobs per batch, but each
     counts an already-materialized (localCheckpoint'ed) frame or a
     single-pass aggregate, never a recomputation of a gate."""
+    checkpoint_dir = _local_checkpoint_path(checkpoint_dir)
     spark = store.spark
     exact = IncrementalDeduper(store)
     # explicit None check: a caller's threshold of 0.0 (gate on ANY

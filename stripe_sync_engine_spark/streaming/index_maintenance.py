@@ -29,38 +29,15 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from stripe_sync_engine_spark.streaming.documents import _checkpoint_run_id
-
-
-def _local_checkpoint_path(checkpoint_dir: str) -> str:
-    """Normalize ``checkpoint_dir`` to a plain local path.
-
-    The fan-out's side-car bookkeeping (the freshness probe below and
-    ``_checkpoint_run_id``'s run-id file) reads the checkpoint directory
-    with ``os`` calls, so a ``file:``-scheme URI must be unwrapped —
-    otherwise ``os.listdir('file:/ckpt/offsets')`` raises
-    FileNotFoundError and a legitimately RESUMED checkpoint is misread
-    as fresh, making the initial-load guard spuriously raise. A remote
-    scheme (hdfs://, s3a://, ...) can't be probed locally at all, so it
-    is rejected loudly here instead of silently defeating the guard."""
-    from urllib.parse import urlparse
-
-    parsed = urlparse(checkpoint_dir)
-    if not parsed.scheme or (len(parsed.scheme) == 1 and os.name == "nt"):
-        return checkpoint_dir  # plain path (or a Windows drive letter)
-    if parsed.scheme == "file":
-        if parsed.netloc not in ("", "localhost"):
-            raise ValueError(
-                f"file: checkpoint URI with a remote host is unsupported: "
-                f"{checkpoint_dir}"
-            )
-        return parsed.path
-    raise ValueError(
-        f"checkpoint_dir {checkpoint_dir!r} uses scheme "
-        f"{parsed.scheme!r}: this stream keeps side-car state (run id, "
-        "offset freshness probe) on the local filesystem, so only plain "
-        "local paths or file: URIs are supported"
-    )
+# _local_checkpoint_path: the SHARED normalizer for every stream with
+# local side-car state (documents.py defines it; both streams apply it
+# at entry). Without it, os.listdir('file:/ckpt/offsets') raises
+# FileNotFoundError and a legitimately RESUMED checkpoint is misread as
+# fresh, making the initial-load guard below spuriously raise.
+from stripe_sync_engine_spark.streaming.documents import (
+    _checkpoint_run_id,
+    _local_checkpoint_path,
+)
 
 
 def _checkpoint_is_fresh(checkpoint_dir: str) -> bool:

@@ -67,9 +67,17 @@ def test_set_backend_swaps_and_restores(tmp_path):
         cio.atomic_write_json(p, {"k": 1})
         cio.append_line(str(tmp_path / "b.log"), "x")
         assert fake.puts == 2 and fake.generations[p] == 1
+        # the RMW discipline is reachable through the module API too
+        cio.read_modify_write(p, lambda prior: prior.replace("1", "2"))
+        assert open(p).read() == '{"k": 2}' and fake.generations[p] == 2
     finally:
         cio.set_backend(prev)
     assert cio.get_backend() is prev
+    # ...and on the default POSIX backend (callers hold locks there)
+    q = str(tmp_path / "c.txt")
+    cio.read_modify_write(q, lambda prior: prior + "x")
+    cio.read_modify_write(q, lambda prior: prior + "y")
+    assert open(q).read() == "xy"
 
 
 def test_threaded_appends_no_lost_update(tmp_path, seam_backend):

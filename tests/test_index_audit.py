@@ -287,6 +287,27 @@ def test_repair_refuses_rebuild_only_and_missing_targets(spark, tmp_path):
     assert "never built" in fix2["refused"][0]["reason"]
     assert not store.exists("_never_built")
 
+    # a table that existed at AUDIT time but was dropped before the
+    # repair (operator mid-rebuild with a stale report) is refused with
+    # the same structure — never an AttributeError crash
+    import shutil as _sh
+
+    gone = IncrementalDeduper(store, table="_dropped_later")
+    gone.register(corpus)
+    rep3 = audit_corpus_indexes(corpus, gates=[gone])
+    # inject drift so the target is failing, then drop the whole table
+    fp = gone._fingerprints(corpus.limit(1)).first()["fingerprint"]
+    store.write(
+        "_dropped_later",
+        store.read("_dropped_later").where(F.col("fingerprint") != fp),
+        key="fingerprint",
+    )
+    rep3 = audit_corpus_indexes(corpus, gates=[gone])
+    assert not rep3["ok"]
+    _sh.rmtree(store._dir("_dropped_later"), ignore_errors=True)
+    fix3 = repair_from_audit(rep3, corpus, gates=[gone])
+    assert not fix3["ok"] and "disappeared" in fix3["refused"][0]["reason"]
+
 
 def test_audit_missing_and_unknown_targets(spark, tmp_path):
     """An index that was never built audits as missing (ok only for an

@@ -437,7 +437,33 @@ def test_category_counts_incremental_parity(spark, tmp_path):
     assert cc.poll() == _recount(store, "corpus")  # replay double-counts nothing
     assert json.load(open(cur_path)) != json.loads(saved)  # re-acked
 
-    # rebase: drift remedy recounts and realigns the cursor
+    # rebase: drift remedy recounts and realigns the cursor — and the
+    # recount is PINNED to the head the cursor baselines to (a writer
+    # landing between the commits() read and the recount would otherwise
+    # be counted now AND re-delivered by the next poll)
+    seen_as_of = []
+    real_read = store.read
+
+    def spying_read(entity, as_of_ms=None):
+        seen_as_of.append(as_of_ms)
+        return real_read(entity, as_of_ms=as_of_ms)
+
+    store.read = spying_read
+    try:
+        assert cc.rebase() == _recount(store, "corpus")
+    finally:
+        store.read = real_read
+    assert seen_as_of and seen_as_of[0] == store.commits("corpus")[-1]
+    assert cc.poll() == _recount(store, "corpus")
+
+    # a WIPED cursor cannot silently double the counts: the whole-table
+    # initial load it would trigger is refused loudly, and rebase() is
+    # the recovery
+    import os
+
+    os.remove(eng._cursor_path(cc.consumer))
+    with pytest.raises(RuntimeError, match="wiped cursor.*rebase"):
+        cc.poll()
     assert cc.rebase() == _recount(store, "corpus")
     assert cc.poll() == _recount(store, "corpus")
 

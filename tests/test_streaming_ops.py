@@ -242,6 +242,40 @@ def test_document_stream_dedups_across_batches(spark, tmp_path):
     assert corpus == {1, 3, 12}  # exact AND near dups gated
 
 
+def test_document_stream_file_uri_checkpoint_normalized(spark, tmp_path):
+    """A file:-scheme checkpoint URI must not split the stream's state:
+    the side-cars (span-gate run id, funnel files) os-write to the raw
+    string, so without normalization they land in a literal './file:/...'
+    tree while Spark checkpoints to the real path. Both streams share
+    ONE normalizer (documents._local_checkpoint_path)."""
+    import json as _json
+    import os as _os
+
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.documents import (
+        _local_checkpoint_path,
+        start_document_stream,
+    )
+
+    assert _local_checkpoint_path("file:///ck/pt") == "/ck/pt"
+
+    landing = tmp_path / "uri_landing"
+    ckpt = tmp_path / "uri_ckpt"
+    _os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh_uri_docs"))
+    (landing / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "alpha beta gamma delta words", "source": "web"})
+    )
+    start_document_stream(
+        store, str(landing), "file://" + str(ckpt), span_k=3
+    ).awaitTermination()
+    assert store.read("corpus_documents").count() == 1
+    # the span-gate run id landed beside the REAL checkpoint, and no
+    # literal 'file:' directory appeared anywhere nearby
+    assert _os.path.exists(ckpt / "span_gate_run_id")
+    assert not _os.path.exists("file:") and not _os.path.exists(str(tmp_path / "file:"))
+
+
 def test_document_stream_crash_between_sink_and_register_converges(spark, tmp_path):
     """Crash AFTER the sink merge but BEFORE registration — the widest
     at-least-once window — then restart: the replayed batch re-selects
