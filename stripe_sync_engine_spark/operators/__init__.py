@@ -2,5 +2,9 @@
 dedup (A3), as-of join, child-table reconciliation, incremental rollups,
 skew mitigation — plus the training-data layer's incremental gates
 (``incremental_dedup``, ``embedding_index``), sequence packing
-(``packing``), the verifiable corpus shard exporter (``export``) and
-ExactSubstr-style span-level dedup (``span_dedup``)."""
+(``packing``), the verifiable corpus shard exporter (``export``),
+ExactSubstr-style span-level dedup (``span_dedup``), deterministic
+weighted corpus mixing with maintained category counts and
+manifest-verified exports (``mixing``), persisted BM25 postings
+(``postings``) and IVF-PQ ANN (``pq_index``), and the derived-index
+drift audit + repair loop (``index_audit``)."""
