@@ -20,6 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from stripe_sync_engine_spark.plans import REGISTRY
 
+# The driver's correctness gate evaluates at most 50 queries (observed in
+# round 11: a 51st registry entry silently pushed the alphabetically-last
+# name, txt_pii_redact, out of CORRECTNESS_r11.json — no error anywhere).
+# Every registry row MUST get a driver correctness row, so fail LOUDLY at
+# import if the registry outgrows the window: fold the new query into an
+# existing same-scan row (the established pattern — see bench.py's
+# cross-round name map) instead of raising this cap.
+DRIVER_QUERY_CAP = 50
+if len(REGISTRY) > DRIVER_QUERY_CAP:
+    raise AssertionError(
+        f"registry has {len(REGISTRY)} queries but the driver correctness "
+        f"window is {DRIVER_QUERY_CAP}; fold queries sharing a scan into one "
+        "row (see bench.py name map) so no entry silently loses its gate"
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.

@@ -26,6 +26,11 @@ absence as regressions):
   ONE Arrow pass instead of three; stage parity in
   tests/test_operators.py test_asset_profile_fold_matches_stages) —
   freeing window slots for txt_contamination and txt_pii_redact.
+* r12: txt_pii_redact folded into txt_doc_profile (same documents scan,
+  union of the oracles — detector counts, chars_redacted, redacted_fp
+  now profile columns), restoring the registry to the driver's 50-row
+  correctness window after round 11's silent row-51 shed; the window is
+  now asserted loudly in __spark_entry__.py (DRIVER_QUERY_CAP).
 * r7: mm_header_decode EXTENDED into mm_media_probe (images unchanged,
   plus RIFF/WAVE 16-bit-PCM decode with real numpy DSP — a superset
   schema, not a fold; audio segmentation is the separate

@@ -30,9 +30,112 @@ SPLIT_TRAIN_LT = 96
 SPLIT_VAL_LT = 98
 
 
+# PII patterns: explicit character classes (no \\d / \\b) so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE = r"\+1-[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_SSN = r"[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_IP = r"10\.[0-9]+\.[0-9]+\.[0-9]+"
+
+# (pattern, replacement-tag) in the order the redaction chain applies them —
+# email first so phone/SSN digit runs inside an address can't pre-empt it.
+PII_DETECTORS = (
+    (PII_EMAIL, "[EMAIL]"),
+    (PII_PHONE, "[PHONE]"),
+    (PII_SSN, "[SSN]"),
+    (PII_IP, "[IP]"),
+)
+
+
+def pii_redact_expr(text_col):
+    """Chained ``regexp_replace`` over :data:`PII_DETECTORS` — THE
+    redaction expression, shared by the ``txt_doc_profile`` fold and any
+    library caller scrubbing a text column. Pure per-row JVM regexps
+    inside whole-stage codegen: zero shuffle, zero Python, linear scan;
+    the detector set extends by adding patterns, not passes."""
+    out = text_col
+    for pat, tag in PII_DETECTORS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_injected_text():
+    """Deterministic PII spans synthesized from ``doc_id`` appended to
+    ``text`` (the mm_media_probe pattern: build → process → oracle states
+    what was built). The synthetic corpus is digit-free word soup, so
+    without injection every detector count would be trivially zero: %4∈
+    {0,1} docs gain an email, %4==1 adds a phone, %4==2 an SSN + IP,
+    %4==3 stays clean (the negative case). Mirrored by
+    :data:`PII_AUG_SQL`."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(
+        F.lit(" reach user"), s(did), F.lit("@corp-"), s(did % 7), F.lit(".example.com now")
+    )
+    phone = F.concat(
+        F.lit(" call +1-"), s(did % 400 + 500),
+        F.lit("-"), s(did % 900 + 100),
+        F.lit("-"), s(did % 9000 + 1000),
+    )
+    ssn_ip = F.concat(
+        F.lit(" ssn "), s(did % 900 + 100),
+        F.lit("-"), s(did % 90 + 10),
+        F.lit("-"), s(did % 9000 + 1000),
+        F.lit(" from 10."), s(did % 256), F.lit("."), s(did % 250), F.lit("."), s(did % 100),
+    )
+    m = did % 4
+    return F.concat(
+        F.col("text"),
+        F.when(m.isin(0, 1), email).otherwise(F.lit("")),
+        F.when(m == 1, phone).otherwise(F.lit("")),
+        F.when(m == 2, ssn_ip).otherwise(F.lit("")),
+    )
+
+
+# DuckDB mirror of pii_injected_text() — substituted into the
+# txt_doc_profile oracle's aug CTE.
+PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 4 IN (0, 1)
+            THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@corp-'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 1
+            THEN ' call +1-' || CAST(doc_id % 400 + 500 AS VARCHAR)
+                 || '-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 2
+            THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                 || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 250 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+def _pii_redact_sql(col: str) -> str:
+    """DuckDB mirror of :func:`pii_redact_expr`: the same detector chain,
+    same order, as nested ``regexp_replace(..., 'g')`` calls."""
+    out = col
+    for pat, tag in PII_DETECTORS:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
 @register(
     "txt_doc_profile",
     oracle=f"""
+        WITH aug AS (
+            SELECT doc_id, n_chars, text, lang,
+                   {PII_AUG_SQL} AS atext
+            FROM documents
+        ),
+        red AS (
+            SELECT *, {_pii_redact_sql("atext")} AS rtext FROM aug
+        )
         SELECT doc_id,
                n_chars,
                len(string_split(text, ' ')) AS n_tokens,
@@ -51,28 +154,47 @@ SPLIT_VAL_LT = 98
                          < {SPLIT_TRAIN_LT} THEN 'train'
                     WHEN {shard_sql("CAST(doc_id AS VARCHAR)", 100)}
                          < {SPLIT_VAL_LT} THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
+                    ELSE 'test' END AS split,
+               CAST(len(regexp_extract_all(atext, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(atext, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(atext, '{PII_SSN}')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(atext, '{PII_IP}')) AS BIGINT) AS n_ip,
+               CAST(length(atext) - length(rtext) AS BIGINT) AS chars_redacted,
+               md5(rtext) AS redacted_fp
+        FROM red
     """,
-    operators="TDP-text,TDP-quality,TDP-langid,TDP-split",
+    operators="TDP-text,TDP-quality,TDP-langid,TDP-split,TDP-pii,§2.8",
 )
 def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile in ONE pass: whitespace token counting,
     quality features (lexical diversity + mean token length), the
     marker-token language-ID heuristic (n-gram/stopword voting shape),
-    and the deterministic train/val/test split (md5 hash buckets — see
-    SPLIT_TRAIN_LT: reproducible, growth-stable, engine-independent).
+    the deterministic train/val/test split (md5 hash buckets — see
+    SPLIT_TRAIN_LT: reproducible, growth-stable, engine-independent), and
+    PII detection + redaction — the scrubbing pass every training-data
+    pipeline runs before a corpus ships: four detector classes (email,
+    NANP phone, SSN, internal IPv4) counted on PII-injected text (see
+    :func:`pii_injected_text` — the synthetic corpus is digit-free, so
+    detectors are exercised on deterministic injected spans, %4==3 docs
+    staying clean as the negative case), with the chained-redaction
+    output value-checked via md5 + removed-char count.
 
-    These were three separate registry queries (txt_token_count,
-    txt_quality_score, txt_lang_id); they share the same tokenization and
-    are all per-row map-side expressions, so one scan computes everything —
-    at 100 TB that's a third of the I/O and still zero shuffle."""
+    These were FIVE separate registry queries (txt_token_count,
+    txt_quality_score, txt_lang_id in r4; txt_pii_redact in r12); they
+    are all per-row map-side expressions over the same documents scan, so
+    one scan computes everything — at 100 TB that's a fraction of the
+    I/O and still zero shuffle. (The r12 pii fold keeps the registry
+    inside the driver's 50-row correctness window — see
+    ``__spark_entry__.py``'s DRIVER_QUERY_CAP guard.)"""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
     hits = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS))).cast("long")
     split_bucket = _shard_col("doc_id", 100)
+    atext = pii_injected_text()
+    rtext = pii_redact_expr(atext)
+    n_of = lambda pat: F.size(F.regexp_extract_all(atext, F.lit(pat), F.lit(0))).cast("long")  # noqa: E731
     return docs.select(
         "doc_id",
         "n_chars",
@@ -87,6 +209,12 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(split_bucket < SPLIT_VAL_LT, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+        n_of(PII_EMAIL).alias("n_email"),
+        n_of(PII_PHONE).alias("n_phone"),
+        n_of(PII_SSN).alias("n_ssn"),
+        n_of(PII_IP).alias("n_ip"),
+        (F.length(atext) - F.length(rtext)).cast("long").alias("chars_redacted"),
+        F.md5(rtext).alias("redacted_fp"),
     )
 
 
@@ -324,124 +452,6 @@ def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_contaminated").cast("double") / F.col("n_grams"),
         ).alias("contamination"),
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
-    )
-
-
-# PII patterns: explicit character classes (no \\d / \\b) so Java regex
-# (Spark) and RE2 (DuckDB) agree byte-for-byte.
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
-PII_PHONE = r"\+1-[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
-PII_SSN = r"[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
-PII_IP = r"10\.[0-9]+\.[0-9]+\.[0-9]+"
-
-
-@register(
-    "txt_pii_redact",
-    oracle=f"""
-        WITH aug AS (
-            SELECT doc_id,
-                   text
-                   || CASE WHEN doc_id % 4 IN (0, 1)
-                           THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@corp-'
-                                || CAST(doc_id % 7 AS VARCHAR) || '.example.com now'
-                           ELSE '' END
-                   || CASE WHEN doc_id % 4 = 1
-                           THEN ' call +1-' || CAST(doc_id % 400 + 500 AS VARCHAR)
-                                || '-' || CAST(doc_id % 900 + 100 AS VARCHAR)
-                                || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
-                           ELSE '' END
-                   || CASE WHEN doc_id % 4 = 2
-                           THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
-                                || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
-                                || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
-                                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-                                || '.' || CAST(doc_id % 250 AS VARCHAR)
-                                || '.' || CAST(doc_id % 100 AS VARCHAR)
-                           ELSE '' END AS atext
-            FROM documents
-        ),
-        red AS (
-            SELECT doc_id, atext,
-                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                       atext,
-                       '{PII_EMAIL}', '[EMAIL]', 'g'),
-                       '{PII_PHONE}', '[PHONE]', 'g'),
-                       '{PII_SSN}', '[SSN]', 'g'),
-                       '{PII_IP}', '[IP]', 'g') AS rtext
-            FROM aug
-        )
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(atext, '{PII_EMAIL}')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(atext, '{PII_PHONE}')) AS BIGINT) AS n_phone,
-               CAST(len(regexp_extract_all(atext, '{PII_SSN}')) AS BIGINT) AS n_ssn,
-               CAST(len(regexp_extract_all(atext, '{PII_IP}')) AS BIGINT) AS n_ip,
-               CAST(length(atext) - length(rtext) AS BIGINT) AS chars_redacted,
-               md5(rtext) AS redacted_fp
-        FROM red
-    """,
-    operators="TDP-pii,§2.8",
-)
-def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + redaction — the scrubbing pass every training-data
-    pipeline runs before a corpus ships. Four detector classes (email,
-    NANP phone, SSN, internal IPv4), per-class counts on the raw text and
-    a chained-regexp_replace redaction whose output is value-checked via
-    md5 + removed-char count.
-
-    The synthetic corpus is digit-free word soup, so deterministic PII
-    spans are INJECTED from doc_id (the mm_media_probe pattern: build →
-    process → oracle states what was built), making the detectors and the
-    redaction end-to-end value-checked rather than trivially zero: %4∈
-    {{0,1}} docs gain an email, %4==1 adds a phone, %4==2 an SSN + IP,
-    %4==3 stays clean (the negative case).
-
-    100 TB shape: pure per-row JVM regexps (regexp_extract_all /
-    regexp_replace) inside whole-stage codegen — zero shuffle, zero
-    Python, linear scan; the detector set extends by adding patterns, not
-    passes."""
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    did = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    email = F.concat(
-        F.lit(" reach user"), s(did), F.lit("@corp-"), s(did % 7), F.lit(".example.com now")
-    )
-    phone = F.concat(
-        F.lit(" call +1-"), s(did % 400 + 500),
-        F.lit("-"), s(did % 900 + 100),
-        F.lit("-"), s(did % 9000 + 1000),
-    )
-    ssn_ip = F.concat(
-        F.lit(" ssn "), s(did % 900 + 100),
-        F.lit("-"), s(did % 90 + 10),
-        F.lit("-"), s(did % 9000 + 1000),
-        F.lit(" from 10."), s(did % 256), F.lit("."), s(did % 250), F.lit("."), s(did % 100),
-    )
-    m = did % 4
-    atext = F.concat(
-        F.col("text"),
-        F.when(m.isin(0, 1), email).otherwise(F.lit("")),
-        F.when(m == 1, phone).otherwise(F.lit("")),
-        F.when(m == 2, ssn_ip).otherwise(F.lit("")),
-    )
-    rtext = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(atext, PII_EMAIL, "[EMAIL]"),
-                PII_PHONE, "[PHONE]",
-            ),
-            PII_SSN, "[SSN]",
-        ),
-        PII_IP, "[IP]",
-    )
-    n_of = lambda pat: F.size(F.regexp_extract_all(atext, F.lit(pat), F.lit(0))).cast("long")  # noqa: E731
-    return docs.select(
-        "doc_id",
-        n_of(PII_EMAIL).alias("n_email"),
-        n_of(PII_PHONE).alias("n_phone"),
-        n_of(PII_SSN).alias("n_ssn"),
-        n_of(PII_IP).alias("n_ip"),
-        (F.length(atext) - F.length(rtext)).cast("long").alias("chars_redacted"),
-        F.md5(rtext).alias("redacted_fp"),
     )
 
 

@@ -34,3 +34,8 @@ def test_entry_contract(spark):
     assert df.count() > 0
     names = set(e.queries())
     assert set(e.oracle_sql()) <= names
+    # r11 regression guard: a 51st registry entry silently fell out of the
+    # driver's 50-row correctness gate. The entry module raises at import
+    # when the registry exceeds the cap; pin the invariant here too so the
+    # failure is attributable even if the driver imports differently.
+    assert len(names) <= e.DRIVER_QUERY_CAP
