@@ -38,6 +38,49 @@ H32_SPACE = 1 << 32
 #: bounded-collect guard for the rates solver's category histogram
 MAX_CATEGORIES = 10_000
 
+#: hash-bins per (category, weight-stratum) in the stratified weighted
+#: draw's CDF histogram — finer bins tighten the lightest stratum's
+#: residual (~W_stratum/STRATUM_BINS) at the cost of driver rows
+STRATUM_BINS = 256
+
+#: bounded-collect guard for the stratified solver: its histogram is
+#: |targeted categories| × ≤64 strata × STRATUM_BINS driver rows
+MAX_TARGET_CATEGORIES = 32
+
+
+def _stratum_col(weight_col: str):
+    """Weight-stratum index: ``floor(log2(max(w, 1)))`` — docs within a
+    stratum differ ≤2× in weight. Exact cross-engine: log2 is exact at
+    powers of two and irrational (ulp-safe under floor) elsewhere.
+    Mirrored by :func:`_stratum_sql`."""
+    return F.floor(F.log2(F.greatest(F.col(weight_col), F.lit(1)))).cast("int")
+
+
+def _stratum_sql(weight_col: str) -> str:
+    return f"CAST(floor(log2(greatest({weight_col}, 1))) AS INT)"
+
+
+def _require_integral_weight(df: DataFrame, weight_col: str) -> None:
+    """Weight columns must be integral (token counts ARE integers).
+
+    The maintained counter folds per-window deltas with ``int()`` — a
+    fractional weight column would truncate PER WINDOW and silently
+    drift from the scan-path histogram (which truncates only the final
+    total), and tiny fractional negatives could trip the negative-count
+    check spuriously. Reject up front, everywhere a weight enters, so
+    both paths stay byte-identical; scale fractional weights to a fixed-
+    point integer column instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[weight_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"weight_col {weight_col!r} has type {dt.simpleString()} — "
+            "weights must be integral (the incremental counter folds "
+            "integer deltas per window; a fractional column would drift "
+            "from the scan path). Scale to a fixed-point integer column."
+        )
+
 
 def mixture_rates(
     category_counts: dict[str, int],
@@ -165,6 +208,239 @@ def mixture_where_sql(
     return f"(CASE {category_col} {cases} ELSE FALSE END)"
 
 
+def stratified_weighted_rates(
+    docs: DataFrame,
+    target_props: dict[str, float],
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    weight_col: str = "n_tokens",
+    total: int | None = None,
+    n_bins: int = STRATUM_BINS,
+) -> dict[str, dict[int, float]]:
+    """The length-stratified weighted draw's solver — the TIGHT-BOUND
+    alternative to the expectation-only weighted solve.
+
+    Why: ``mixture_rates`` over SUM(weight) realizes the token share only
+    in expectation, with per-category variance rho(1-rho)*sum(w_i^2) — on a
+    heavy-tailed corpus a few huge docs dominate sum(w^2) and the realized
+    share swings by one huge doc per coin flip. A SINGLE hash threshold
+    can't fix that either: cumulative-weight-vs-threshold is monotone, so
+    one huge doc early in hash order blocks every doc behind it
+    (measured: 19/20ths of the target lost on the pinned fixture).
+
+    The fix is stratification by doc weight: stratum = floor(log2(w)),
+    so docs within a stratum differ at most 2x in weight. Each targeted
+    category's target weight is allocated across its strata pro rata
+    (uniform weight-rate rho_c per stratum — composition stays unbiased),
+    and each stratum gets its OWN threshold solved from that stratum's
+    weighted hash-CDF (closest bin boundary), processing strata from
+    HEAVIEST to LIGHTEST and carrying each stratum's rounding residual
+    into the next: the fine-grained light strata absorb the heavy
+    strata's atomicity error.
+
+    DETERMINISTIC GUARANTEE (no RNG anywhere): |realized_c − rho_c*W_c|
+    ≤ half the heaviest single document's weight in the adversarial
+    worst case (whole-doc sampling cannot beat that — a doc is atomic),
+    and ≈ one hash-bin of the LIGHTEST stratum (~W_light/n_bins)
+    whenever the light strata carry enough mass to absorb the heavy
+    strata's rounding — the typical corpus shape. Pinned by
+    tests/test_mixing.py's heavy-tailed fixture, where the residual
+    carry recovers the target exactly while the expectation draw is off
+    by a fifth of it.
+
+    Plan shape: ONE map-side-combined aggregation over the targeted
+    categories only — ``groupBy(category, stratum, hash_bin)`` — whose
+    driver-side size is bounded by |recipe| × 64 strata × n_bins
+    (recipe-sized, never corpus-sized; ``MAX_TARGET_CATEGORIES`` guards
+    the bounded-collect rule). The draw itself stays a single codegen'd
+    row-local predicate (``stratified_member_col``), zero shuffle, and
+    any row's membership is re-derivable forever from the returned
+    thresholds + salt. Weights must be integral (enforced) and
+    non-negative (zero-weight docs land in stratum 0).
+
+    ``total`` is a weight total; None solves the feasibility waterline
+    ``min(W_c/p_c)`` exactly as the expectation path does. Returns
+    ``{category: {stratum: rate}}`` with each rate an exact float64
+    ``t/2^32`` (t a 32-bit integer)."""
+    if not target_props:
+        raise ValueError("target_props is empty — nothing to mix")
+    if any(p < 0 for p in target_props.values()) or sum(target_props.values()) <= 0:
+        raise ValueError(f"target proportions must be positive: {target_props}")
+    _require_integral_weight(docs, weight_col)
+    norm = sum(target_props.values())
+    props = {c: p / norm for c, p in target_props.items() if p / norm > 0}
+    targeted = sorted(props)
+    if len(targeted) > MAX_TARGET_CATEGORIES:
+        raise ValueError(
+            f"{len(targeted)} targeted categories exceeds "
+            f"{MAX_TARGET_CATEGORIES} — the stratified solver collects a "
+            "per-(category, stratum, hash-bin) histogram; an unbounded "
+            "recipe would collect unbounded driver state"
+        )
+    bin_w = H32_SPACE // n_bins
+    u = h32_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    rows = (
+        docs.where(F.col(category_col).isin(targeted))
+        .groupBy(
+            F.col(category_col).alias("_cat"),
+            _stratum_col(weight_col).alias("_band"),
+            F.floor(u / bin_w).cast("long").alias("_bin"),
+        )
+        .agg(F.sum(F.col(weight_col)).alias("_w"))
+        .collect()
+    )
+    # hist[cat][band][bin] -> weight
+    hist: dict[str, dict[int, dict[int, int]]] = {c: {} for c in targeted}
+    for r in rows:
+        hist[str(r["_cat"])].setdefault(int(r["_band"]), {})[int(r["_bin"])] = int(r["_w"])
+    totals = {
+        c: sum(w for bins in bands.values() for w in bins.values())
+        for c, bands in hist.items()
+    }
+    missing = [c for c in targeted if totals.get(c, 0) <= 0]
+    if missing:
+        raise ValueError(
+            f"categories {missing} have target proportion > 0 but no corpus "
+            "weight — the mixture is unrealizable"
+        )
+    feasible = min(totals[c] / props[c] for c in targeted)
+    if total is None:
+        total = feasible
+    elif total > feasible + 1e-9:
+        binding = min(targeted, key=lambda c: totals[c] / props[c])
+        raise ValueError(
+            f"total={total} is infeasible: category {binding!r} has weight "
+            f"{totals[binding]} but needs {props[binding] * total:.0f}; max "
+            f"feasible total preserving these proportions is {int(feasible)}"
+        )
+    strata: dict[str, dict[int, float]] = {}
+    for c in targeted:
+        rho = (props[c] * total) / totals[c]
+        band_w = {
+            b: sum(bins.values()) for b, bins in hist[c].items()
+        }
+        residual = 0.0
+        rates_c: dict[int, float] = {}
+        # heaviest stratum first: its atomicity error flows DOWN into
+        # ever finer strata, which can absorb it
+        for b in sorted(band_w, reverse=True):
+            tgt = rho * band_w[b] + residual
+            clamped = min(max(tgt, 0.0), float(band_w[b]))
+            if clamped >= band_w[b] - 1e-9:
+                rates_c[b] = 1.0
+                residual = tgt - band_w[b]
+                continue
+            cum = 0
+            best_t, best_cum, best_err = 0, 0, abs(clamped)
+            for hb in sorted(hist[c][b]):
+                cum += hist[c][b][hb]
+                err = abs(cum - clamped)
+                if err < best_err:
+                    best_err, best_t, best_cum = err, (hb + 1) * bin_w, cum
+                if cum >= clamped:
+                    break  # monotone past the target: no better prefix ahead
+            rates_c[b] = best_t / H32_SPACE
+            residual = tgt - best_cum
+        strata[c] = rates_c
+    return strata
+
+
+def stratified_member_col(
+    strata: dict[str, dict[int, float]],
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    salt: str = "",
+):
+    """Membership predicate COLUMN of a stratified draw: the row's
+    (category, weight-stratum) selects its threshold and the salted h32
+    draw compares against it — one codegen'd row-local expression, zero
+    shuffle, NULL categories and un-recipe'd strata draw nothing."""
+    thresholds = {
+        f"{c}|{b}": int(round(r * H32_SPACE))
+        for c, bands in strata.items()
+        if c is not None
+        for b, r in bands.items()
+    }
+    mapping = F.create_map(*[F.lit(x) for kv in thresholds.items() for x in kv])
+    key = F.concat(
+        F.col(category_col), F.lit("|"), _stratum_col(weight_col).cast("string")
+    )
+    u = h32_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return u < F.coalesce(mapping[key], F.lit(0))
+
+
+def sample_stratified_mixture(
+    docs: DataFrame,
+    strata: dict[str, dict[int, float]],
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    salt: str = "",
+) -> DataFrame:
+    """Apply a stratified draw (see ``stratified_weighted_rates``):
+    original schema, deterministic, one codegen'd scan, zero shuffle."""
+    return docs.where(
+        stratified_member_col(strata, category_col, id_col, weight_col, salt)
+    )
+
+
+def stratified_where_sql(
+    strata: dict[str, dict[int, float]],
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    salt: str = "",
+) -> str:
+    """DuckDB mirror of ``stratified_member_col`` (same ONE h32 formula,
+    same stratum formula) — AND it into a SELECT over the same table to
+    reproduce the exact drawn set."""
+    u = sql_h32(f"(CAST({id_col} AS VARCHAR) || {_sql_str(':' + salt)})")
+    band = _stratum_sql(weight_col)
+    cat_cases = []
+    for c, bands in sorted(strata.items()):
+        if c is None:
+            continue
+        band_cases = " ".join(
+            f"WHEN {b} THEN ({u}) < {int(round(r * H32_SPACE))}"
+            for b, r in sorted(bands.items())
+        )
+        cat_cases.append(
+            f"WHEN {_sql_str(c)} THEN (CASE {band} {band_cases} ELSE FALSE END)"
+        )
+    return f"(CASE {category_col} {' '.join(cat_cases)} ELSE FALSE END)"
+
+
+def assemble_stratified_mixture(
+    docs: DataFrame,
+    target_props: dict[str, float],
+    total: int | None = None,
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    weight_col: str = "n_tokens",
+) -> tuple[DataFrame, dict[str, dict[int, float]]]:
+    """Solve → draw for the length-stratified weighted mixture: returns
+    ``(sampled_df, strata)`` where ``strata`` is the per-(category,
+    stratum) threshold recipe (persist it beside the corpus manifest and
+    the mixture is reconstructible forever, exactly like the flat
+    ``rates`` record). Use instead of ``assemble_mixture(weight_col=...)``
+    when the corpus is heavy-tailed and the realized token share must be
+    deterministically close to target — see
+    ``stratified_weighted_rates`` for the bound."""
+    strata = stratified_weighted_rates(
+        docs, target_props, category_col, id_col, salt, weight_col,
+        total=total,
+    )
+    return (
+        sample_stratified_mixture(
+            docs, strata, category_col, id_col, weight_col, salt
+        ),
+        strata,
+    )
+
+
 def assemble_mixture(
     docs: DataFrame,
     target_props: dict[str, float],
@@ -195,10 +471,20 @@ def assemble_mixture(
     total, and the returned rates realize the target proportions in
     EXPECTATION over the weight (the draw stays the same per-doc salted
     hash threshold — document membership stays deterministic and
-    reproducible; the realized token share concentrates around the
-    target by independence of the per-doc draws). ``CategoryCounts``
-    takes the same ``weight_col`` for the maintained path."""
+    reproducible). The expectation guarantee carries VARIANCE
+    ρ(1-ρ)·Σw² per category: fine when no document dominates (relative
+    SD ~ 1/√n_eff), but with heavy-tailed doc lengths a category whose
+    tokens concentrate in a few huge docs can realize a token share far
+    from target — tests/test_mixing.py pins both regimes. For a
+    deterministic bound use :func:`assemble_stratified_mixture` (the
+    length-stratified draw: per-(category, weight-stratum) thresholds
+    with residual carry — one extra recipe-bounded aggregation).
+    ``CategoryCounts`` takes the same ``weight_col`` for the maintained
+    path (expectation draw only — the histogram carries no hash
+    distribution, which the stratified solve needs)."""
     if counts is None:
+        if weight_col is not None:
+            _require_integral_weight(docs, weight_col)
         agg = (
             F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
         ).alias("count")
@@ -360,7 +646,11 @@ class CategoryCounts:
     ``assemble_mixture(weight_col=...)``). Update pre-images carry the
     OLD row's weight, so a weight change moves exactly the delta. A
     weighted counter keeps its own consumer/state (a doc counter and a
-    token counter on the same column coexist).
+    token counter on the same column coexist). Weight columns must be
+    INTEGRAL (enforced loudly at poll/rebase): the fold truncates each
+    window's delta with ``int()``, so a fractional column would drift
+    from the scan-path histogram and could trip the negative-count
+    check on tiny fractional negatives.
 
     At 100 TB: the poll's cost is the change window's touched buckets;
     the aggregation is map-side-combined into ≤ |categories| rows. The
@@ -450,6 +740,8 @@ class CategoryCounts:
         if feed is None:
             return self.counts()
         if int(cursor) != int(state["applied_until"]):
+            if self.weight_col is not None:
+                _require_integral_weight(feed, self.weight_col)
             w = self._weight()
             rows = (
                 feed.groupBy(F.col(self.category_col).alias("_cat"))
@@ -531,6 +823,8 @@ class CategoryCounts:
         )
         counts: dict = {}
         if table is not None:
+            if self.weight_col is not None:
+                _require_integral_weight(table, self.weight_col)
             rows = (
                 table.groupBy(F.col(self.category_col).alias("_cat"))
                 .agg(F.sum(self._weight()).alias("_n"))

@@ -633,3 +633,265 @@ def test_mixture_rates_properties():
         )
 
     check()
+
+
+def test_weighted_draw_heavy_tail_bound_and_stratified_path(spark):
+    """The token-weighted mixture's two guarantees, pinned on a
+    heavy-tailed fixture (a few huge docs dominating one category —
+    real corpora): the default expectation draw realizes the token
+    share only in expectation (variance rho(1-rho)*sum(w^2) — the huge
+    docs make it loose), while the length-stratified draw solves a
+    threshold per (category, weight-stratum) with residual carry and is
+    DETERMINISTICALLY close: the light strata absorb the heavy strata's
+    atomicity error. The stratified predicate has a DuckDB mirror, so
+    the drawn set is re-derivable cross-engine byte-for-byte."""
+    from stripe_sync_engine_spark.operators.mixing import (
+        assemble_stratified_mixture,
+        sample_stratified_mixture,
+        stratified_weighted_rates,
+        stratified_where_sql,
+    )
+
+    salt = "ht-epoch"
+    # big: 4 huge docs (20000 tokens) + 400 tiny (50) = 100_000 tokens;
+    # small: 200 docs x 100 = 20_000 tokens; plus one zero-weight doc
+    # (stratum-0 edge). 50/50 token recipe -> waterline 40_000, target
+    # 20_000 per category, small keeps all.
+    rows = (
+        [(i, "big", 20_000) for i in range(4)]
+        + [(10 + i, "big", 50) for i in range(400)]
+        + [(5000, "big", 0)]
+        + [(1000 + i, "small", 100) for i in range(200)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    target = {"big": 0.5, "small": 0.5}
+
+    def realized(df):
+        return {
+            r["lang"]: int(r["n"])
+            for r in df.groupBy("lang").agg(F.sum("n_tokens").alias("n")).collect()
+        }
+
+    # expectation path: correct in expectation, loose in realization —
+    # each huge doc is an independent p=0.2 coin worth 20% of the target
+    s_exp, r_exp = assemble_mixture(docs, target, weight_col="n_tokens", salt=salt)
+    assert r_exp["small"] == 1.0 and r_exp["big"] == pytest.approx(0.2)
+    exp_err = abs(realized(s_exp).get("big", 0) - 20_000)
+
+    # stratified path: the rate-1.0 category is exact, and the
+    # heavy-tailed category lands within ~one hash-bin of the LIGHTEST
+    # stratum (the residual carry's documented bound; worst case is half
+    # a huge doc = 10_000 — nothing whole-doc sampling can beat)
+    s_q, strata = assemble_stratified_mixture(
+        docs, target, weight_col="n_tokens", salt=salt
+    )
+    got_q = realized(s_q)
+    assert got_q["small"] == 20_000
+    q_err = abs(got_q.get("big", 0) - 20_000)
+    assert q_err <= 10_000  # adversarial worst case: half a huge doc
+    assert q_err <= 300  # the typical-shape bound: ~W_light/256 + one doc
+    # deterministically tighter than this salt's expectation-draw error
+    assert q_err < exp_err
+    # strata shape: big spans the huge stratum (log2 20000 = 14) and the
+    # tiny stratum (log2 50 = 5); rates are exact float64 t/2^32
+    assert set(strata) == {"big", "small"}
+    assert 14 in strata["big"] and 5 in strata["big"]
+    assert all(
+        int(round(r * H32_SPACE)) / H32_SPACE == r
+        for bands in strata.values()
+        for r in bands.values()
+    )
+
+    # determinism + DuckDB mirror: same salt -> byte-identical set on
+    # both engines; the solver standalone returns the same recipe
+    assert stratified_weighted_rates(
+        docs, target, salt=salt, weight_col="n_tokens"
+    ) == strata
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle_ids = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE "
+            + stratified_where_sql(strata, salt=salt)
+        ).fetchall()
+    }
+    assert {r["doc_id"] for r in s_q.select("doc_id").collect()} == oracle_ids
+    # re-applying the persisted recipe re-derives the identical set
+    assert {
+        r["doc_id"]
+        for r in sample_stratified_mixture(docs, strata, salt=salt)
+        .select("doc_id")
+        .collect()
+    } == oracle_ids
+
+    # guard rails: infeasible totals fail loudly naming the binding
+    # category; an unbounded recipe is refused (bounded-collect rule)
+    with pytest.raises(ValueError, match="infeasible.*'small'"):
+        assemble_stratified_mixture(
+            docs, target, weight_col="n_tokens", salt=salt, total=100_000
+        )
+    with pytest.raises(ValueError, match="unrealizable"):
+        assemble_stratified_mixture(
+            docs, {"big": 0.5, "zz": 0.5}, weight_col="n_tokens", salt=salt
+        )
+    many = {f"c{i}": 1.0 for i in range(40)}
+    with pytest.raises(ValueError, match="targeted categories"):
+        stratified_weighted_rates(docs, many, weight_col="n_tokens")
+
+
+def test_weight_col_must_be_integral(spark, tmp_path):
+    """ADVICE r11: a fractional weight column would truncate per window
+    in the maintained counter (drifting from the scan path, spurious
+    negative-count trips) — every weight entry point rejects it loudly."""
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 1.5 * i) for i in range(10)],
+        "doc_id long, lang string, w double",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        assemble_mixture(docs, {"en": 1.0}, weight_col="w")
+    with pytest.raises(ValueError, match="integral"):
+        from stripe_sync_engine_spark.operators.mixing import (
+            assemble_stratified_mixture,
+        )
+
+        assemble_stratified_mixture(docs, {"en": 1.0}, weight_col="w")
+
+    store = TableStore(spark, str(tmp_path / "wh_fw"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus", category_col="lang", weight_col="w")
+    with pytest.raises(ValueError, match="integral"):
+        cc.poll()
+    with pytest.raises(ValueError, match="integral"):
+        cc.rebase()
+
+
+def test_category_counts_crash_retry_with_concurrent_writer(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #6a: a crash between the atomic counts+cursor write
+    and the ack, followed by a CONCURRENT writer landing a new commit,
+    must not corrupt the histogram: the pinned window makes the retry
+    byte-identical (same `until`), the applied_until match skips the
+    re-apply, and the late commit arrives as its own next window."""
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_ccc"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2]) for i in range(20)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    assert cc.poll() == {"en": 10, "fr": 10}
+
+    # window W1: +3 en docs
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(100, "en"), (101, "en"), (102, "en")], "doc_id long, lang string"
+            )
+        ),
+        key="doc_id",
+    )
+    w1 = store.commits("corpus")[-1]
+
+    real_ack = eng.ack_changes
+    calls = {"n": 0}
+
+    def flaky_ack(consumer, entity, cursor_ms):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash after state write, before ack")
+        real_ack(consumer, entity, cursor_ms)
+
+    monkeypatch.setattr(eng, "ack_changes", flaky_ack)
+    with pytest.raises(OSError, match="injected"):
+        cc.poll()
+    # the state write survived the crash; the window pin survived too
+    assert cc.counts() == {"en": 13, "fr": 10}
+    assert eng._read_pending(cc.consumer) == {"corpus": w1}
+
+    # a CONCURRENT writer lands commit W2 before the retry
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(200, "fr")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+
+    # retry: pinned window -> identical until -> applied_until matches ->
+    # apply skipped (no double-count), ack clears the pin
+    assert cc.poll() == {"en": 13, "fr": 10}
+    assert int(cc._read_state()["applied_until"]) == w1
+    assert eng._read_pending(cc.consumer) == {}
+    # the late commit is its own next window, counted exactly once
+    assert cc.poll() == {"en": 13, "fr": 11} == _recount(store, "corpus")
+
+
+def test_category_counts_rebucket_during_lag_recovers_via_rebase(spark, tmp_path):
+    """VERDICT r11 #6b: a REBUCKET landing inside the consumer's lag
+    window makes the feed raise (bucket ids incomparable across widths)
+    rather than corrupt; rebase() recounts at the new width, realigns
+    the cursor, and polling resumes exactly."""
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_ccrb"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3]) for i in range(30)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    assert cc.poll() == _recount(store, "corpus")
+
+    # commits the consumer has NOT seen yet (the lag window)...
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(300, "zh")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    # ...then a rebucket lands inside that window
+    time.sleep(0.002)
+    eng.rebucket_entity("corpus", 8)
+
+    with pytest.raises(Exception, match="rebucket"):
+        cc.poll()
+    # counts untouched by the failed poll (still the pre-lag state)
+    assert cc.counts() == {"en": 10, "fr": 10, "de": 10}
+
+    # rebase: one O(table) recount at the new width, cursor realigned
+    want = _recount(store, "corpus")
+    assert cc.rebase() == want and want["zh"] == 1
+    assert cc.poll() == want  # idle poll: clean no-op
+
+    # and the feed works again across the rebucket boundary
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").where("doc_id != 0"),
+        key="doc_id",
+    )
+    assert cc.poll() == _recount(store, "corpus")
