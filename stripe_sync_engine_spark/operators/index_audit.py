@@ -30,10 +30,15 @@ table — O(batches since last fold), tiny by construction.
 Remedies, per target kind: the CONTENT-KEYED targets' remedies are
 mechanical and ``repair_from_audit`` closes their loop — exact/near
 gate drift → re-register the drifted docs (content-keyed, no global
-state, replay-safe); embedding-index qv drift → unregister-then-
-register the drifted vectors at their CURRENT buckets (same effect as
-routing the change through ``apply_changes``, without needing the lost
-pre-image). The BATCH-STAT-KEYED targets stay rebuild-only and the
+state, replay-safe); embedding-index drift → delete the drifted ids'
+index rows STORE-WIDE (any bucket — an out-of-band embedding change
+can move a row's LSH bucket, and a recomputed-bucket delete would
+leave the old-bucket ghost with its stale qv suppressing forever),
+then re-register at the current buckets — the same end state
+``apply_changes`` would have produced, paid for with one column-pruned
+index scan bounded by the sampled drift ids (repair is exceptional;
+that scan is the price of not routing the change through the feed).
+The BATCH-STAT-KEYED targets stay rebuild-only and the
 repairer REFUSES them loudly: postings drift → rebuild the index (a
 targeted re-register would re-increment the batch-keyed N/avgdl stats
 for rows partially present); IVF-PQ drift → ``PersistedIVFPQ.rebuild``
@@ -375,6 +380,36 @@ _REBUILD_ONLY = {
 }
 
 
+def _delete_ids_store_wide(gate, ids: DataFrame) -> None:
+    """Delete EVERY embedding-index row owned by ``ids`` (column
+    ``vec_id``), at whatever bucket it lives — the repair-path takedown
+    that also reaches old-bucket ghosts left by out-of-band embedding
+    changes. One column-pruned scan of the index (bucket, vec_id)
+    semi-joined to the broadcast drifted ids (sample-bounded), then the
+    gates' shared bucket-pruned delete; OCC-guarded like every gate
+    mutation."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        delete_matching_rows,
+        with_occ_retry,
+    )
+
+    def attempt():
+        if not gate.store.exists(gate.table):
+            return
+        pairs = (
+            gate.store.read(gate.table)
+            .select("bucket", "vec_id")
+            .join(F.broadcast(ids), "vec_id", "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        delete_matching_rows(
+            gate.store, gate.table, pairs, ["bucket", "vec_id"], "bucket"
+        )
+
+    with_occ_retry(attempt)
+
+
 def repair_from_audit(
     report: dict,
     corpus: DataFrame,
@@ -482,11 +517,17 @@ def repair_from_audit(
         n = docs.count()
         if n:
             if kind == "embedding_index":
-                # replace, don't skip: register's (bucket, vec_id)
-                # freshness would no-op on a stale qv at an unchanged
-                # bucket — deleting the current-bucket rows first makes
-                # the re-register land the CURRENT quantization
-                gate.unregister(docs)
+                # replace, don't skip — and STORE-WIDE, not at recomputed
+                # buckets: register's (bucket, vec_id) freshness would
+                # no-op on a stale qv at an unchanged bucket, and an
+                # out-of-band embedding change that also moved the LSH
+                # bucket leaves a ghost at the OLD bucket that a
+                # current-bucket unregister (and the presence-keyed
+                # audit) can never see. One column-pruned index scan
+                # semi-joined to the ≤sample drifted ids finds every row
+                # those ids own, at whatever bucket; delete those, then
+                # re-register the CURRENT quantization.
+                _delete_ids_store_wide(gate, ids)
             gate.register(docs)
         post = audit(gate, corpus, sample, _s=s)
         repaired.append(
@@ -498,16 +539,31 @@ def repair_from_audit(
             }
         )
 
-    for target, kind in ((postings, "postings"), (ann, "ivfpq")):
-        if target is None:
+    # Sweep EVERY failing report target the loop above did not address —
+    # including rebuild-only kinds whose object the caller did not pass,
+    # and gate targets whose gate is absent from ``gates``. The report
+    # already carries their table and kind; silently skipping them would
+    # let ok=True read as "verified clean" over a known-failing index
+    # (r11 advice). ``postings`` / ``ann`` are accepted for signature
+    # symmetry with the audit but are never repairable here either way.
+    del postings, ann
+    addressed = {r["table"] for r in repaired} | {r["table"] for r in refused}
+    for rep in report.get("targets", []):
+        if rep["ok"] or rep["table"] in addressed:
             continue
-        rep = next(
-            (r for r in report.get("targets", []) if r["kind"] == kind), None
+        refused.append(
+            {
+                "table": rep["table"],
+                "kind": rep["kind"],
+                "reason": _REBUILD_ONLY.get(
+                    rep["kind"],
+                    "failing target's gate was not passed to "
+                    "repair_from_audit — pass the gate object and re-run; "
+                    "a repair that skips a known-failing target must not "
+                    "read as clean",
+                ),
+            }
         )
-        if rep is not None and not rep["ok"]:
-            refused.append(
-                {"table": rep["table"], "kind": kind, "reason": _REBUILD_ONLY[kind]}
-            )
 
     return {
         "op": "index_repair",

@@ -149,13 +149,25 @@ def _local_checkpoint_path(checkpoint_dir: str) -> str:
     unwrapped or the side-cars silently land in a literal ``./file:/...``
     tree while Spark checkpoints to the real path. A remote scheme
     (hdfs://, s3a://, ...) can't host the local side-cars at all and is
-    rejected loudly."""
+    rejected loudly.
+
+    Only genuinely URI-shaped inputs are parsed as URIs: ``file:...`` or
+    ``scheme://...``. A plain relative path whose first segment happens
+    to contain a colon (``run:3/ckpt`` — urlparse would call ``run`` a
+    scheme) passes through untouched — paths were never rejected for
+    colons before the URI support landed, and must not be now."""
     import os
+    import re
     from urllib.parse import urlparse
 
+    if not (
+        checkpoint_dir.startswith("file:")
+        or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", checkpoint_dir)
+    ):
+        return checkpoint_dir  # a plain path, colons and all
     parsed = urlparse(checkpoint_dir)
-    if not parsed.scheme or (len(parsed.scheme) == 1 and os.name == "nt"):
-        return checkpoint_dir  # plain path (or a Windows drive letter)
+    if len(parsed.scheme) == 1 and os.name == "nt":
+        return checkpoint_dir  # a Windows drive letter, not a scheme
     if parsed.scheme == "file":
         if parsed.netloc not in ("", "localhost"):
             raise ValueError(

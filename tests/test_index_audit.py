@@ -324,3 +324,113 @@ def test_audit_missing_and_unknown_targets(spark, tmp_path):
 
     with pytest.raises(TypeError, match="cannot audit"):
         audit_corpus_indexes(docs, gates=[object()])
+
+
+def test_repair_embedding_removes_old_bucket_ghost(spark, tmp_path):
+    """ADVICE r11: an out-of-band embedding change that also MOVES the
+    vector's LSH bucket leaves a stale-qv ghost at the OLD bucket — a
+    current-bucket unregister can't see it and the presence-keyed audit
+    structurally can't either. The repairer deletes the drifted ids'
+    rows STORE-WIDE (any bucket) before re-registering, so the ghost
+    dies with the repair."""
+    from stripe_sync_engine_spark.operators.embedding_index import (
+        IncrementalEmbeddingIndex,
+    )
+
+    rng = [[(0.01 * ((i * 7 + d * 3) % 50) - 0.25) for d in range(64)] for i in range(24)]
+    store = TableStore(spark, str(tmp_path / "wh_repair_g"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    vecs = spark.createDataFrame(
+        [(i, rng[i]) for i in range(24)], "vec_id long, embedding array<double>"
+    )
+    store.write("vectors", vecs, key="vec_id")
+    gate = IncrementalEmbeddingIndex(store, id_col="vec_id")
+    eng.maintain_corpus_indexes("vg", "vectors", gates=[gate])
+    assert eng.audit_corpus_indexes("vectors", gates=[gate])["ok"]
+    old_buckets = {
+        r["bucket"] for r in store.read(gate.table).where("vec_id = 7").collect()
+    }
+
+    # out-of-band: vec 7's embedding flips sign IN THE CORPUS only — its
+    # LSH bucket moves (every hyperplane dot negates), the index keeps
+    # the old-bucket row with the old qv
+    import time
+
+    time.sleep(0.002)
+    store.write(
+        "vectors",
+        store.read("vectors").withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == 7,
+                F.transform(F.col("embedding"), lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        ),
+        key="vec_id",
+    )
+    new_buckets = {
+        r["bucket"] for r in gate._bq(store.read("vectors").where("vec_id = 7")).collect()
+    }
+    assert new_buckets != old_buckets  # the move actually happened
+
+    rep = eng.audit_corpus_indexes("vectors", gates=[gate])
+    assert not rep["ok"]
+    fix = eng.repair_corpus_indexes("vectors", rep, gates=[gate])
+    assert fix["ok"]
+    assert eng.audit_corpus_indexes("vectors", gates=[gate])["ok"]
+    # the ghost is GONE: vec 7 owns exactly its current-bucket rows
+    got = {
+        r["bucket"] for r in store.read(gate.table).where("vec_id = 7").collect()
+    }
+    assert got == new_buckets
+    assert not (got & old_buckets)
+
+
+def test_repair_refuses_unaddressed_failing_targets(spark, tmp_path):
+    """ADVICE r11: a failing target whose object the caller did NOT pass
+    to the repair (rebuild-only postings without the postings argument, a
+    gate absent from gates=...) must be refused, not silently skipped —
+    ok=True over a known-failing index would read as 'verified clean'."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        IncrementalDeduper,
+    )
+    from stripe_sync_engine_spark.operators.index_audit import (
+        audit_corpus_indexes,
+        repair_from_audit,
+    )
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+
+    store = TableStore(spark, str(tmp_path / "wh_repair_u"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    store.write("corpus", _docs(spark), key="doc_id")
+    idx = PersistedPostingsIndex(store)
+    gate = IncrementalDeduper(store)
+    eng.maintain_corpus_indexes("u", "corpus", gates=[gate], postings=idx)
+
+    # break BOTH: truncate the postings stats (rebuild-only drift) and
+    # hand-delete one fingerprint (gate drift)
+    store.write(idx.stats_table, store.read(idx.stats_table).limit(0), key="batch_id")
+    corpus = store.read("corpus")
+    fp = gate._fingerprints(corpus.limit(1)).first()["fingerprint"]
+    store.write(
+        gate.table,
+        store.read(gate.table).where(F.col("fingerprint") != fp),
+        key="fingerprint",
+    )
+    rep = eng.audit_corpus_indexes("corpus", gates=[gate], postings=idx)
+    assert not rep["ok"]
+
+    # repair called with NEITHER object: both failing targets refused
+    fix = repair_from_audit(rep, corpus)
+    assert not fix["ok"] and not fix["repaired"]
+    refused = {r["kind"]: r for r in fix["refused"]}
+    assert "rebuild" in refused["postings"]["reason"]
+    assert "not passed" in refused["exact_gate"]["reason"]
+
+    # with the gate passed, the gate repairs but the rebuild-only target
+    # is STILL refused even though the postings object was omitted
+    fix2 = repair_from_audit(rep, corpus, gates=[gate])
+    assert not fix2["ok"]
+    assert [r["kind"] for r in fix2["repaired"]] == ["exact_gate"]
+    assert fix2["repaired"][0]["post_ok"]
+    assert [r["kind"] for r in fix2["refused"]] == ["postings"]

@@ -909,6 +909,11 @@ def test_index_maintenance_stream_uri_checkpoint_paths(spark, tmp_path):
     assert _local_checkpoint_path("file:///ck/pt") == "/ck/pt"
     with pytest.raises(ValueError, match="hdfs"):
         _local_checkpoint_path("hdfs://nn:8020/ckpt")
+    # ADVICE r11: a plain RELATIVE path whose first segment contains a
+    # colon is a path, not a URI — urlparse would call 'run' a scheme
+    # and reject what was always a valid checkpoint dir
+    assert _local_checkpoint_path("run:3/ckpt") == "run:3/ckpt"
+    assert _local_checkpoint_path("a:b") == "a:b"
 
     store = TableStore(spark, str(tmp_path / "wh_uri"), vacuum_retain_s=3600.0)
     eng = StripeSparkSync(spark, store)
