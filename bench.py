@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -838,31 +839,47 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name, q in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # Queries persist intermediates (band rows, quantized vectors) for
-        # intra-query reuse; drop them between queries so the suite's
-        # memory footprint stays flat and no query reads a predecessor's
-        # cache.
-        spark.catalog.clearCache()
+    def run_suite() -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name, q in sorted(REGISTRY.items()):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+            # Queries persist intermediates (band rows, quantized vectors)
+            # for intra-query reuse; drop them between queries so the
+            # suite's memory footprint stays flat and no query reads a
+            # predecessor's cache.
+            spark.catalog.clearCache()
 
-    times.update(_bench_sync_ingest(spark, n_events=5000))
-    times.update(_bench_changefeed(spark))
-    times.update(_bench_incremental_dedup(spark, sf_dir))
-    times.update(_bench_incremental_near_and_ann(spark, sf_dir))
-    times.update(_bench_bpe(spark, sf_dir))
-    times.update(_bench_export(spark, sf_dir))
-    times.update(_bench_pq(spark, sf_dir))
-    times.update(_bench_ngram_lm(spark, sf_dir))
-    times.update(_bench_mixing(spark, sf_dir))
-    times.update(_bench_audio(spark, sf_dir))
-    times.update(_bench_span_dedup(spark, sf_dir))
-    times.update(_bench_bm25(spark, sf_dir))
-    times.update(_bench_cdc_maintenance(spark, sf_dir))
+        times.update(_bench_sync_ingest(spark, n_events=5000))
+        times.update(_bench_changefeed(spark))
+        times.update(_bench_incremental_dedup(spark, sf_dir))
+        times.update(_bench_incremental_near_and_ann(spark, sf_dir))
+        times.update(_bench_bpe(spark, sf_dir))
+        times.update(_bench_export(spark, sf_dir))
+        times.update(_bench_pq(spark, sf_dir))
+        times.update(_bench_ngram_lm(spark, sf_dir))
+        times.update(_bench_mixing(spark, sf_dir))
+        times.update(_bench_audio(spark, sf_dir))
+        times.update(_bench_span_dedup(spark, sf_dir))
+        times.update(_bench_bm25(spark, sf_dir))
+        times.update(_bench_cdc_maintenance(spark, sf_dir))
+        return times
+
+    # Variance control (r11 verdict): the single-pass artifact moved ±20%
+    # with host weather, so the recorded number disagreed with the settled
+    # measurement the round was judged on. Median-of-N per ENTRY (not per
+    # suite) is robust to a one-off stall landing on different entries in
+    # different passes; the repeats count ships in the JSON so the
+    # artifact documents its own protocol. BENCH_REPEATS=1 restores the
+    # old single-pass mode for quick iteration.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    runs = [run_suite() for _ in range(repeats)]
+    times = {
+        name: round(statistics.median([r[name] for r in runs]), 3)
+        for name in runs[0]
+    }
 
     total = round(sum(times.values()), 3)
     print(
@@ -873,6 +890,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "repeats": repeats,
             }
         )
     )
