@@ -2,8 +2,11 @@
 claim: steady-state CDC/index work is O(changed docs + touched buckets),
 INDEPENDENT of corpus size.
 
-Every CDC probe in ``bench.py`` (``txt_bm25_cdc_window``,
-``sim_ivfpq_cdc_window``, ``corpus_cdc_fanout``, ``dd_incremental_batch``)
+Every steady-state probe in ``bench.py`` (``txt_bm25_cdc_window``,
+``sim_ivfpq_cdc_window``, ``corpus_cdc_fanout``, ``dd_incremental_batch``,
+and since r12 ``corpus_index_audit``, ``txt_mixture_assemble_steady``
+— poll+solve, the draw scan being O(corpus) by contract — and
+``txt_pack_incremental``)
 argues that claim in prose; this script turns it into data by running the
 SAME probes, with the SAME-SIZE change window, against the base corpus
 and a ``--mult``× synthesized corpus in one session, then reporting the
@@ -258,6 +261,82 @@ def _probe_scale(
             rep = eng.maintain_corpus_indexes("fanout", "multidoc", **targets)
             out["corpus_cdc_fanout"].append(round(time.perf_counter() - t0, 3))
             assert rep["applied"] and rep["rows"] >= 100
+
+        # --- corpus_index_audit: one sampled drift audit over the same
+        # maintained targets — hash-spread TakeOrderedAndProject sample,
+        # bucket-pruned state probes; claimed O(sample × touched buckets)
+        out["corpus_index_audit"] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            audit = eng.audit_corpus_indexes("multidoc", **targets)
+            out["corpus_index_audit"].append(round(time.perf_counter() - t0, 3))
+            assert audit["ok"], audit
+
+        # --- txt_mixture_assemble_steady: CategoryCounts poll over the
+        # fixed window + the O(1) solve from the maintained histogram.
+        # The DRAW scan is excluded: a sample reads its corpus once BY
+        # DESIGN (O(corpus) is the operator's contract, not drift) — the
+        # steady-state claim is that the histogram is never recounted.
+        from stripe_sync_engine_spark.operators.mixing import (
+            CategoryCounts,
+            assemble_mixture,
+        )
+
+        langs = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es")])
+        store.write(
+            "mixdocs",
+            docs.withColumn("lang", langs[(F.col("doc_id") % 4).cast("int")]),
+            key="doc_id",
+        )
+        cc = CategoryCounts(eng, "mixdocs")
+        cc.poll()  # initial load — untimed setup
+        props = {"en": 0.4, "fr": 0.3, "de": 0.2, "es": 0.1}
+        out["txt_mixture_assemble_steady"] = []
+        for it in range(1, reps + 1):
+            def lang_flip(df, _it=it):
+                return df.withColumn(
+                    "lang", F.lit(["fr", "de", "es", "en"][_it % 4])
+                )
+
+            store.write(
+                "mixdocs",
+                _mutate(store.read("mixdocs"), it, perturb=lang_flip),
+                key="doc_id",
+            )
+            t0 = time.perf_counter()
+            counts = cc.poll()
+            sampled, rates = assemble_mixture(
+                store.read("mixdocs"), props, salt=f"sp{it}", counts=counts
+            )
+            out["txt_mixture_assemble_steady"].append(
+                round(time.perf_counter() - t0, 3)
+            )
+            assert counts and all(rates[c] > 0 for c in props)
+        assert sampled.limit(1).count() == 1  # draw verified, untimed
+
+        # --- txt_pack_incremental: a fixed 1k-doc batch packed against
+        # per-shard progress state that is O(batches), never O(corpus) —
+        # the whole-corpus initial pack is setup, untimed.
+        from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+
+        counts_df = docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        ).localCheckpoint(eager=True)
+        packer = IncrementalPacker(store, budget=2048, n_shards=8, table="_sp_pack")
+        packer.pack_batch(counts_df, "n_tokens", "b0")  # untimed setup
+        fixed = counts_df.where("doc_id < 1000")  # copy-0 ids: same at every scale
+        out["txt_pack_incremental"] = []
+        for it in range(1, reps + 1):
+            batch = fixed.select(
+                (F.col("doc_id") + 500_000_000 + it * 1_000_000).alias("doc_id"),
+                "n_tokens",
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            packer.pack_batch(batch, "n_tokens", f"b{it}").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out["txt_pack_incremental"].append(round(time.perf_counter() - t0, 3))
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out

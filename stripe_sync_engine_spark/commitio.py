@@ -93,18 +93,45 @@ class PosixRenameBackend:
 
     def read_modify_write(self, path: str, fn) -> None:
         """Apply ``fn(current_text) -> new_text`` (missing file reads as
-        ``""``) and commit the result. On POSIX the read-compute-put is
-        NOT self-serializing — multi-writer RMW callers hold locks (the
-        store's commit lock, the gates' external-serialization contract),
-        which is exactly the assumption the conditional-put backend
-        replaces with CAS retries; routing RMW through this method keeps
-        the discipline swappable with the backend."""
+        ``""``) and commit the result, SERIALIZED against concurrent
+        writers — threads AND processes on the same host — via an
+        exclusive ``fcntl`` lock on a dot-prefixed sidecar lock file.
+        The conditional-put backend gets the same no-lost-update
+        property from CAS retries; here the kernel lock provides it, so
+        both backends pass the same race suite and the module-level
+        promise ("the ONE correct way to update a side file whose new
+        content derives from its old content when writers may race")
+        holds regardless of deployment. Advisory locking suffices
+        because every engine writer routes through this method; the
+        read happens UNDER the lock, so fn always sees the latest
+        committed content (rename is atomic, the lock orders commits).
+        NFS caveat: flock over NFS requires a lock-manager-enabled
+        mount — the same caveat every flock-based log store carries."""
         try:
-            with open(path) as f:
-                prior = f.read()
-        except FileNotFoundError:
-            prior = ""
-        self.put_atomic(path, fn(prior))
+            import fcntl
+        except ImportError:  # non-POSIX: callers hold the engine's locks
+            fcntl = None
+        d, base = os.path.split(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+        def apply():
+            try:
+                with open(path) as f:
+                    prior = f.read()
+            except FileNotFoundError:
+                prior = ""
+            self.put_atomic(path, fn(prior))
+
+        if fcntl is None:
+            apply()
+            return
+        with open(os.path.join(d, f".{base}.lock"), "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                apply()
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 class ConditionalPutConflict(RuntimeError):
