@@ -221,20 +221,25 @@ def export_corpus_shards(
     writes, so a crash mid-export leaves the previous manifest authoritative.
 
     ``mixture``: the drawn-mixture recipe this export realizes
-    (``mixing.mixture_record(rates, salt, ...)``) — recorded verbatim in
-    the manifest so membership of every row is re-derivable from the
-    manifest alone, forever (``mixing.verify_mixture`` enforces it).
-    ``resume=True`` with ``mixture=None`` carries the previous
-    manifest's recipe forward; passing a DIFFERENT recipe on resume
-    raises, because the untouched shards still realize the old one —
-    re-export from scratch when the recipe changes.
+    (``mixing.mixture_record(rates, salt, ...)`` for the flat draw,
+    ``mixing.stratified_record(strata, salt, ...)`` for the
+    length-stratified one) — recorded verbatim in the manifest so
+    membership of every row is re-derivable from the manifest alone,
+    forever (``mixing.verify_mixture`` enforces it, dispatching on the
+    record's kind). ``resume=True`` with ``mixture=None`` carries the
+    previous manifest's recipe forward; passing a DIFFERENT recipe on
+    resume raises, because the untouched shards still realize the old
+    one — re-export from scratch when the recipe changes.
     """
     if mixture is not None and not (
-        isinstance(mixture, dict) and "rates" in mixture and "salt" in mixture
+        isinstance(mixture, dict)
+        and "salt" in mixture
+        and ("rates" in mixture or "strata" in mixture)
     ):
         raise ValueError(
-            "mixture must be a mixing.mixture_record(...) dict (needs "
-            "'rates' and 'salt')"
+            "mixture must be a mixing.mixture_record(...) or "
+            "mixing.stratified_record(...) dict (needs 'salt' and "
+            "'rates'/'strata')"
         )
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")

@@ -520,6 +520,55 @@ def mixture_record(
     }
 
 
+def stratified_record(
+    strata: dict[str, dict[int, float]],
+    salt: str,
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> dict:
+    """``mixture_record``'s counterpart for the length-stratified draw:
+    per-(category, stratum) thresholds plus the weight column the
+    stratum formula reads — everything ``verify_mixture`` needs to
+    re-derive any exported row's membership forever (stratum keys are
+    stringified for JSON; ``member_col_from_record`` restores them)."""
+    return {
+        "kind": "stratified",
+        "strata": {
+            str(c): {str(b): float(r) for b, r in bands.items()}
+            for c, bands in strata.items()
+            if c is not None
+        },
+        "salt": str(salt),
+        "category_col": category_col,
+        "id_col": id_col,
+        "weight_col": weight_col,
+    }
+
+
+def member_col_from_record(rec: dict):
+    """Membership predicate COLUMN from a persisted recipe record — ONE
+    dispatch point shared by ``verify_mixture`` and any auditor reading
+    an export manifest, so both recipe kinds re-derive membership
+    through the same code that drew them (flat ``rates`` records carry
+    no ``kind`` for backward compatibility with pre-r12 manifests)."""
+    if rec.get("kind") == "stratified":
+        strata = {
+            c: {int(b): float(r) for b, r in bands.items()}
+            for c, bands in rec["strata"].items()
+        }
+        return stratified_member_col(
+            strata,
+            rec["category_col"],
+            rec["id_col"],
+            rec["weight_col"],
+            rec["salt"],
+        )
+    return mixture_member_col(
+        rec["rates"], rec["category_col"], rec["id_col"], rec["salt"]
+    )
+
+
 #: bounded-collect cap for verify_mixture's violation/missing id lists
 VERIFY_REPORT_LIMIT = 20
 
@@ -553,9 +602,8 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
             "mixture=mixture_record(rates, salt, ...) to make the drawn "
             "set verifiable"
         )
-    rates = mix["rates"]
-    cat, idc, salt = mix["category_col"], mix["id_col"], mix["salt"]
-    member = mixture_member_col(rates, cat, idc, salt)
+    idc = mix["id_col"]
+    member = member_col_from_record(mix)
 
     data_dir = os.path.join(out_dir, "data")
     probe = None
@@ -587,7 +635,7 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
 
         n_missing, missing_ids = 0, []
         if source is not None:
-            drawn = sample_mixture(source, rates, cat, idc, salt).select(idc)
+            drawn = source.where(member_col_from_record(mix)).select(idc)
             have = probe.select(idc) if probe is not None else drawn.limit(0)
             missing = drawn.join(have, idc, "left_anti").localCheckpoint(eager=True)
             n_missing = missing.count()

@@ -895,3 +895,76 @@ def test_category_counts_rebucket_during_lag_recovers_via_rebase(spark, tmp_path
         key="doc_id",
     )
     assert cc.poll() == _recount(store, "corpus")
+
+
+def test_stratified_mixture_export_verifies_from_manifest(spark, tmp_path):
+    """The stratified recipe rides the export manifest exactly like the
+    flat one: stratified_record round-trips through JSON (string stratum
+    keys), verify_mixture re-derives membership from the manifest alone
+    via member_col_from_record, flags a smuggled non-member, and (with
+    the source) a drawn-but-missing row."""
+    import os
+
+    from stripe_sync_engine_spark.operators.export import (
+        export_corpus_shards,
+        read_manifest,
+    )
+    from stripe_sync_engine_spark.operators.mixing import (
+        assemble_stratified_mixture,
+        member_col_from_record,
+        stratified_record,
+        verify_mixture,
+    )
+
+    rows = (
+        [(i, "big", 20_000) for i in range(4)]
+        + [(10 + i, "big", 50) for i in range(400)]
+        + [(1000 + i, "small", 100) for i in range(200)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    salt = "st'r-epoch"  # quoted salt: the record must round-trip it
+    sampled, strata = assemble_stratified_mixture(
+        docs, {"big": 0.5, "small": 0.5}, weight_col="n_tokens", salt=salt
+    )
+    sampled = sampled.localCheckpoint(eager=True)
+    rec = stratified_record(strata, salt)
+    out = str(tmp_path / "exp_st")
+    m = export_corpus_shards(sampled, out, n_shards=4, mixture=rec)
+    assert m["mixture"] == rec
+
+    rep = verify_mixture(spark, out, source=docs)
+    assert rep["ok"] and rep["total_docs"] == sampled.count()
+
+    # manifest ALONE -> the exact drawn set (JSON round-trip included)
+    mix = read_manifest(out)["mixture"]
+    assert mix == rec
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    redrawn = docs.where(member_col_from_record(mix))
+    exported = spark.read.parquet(os.path.join(out, "data"))
+    assert ids(redrawn) == ids(exported) == ids(sampled)
+
+    # a smuggled non-member fails, named
+    outsider = (
+        docs.join(sampled.select("doc_id"), "doc_id", "left_anti")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    bad_id = outsider.first()["doc_id"]
+    out_bad = str(tmp_path / "exp_st_bad")
+    export_corpus_shards(
+        sampled.unionByName(outsider), out_bad, n_shards=4, mixture=rec
+    )
+    rep_bad = verify_mixture(spark, out_bad)
+    assert not rep_bad["ok"] and rep_bad["violation_ids"] == [bad_id]
+
+    # a drawn row missing from the export fails completeness
+    lost_id = sampled.first()["doc_id"]
+    out_miss = str(tmp_path / "exp_st_miss")
+    export_corpus_shards(
+        sampled.where(F.col("doc_id") != lost_id),
+        out_miss,
+        n_shards=4,
+        mixture=rec,
+    )
+    rep_miss = verify_mixture(spark, out_miss, source=docs)
+    assert not rep_miss["ok"] and rep_miss["missing_ids"] == [lost_id]
