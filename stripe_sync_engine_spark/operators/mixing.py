@@ -22,6 +22,17 @@ result is bounded by the category-set size (``MAX_CATEGORIES`` guards
 the bounded-collect rule — a high-cardinality column passed as the
 category by mistake fails loudly, never OOMs the driver).
 
+Two weighted draws (mixtures are specified in tokens, not documents):
+the EXPECTATION draw (``assemble_mixture(weight_col=...)`` — same
+per-doc threshold, token share realized in expectation with variance
+rho(1-rho)*sum(w^2)) and the LENGTH-STRATIFIED draw
+(``assemble_stratified_mixture`` — per-(category, weight-stratum)
+thresholds from each stratum's weighted hash-CDF with residual carry;
+deterministic realized-share bound even on heavy-tailed corpora).
+Both recipes ride the export manifest (``mixture_record`` /
+``stratified_record``) and verify through one dispatch point
+(``member_col_from_record``).
+
 Reference analog: none (training-data-pipeline extension).
 """
 
