@@ -228,9 +228,15 @@ def stratified_weighted_rates(
     weight_col: str = "n_tokens",
     total: int | None = None,
     n_bins: int = STRATUM_BINS,
+    cdf: dict | None = None,
 ) -> dict[str, dict[int, float]]:
     """The length-stratified weighted draw's solver — the TIGHT-BOUND
-    alternative to the expectation-only weighted solve.
+    alternative to the expectation-only weighted solve. ``cdf``: a
+    precomputed ``{(category, stratum, hash_bin): weight}`` histogram
+    (``StratifiedCDF.poll()`` — the change-feed-maintained form) makes
+    the solve O(1) with ZERO corpus scans; prefer ``StratifiedCDF.
+    solve()``, which supplies salt and n_bins from its own pinned state
+    so they cannot mismatch.
 
     Why: ``mixture_rates`` over SUM(weight) realizes the token share only
     in expectation, with per-category variance rho(1-rho)*sum(w_i^2) — on a
@@ -278,7 +284,6 @@ def stratified_weighted_rates(
         raise ValueError("target_props is empty — nothing to mix")
     if any(p < 0 for p in target_props.values()) or sum(target_props.values()) <= 0:
         raise ValueError(f"target proportions must be positive: {target_props}")
-    _require_integral_weight(docs, weight_col)
     norm = sum(target_props.values())
     props = {c: p / norm for c, p in target_props.items() if p / norm > 0}
     targeted = sorted(props)
@@ -290,21 +295,31 @@ def stratified_weighted_rates(
             "recipe would collect unbounded driver state"
         )
     bin_w = H32_SPACE // n_bins
-    u = h32_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    rows = (
-        docs.where(F.col(category_col).isin(targeted))
-        .groupBy(
-            F.col(category_col).alias("_cat"),
-            _stratum_col(weight_col).alias("_band"),
-            F.floor(u / bin_w).cast("long").alias("_bin"),
-        )
-        .agg(F.sum(F.col(weight_col)).alias("_w"))
-        .collect()
-    )
     # hist[cat][band][bin] -> weight
     hist: dict[str, dict[int, dict[int, int]]] = {c: {} for c in targeted}
-    for r in rows:
-        hist[str(r["_cat"])].setdefault(int(r["_band"]), {})[int(r["_bin"])] = int(r["_w"])
+    if cdf is not None:
+        # the maintained path (StratifiedCDF.poll()): ZERO corpus scans —
+        # the caller owns the contract that the cdf was maintained under
+        # the SAME salt/weight_col/n_bins (StratifiedCDF pins all three
+        # in its state and exposes solve(), which cannot mismatch)
+        for (c, band, hb), w in cdf.items():
+            if c in hist:
+                hist[c].setdefault(int(band), {})[int(hb)] = int(w)
+    else:
+        _require_integral_weight(docs, weight_col)
+        u = h32_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        rows = (
+            docs.where(F.col(category_col).isin(targeted))
+            .groupBy(
+                F.col(category_col).alias("_cat"),
+                _stratum_col(weight_col).alias("_band"),
+                F.floor(u / bin_w).cast("long").alias("_bin"),
+            )
+            .agg(F.sum(F.col(weight_col)).alias("_w"))
+            .collect()
+        )
+        for r in rows:
+            hist[str(r["_cat"])].setdefault(int(r["_band"]), {})[int(r["_bin"])] = int(r["_w"])
     totals = {
         c: sum(w for bins in bands.values() for w in bins.values())
         for c, bands in hist.items()
@@ -668,22 +683,12 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
     }
 
 
-class CategoryCounts:
-    """Exact per-category row counts of a store table, maintained
-    incrementally from the change feed — the steady-state histogram
-    source for ``mixture_rates``, replacing ``assemble_mixture``'s
-    full ``groupBy(category).count()`` scan with an O(changed buckets)
-    poll.
-
-    Design: one durable change-feed consumer (two-phase pinned window,
-    ``emit_update_preimages=True``) plus one tiny JSON side file holding
-    ``{applied_until, counts}`` — the histogram is ≤ ``MAX_CATEGORIES``
-    entries BY THE SAME GUARD the scan path enforces, so driver-side
-    state is bounded. Each poll aggregates the window's net rows to a
-    per-category delta (insert/update post-images +1, delete and
-    update pre-images -1 — with pre-images an update moves its count
-    between categories exactly) and commits counts + cursor in ONE
-    atomic write BEFORE acking.
+class _MaintainedFold:
+    """Shared machinery for change-feed-maintained driver-side
+    histograms (``CategoryCounts``, ``StratifiedCDF``): one durable
+    consumer with a two-phase pinned window, one atomic counts+cursor
+    side-file commit BEFORE the ack, loud negative-count divergence,
+    the wiped-cursor guard, and ``rebase()`` as the universal remedy.
 
     Crash-exactness is the pinned window's: a crash after the state
     write but before the ack re-delivers the IDENTICAL window
@@ -699,6 +704,212 @@ class CategoryCounts:
     feed raise (bucket ids incomparable across widths); the recovery
     here is ``rebase()``, which recounts and realigns in one O(table)
     pass — the same cost the feed's full-diff escape hatch would pay.
+
+    Subclasses define the GROUPING: ``_group_cols()`` (aliased
+    ``_g0.._gN``), ``_key_of(raw_tuple)`` / ``_decode_key(stored)`` /
+    ``_sort_key(key)``, the entry cap ``_max_entries`` + ``_guard``
+    (the error-message subject), and ``_state_meta()`` — extra pinned
+    parameters (a CDF's salt/n_bins) written into the state file and
+    VALIDATED on read, so state maintained under different parameters
+    fails loudly instead of folding garbage."""
+
+    # subclass contract
+    _max_entries: int = MAX_CATEGORIES
+
+    def _group_cols(self) -> list:
+        raise NotImplementedError
+
+    def _key_of(self, raw: tuple):
+        raise NotImplementedError
+
+    def _decode_key(self, stored):
+        raise NotImplementedError
+
+    def _sort_key(self, key):
+        raise NotImplementedError
+
+    def _guard(self) -> str:
+        raise NotImplementedError
+
+    def _state_meta(self) -> dict:
+        return {}
+
+    # shared machinery
+    def _weight(self):
+        return F.lit(1) if self.weight_col is None else F.col(self.weight_col)
+
+    def _read_state(self) -> dict:
+        import json
+
+        try:
+            with open(self._state_path()) as f:
+                state = json.load(f)
+        except FileNotFoundError:
+            return {"applied_until": 0, "counts": [], **self._state_meta()}
+        for k, v in self._state_meta().items():
+            if state.get(k) != v:
+                raise RuntimeError(
+                    f"maintained state at {self._state_path()} was built "
+                    f"with {k}={state.get(k)!r} but this instance uses "
+                    f"{v!r} — folding on top would corrupt the histogram; "
+                    "construct with the recorded parameters or rebase() a "
+                    "fresh instance"
+                )
+        return state
+
+    def counts(self) -> dict:
+        """The current maintained histogram (key → integer weight).
+        Reads only the side file — call ``poll()`` first to fold in new
+        commits."""
+        return {
+            self._decode_key(k): int(v)
+            for k, v in self._read_state()["counts"]
+        }
+
+    def _write_state(self, cursor: int, counts: dict) -> None:
+        from stripe_sync_engine_spark.commitio import atomic_write_json
+
+        atomic_write_json(
+            self._state_path(),
+            {
+                "applied_until": int(cursor),
+                **self._state_meta(),
+                "counts": sorted(
+                    counts.items(), key=lambda kv: self._sort_key(kv[0])
+                ),
+            },
+        )
+
+    def _grouped_rows(self, df, value_col) -> list:
+        cols = self._group_cols()
+        rows = (
+            df.groupBy(*cols)
+            .agg(value_col.alias("_v"))
+            .limit(self._max_entries + 1)
+            .collect()
+        )
+        if len(rows) > self._max_entries:
+            raise ValueError(
+                f"{self._guard()} produced more than {self._max_entries} "
+                "distinct entries — not a bounded grouping; maintaining "
+                "it would grow unbounded driver state"
+            )
+        names = [f"_g{i}" for i in range(len(cols))]
+        return [
+            (self._key_of(tuple(r[n] for n in names)), int(r["_v"]))
+            for r in rows
+        ]
+
+    def poll(self) -> dict:
+        """Fold one change window into the counts and return the
+        refreshed histogram. Cheap when idle (no new commits: one
+        no-op feed plan). Call it wherever the corpus's other feed
+        consumers poll (the maintenance cron)."""
+        state = self._read_state()
+        if int(state["applied_until"]) > 0:
+            # Divergence guard (the fan-out stream's handover contract,
+            # for counts): counts exist but the consumer's cursor is
+            # gone, so the next window would be the WHOLE table as
+            # inserts re-applied on top of non-empty counts — every
+            # delta positive, the negative-count check blind, every
+            # entry silently ~doubled. The one legitimate
+            # cursor=0-with-state shape is the crash retry of the
+            # initial load itself, identified by its pinned window
+            # matching the state's applied_until.
+            cur0 = int(self.engine._read_cursors(self.consumer).get(self.entity, 0))
+            pin0 = int(self.engine._read_pending(self.consumer).get(self.entity, 0))
+            if cur0 == 0 and pin0 != int(state["applied_until"]):
+                raise RuntimeError(
+                    f"counts state for {self.entity!r}/{self._guard()} "
+                    f"is at commit {state['applied_until']} but consumer "
+                    f"{self.consumer!r} has no cursor — a wiped cursor would "
+                    "re-deliver the initial load and double every count; "
+                    "rebase() to recount and realign"
+                )
+        feed, cursor = self.engine.consume_changes(
+            self.consumer,
+            self.entity,
+            emit_update_preimages=True,
+            pin_window=True,
+        )
+        if feed is None:
+            return self.counts()
+        if int(cursor) != int(state["applied_until"]):
+            if self.weight_col is not None:
+                _require_integral_weight(feed, self.weight_col)
+            w = self._weight()
+            delta = F.sum(
+                F.when(
+                    F.col("_change_type").isin("insert", "update"), w
+                ).otherwise(-w)
+            )
+            counts = {
+                self._decode_key(k): int(v) for k, v in state["counts"]
+            }
+            for key, d in self._grouped_rows(feed, delta):
+                n = counts.get(key, 0) + d
+                if n < 0:
+                    raise RuntimeError(
+                        f"entry {key!r} went negative applying "
+                        f"window {cursor} — the feed and the maintained "
+                        "state diverged (wiped cursor / unmaintained "
+                        "rewind); rebase() to recount"
+                    )
+                if n:
+                    counts[key] = n
+                else:
+                    counts.pop(key, None)
+            if len(counts) > self._max_entries:
+                # each window is bounded above, but the ACCUMULATED set
+                # could still creep past the cap across many windows —
+                # the same unbounded-driver-state failure, caught here
+                raise ValueError(
+                    f"{self._guard()} has accumulated more than "
+                    f"{self._max_entries} distinct entries — maintaining "
+                    "it is unbounded driver state"
+                )
+            # ONE atomic commit of counts + cursor, BEFORE the ack: the
+            # pinned window makes the crash-retry byte-identical, and the
+            # applied_until match above makes the re-apply a skip
+            self._write_state(cursor, counts)
+        self.engine.ack_changes(self.consumer, self.entity, int(cursor))
+        return self.counts()
+
+    def rebase(self) -> dict:
+        """Recount from the current table and restart the feed from its
+        head — initialization for a table with history the consumer
+        never saw, and the drift remedy (the counts analog of
+        ``refresh_rollup``). The recount and the cursor baseline are
+        planned under the same head commit."""
+        commits = self.engine.store.commits(self.entity)
+        head = commits[-1] if commits else 0
+        # pinned AS OF the head the cursor is baselined to: a writer
+        # landing between the commits() read and the recount would
+        # otherwise be counted now AND re-delivered by the next poll
+        table = (
+            self.engine.store.read(self.entity, as_of_ms=head) if head else None
+        )
+        counts: dict = {}
+        if table is not None:
+            if self.weight_col is not None:
+                _require_integral_weight(table, self.weight_col)
+            counts = dict(self._grouped_rows(table, F.sum(self._weight())))
+        self._write_state(head, counts)
+        self.engine.ack_changes(self.consumer, self.entity, int(head))
+        return self.counts()
+
+
+class CategoryCounts(_MaintainedFold):
+    """Exact per-category row counts of a store table, maintained
+    incrementally from the change feed — the steady-state histogram
+    source for ``mixture_rates``, replacing ``assemble_mixture``'s
+    full ``groupBy(category).count()`` scan with an O(changed buckets)
+    poll. Each poll aggregates the window's net rows to a per-category
+    delta (insert/update post-images +1, delete and update pre-images
+    -1 — with pre-images an update moves its count between categories
+    exactly); the histogram stays ≤ ``MAX_CATEGORIES`` entries BY THE
+    SAME GUARD the scan path enforces. Crash/retention/divergence
+    semantics: ``_MaintainedFold``.
 
     ``weight_col``: maintain ``SUM(weight)`` per category instead of
     row counts (token-weighted mixtures — see
@@ -717,6 +928,8 @@ class CategoryCounts:
 
     Reference analog: none (training-data-pipeline extension)."""
 
+    _max_entries = MAX_CATEGORIES
+
     def __init__(
         self,
         engine,
@@ -731,9 +944,6 @@ class CategoryCounts:
         tag = f":{weight_col}" if weight_col else ""
         self.consumer = f"mixture_counts:{entity}:{category_col}{tag}"
 
-    def _weight(self):
-        return F.lit(1) if self.weight_col is None else F.col(self.weight_col)
-
     def _state_path(self) -> str:
         import os
 
@@ -744,169 +954,146 @@ class CategoryCounts:
             f"{self.entity}.{self.category_col}{tag}.json",
         )
 
-    def _read_state(self) -> dict:
-        import json
+    def _group_cols(self) -> list:
+        return [F.col(self.category_col).alias("_g0")]
 
-        try:
-            with open(self._state_path()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {"applied_until": 0, "counts": []}
+    def _key_of(self, raw: tuple):
+        return raw[0] if raw[0] is None else str(raw[0])
 
-    def counts(self) -> dict:
-        """The current maintained histogram (category value → rows;
-        ``None`` is a real category key). Reads only the side file —
-        call ``poll()`` first to fold in new commits."""
+    def _decode_key(self, stored):
+        return stored if stored is None else str(stored)
+
+    def _sort_key(self, key):
+        return (key is None, key)
+
+    def _guard(self) -> str:
+        return repr(self.category_col)
+
+
+#: entry cap for a maintained stratified CDF: |categories| × ≤64 strata
+#: × n_bins present-only cells — generous for any sane recipe corpus
+MAX_CDF_ENTRIES = 250_000
+
+
+class StratifiedCDF(_MaintainedFold):
+    """The (category, weight-stratum, hash-bin) weight histogram of a
+    PINNED-SALT corpus draw, maintained from the change feed — the
+    steady-state input of the length-stratified weighted mixture:
+    ``solve()`` re-derives per-stratum thresholds after corpus
+    mutations with ZERO corpus scans, closing the asymmetry where flat
+    mixtures re-solved O(window) (``CategoryCounts``) but stratified
+    ones re-scanned the corpus for their hash-CDF.
+
+    The salt MUST be pinned because the histogram's hash-bin axis is
+    ``h32(id:salt)`` — a standing mixture does pin it (the incremental
+    mixture-export flow carries one salt in its manifest for the life
+    of the export); an epoch redraw under a NEW salt re-bins every row
+    and therefore starts its own CDF (one ``rebase()``, the same
+    O(corpus) the fresh epoch's solve would pay anyway). salt, n_bins,
+    and the weight/id columns are pinned in the state file and
+    validated on read, so state maintained under different parameters
+    fails loudly instead of folding garbage. Crash/retention/
+    divergence semantics: ``_MaintainedFold``.
+
+    At 100 TB: the poll's cost is the change window's touched buckets;
+    driver state is present-only (category, stratum, bin) cells,
+    capped at ``MAX_CDF_ENTRIES``. Weights must be integral (enforced).
+
+    Reference analog: none (training-data-pipeline extension)."""
+
+    _max_entries = MAX_CDF_ENTRIES
+
+    def __init__(
+        self,
+        engine,
+        entity: str,
+        salt: str,
+        category_col: str = "lang",
+        weight_col: str = "n_tokens",
+        id_col: str = "doc_id",
+        n_bins: int = STRATUM_BINS,
+    ):
+        import hashlib
+
+        if weight_col is None:
+            raise ValueError("StratifiedCDF requires a weight_col")
+        self.engine = engine
+        self.entity = entity
+        self.salt = salt
+        self.category_col = category_col
+        self.weight_col = weight_col
+        self.id_col = id_col
+        self.n_bins = n_bins
+        sd = hashlib.md5(salt.encode("utf-8")).hexdigest()[:8]
+        self._salt_digest = sd
+        self.consumer = (
+            f"mixture_cdf:{entity}:{category_col}:{weight_col}:{sd}:{n_bins}"
+        )
+
+    def _state_path(self) -> str:
+        import os
+
+        return os.path.join(
+            self.engine.store.root,
+            "_mixture_counts",
+            f"{self.entity}.{self.category_col}.{self.weight_col}"
+            f".{self._salt_digest}.{self.n_bins}.cdf.json",
+        )
+
+    def _state_meta(self) -> dict:
         return {
-            (k if k is None else str(k)): int(v)
-            for k, v in self._read_state()["counts"]
+            "salt": self.salt,
+            "n_bins": self.n_bins,
+            "weight_col": self.weight_col,
+            "id_col": self.id_col,
         }
 
-    def poll(self) -> dict:
-        """Fold one change window into the counts and return the
-        refreshed histogram. Cheap when idle (no new commits: one
-        no-op feed plan). Call it wherever the corpus's other feed
-        consumers poll (the maintenance cron)."""
-        from stripe_sync_engine_spark.commitio import atomic_write_json
-
-        state = self._read_state()
-        if int(state["applied_until"]) > 0:
-            # Divergence guard (the fan-out stream's handover contract,
-            # for counts): counts exist but the consumer's cursor is
-            # gone, so the next window would be the WHOLE table as
-            # inserts re-applied on top of non-empty counts — every
-            # delta positive, the negative-count check blind, every
-            # category silently ~doubled. The one legitimate
-            # cursor=0-with-state shape is the crash retry of the
-            # initial load itself, identified by its pinned window
-            # matching the state's applied_until.
-            cur0 = int(self.engine._read_cursors(self.consumer).get(self.entity, 0))
-            pin0 = int(self.engine._read_pending(self.consumer).get(self.entity, 0))
-            if cur0 == 0 and pin0 != int(state["applied_until"]):
-                raise RuntimeError(
-                    f"counts state for {self.entity!r}/{self.category_col!r} "
-                    f"is at commit {state['applied_until']} but consumer "
-                    f"{self.consumer!r} has no cursor — a wiped cursor would "
-                    "re-deliver the initial load and double every count; "
-                    "rebase() to recount and realign"
-                )
-        feed, cursor = self.engine.consume_changes(
-            self.consumer,
-            self.entity,
-            emit_update_preimages=True,
-            pin_window=True,
+    def _group_cols(self) -> list:
+        bin_w = H32_SPACE // self.n_bins
+        u = h32_col(
+            F.concat(F.col(self.id_col).cast("string"), F.lit(":" + self.salt))
         )
-        if feed is None:
-            return self.counts()
-        if int(cursor) != int(state["applied_until"]):
-            if self.weight_col is not None:
-                _require_integral_weight(feed, self.weight_col)
-            w = self._weight()
-            rows = (
-                feed.groupBy(F.col(self.category_col).alias("_cat"))
-                .agg(
-                    F.sum(
-                        F.when(
-                            F.col("_change_type").isin("insert", "update"), w
-                        ).otherwise(-w)
-                    ).alias("_d")
-                )
-                .limit(MAX_CATEGORIES + 1)
-                .collect()
-            )
-            if len(rows) > MAX_CATEGORIES:
-                raise ValueError(
-                    f"{self.category_col!r} produced more than "
-                    f"{MAX_CATEGORIES} distinct values in one change window "
-                    "— not a category column; maintaining counts on it "
-                    "would grow unbounded driver state"
-                )
-            counts = {
-                (k if k is None else str(k)): int(v)
-                for k, v in state["counts"]
-            }
-            for r in rows:
-                cat = r["_cat"] if r["_cat"] is None else str(r["_cat"])
-                n = counts.get(cat, 0) + int(r["_d"])
-                if n < 0:
-                    raise RuntimeError(
-                        f"category {cat!r} count went negative applying "
-                        f"window {cursor} — the feed and the maintained "
-                        "state diverged (wiped cursor / unmaintained "
-                        "rewind); rebase() to recount"
-                    )
-                if n:
-                    counts[cat] = n
-                else:
-                    counts.pop(cat, None)
-            if len(counts) > MAX_CATEGORIES:
-                # each window is bounded above, but the ACCUMULATED set
-                # could still creep past the cap across many windows —
-                # the same unbounded-driver-state failure, caught here
-                raise ValueError(
-                    f"{self.category_col!r} has accumulated more than "
-                    f"{MAX_CATEGORIES} distinct values — not a category "
-                    "column; maintaining counts on it is unbounded "
-                    "driver state"
-                )
-            # ONE atomic commit of counts + cursor, BEFORE the ack: the
-            # pinned window makes the crash-retry byte-identical, and the
-            # applied_until match above makes the re-apply a skip
-            atomic_write_json(
-                self._state_path(),
-                {
-                    "applied_until": int(cursor),
-                    "counts": sorted(
-                        counts.items(), key=lambda kv: (kv[0] is None, kv[0])
-                    ),
-                },
-            )
-        self.engine.ack_changes(self.consumer, self.entity, int(cursor))
-        return self.counts()
+        return [
+            F.col(self.category_col).alias("_g0"),
+            _stratum_col(self.weight_col).alias("_g1"),
+            F.floor(u / bin_w).cast("long").alias("_g2"),
+        ]
 
-    def rebase(self) -> dict:
-        """Recount from the current table and restart the feed from its
-        head — initialization for a table with history the consumer
-        never saw, and the drift remedy (the counts analog of
-        ``refresh_rollup``). The recount and the cursor baseline are
-        planned under the same head commit."""
-        from stripe_sync_engine_spark.commitio import atomic_write_json
+    def _key_of(self, raw: tuple):
+        c, band, hb = raw
+        return (c if c is None else str(c), int(band), int(hb))
 
-        commits = self.engine.store.commits(self.entity)
-        head = commits[-1] if commits else 0
-        # pinned AS OF the head the cursor is baselined to: a writer
-        # landing between the commits() read and the recount would
-        # otherwise be counted now AND re-delivered by the next poll
-        table = (
-            self.engine.store.read(self.entity, as_of_ms=head) if head else None
+    def _decode_key(self, stored):
+        c, band, hb = stored
+        return (c if c is None else str(c), int(band), int(hb))
+
+    def _sort_key(self, key):
+        c, band, hb = key
+        return (c is None, c if c is not None else "", band, hb)
+
+    def _guard(self) -> str:
+        return (
+            f"({self.category_col!r}, stratum, hash-bin) "
+            f"[salt {self._salt_digest}]"
         )
-        counts: dict = {}
-        if table is not None:
-            if self.weight_col is not None:
-                _require_integral_weight(table, self.weight_col)
-            rows = (
-                table.groupBy(F.col(self.category_col).alias("_cat"))
-                .agg(F.sum(self._weight()).alias("_n"))
-                .limit(MAX_CATEGORIES + 1)
-                .collect()
-            )
-            if len(rows) > MAX_CATEGORIES:
-                raise ValueError(
-                    f"{self.category_col!r} has more than {MAX_CATEGORIES} "
-                    "distinct values — not a category column"
-                )
-            counts = {
-                (r["_cat"] if r["_cat"] is None else str(r["_cat"])): int(r["_n"])
-                for r in rows
-            }
-        atomic_write_json(
-            self._state_path(),
-            {
-                "applied_until": int(head),
-                "counts": sorted(
-                    counts.items(), key=lambda kv: (kv[0] is None, kv[0])
-                ),
-            },
+
+    def solve(
+        self, target_props: dict[str, float], total: int | None = None
+    ) -> dict[str, dict[int, float]]:
+        """Poll the feed, then solve the stratified thresholds from the
+        maintained CDF — salt and n_bins come from this instance's
+        pinned state, so they cannot mismatch the histogram. ZERO
+        corpus scans; returns the same ``{category: {stratum: rate}}``
+        as the scan-path ``stratified_weighted_rates``."""
+        cdf = self.poll()
+        return stratified_weighted_rates(
+            None,
+            target_props,
+            self.category_col,
+            self.id_col,
+            self.salt,
+            self.weight_col,
+            total=total,
+            n_bins=self.n_bins,
+            cdf=cdf,
         )
-        self.engine.ack_changes(self.consumer, self.entity, int(head))
-        return self.counts()

@@ -687,6 +687,12 @@ def test_weighted_draw_heavy_tail_bound_and_stratified_path(spark):
     )
     got_q = realized(s_q)
     assert got_q["small"] == 20_000
+    # the bound is TWO-SIDED: the closest-boundary rule plus residual
+    # carry may land slightly over or under the target (a document is
+    # atomic — half a huge doc is the unbeatable worst case); what is
+    # guaranteed is |error| within the heaviest doc's half-weight, and
+    # ~one lightest-stratum hash-bin when light strata can absorb the
+    # heavy strata's rounding (this fixture's shape)
     q_err = abs(got_q.get("big", 0) - 20_000)
     assert q_err <= 10_000  # adversarial worst case: half a huge doc
     assert q_err <= 300  # the typical-shape bound: ~W_light/256 + one doc
@@ -968,3 +974,102 @@ def test_stratified_mixture_export_verifies_from_manifest(spark, tmp_path):
     )
     rep_miss = verify_mixture(spark, out_miss, source=docs)
     assert not rep_miss["ok"] and rep_miss["missing_ids"] == [lost_id]
+
+
+def test_stratified_cdf_maintained_solve_matches_scan(spark, tmp_path):
+    """StratifiedCDF: the change-feed-maintained (category, stratum,
+    hash-bin) histogram solves the SAME thresholds as the scan path —
+    across inserts, weight changes (docs move strata), category moves,
+    and deletes — with zero corpus scans at solve time; the wiped-cursor
+    guard and rebase() are inherited from the shared fold machinery, and
+    a parameter mismatch against pinned state fails loudly."""
+    import os
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import (
+        StratifiedCDF,
+        sample_stratified_mixture,
+        stratified_weighted_rates,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_cdf"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    rows = (
+        [(i, "big", 20_000) for i in range(4)]
+        + [(10 + i, "big", 50) for i in range(300)]
+        + [(1000 + i, "small", 100) for i in range(200)]
+    )
+    store.write(
+        "corpus",
+        spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long"),
+        key="doc_id",
+    )
+    salt, target = "standing-epoch", {"big": 0.5, "small": 0.5}
+    cdf = StratifiedCDF(eng, "corpus", salt)
+    cdf.poll()  # initial load
+
+    def scan_solve():
+        return stratified_weighted_rates(
+            store.read("corpus"), target, salt=salt, weight_col="n_tokens"
+        )
+
+    assert cdf.solve(target) == scan_solve()
+
+    # mutate: weight change that MOVES a doc's stratum (50 -> 20_000),
+    # a category move, deletes, and fresh inserts
+    time.sleep(0.002)
+    cur = store.read("corpus")
+    store.write(
+        "corpus",
+        cur.where("doc_id not in (10, 1000)")
+        .withColumn(
+            "n_tokens",
+            F.when(F.col("doc_id") == 11, F.lit(20_000)).otherwise(F.col("n_tokens")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") == 12, "small").otherwise(F.col("lang")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(9000, "small", 100), (9001, "big", 50)],
+                "doc_id long, lang string, n_tokens long",
+            )
+        ),
+        key="doc_id",
+    )
+    strata = cdf.solve(target)
+    assert strata == scan_solve()
+    # the maintained thresholds draw the byte-identical set
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(
+        sample_stratified_mixture(store.read("corpus"), strata, salt=salt)
+    ) == ids(
+        sample_stratified_mixture(store.read("corpus"), scan_solve(), salt=salt)
+    )
+
+    # parameter mismatch against pinned state fails loudly (same state
+    # file — id_col is pinned in meta but not in the filename)
+    clash = StratifiedCDF(eng, "corpus", salt, id_col="other_id")
+    assert clash._state_path() == cdf._state_path()
+    with pytest.raises(RuntimeError, match="id_col"):
+        clash.poll()
+
+    # a NEW salt is its own epoch: own consumer, own state, rebase
+    # initializes it in one pass and it solves the new draw
+    epoch2 = StratifiedCDF(eng, "corpus", "epoch-2")
+    assert epoch2._state_path() != cdf._state_path()
+    assert epoch2.consumer != cdf.consumer
+    epoch2.rebase()
+    assert epoch2.solve(target) == stratified_weighted_rates(
+        store.read("corpus"), target, salt="epoch-2", weight_col="n_tokens"
+    )
+
+    # wiped-cursor guard inherited; rebase recovers
+    os.remove(eng._cursor_path(cdf.consumer))
+    with pytest.raises(RuntimeError, match="wiped cursor.*rebase"):
+        cdf.poll()
+    cdf.rebase()
+    assert cdf.solve(target) == scan_solve()
