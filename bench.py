@@ -422,18 +422,34 @@ def _bench_mixing(spark, sf_dir: str) -> dict[str, float]:
 
     wh = tempfile.mkdtemp(prefix="bench_mix_")
     try:
+        from stripe_sync_engine_spark.operators.mixing import StratifiedCDF
+
         store = TableStore(spark, wh, vacuum_retain_s=3600.0)
         eng = StripeSparkSync(spark, store)
-        store.write("mixdocs", docs.select("doc_id", "text", "lang"), key="doc_id")
+        store.write(
+            "mixdocs",
+            docs.select(
+                "doc_id",
+                "text",
+                "lang",
+                F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            ),
+            key="doc_id",
+        )
         cc = CategoryCounts(eng, "mixdocs")
         cc.poll()  # initial load — untimed setup
+        cdf = StratifiedCDF(eng, "mixdocs", "bench-standing")
+        cdf.poll()  # initial load — untimed setup
         cur = store.read("mixdocs")
         window = (
             cur.where("doc_id % 400 = 0")
             .withColumn("lang", F.lit("zh"))  # category moves
             .unionByName(
                 cur.where("doc_id % 400 = 1").select(
-                    (F.col("doc_id") + 5_000_000).alias("doc_id"), "text", "lang"
+                    (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                    "text",
+                    "lang",
+                    "n_tokens",
                 )
             )
         )
@@ -453,6 +469,15 @@ def _bench_mixing(spark, sf_dir: str) -> dict[str, float]:
         n2 = sampled.count()
         out["txt_mixture_assemble_steady"] = round(time.perf_counter() - t0, 3)
         assert n2 > 0 and rates["zh"] > 0
+        # --- stratified steady state: the SAME change window folded into
+        # the maintained (category, stratum, hash-bin) CDF, then the
+        # per-stratum threshold solve — zero corpus scans (StratifiedCDF;
+        # the salt is pinned for the standing mixture, as in the
+        # incremental export flow).
+        t0 = time.perf_counter()
+        strata = cdf.solve({"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1})
+        out["txt_mixture_stratified_steady"] = round(time.perf_counter() - t0, 3)
+        assert strata["zh"] and all(strata.values())
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out

@@ -279,19 +279,26 @@ def _probe_scale(
         # steady-state claim is that the histogram is never recounted.
         from stripe_sync_engine_spark.operators.mixing import (
             CategoryCounts,
+            StratifiedCDF,
             assemble_mixture,
         )
 
         langs = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es")])
         store.write(
             "mixdocs",
-            docs.withColumn("lang", langs[(F.col("doc_id") % 4).cast("int")]),
+            docs.withColumn("lang", langs[(F.col("doc_id") % 4).cast("int")])
+            .withColumn(
+                "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+            ),
             key="doc_id",
         )
         cc = CategoryCounts(eng, "mixdocs")
         cc.poll()  # initial load — untimed setup
+        cdf = StratifiedCDF(eng, "mixdocs", "sp-standing")
+        cdf.poll()  # initial load — untimed setup
         props = {"en": 0.4, "fr": 0.3, "de": 0.2, "es": 0.1}
         out["txt_mixture_assemble_steady"] = []
+        out["txt_mixture_stratified_steady"] = []
         for it in range(1, reps + 1):
             def lang_flip(df, _it=it):
                 return df.withColumn(
@@ -312,6 +319,14 @@ def _probe_scale(
                 round(time.perf_counter() - t0, 3)
             )
             assert counts and all(rates[c] > 0 for c in props)
+            # the stratified CDF folds the SAME window under its own
+            # consumer, then solves per-stratum thresholds — zero scans
+            t0 = time.perf_counter()
+            strata = cdf.solve(props)
+            out["txt_mixture_stratified_steady"].append(
+                round(time.perf_counter() - t0, 3)
+            )
+            assert all(strata[c] for c in props)
         assert sampled.limit(1).count() == 1  # draw verified, untimed
 
         # --- txt_pack_incremental: a fixed 1k-doc batch packed against
