@@ -38,6 +38,8 @@ Reference analog: none (training-data-pipeline extension).
 
 from __future__ import annotations
 
+import abc
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -683,7 +685,7 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
     }
 
 
-class _MaintainedFold:
+class _MaintainedFold(abc.ABC):
     """Shared machinery for change-feed-maintained driver-side
     histograms (``CategoryCounts``, ``StratifiedCDF``): one durable
     consumer with a two-phase pinned window, one atomic counts+cursor
@@ -713,23 +715,30 @@ class _MaintainedFold:
     VALIDATED on read, so state maintained under different parameters
     fails loudly instead of folding garbage."""
 
-    # subclass contract
+    # subclass contract (abstract — an incomplete subclass fails at
+    # instantiation, not at first poll)
     _max_entries: int = MAX_CATEGORIES
 
+    @abc.abstractmethod
     def _group_cols(self) -> list:
-        raise NotImplementedError
+        """Aliased grouping columns ``_g0.._gN`` for window deltas and
+        rebase recounts."""
 
+    @abc.abstractmethod
     def _key_of(self, raw: tuple):
-        raise NotImplementedError
+        """Normalize a raw grouped-row tuple into the histogram key."""
 
+    @abc.abstractmethod
     def _decode_key(self, stored):
-        raise NotImplementedError
+        """Rebuild the key from its JSON-stored form."""
 
+    @abc.abstractmethod
     def _sort_key(self, key):
-        raise NotImplementedError
+        """Stable ordering for the persisted counts list."""
 
+    @abc.abstractmethod
     def _guard(self) -> str:
-        raise NotImplementedError
+        """The error-message subject for the entry-cap guards."""
 
     def _state_meta(self) -> dict:
         return {}
