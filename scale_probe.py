@@ -162,6 +162,16 @@ def _probe_scale(
     from stripe_sync_engine_spark.sync.engine import StripeSparkSync
     from stripe_sync_engine_spark.tables import load_table
 
+    only = set(
+        filter(None, os.environ.get("SCALE_PROBE_ONLY", "").split(","))
+    )
+
+    def _want(name: str) -> bool:
+        """SCALE_PROBE_ONLY=a,b limits the run to the named probes (to
+        re-measure one probe in isolation without paying the full
+        ~25-minute pass); empty = every probe."""
+        return not only or name in only
+
     out: dict[str, list[float]] = {}
     base_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base_vecs = load_table(spark, sf_dir, "embeddings").select(
@@ -177,184 +187,196 @@ def _probe_scale(
         nb = DEFAULT_N_BUCKETS * (mult if scale_buckets else 1)
         store = TableStore(spark, wh, vacuum_retain_s=3600.0, n_buckets=nb)
 
-        # --- dd_incremental_batch: 500 replay + 500 fresh vs mult× gate
-        dd = IncrementalDeduper(store, table="_sp_fps")
-        dd.register(docs)  # untimed setup
-        out["dd_incremental_batch"] = []
-        for it in range(1, reps + 1):
-            replay = base_docs.limit(500)
-            fresh = base_docs.limit(500).select(
-                (F.col("doc_id") + it * 10_000_000).alias("doc_id"),
-                F.concat(F.lit(f"NEW{it}:"), F.col("text")).alias("text"),
-            )
-            batch = replay.unionByName(fresh).localCheckpoint(eager=True)
-            t0 = time.perf_counter()
-            n_new = dd.filter_new(batch).count()
-            out["dd_incremental_batch"].append(round(time.perf_counter() - t0, 3))
-            assert n_new == 500, n_new
-
-        # --- txt_bm25_cdc_window: same window vs mult× postings
-        store.write("corpus", docs, key="doc_id")
-        idx = PersistedPostingsIndex(store)
-        idx.register(store.read("corpus"), "run:0")  # untimed setup
-        out["txt_bm25_cdc_window"] = []
-        for it in range(1, reps + 1):
-            t_base = store.commits("corpus")[-1]
-            store.write("corpus", _mutate(store.read("corpus"), it), key="doc_id")
-            t0 = time.perf_counter()
-            feed = store.read_changes("corpus", t_base)
-            idx.apply_changes(feed, f"w:{it}")
-            n = idx.topk(["spark", "query", "join"], k=20).count()
-            out["txt_bm25_cdc_window"].append(round(time.perf_counter() - t0, 3))
-            assert n > 0
-
-        # --- sim_ivfpq_cdc_window: same window vs mult× codes
-        ivf = train_ivf_pq(base_vecs, n_cells=16, m=8, k=16)
-        store.write("vectors", vecs, key="vec_id")
-        ann = PersistedIVFPQ(store, ivf)
-        ann.register(store.read("vectors"), "run:0")  # untimed setup
-        queries = [
-            (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-            for r in base_vecs.orderBy("vec_id").limit(8).collect()
-        ]
-        out["sim_ivfpq_cdc_window"] = []
-        for it in range(1, reps + 1):
-            def vec_perturb(df, _it=it):
-                return df.withColumn(
-                    "embedding",
-                    F.transform(F.col("embedding"), lambda x: x + F.lit(0.01 * _it)),
+        if _want("dd_incremental_batch"):
+            # --- dd_incremental_batch: 500 replay + 500 fresh vs mult× gate
+            dd = IncrementalDeduper(store, table="_sp_fps")
+            dd.register(docs)  # untimed setup
+            out["dd_incremental_batch"] = []
+            for it in range(1, reps + 1):
+                replay = base_docs.limit(500)
+                fresh = base_docs.limit(500).select(
+                    (F.col("doc_id") + it * 10_000_000).alias("doc_id"),
+                    F.concat(F.lit(f"NEW{it}:"), F.col("text")).alias("text"),
                 )
+                batch = replay.unionByName(fresh).localCheckpoint(eager=True)
+                t0 = time.perf_counter()
+                n_new = dd.filter_new(batch).count()
+                out["dd_incremental_batch"].append(round(time.perf_counter() - t0, 3))
+                assert n_new == 500, n_new
 
-            t_base = store.commits("vectors")[-1]
-            store.write(
-                "vectors",
-                _mutate(store.read("vectors"), it, id_col="vec_id", perturb=vec_perturb),
-                key="vec_id",
-            )
-            t0 = time.perf_counter()
-            feed = store.read_changes("vectors", t_base)
-            ann.apply_changes(feed, f"w:{it}")
-            n = ann.topk(queries, k=10, nprobe=4).count()
-            out["sim_ivfpq_cdc_window"].append(round(time.perf_counter() - t0, 3))
-            assert n > 0
+        if _want("txt_bm25_cdc_window"):
+            # --- txt_bm25_cdc_window: same window vs mult× postings
+            store.write("corpus", docs, key="doc_id")
+            idx = PersistedPostingsIndex(store)
+            idx.register(store.read("corpus"), "run:0")  # untimed setup
+            out["txt_bm25_cdc_window"] = []
+            for it in range(1, reps + 1):
+                t_base = store.commits("corpus")[-1]
+                store.write("corpus", _mutate(store.read("corpus"), it), key="doc_id")
+                t0 = time.perf_counter()
+                feed = store.read_changes("corpus", t_base)
+                idx.apply_changes(feed, f"w:{it}")
+                n = idx.topk(["spark", "query", "join"], k=20).count()
+                out["txt_bm25_cdc_window"].append(round(time.perf_counter() - t0, 3))
+                assert n > 0
 
-        # --- corpus_cdc_fanout: one engine poll vs mult× targets
+        needs_ivf = (
+            _want("sim_ivfpq_cdc_window")
+            or _want("corpus_cdc_fanout")
+            or _want("corpus_index_audit")
+        )
+        ivf = train_ivf_pq(base_vecs, n_cells=16, m=8, k=16) if needs_ivf else None
+        if _want("sim_ivfpq_cdc_window"):
+            # --- sim_ivfpq_cdc_window: same window vs mult× codes
+            store.write("vectors", vecs, key="vec_id")
+            ann = PersistedIVFPQ(store, ivf)
+            ann.register(store.read("vectors"), "run:0")  # untimed setup
+            queries = [
+                (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+                for r in base_vecs.orderBy("vec_id").limit(8).collect()
+            ]
+            out["sim_ivfpq_cdc_window"] = []
+            for it in range(1, reps + 1):
+                def vec_perturb(df, _it=it):
+                    return df.withColumn(
+                        "embedding",
+                        F.transform(F.col("embedding"), lambda x: x + F.lit(0.01 * _it)),
+                    )
+
+                t_base = store.commits("vectors")[-1]
+                store.write(
+                    "vectors",
+                    _mutate(store.read("vectors"), it, id_col="vec_id", perturb=vec_perturb),
+                    key="vec_id",
+                )
+                t0 = time.perf_counter()
+                feed = store.read_changes("vectors", t_base)
+                ann.apply_changes(feed, f"w:{it}")
+                n = ann.topk(queries, k=10, nprobe=4).count()
+                out["sim_ivfpq_cdc_window"].append(round(time.perf_counter() - t0, 3))
+                assert n > 0
+
         eng = StripeSparkSync(spark, store)
-        multi = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-        store.write("multidoc", multi, key="doc_id")
-        gate = IncrementalDeduper(store, table="_md_fps")
-        pidx = PersistedPostingsIndex(
-            store,
-            table="_md_postings",
-            stats_table="_md_postings_stats",
-            forward_table="_md_postings_docs",
-        )
-        pann = PersistedIVFPQ(
-            store, ivf, table="_md_codes", id_col="doc_id", forward_table="_md_fwd"
-        )
-        targets = dict(gates=[gate], postings=pidx, ann=pann)
-        eng.maintain_corpus_indexes("fanout", "multidoc", **targets)  # birth = setup
-        out["corpus_cdc_fanout"] = []
-        for it in range(1, reps + 1):
-            store.write("multidoc", _mutate(store.read("multidoc"), it), key="doc_id")
-            t0 = time.perf_counter()
-            rep = eng.maintain_corpus_indexes("fanout", "multidoc", **targets)
-            out["corpus_cdc_fanout"].append(round(time.perf_counter() - t0, 3))
-            assert rep["applied"] and rep["rows"] >= 100
+        if _want("corpus_cdc_fanout") or _want("corpus_index_audit"):
+            # --- corpus_cdc_fanout: one engine poll vs mult× targets
+            multi = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+            store.write("multidoc", multi, key="doc_id")
+            gate = IncrementalDeduper(store, table="_md_fps")
+            pidx = PersistedPostingsIndex(
+                store,
+                table="_md_postings",
+                stats_table="_md_postings_stats",
+                forward_table="_md_postings_docs",
+            )
+            pann = PersistedIVFPQ(
+                store, ivf, table="_md_codes", id_col="doc_id", forward_table="_md_fwd"
+            )
+            targets = dict(gates=[gate], postings=pidx, ann=pann)
+            eng.maintain_corpus_indexes("fanout", "multidoc", **targets)  # birth = setup
+            out["corpus_cdc_fanout"] = [] if _want("corpus_cdc_fanout") else None
+            for it in range(1, (reps + 1) if _want("corpus_cdc_fanout") else 1):
+                store.write("multidoc", _mutate(store.read("multidoc"), it), key="doc_id")
+                t0 = time.perf_counter()
+                rep = eng.maintain_corpus_indexes("fanout", "multidoc", **targets)
+                out["corpus_cdc_fanout"].append(round(time.perf_counter() - t0, 3))
+                assert rep["applied"] and rep["rows"] >= 100
 
-        # --- corpus_index_audit: one sampled drift audit over the same
-        # maintained targets — hash-spread TakeOrderedAndProject sample,
-        # bucket-pruned state probes; claimed O(sample × touched buckets)
-        out["corpus_index_audit"] = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            audit = eng.audit_corpus_indexes("multidoc", **targets)
-            out["corpus_index_audit"].append(round(time.perf_counter() - t0, 3))
-            assert audit["ok"], audit
+        if _want("corpus_index_audit"):
+            # --- corpus_index_audit: one sampled drift audit over the same
+            # maintained targets — hash-spread TakeOrderedAndProject sample,
+            # bucket-pruned state probes; claimed O(sample × touched buckets)
+            out["corpus_index_audit"] = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                audit = eng.audit_corpus_indexes("multidoc", **targets)
+                out["corpus_index_audit"].append(round(time.perf_counter() - t0, 3))
+                assert audit["ok"], audit
 
-        # --- txt_mixture_assemble_steady: CategoryCounts poll over the
-        # fixed window + the O(1) solve from the maintained histogram.
-        # The DRAW scan is excluded: a sample reads its corpus once BY
-        # DESIGN (O(corpus) is the operator's contract, not drift) — the
-        # steady-state claim is that the histogram is never recounted.
-        from stripe_sync_engine_spark.operators.mixing import (
-            CategoryCounts,
-            StratifiedCDF,
-            assemble_mixture,
-        )
+        if _want("txt_mixture_assemble_steady") or _want("txt_mixture_stratified_steady"):
+            # --- txt_mixture_assemble_steady: CategoryCounts poll over the
+            # fixed window + the O(1) solve from the maintained histogram.
+            # The DRAW scan is excluded: a sample reads its corpus once BY
+            # DESIGN (O(corpus) is the operator's contract, not drift) — the
+            # steady-state claim is that the histogram is never recounted.
+            from stripe_sync_engine_spark.operators.mixing import (
+                CategoryCounts,
+                StratifiedCDF,
+                assemble_mixture,
+            )
 
-        langs = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es")])
-        store.write(
-            "mixdocs",
-            docs.withColumn("lang", langs[(F.col("doc_id") % 4).cast("int")])
-            .withColumn(
-                "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
-            ),
-            key="doc_id",
-        )
-        cc = CategoryCounts(eng, "mixdocs")
-        cc.poll()  # initial load — untimed setup
-        cdf = StratifiedCDF(eng, "mixdocs", "sp-standing")
-        cdf.poll()  # initial load — untimed setup
-        props = {"en": 0.4, "fr": 0.3, "de": 0.2, "es": 0.1}
-        out["txt_mixture_assemble_steady"] = []
-        out["txt_mixture_stratified_steady"] = []
-        for it in range(1, reps + 1):
-            def lang_flip(df, _it=it):
-                return df.withColumn(
-                    "lang", F.lit(["fr", "de", "es", "en"][_it % 4])
-                )
-
+            langs = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es")])
             store.write(
                 "mixdocs",
-                _mutate(store.read("mixdocs"), it, perturb=lang_flip),
+                docs.withColumn("lang", langs[(F.col("doc_id") % 4).cast("int")])
+                .withColumn(
+                    "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+                ),
                 key="doc_id",
             )
-            t0 = time.perf_counter()
-            counts = cc.poll()
-            sampled, rates = assemble_mixture(
-                store.read("mixdocs"), props, salt=f"sp{it}", counts=counts
-            )
-            out["txt_mixture_assemble_steady"].append(
-                round(time.perf_counter() - t0, 3)
-            )
-            assert counts and all(rates[c] > 0 for c in props)
-            # the stratified CDF folds the SAME window under its own
-            # consumer, then solves per-stratum thresholds — zero scans
-            t0 = time.perf_counter()
-            strata = cdf.solve(props)
-            out["txt_mixture_stratified_steady"].append(
-                round(time.perf_counter() - t0, 3)
-            )
-            assert all(strata[c] for c in props)
-        assert sampled.limit(1).count() == 1  # draw verified, untimed
+            cc = CategoryCounts(eng, "mixdocs")
+            cc.poll()  # initial load — untimed setup
+            cdf = StratifiedCDF(eng, "mixdocs", "sp-standing")
+            cdf.poll()  # initial load — untimed setup
+            props = {"en": 0.4, "fr": 0.3, "de": 0.2, "es": 0.1}
+            out["txt_mixture_assemble_steady"] = []
+            out["txt_mixture_stratified_steady"] = []
+            for it in range(1, reps + 1):
+                def lang_flip(df, _it=it):
+                    return df.withColumn(
+                        "lang", F.lit(["fr", "de", "es", "en"][_it % 4])
+                    )
 
-        # --- txt_pack_incremental: a fixed 1k-doc batch packed against
-        # per-shard progress state that is O(batches), never O(corpus) —
-        # the whole-corpus initial pack is setup, untimed.
-        from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+                store.write(
+                    "mixdocs",
+                    _mutate(store.read("mixdocs"), it, perturb=lang_flip),
+                    key="doc_id",
+                )
+                t0 = time.perf_counter()
+                counts = cc.poll()
+                sampled, rates = assemble_mixture(
+                    store.read("mixdocs"), props, salt=f"sp{it}", counts=counts
+                )
+                out["txt_mixture_assemble_steady"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                assert counts and all(rates[c] > 0 for c in props)
+                # the stratified CDF folds the SAME window under its own
+                # consumer, then solves per-stratum thresholds — zero scans
+                t0 = time.perf_counter()
+                strata = cdf.solve(props)
+                out["txt_mixture_stratified_steady"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                assert all(strata[c] for c in props)
+            assert sampled.limit(1).count() == 1  # draw verified, untimed
 
-        counts_df = docs.select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        ).localCheckpoint(eager=True)
-        packer = IncrementalPacker(store, budget=2048, n_shards=8, table="_sp_pack")
-        packer.pack_batch(counts_df, "n_tokens", "b0")  # untimed setup
-        fixed = counts_df.where("doc_id < 1000")  # copy-0 ids: same at every scale
-        out["txt_pack_incremental"] = []
-        for it in range(1, reps + 1):
-            batch = fixed.select(
-                (F.col("doc_id") + 500_000_000 + it * 1_000_000).alias("doc_id"),
-                "n_tokens",
+        if _want("txt_pack_incremental"):
+            # --- txt_pack_incremental: a fixed 1k-doc batch packed against
+            # per-shard progress state that is O(batches), never O(corpus) —
+            # the whole-corpus initial pack is setup, untimed.
+            from stripe_sync_engine_spark.operators.packing import IncrementalPacker
+
+            counts_df = docs.select(
+                "doc_id",
+                F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
             ).localCheckpoint(eager=True)
-            t0 = time.perf_counter()
-            packer.pack_batch(batch, "n_tokens", f"b{it}").write.format("noop").mode(
-                "overwrite"
-            ).save()
-            out["txt_pack_incremental"].append(round(time.perf_counter() - t0, 3))
+            packer = IncrementalPacker(store, budget=2048, n_shards=8, table="_sp_pack")
+            packer.pack_batch(counts_df, "n_tokens", "b0")  # untimed setup
+            fixed = counts_df.where("doc_id < 1000")  # copy-0 ids: same at every scale
+            out["txt_pack_incremental"] = []
+            for it in range(1, reps + 1):
+                batch = fixed.select(
+                    (F.col("doc_id") + 500_000_000 + it * 1_000_000).alias("doc_id"),
+                    "n_tokens",
+                ).localCheckpoint(eager=True)
+                t0 = time.perf_counter()
+                packer.pack_batch(batch, "n_tokens", f"b{it}").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out["txt_pack_incremental"].append(round(time.perf_counter() - t0, 3))
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-    return out
+    return {k: v for k, v in out.items() if v}
 
 
 def main() -> None:
