@@ -1073,3 +1073,94 @@ def test_stratified_cdf_maintained_solve_matches_scan(spark, tmp_path):
         cdf.poll()
     cdf.rebase()
     assert cdf.solve(target) == scan_solve()
+
+
+def test_stratified_mixture_incremental_export_e2e(spark, tmp_path):
+    """The standing stratified mixture end-to-end: thresholds pinned in
+    the manifest (a re-solve is a NEW recipe/export, same as the flat
+    flow), corpus mutations drive export_changed_shards via the change
+    feed's ids — a weight change that moves a doc across strata flips
+    its threshold and hence possibly its membership, and the touched
+    shards recompute against the new draw. verify_mixture stays green
+    from the manifest alone + the source."""
+    import time
+
+    from stripe_sync_engine_spark.operators.export import (
+        export_changed_shards,
+        export_corpus_shards,
+    )
+    from stripe_sync_engine_spark.operators.mixing import (
+        assemble_stratified_mixture,
+        sample_stratified_mixture,
+        stratified_record,
+        verify_mixture,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_sie"), vacuum_retain_s=3600.0)
+    rows = (
+        [(i, "big", 20_000) for i in range(3)]
+        + [(10 + i, "big", 50) for i in range(200)]
+        + [(1000 + i, "small", 100) for i in range(150)]
+    )
+    store.write(
+        "corpus",
+        spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long"),
+        key="doc_id",
+    )
+    salt, target = "standing", {"big": 0.5, "small": 0.5}
+    corpus = store.read("corpus")
+    drawn, strata = assemble_stratified_mixture(
+        corpus, target, weight_col="n_tokens", salt=salt
+    )
+    out = str(tmp_path / "exp")
+    export_corpus_shards(
+        drawn.localCheckpoint(eager=True),
+        out,
+        n_shards=4,
+        mixture=stratified_record(strata, salt),
+    )
+    assert verify_mixture(spark, out, source=corpus)["ok"]
+
+    # the mutation window: a weight change that MOVES a doc's stratum
+    # (50 -> 20_000 tokens: tiny band rate != huge band rate, so its
+    # membership re-evaluates under a different threshold), a category
+    # flip, a delete, and fresh inserts
+    t_base = store.commits("corpus")[-1]
+    time.sleep(0.002)
+    cur = store.read("corpus")
+    store.write(
+        "corpus",
+        cur.where("doc_id != 1000")
+        .withColumn(
+            "n_tokens",
+            F.when(F.col("doc_id") == 10, F.lit(20_000)).otherwise(F.col("n_tokens")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") == 11, "small").otherwise(F.col("lang")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(5000, "small", 100), (5001, "big", 50)],
+                "doc_id long, lang string, n_tokens long",
+            )
+        ),
+        key="doc_id",
+    )
+    corpus = store.read("corpus")
+    changed = store.read_changes("corpus", t_base).select("doc_id").distinct()
+    assert changed.count() >= 5
+
+    # same PINNED recipe over the mutated corpus; only touched shards
+    # rewrite, the manifest's recipe carries forward
+    new_drawn = sample_stratified_mixture(corpus, strata, salt=salt)
+    export_changed_shards(
+        new_drawn.localCheckpoint(eager=True), out, changed_ids=changed
+    )
+    rep = verify_mixture(spark, out, source=corpus)
+    assert rep["ok"], rep
+    import os
+
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(spark.read.parquet(os.path.join(out, "data"))) == ids(new_drawn)
