@@ -633,12 +633,31 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
     idc = mix["id_col"]
     member = member_col_from_record(mix)
 
+    def _check_recipe_cols(df: DataFrame, which: str) -> None:
+        # a stratified recipe re-derives membership from category AND
+        # weight; an export (or source) whose projection dropped one of
+        # them must fail with the reason, not an unresolved-column error
+        need = [mix["category_col"], idc]
+        if mix.get("kind") == "stratified":
+            need.append(mix["weight_col"])
+        absent = [c for c in need if c not in df.columns]
+        if absent:
+            raise ValueError(
+                f"{which} is missing column(s) {absent} that the "
+                f"manifest's {mix.get('kind', 'rates')} recipe needs to "
+                "re-derive membership — the mixture was exported with a "
+                "projection that cannot be verified; keep the recipe's "
+                "category/id/weight columns in the export"
+            )
+
     data_dir = os.path.join(out_dir, "data")
     probe = None
     try:
         if os.path.isdir(data_dir):
+            exported = spark.read.parquet(data_dir)
+            _check_recipe_cols(exported, f"export under {out_dir}")
             probe = (
-                spark.read.parquet(data_dir)
+                exported
                 .select(F.col(idc), member.alias("_member"))
                 .persist()
             )
@@ -663,6 +682,7 @@ def verify_mixture(spark, out_dir: str, source: DataFrame | None = None) -> dict
 
         n_missing, missing_ids = 0, []
         if source is not None:
+            _check_recipe_cols(source, "source")
             drawn = source.where(member_col_from_record(mix)).select(idc)
             have = probe.select(idc) if probe is not None else drawn.limit(0)
             missing = drawn.join(have, idc, "left_anti").localCheckpoint(eager=True)

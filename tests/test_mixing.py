@@ -1164,3 +1164,41 @@ def test_stratified_mixture_incremental_export_e2e(spark, tmp_path):
 
     ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
     assert ids(spark.read.parquet(os.path.join(out, "data"))) == ids(new_drawn)
+
+
+def test_verify_mixture_names_missing_recipe_columns(spark, tmp_path):
+    """A stratified export whose projection dropped the weight column
+    (or any recipe column) fails verification with the REASON, not an
+    unresolved-column AnalysisException."""
+    from stripe_sync_engine_spark.operators.export import export_corpus_shards
+    from stripe_sync_engine_spark.operators.mixing import (
+        assemble_stratified_mixture,
+        stratified_record,
+        verify_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], 100) for i in range(80)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    sampled, strata = assemble_stratified_mixture(
+        docs, {"a": 0.5, "b": 0.5}, weight_col="n_tokens", salt="vc"
+    )
+    out = str(tmp_path / "exp_drop")
+    export_corpus_shards(
+        sampled.select("doc_id", "lang").localCheckpoint(eager=True),  # weight dropped
+        out,
+        n_shards=2,
+        mixture=stratified_record(strata, "vc"),
+    )
+    with pytest.raises(ValueError, match="n_tokens.*cannot be verified"):
+        verify_mixture(spark, out)
+    # ...and a source missing the column is named the same way
+    out2 = str(tmp_path / "exp_ok")
+    export_corpus_shards(
+        sampled.localCheckpoint(eager=True), out2, n_shards=2,
+        mixture=stratified_record(strata, "vc"),
+    )
+    assert verify_mixture(spark, out2)["ok"]
+    with pytest.raises(ValueError, match="source is missing"):
+        verify_mixture(spark, out2, source=docs.select("doc_id", "lang"))
