@@ -4,7 +4,9 @@ skew mitigation — plus the training-data layer's incremental gates
 (``incremental_dedup``, ``embedding_index``), sequence packing
 (``packing``), the verifiable corpus shard exporter (``export``),
 ExactSubstr-style span-level dedup (``span_dedup``), deterministic
-weighted corpus mixing with maintained category counts and
-manifest-verified exports (``mixing``), persisted BM25 postings
+weighted corpus mixing with maintained category counts, the
+length-stratified heavy-tail-bounded draw with its feed-maintained
+hash-CDF, and manifest-verified exports for both recipe kinds
+(``mixing``), persisted BM25 postings
 (``postings``) and IVF-PQ ANN (``pq_index``), and the derived-index
 drift audit + repair loop (``index_audit``)."""
