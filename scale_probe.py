@@ -313,13 +313,21 @@ def _probe_scale(
                 ),
                 key="doc_id",
             )
-            cc = CategoryCounts(eng, "mixdocs")
-            cc.poll()  # initial load — untimed setup
-            cdf = StratifiedCDF(eng, "mixdocs", "sp-standing")
-            cdf.poll()  # initial load — untimed setup
+            # each probe's fold keeps its OWN consumer, so isolation via
+            # SCALE_PROBE_ONLY genuinely skips the unwanted probe's poll
+            # and timing (the corpus mutation loop is shared setup)
+            want_flat = _want("txt_mixture_assemble_steady")
+            want_strat = _want("txt_mixture_stratified_steady")
+            cc = cdf = sampled = None
+            if want_flat:
+                cc = CategoryCounts(eng, "mixdocs")
+                cc.poll()  # initial load — untimed setup
+            if want_strat:
+                cdf = StratifiedCDF(eng, "mixdocs", "sp-standing")
+                cdf.poll()  # initial load — untimed setup
             props = {"en": 0.4, "fr": 0.3, "de": 0.2, "es": 0.1}
-            out["txt_mixture_assemble_steady"] = []
-            out["txt_mixture_stratified_steady"] = []
+            out["txt_mixture_assemble_steady"] = [] if want_flat else None
+            out["txt_mixture_stratified_steady"] = [] if want_strat else None
             for it in range(1, reps + 1):
                 def lang_flip(df, _it=it):
                     return df.withColumn(
@@ -331,24 +339,27 @@ def _probe_scale(
                     _mutate(store.read("mixdocs"), it, perturb=lang_flip),
                     key="doc_id",
                 )
-                t0 = time.perf_counter()
-                counts = cc.poll()
-                sampled, rates = assemble_mixture(
-                    store.read("mixdocs"), props, salt=f"sp{it}", counts=counts
-                )
-                out["txt_mixture_assemble_steady"].append(
-                    round(time.perf_counter() - t0, 3)
-                )
-                assert counts and all(rates[c] > 0 for c in props)
-                # the stratified CDF folds the SAME window under its own
-                # consumer, then solves per-stratum thresholds — zero scans
-                t0 = time.perf_counter()
-                strata = cdf.solve(props)
-                out["txt_mixture_stratified_steady"].append(
-                    round(time.perf_counter() - t0, 3)
-                )
-                assert all(strata[c] for c in props)
-            assert sampled.limit(1).count() == 1  # draw verified, untimed
+                if want_flat:
+                    t0 = time.perf_counter()
+                    counts = cc.poll()
+                    sampled, rates = assemble_mixture(
+                        store.read("mixdocs"), props, salt=f"sp{it}", counts=counts
+                    )
+                    out["txt_mixture_assemble_steady"].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+                    assert counts and all(rates[c] > 0 for c in props)
+                if want_strat:
+                    # the stratified CDF folds the SAME window under its own
+                    # consumer, then solves per-stratum thresholds — zero scans
+                    t0 = time.perf_counter()
+                    strata = cdf.solve(props)
+                    out["txt_mixture_stratified_steady"].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+                    assert all(strata[c] for c in props)
+            if sampled is not None:
+                assert sampled.limit(1).count() == 1  # draw verified, untimed
 
         if _want("txt_pack_incremental"):
             # --- txt_pack_incremental: a fixed 1k-doc batch packed against

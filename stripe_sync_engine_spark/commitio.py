@@ -96,6 +96,11 @@ class PosixRenameBackend:
         ``""``) and commit the result, SERIALIZED against concurrent
         writers — threads AND processes on the same host — via an
         exclusive ``fcntl`` lock on a dot-prefixed sidecar lock file.
+        The no-lost-update guarantee is POSIX-only: where ``fcntl``
+        does not exist (Windows) the method falls back to an
+        UNSERIALIZED read-compute-put and emits a loud
+        ``RuntimeWarning`` so multi-writer deployments on such
+        platforms know to use the conditional-put backend instead.
         The conditional-put backend gets the same no-lost-update
         property from CAS retries; here the kernel lock provides it, so
         both backends pass the same race suite and the module-level
@@ -124,6 +129,16 @@ class PosixRenameBackend:
             self.put_atomic(path, fn(prior))
 
         if fcntl is None:
+            import warnings
+
+            warnings.warn(
+                "fcntl is unavailable on this platform — "
+                "read_modify_write cannot serialize concurrent writers "
+                "and a race here LOSES UPDATES; use the conditional-put "
+                "backend for multi-writer deployments off POSIX",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             apply()
             return
         with open(os.path.join(d, f".{base}.lock"), "a") as lk:

@@ -353,6 +353,16 @@ def stratified_weighted_rates(
         # heaviest stratum first: its atomicity error flows DOWN into
         # ever finer strata, which can absorb it
         for b in sorted(band_w, reverse=True):
+            if band_w[b] <= 0:
+                # an all-zero-weight stratum (0-token docs land in
+                # stratum 0 with weight 0): drawing it cannot move the
+                # realized token share, but the rate-1.0 clamp below
+                # would unconditionally sweep EVERY such doc into the
+                # mixture (clamped >= 0 - 1e-9 is always true) and
+                # surprise doc-count audits — draw nothing instead; the
+                # residual passes through unchanged either way.
+                rates_c[b] = 0.0
+                continue
             tgt = rho * band_w[b] + residual
             clamped = min(max(tgt, 0.0), float(band_w[b]))
             if clamped >= band_w[b] - 1e-9:

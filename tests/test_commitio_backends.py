@@ -214,10 +214,13 @@ def test_posix_rmw_serializes_across_processes(tmp_path):
     import subprocess
     import sys
 
+    import os
+
     p = str(tmp_path / "ctr.json")
     n_procs, n_incr = 4, 10
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     snippet = (
-        "import json, sys; sys.path.insert(0, '/root/repo'); "
+        f"import json, sys; sys.path.insert(0, {repo_root!r}); "
         "import stripe_sync_engine_spark.commitio as cio\n"
         "def bump(prior):\n"
         "    return json.dumps({'n': (json.loads(prior)['n'] if prior else 0) + 1})\n"

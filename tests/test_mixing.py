@@ -702,6 +702,12 @@ def test_weighted_draw_heavy_tail_bound_and_stratified_path(spark):
     # tiny stratum (log2 50 = 5); rates are exact float64 t/2^32
     assert set(strata) == {"big", "small"}
     assert 14 in strata["big"] and 5 in strata["big"]
+    # ADVICE r12: the all-zero-weight stratum (doc 5000, 0 tokens ->
+    # stratum 0 with band weight 0) must NOT be swept in wholesale by
+    # the rate-1.0 clamp — it cannot move the token share, and a
+    # doc-count audit would be surprised by an unconditional member
+    assert strata["big"][0] == 0.0
+    assert 5000 not in {r["doc_id"] for r in s_q.select("doc_id").collect()}
     assert all(
         int(round(r * H32_SPACE)) / H32_SPACE == r
         for bands in strata.values()
