@@ -715,14 +715,38 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.0, "zh": 0.1}
 MIXTURE_SALT = "driver-epoch-1"
 
+# The LENGTH-STRATIFIED weighted draw's driver gate rides the same row
+# (r13, VERDICT #1): FIXED per-(category, weight-stratum) thresholds —
+# the solver is pytest/hypothesis-gated; what the oracle must pin is
+# the DRAW, the one (category, stratum)->threshold h32 predicate on
+# both engines. Strata span the corpus's n_chars bands (5-9 at every
+# SF) plus absent bands, exercising rate 1.0, exact binary fractions,
+# round-to-int32 fractions, rate 0.0, and un-recipe'd categories/strata
+# (which must draw NOTHING on both engines).
+MIXTURE_STRATA = {
+    "en": {5: 1.0, 6: 0.75, 7: 0.5, 8: 0.25, 9: 0.0},
+    "de": {4: 1.0, 5: 1.0, 6: 0.6, 7: 0.3, 8: 0.125, 9: 1.0},
+    "zh": {7: 0.35, 8: 0.15},
+}
+MIXTURE_STRATA_SALT = "driver-strata-1"
+
 
 def _mixture_oracle() -> str:
-    from stripe_sync_engine_spark.operators.mixing import mixture_where_sql
+    from stripe_sync_engine_spark.operators.mixing import (
+        mixture_where_sql,
+        stratified_where_sql,
+    )
 
     return f"""
-        SELECT doc_id, lang
+        SELECT doc_id, lang, 'flat' AS draw_kind
         FROM documents
         WHERE {mixture_where_sql(MIXTURE_RATES, salt=MIXTURE_SALT)}
+        UNION ALL
+        SELECT doc_id, lang, 'stratified' AS draw_kind
+        FROM documents
+        WHERE {stratified_where_sql(
+            MIXTURE_STRATA, weight_col="n_chars", salt=MIXTURE_STRATA_SALT
+        )}
     """
 
 
@@ -732,16 +756,31 @@ def _mixture_oracle() -> str:
     operators="TDP-mixing",
 )
 def txt_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted corpus mixing, driver-gated: the salted
-    hash-threshold draw (operators/mixing.sample_mixture) must select the
-    byte-identical row set DuckDB's mirror predicate selects — the
+    """Deterministic weighted corpus mixing, driver-gated: BOTH draw
+    formulas — the flat salted hash-threshold draw
+    (operators/mixing.sample_mixture) and the length-stratified weighted
+    draw (sample_stratified_mixture, whose threshold is selected by the
+    row's (category, weight-stratum)) — must each select the
+    byte-identical row set DuckDB's mirror predicates select, the
     reproducibility contract that makes a training mixture auditable and
-    re-derivable forever. Zero shuffle: one codegen'd md5/CASE filter.
-    Rates are fixed constants here; the waterline solver and the
-    incremental category counts are gated in tests/test_mixing.py."""
-    from stripe_sync_engine_spark.operators.mixing import sample_mixture
+    re-derivable forever. Zero shuffle: two codegen'd md5/CASE filters
+    over the same scan, unioned under a draw_kind tag. Rates/thresholds
+    are fixed constants here; the waterline and stratified SOLVERS and
+    the incremental maintained folds are gated in tests/test_mixing.py
+    (hypothesis-swept)."""
+    from stripe_sync_engine_spark.operators.mixing import (
+        sample_mixture,
+        sample_stratified_mixture,
+    )
 
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    return sample_mixture(docs, MIXTURE_RATES, salt=MIXTURE_SALT).select(
-        "doc_id", "lang"
+    flat = sample_mixture(docs, MIXTURE_RATES, salt=MIXTURE_SALT).select(
+        "doc_id", "lang", F.lit("flat").alias("draw_kind")
     )
+    strat = sample_stratified_mixture(
+        docs,
+        MIXTURE_STRATA,
+        weight_col="n_chars",
+        salt=MIXTURE_STRATA_SALT,
+    ).select("doc_id", "lang", F.lit("stratified").alias("draw_kind"))
+    return flat.unionByName(strat)
