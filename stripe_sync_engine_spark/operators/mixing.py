@@ -259,14 +259,29 @@ def stratified_weighted_rates(
     strata's atomicity error.
 
     DETERMINISTIC GUARANTEE (no RNG anywhere): |realized_c − rho_c*W_c|
-    ≤ half the heaviest single document's weight in the adversarial
-    worst case (whole-doc sampling cannot beat that — a doc is atomic),
-    and ≈ one hash-bin of the LIGHTEST stratum (~W_light/n_bins)
-    whenever the light strata carry enough mass to absorb the heavy
-    strata's rounding — the typical corpus shape. Pinned by
-    tests/test_mixing.py's heavy-tailed fixture, where the residual
-    carry recovers the target exactly while the expectation draw is off
-    by a fifth of it.
+    ≤ HALF THE HEAVIEST (category, stratum, hash-bin) CELL'S weight —
+    provable by induction on the residual (a picking stratum leaves
+    |residual| ≤ half its largest bin by the closest-boundary rule; a
+    clamping stratum can only shrink the carried residual's magnitude),
+    hypothesis-swept in tests/test_mixing.py. In the adversarial worst
+    case (every doc of a stratum in one bin) that is half the stratum's
+    weight — whole-doc sampling cannot beat doc atomicity — and ≈ one
+    hash-bin of the LIGHTEST stratum (~W_light/n_bins) whenever the
+    light strata carry enough mass to absorb the heavy strata's
+    rounding, the typical corpus shape. Pinned by tests/test_mixing.py's
+    heavy-tailed fixture, where the residual carry recovers the target
+    exactly while the expectation draw is off by a fifth of it.
+
+    NO CURRICULUM-SUBSET PROPERTY — unlike the flat draw. The flat
+    draw's single per-category threshold is monotone in the rate, so a
+    lower-total draw under the same salt is a subset of a higher-total
+    one. Here the residual carry makes per-stratum thresholds
+    NON-MONOTONE in ``total``: raising the total can clamp a heavy
+    stratum to 1.0 and push a LOWER threshold into a lighter stratum
+    (measured: ~18% of random recipes; pinned counterexample in
+    tests/test_mixing.py). Curriculum schedules that need nested draws
+    must use the flat expectation draw or freeze one stratified recipe
+    per curriculum stage.
 
     Plan shape: ONE map-side-combined aggregation over the targeted
     categories only — ``groupBy(category, stratum, hash_bin)`` — whose

@@ -635,6 +635,158 @@ def test_mixture_rates_properties():
     check()
 
 
+def _py_h32(s: str) -> int:
+    """Python mirror of export.h32_col / sql_h32 (md5 → first 8 hex
+    chars as int) — lets the stratified property sweep recompute draw
+    membership without a cluster."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _py_stratum(w: int) -> int:
+    import math
+
+    return int(math.floor(math.log2(max(w, 1))))
+
+
+def _py_cdf(docs, salt: str, n_bins: int) -> dict:
+    """Build the (category, stratum, hash-bin) → weight histogram in
+    Python, exactly as the scan path / StratifiedCDF would."""
+    bin_w = H32_SPACE // n_bins
+    cdf: dict = {}
+    for i, c, w in docs:
+        k = (c, _py_stratum(w), _py_h32(f"{i}:{salt}") // bin_w)
+        cdf[k] = cdf.get(k, 0) + w
+    return cdf
+
+
+def _py_members(docs, strata: dict, salt: str) -> set:
+    return {
+        i
+        for i, c, w in docs
+        if _py_h32(f"{i}:{salt}")
+        < int(round(strata.get(c, {}).get(_py_stratum(w), 0.0) * H32_SPACE))
+    }
+
+
+def test_stratified_rates_properties():
+    """hypothesis sweep (VERDICT r12 #3) of the stratified solver's
+    invariants, via the maintained-CDF path (pure Python, no cluster):
+    every threshold is an exact float64 t/2^32 with t a 32-bit integer;
+    rates lie in [0, 1]; the realized per-category weight — recomputed
+    from the returned recipe by the same h32 the draw uses — lands
+    within HALF THE HEAVIEST (stratum, hash-bin) CELL of the target
+    rho_c·W_c (the documented deterministic bound: a picking stratum
+    leaves |residual| ≤ half its largest bin by the closest-boundary
+    rule, a clamping stratum only shrinks the carried residual); and
+    total=None realizes the feasibility waterline within the summed
+    per-category bounds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stripe_sync_engine_spark.operators.mixing import (
+        stratified_weighted_rates,
+    )
+
+    weights = st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=40
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        per_cat=st.lists(weights, min_size=1, max_size=3),
+        props=st.lists(st.floats(0.05, 10.0), min_size=3, max_size=3),
+        frac=st.floats(0.05, 1.0),
+        n_bins=st.sampled_from([16, 64, 256]),
+        salt=st.text("xyz01", max_size=6),
+    )
+    def check(per_cat, props, frac, n_bins, salt):
+        cats = ["ca", "cb", "cc"][: len(per_cat)]
+        docs = []
+        did = 0
+        for c, ws in zip(cats, per_cat):
+            for w in ws:
+                docs.append((did, c, w))
+                did += 1
+        totals = {c: sum(w for _, cc, w in docs if cc == c) for c in cats}
+        if any(t <= 0 for t in totals.values()):
+            return  # unrealizable recipes raise — pinned elsewhere
+        target = dict(zip(cats, props))
+        norm = sum(target.values())
+        feasible = min(totals[c] / (target[c] / norm) for c in cats)
+        cdf = _py_cdf(docs, salt, n_bins)
+
+        for total in (None, max(frac * feasible, 1.0)):
+            strata = stratified_weighted_rates(
+                None, target, salt=salt, n_bins=n_bins, cdf=cdf, total=total
+            )
+            eff = feasible if total is None else total
+            assert set(strata) == set(cats)
+            realized_sum, bound_sum = 0, 0.0
+            for c in cats:
+                for r in strata[c].values():
+                    assert 0.0 <= r <= 1.0
+                    t32 = int(round(r * H32_SPACE))
+                    assert t32 / H32_SPACE == r  # exact t/2^32
+                rho_w = (target[c] / norm) * eff
+                realized = sum(
+                    w
+                    for i, cc, w in docs
+                    if cc == c
+                    and _py_h32(f"{i}:{salt}")
+                    < int(
+                        round(
+                            strata[c].get(_py_stratum(w), 0.0) * H32_SPACE
+                        )
+                    )
+                )
+                max_cell = max(
+                    w for (cc, _b, _hb), w in cdf.items() if cc == c
+                )
+                bound = 0.5 * max_cell + 1e-6 * totals[c] + 1e-9
+                assert abs(realized - rho_w) <= bound, (
+                    c, realized, rho_w, bound,
+                )
+                realized_sum += realized
+                bound_sum += bound
+            assert abs(realized_sum - eff) <= bound_sum
+
+    check()
+
+
+def test_stratified_draw_is_not_nested_across_totals():
+    """Pinned counterexample behind the solver docstring's loud
+    NO-CURRICULUM-SUBSET warning: the flat draw's nesting property
+    (lower total ⊂ higher total at the same salt — advertised and
+    tested above) does NOT carry to the stratified draw, because the
+    residual carry makes per-stratum thresholds non-monotone in the
+    total: raising the total here clamps the heavy stratum to keep-some
+    and pushes a LOWER threshold into the light strata, so doc 1 leaves
+    the mixture as the total RISES."""
+    from stripe_sync_engine_spark.operators.mixing import (
+        stratified_weighted_rates,
+    )
+
+    docs = [
+        (0, "a", 100), (1, "a", 1), (2, "a", 3),
+        (3, "a", 200), (4, "a", 100), (5, "a", 100),
+    ]
+    salt = "cx0"
+    w_total = sum(w for *_i, w in docs)  # 504
+    cdf = _py_cdf(docs, salt, 16)
+    s_lo = stratified_weighted_rates(
+        None, {"a": 1.0}, salt=salt, n_bins=16, cdf=cdf, total=0.3 * w_total
+    )
+    s_hi = stratified_weighted_rates(
+        None, {"a": 1.0}, salt=salt, n_bins=16, cdf=cdf, total=0.6 * w_total
+    )
+    m_lo = _py_members(docs, s_lo, salt)
+    m_hi = _py_members(docs, s_hi, salt)
+    assert m_lo == {1, 2, 4} and m_hi == {2, 3, 4}
+    assert not m_lo <= m_hi  # the non-subset, pinned
+
+
 def test_weighted_draw_heavy_tail_bound_and_stratified_path(spark):
     """The token-weighted mixture's two guarantees, pinned on a
     heavy-tailed fixture (a few huge docs dominating one category —
