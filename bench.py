@@ -478,6 +478,45 @@ def _bench_mixing(spark, sf_dir: str) -> dict[str, float]:
         strata = cdf.solve({"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1})
         out["txt_mixture_stratified_steady"] = round(time.perf_counter() - t0, 3)
         assert strata["zh"] and all(strata.values())
+        # --- fold absorption into the CDC fan-out (r13): the standing
+        # mixture's folds stop polling their own consumers and ride ONE
+        # consumed window (engine.maintain_corpus_indexes(mixture_folds=
+        # [...])). Handover: baseline the fan-out consumer at the folds'
+        # current cursor (the stream-handover convention), land an
+        # equivalent change window, then time the single fan-out poll
+        # that serves BOTH folds. Compare against the two standalone
+        # polls above: one bucket-diff instead of two.
+        eng.ack_changes("mixfold", "mixdocs", store.commits("mixdocs")[-1])
+        cur = store.read("mixdocs")
+        window2 = (
+            cur.where("doc_id % 400 = 2")
+            .withColumn("lang", F.lit("zh"))
+            .unionByName(
+                cur.where("doc_id % 400 = 3").select(
+                    (F.col("doc_id") + 6_000_000).alias("doc_id"),
+                    "text",
+                    "lang",
+                    "n_tokens",
+                )
+            )
+        )
+        store.write(
+            "mixdocs",
+            cur.join(window2.select("doc_id"), "doc_id", "left_anti").unionByName(
+                window2
+            ),
+            key="doc_id",
+        )
+        counts_before = cc.counts()
+        t0 = time.perf_counter()
+        rep = eng.maintain_corpus_indexes(
+            "mixfold",
+            "mixdocs",
+            emit_update_preimages=True,
+            mixture_folds=[cc, cdf],
+        )
+        out["txt_mixture_fold_absorbed"] = round(time.perf_counter() - t0, 3)
+        assert rep["applied"] and cc.counts()["zh"] > counts_before["zh"]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out

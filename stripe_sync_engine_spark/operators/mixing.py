@@ -889,54 +889,110 @@ class _MaintainedFold(abc.ABC):
         if feed is None:
             return self.counts()
         if int(cursor) != int(state["applied_until"]):
-            if self.weight_col is not None:
-                _require_integral_weight(feed, self.weight_col)
-            w = self._weight()
-            delta = F.sum(
-                F.when(
-                    F.col("_change_type").isin("insert", "update"), w
-                ).otherwise(-w)
-            )
-            counts = {
-                self._decode_key(k): int(v) for k, v in state["counts"]
-            }
-            for key, d in self._grouped_rows(feed, delta):
-                n = counts.get(key, 0) + d
-                if n < 0:
-                    raise RuntimeError(
-                        f"entry {key!r} went negative applying "
-                        f"window {cursor} — the feed and the maintained "
-                        "state diverged (wiped cursor / unmaintained "
-                        "rewind); rebase() to recount"
-                    )
-                if n:
-                    counts[key] = n
-                else:
-                    counts.pop(key, None)
-            if len(counts) > self._max_entries:
-                # each window is bounded above, but the ACCUMULATED set
-                # could still creep past the cap across many windows —
-                # the same unbounded-driver-state failure, caught here
-                raise ValueError(
-                    f"{self._guard()} has accumulated more than "
-                    f"{self._max_entries} distinct entries — maintaining "
-                    "it is unbounded driver state"
-                )
-            # ONE atomic commit of counts + cursor, BEFORE the ack: the
-            # pinned window makes the crash-retry byte-identical, and the
-            # applied_until match above makes the re-apply a skip
-            self._write_state(cursor, counts)
+            self._fold_window(state, feed, int(cursor))
         self.engine.ack_changes(self.consumer, self.entity, int(cursor))
         return self.counts()
 
-    def rebase(self) -> dict:
+    def _fold_window(self, state: dict, feed, until: int) -> None:
+        """Fold one change window's net deltas into ``state``'s counts
+        and commit counts + cursor in ONE atomic side-file write (no
+        ack — the caller owns whichever consumer cursor delivered the
+        window). Shared by ``poll()`` (own consumer) and
+        ``apply_window()`` (fan-out delivery)."""
+        if self.weight_col is not None:
+            _require_integral_weight(feed, self.weight_col)
+        w = self._weight()
+        delta = F.sum(
+            F.when(
+                F.col("_change_type").isin("insert", "update"), w
+            ).otherwise(-w)
+        )
+        counts = {
+            self._decode_key(k): int(v) for k, v in state["counts"]
+        }
+        for key, d in self._grouped_rows(feed, delta):
+            n = counts.get(key, 0) + d
+            if n < 0:
+                raise RuntimeError(
+                    f"entry {key!r} went negative applying "
+                    f"window {until} — the feed and the maintained "
+                    "state diverged (wiped cursor / unmaintained "
+                    "rewind); rebase() to recount"
+                )
+            if n:
+                counts[key] = n
+            else:
+                counts.pop(key, None)
+        if len(counts) > self._max_entries:
+            # each window is bounded above, but the ACCUMULATED set
+            # could still creep past the cap across many windows —
+            # the same unbounded-driver-state failure, caught here
+            raise ValueError(
+                f"{self._guard()} has accumulated more than "
+                f"{self._max_entries} distinct entries — maintaining "
+                "it is unbounded driver state"
+            )
+        # ONE atomic commit of counts + cursor, BEFORE the ack: the
+        # pinned window makes the crash-retry byte-identical, and the
+        # applied_until match makes the re-apply a skip
+        self._write_state(until, counts)
+
+    def apply_window(self, feed, since_ms: int, until_ms: int) -> None:
+        """Fold a change window that was consumed by ANOTHER durable
+        consumer — the corpus CDC fan-out
+        (``engine.maintain_corpus_indexes(mixture_folds=[...])``) — so
+        ONE bucket-diff per cycle serves the index targets AND the
+        mixing folds, instead of every standing mixture re-diffing the
+        same window under its own consumer (N redundant diffs at
+        deployment).
+
+        Alignment contract: the fold applies exactly the windows the
+        fan-out delivers, in order. A window at or below the fold's
+        ``applied_until`` is SKIPPED — the fan-out's crash retry
+        re-delivers the identical pinned window, and the skip is what
+        makes that replay idempotent (the same applied_until-match rule
+        ``poll()`` uses). A window starting PAST the fold's cursor
+        raises: the fold missed windows (it joined an already-advanced
+        fan-out, or mixed standalone ``poll()`` with fan-out delivery);
+        onboard with ``rebase(at_ms=<the fan-out's current cursor>)``
+        and hand every subsequent window over. The feed must carry
+        update pre-images — the fan-out enforces the flag when folds
+        are passed — or an update could not move its weight out of the
+        old (category, stratum)."""
+        state = self._read_state()
+        applied = int(state["applied_until"])
+        since, until = int(since_ms), int(until_ms)
+        if applied >= until:
+            return  # crash replay of an already-folded window
+        if applied != since:
+            raise RuntimeError(
+                f"maintained fold for {self.entity!r}/{self._guard()} "
+                f"is at commit {applied} but the fan-out window covers "
+                f"({since}, {until}] — the fold missed windows (joined "
+                "an already-advanced fan-out, or mixed standalone "
+                "poll() with fan-out delivery); rebase(at_ms="
+                f"{since}) to realign, then deliver every window"
+            )
+        self._fold_window(state, feed, until)
+
+    def rebase(self, at_ms: int | None = None) -> dict:
         """Recount from the current table and restart the feed from its
         head — initialization for a table with history the consumer
         never saw, and the drift remedy (the counts analog of
         ``refresh_rollup``). The recount and the cursor baseline are
-        planned under the same head commit."""
-        commits = self.engine.store.commits(self.entity)
-        head = commits[-1] if commits else 0
+        planned under the same head commit.
+
+        ``at_ms``: recount AS OF that retained commit instead of the
+        head — the onboarding alignment for fan-out delivery (rebase at
+        the fan-out consumer's CURRENT cursor, so the next delivered
+        window starts exactly where the recount ended; ``at_ms=0``
+        means before any commit — empty counts). An aged-out snapshot
+        raises loudly, exactly like any time-travel read."""
+        if at_ms is not None:
+            head = int(at_ms)
+        else:
+            commits = self.engine.store.commits(self.entity)
+            head = commits[-1] if commits else 0
         # pinned AS OF the head the cursor is baselined to: a writer
         # landing between the commits() read and the recount would
         # otherwise be counted now AND re-delivered by the next poll

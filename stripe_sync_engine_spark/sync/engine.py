@@ -1306,6 +1306,7 @@ class StripeSparkSync:
         max_commits: int | None = None,
         emit_update_preimages: bool = False,
         allow_full_diff: bool = False,
+        mixture_folds: Iterable = (),
     ) -> dict:
         """One poll of the corpus CDC fan-out: consume ``entity``'s
         change window under ``consumer``'s durable cursor, apply it to
@@ -1315,6 +1316,21 @@ class StripeSparkSync:
         (``PersistedIVFPQ``) — and ack ONLY after every target applied.
         The glue a corpus operator runs from cron so the retrieval and
         dedup layers track the mutating corpus together.
+
+        ``mixture_folds``: maintained driver-side histograms
+        (``operators/mixing.CategoryCounts`` / ``StratifiedCDF``) fed
+        THIS consumer's window via their ``apply_window`` instead of
+        each re-diffing the same change window under its own consumer —
+        at deployment that was N redundant bucket-diffs per cycle.
+        Requires ``emit_update_preimages=True`` (enforced loudly): a
+        fold without pre-images cannot move an updated row's weight out
+        of its old (category, stratum). Fold state commits before the
+        ack, and a crash retry's re-delivered pinned window is skipped
+        by the fold's applied_until match — the same replay idempotence
+        the index targets have. Onboard a fold that missed windows with
+        ``fold.rebase(at_ms=<this consumer's current cursor>)``; don't
+        mix standalone ``fold.poll()`` with fan-out delivery (the
+        alignment guard raises).
 
         At-least-once end to end: a crash anywhere before the ack
         re-delivers the same window, and every target's apply_changes is
@@ -1336,6 +1352,18 @@ class StripeSparkSync:
         store's durable ``_maintenance_log.jsonl`` — the cron loop an
         operator runs forever leaves an auditable trace."""
         gates = tuple(gates)
+        mixture_folds = tuple(mixture_folds)
+        if mixture_folds and not emit_update_preimages:
+            raise ValueError(
+                "mixture_folds require emit_update_preimages=True — "
+                "without pre-image rows an update cannot move its "
+                "weight out of the old (category, stratum)"
+            )
+        # the window's lower bound, read BEFORE the consume: the folds'
+        # alignment guard checks their applied_until against it (a
+        # pinned crash-retry re-reads the same unadvanced cursor, so
+        # the retry window's bounds are byte-identical too)
+        since = int(self._read_cursors(consumer).get(entity, 0))
         feed, cursor = self.consume_changes(
             consumer,
             entity,
@@ -1349,6 +1377,10 @@ class StripeSparkSync:
         n, applied_feed = self._apply_change_window(
             feed, f"{consumer}:{cursor}", gates, postings, ann
         )
+        for fold in mixture_folds:
+            # even an empty window advances the fold's cursor so it
+            # stays aligned with this consumer for the NEXT window
+            fold.apply_window(applied_feed, since, cursor)
         self.ack_changes(consumer, entity, cursor)
         report = {
             "op": "corpus_cdc_fanout",
@@ -1362,6 +1394,7 @@ class StripeSparkSync:
                 "gates": len(gates),
                 "postings": postings is not None,
                 "ann": ann is not None,
+                "mixture_folds": len(mixture_folds),
             },
         }
         if n and ann is not None and hasattr(ann, "measure_codebook_drift"):

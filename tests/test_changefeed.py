@@ -797,4 +797,6 @@ def test_fanout_logs_durably_and_counts_net_rows(spark, tmp_path):
     assert log[-1]["cursor"] == rep2["cursor"]
     assert log[-1]["window"] == f"g:{rep2['cursor']}"
     assert log[-1]["rows"] == 3 and log[-1]["applied"] is True
-    assert log[-1]["targets"] == {"gates": 1, "postings": False, "ann": False}
+    assert log[-1]["targets"] == {
+        "gates": 1, "postings": False, "ann": False, "mixture_folds": 0,
+    }

@@ -1007,6 +1007,163 @@ def test_category_counts_crash_retry_with_concurrent_writer(
     assert cc.poll() == {"en": 13, "fr": 11} == _recount(store, "corpus")
 
 
+def test_mixture_folds_ride_the_fanout_window(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #4: CategoryCounts and StratifiedCDF ride the corpus
+    CDC fan-out's ONE consumed window (``apply_window``) instead of
+    each re-diffing the same window under its own consumer — at
+    deployment that was N redundant bucket-diffs per cycle. Pins: (a)
+    fold state matches a scan recount through insert/category-move/
+    delete windows; (b) the maintained stratified CDF solves the SAME
+    thresholds as a fresh corpus scan; (c) pre-images are enforced
+    loudly; (d) the fan-out's crash-between-apply-and-ack retry under a
+    concurrent writer re-delivers the pinned window and the folds'
+    applied_until match skips the re-apply (no double-count); (e) a
+    fold that missed windows raises with the rebase pointer, and
+    ``rebase(at_ms=<window start>)`` onboards it."""
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import (
+        CategoryCounts,
+        StratifiedCDF,
+        stratified_weighted_rates,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_ff"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 10 * (1 + i % 3)) for i in range(20)],
+        "doc_id long, lang string, n_chars long",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    cdf = StratifiedCDF(eng, "corpus", "ff-standing", weight_col="n_chars")
+
+    # (c) pre-images are non-negotiable for fold targets
+    with pytest.raises(ValueError, match="emit_update_preimages"):
+        eng.maintain_corpus_indexes("fanout", "corpus", mixture_folds=[cc])
+
+    # window 1 = the initial load, delivered THROUGH the fan-out
+    rep = eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc, cdf]
+    )
+    assert rep["applied"] and cc.counts() == {"en": 10, "fr": 10}
+
+    # window 2: insert + category move + delete, one fan-out poll
+    time.sleep(0.002)
+    cur = store.read("corpus")
+    moved = cur.where("doc_id = 0").withColumn("lang", F.lit("fr"))
+    nxt = (
+        cur.where("doc_id NOT IN (0, 1)")
+        .unionByName(moved)
+        .unionByName(
+            spark.createDataFrame(
+                [(100, "en", 70), (101, "en", 10)],
+                "doc_id long, lang string, n_chars long",
+            )
+        )
+    )
+    store.write("corpus", nxt, key="doc_id")
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc, cdf]
+    )
+    assert cc.counts() == _recount(store, "corpus")
+    # (b) the absorbed CDF solves the same thresholds as a fresh scan
+    props = {"en": 0.6, "fr": 0.4}
+    strata_fold = stratified_weighted_rates(
+        None, props, salt=cdf.salt, weight_col="n_chars",
+        n_bins=cdf.n_bins, cdf=cdf.counts(),
+    )
+    strata_scan = stratified_weighted_rates(
+        store.read("corpus"), props, salt=cdf.salt, weight_col="n_chars"
+    )
+    assert strata_fold == strata_scan
+
+    # (d) crash between fold apply and ack, concurrent writer lands
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(200, "en", 20)], "doc_id long, lang string, n_chars long"
+            )
+        ),
+        key="doc_id",
+    )
+    w3 = store.commits("corpus")[-1]
+    real_ack = eng.ack_changes
+    calls = {"n": 0}
+
+    def flaky_ack(consumer, entity, cursor_ms):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash before fan-out ack")
+        real_ack(consumer, entity, cursor_ms)
+
+    monkeypatch.setattr(eng, "ack_changes", flaky_ack)
+    with pytest.raises(OSError, match="injected"):
+        eng.maintain_corpus_indexes(
+            "fanout", "corpus", emit_update_preimages=True,
+            mixture_folds=[cc, cdf],
+        )
+    assert int(cc._read_state()["applied_until"]) == w3  # fold committed
+    assert eng._read_pending("fanout") == {"corpus": w3}  # pin survived
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(201, "fr", 20)], "doc_id long, lang string, n_chars long"
+            )
+        ),
+        key="doc_id",
+    )
+    # retry: identical pinned window, folds skip via applied_until match
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc, cdf]
+    )
+    # the late commit arrives as its own next window, counted once
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc, cdf]
+    )
+    assert cc.counts() == _recount(store, "corpus")
+
+    # (e) a late-joining fold missed every prior window: loud, with the
+    # onboarding pointer; rebase(at_ms=<window start>) realigns it
+    late = CategoryCounts(eng, "corpus", weight_col="n_chars")
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(300, "fr", 40)], "doc_id long, lang string, n_chars long"
+            )
+        ),
+        key="doc_id",
+    )
+    with pytest.raises(RuntimeError, match="missed windows"):
+        eng.maintain_corpus_indexes(
+            "fanout", "corpus", emit_update_preimages=True,
+            mixture_folds=[cc, late],
+        )
+    since = int(eng._read_cursors("fanout").get("corpus", 0))
+    late.rebase(at_ms=since)
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True,
+        mixture_folds=[cc, late],
+    )
+    want_w = {
+        str(r["lang"]): int(r["w"])
+        for r in store.read("corpus")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("w"))
+        .collect()
+    }
+    assert late.counts() == want_w
+    assert cc.counts() == _recount(store, "corpus")
+
+
 def test_category_counts_rebucket_during_lag_recovers_via_rebase(spark, tmp_path):
     """VERDICT r11 #6b: a REBUCKET landing inside the consumer's lag
     window makes the feed raise (bucket ids incomparable across widths)
