@@ -54,6 +54,13 @@ import json
 import os
 import threading
 
+#: suffix of the flock sidecar files read_modify_write serializes on:
+#: ``.{base}.flock`` beside the side file. Deliberately NOT ``.lock`` —
+#: the store's transient O_EXCL ``.commit.lock`` (held-by-presence,
+#: storage._commit_lock) must never be confused with a reclaimable
+#: flock sidecar (held-by-flock, presence meaningless).
+LOCK_SIDECAR_SUFFIX = ".flock"
+
 
 class PosixRenameBackend:
     """The default backend: write-to-temp + fsync + atomic rename +
@@ -111,7 +118,18 @@ class PosixRenameBackend:
         read happens UNDER the lock, so fn always sees the latest
         committed content (rename is atomic, the lock orders commits).
         NFS caveat: flock over NFS requires a lock-manager-enabled
-        mount — the same caveat every flock-based log store carries."""
+        mount — the same caveat every flock-based log store carries.
+
+        Sidecar lifecycle: one ``.{base}.flock`` file per RMW'd side
+        file, a few bytes each. They are NOT deleted on release (an
+        unlink while another writer is blocked in ``flock`` would hand
+        out locks on two different inodes — the classic lockfile-unlink
+        race); ``reclaim_lock_sidecars`` removes the ones whose parent
+        side file is gone, safely (it unlinks UNDER the lock, and this
+        method re-verifies the locked inode is still the one at the
+        path, retrying on a fresh inode if the reclaimer got there
+        first). ``engine.maintain()`` runs the reclaim over the store
+        root on every pass."""
         try:
             import fcntl
         except ImportError:  # non-POSIX: callers hold the engine's locks
@@ -141,12 +159,28 @@ class PosixRenameBackend:
             )
             apply()
             return
-        with open(os.path.join(d, f".{base}.lock"), "a") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
-            try:
-                apply()
-            finally:
-                fcntl.flock(lk, fcntl.LOCK_UN)
+        lockpath = os.path.join(d, f".{base}{LOCK_SIDECAR_SUFFIX}")
+        while True:
+            with open(lockpath, "a") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    # the reclaimer may have unlinked the sidecar between
+                    # our open and our flock — a later writer would then
+                    # create a NEW inode at this path and the two locks
+                    # would not exclude each other; hold only a lock whose
+                    # inode is still the one at the path
+                    try:
+                        same = (
+                            os.fstat(lk.fileno()).st_ino
+                            == os.stat(lockpath).st_ino
+                        )
+                    except FileNotFoundError:
+                        same = False
+                    if same:
+                        apply()
+                        return
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 class ConditionalPutConflict(RuntimeError):
@@ -302,3 +336,55 @@ def read_modify_write(path: str, fn) -> None:
     read-then-``atomic_write_text`` (which is last-writer-wins on every
     backend)."""
     _backend.read_modify_write(path, fn)
+
+
+def reclaim_lock_sidecars(root: str) -> list[str]:
+    """Remove orphaned flock sidecars (``.{base}.flock`` files whose
+    parent side file ``{base}`` no longer exists) under ``root``,
+    recursively — the maintenance sweep that keeps a long-lived
+    deployment from accumulating one sidecar per vacuumed side file
+    forever. Wired into ``engine.maintain()``.
+
+    Safe next to live writers: each candidate is taken with a
+    NON-BLOCKING exclusive flock (busy → skip, the holder is mid-commit
+    and the parent is about to exist), the parent's absence is
+    re-checked UNDER the lock, and the unlink happens before release —
+    a writer that then acquires the unlinked inode re-verifies inode
+    identity (see ``PosixRenameBackend.read_modify_write``) and retries
+    on a fresh sidecar, so no two writers ever hold locks on different
+    inodes of the same path. Sidecars of side files that still exist
+    are left alone (they are the lock). No-op on platforms without
+    ``fcntl`` and on backends without sidecars (conditional-put has
+    none). Returns the removed paths."""
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: no flock sidecars exist
+        return []
+    removed: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            if not (
+                name.startswith(".") and name.endswith(LOCK_SIDECAR_SUFFIX)
+            ):
+                continue
+            base = name[1 : -len(LOCK_SIDECAR_SUFFIX)]
+            if not base or os.path.exists(os.path.join(dirpath, base)):
+                continue
+            lockpath = os.path.join(dirpath, name)
+            try:
+                with open(lockpath, "a") as lk:
+                    try:
+                        fcntl.flock(lk, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    except OSError:
+                        continue  # held — a writer is mid-commit
+                    try:
+                        # re-check under the lock: the holder we raced
+                        # may have just created the parent
+                        if not os.path.exists(os.path.join(dirpath, base)):
+                            os.unlink(lockpath)
+                            removed.append(lockpath)
+                    finally:
+                        fcntl.flock(lk, fcntl.LOCK_UN)
+            except FileNotFoundError:
+                continue  # another reclaimer got it first
+    return removed

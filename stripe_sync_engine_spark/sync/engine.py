@@ -1648,6 +1648,14 @@ class StripeSparkSync:
             from stripe_sync_engine_spark.streaming.pipeline import vacuum_landing_zone
 
             report["landing_removed"] = len(vacuum_landing_zone(*landing))
+        # flock sidecars of vacuumed side files (commitio's RMW leaves
+        # one .{base}.flock per side file — reclaim-safe sweep, see
+        # reclaim_lock_sidecars for the unlink-race protocol)
+        from stripe_sync_engine_spark.commitio import reclaim_lock_sidecars
+
+        report["lock_sidecars_removed"] = len(
+            reclaim_lock_sidecars(self.store.root)
+        )
         if fold_gates_past_horizon:
             # Folds no longer happen silently: each returns a fold-stats
             # record (rows before/after, batches absorbed) so a 100 TB

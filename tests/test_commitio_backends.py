@@ -203,6 +203,94 @@ def test_rmw_race_suite_on_both_backends(tmp_path, seam_backend):
         assert seam_backend.generations[p] == n_threads * n_incr
 
 
+def test_lock_sidecar_reclaim_removes_only_orphans(tmp_path):
+    """VERDICT r12 #5: the flock sidecars RMW leaves beside each side
+    file are reclaimable — the sweep removes exactly the ones whose
+    parent side file is gone (recursively), leaves the live ones (they
+    ARE the lock), is idempotent, and never touches held sidecars or
+    the store's presence-style .commit.lock (different suffix by
+    design)."""
+    import fcntl
+    import os
+
+    live = str(tmp_path / "live.json")
+    dead = str(tmp_path / "sub" / "dead.json")
+    cio.read_modify_write(live, lambda p: '{"n": 1}')
+    cio.read_modify_write(dead, lambda p: '{"n": 1}')
+    os.unlink(dead)  # the side file is vacuumed; its sidecar lingers
+    dead_lock = str(tmp_path / "sub" / f".dead.json{cio.LOCK_SIDECAR_SUFFIX}")
+    live_lock = str(tmp_path / f".live.json{cio.LOCK_SIDECAR_SUFFIX}")
+    assert os.path.exists(dead_lock) and os.path.exists(live_lock)
+
+    # a presence-style commit lock must be invisible to the sweep
+    (tmp_path / "tbl").mkdir()
+    commit_lock = tmp_path / "tbl" / ".commit.lock"
+    commit_lock.write_text("")
+
+    assert cio.reclaim_lock_sidecars(str(tmp_path)) == [dead_lock]
+    assert os.path.exists(live_lock) and commit_lock.exists()
+    assert not os.path.exists(dead_lock)
+    assert cio.reclaim_lock_sidecars(str(tmp_path)) == []  # idempotent
+
+    # held sidecar (writer mid-commit, parent momentarily absent): skip
+    gone = str(tmp_path / "gone.json")
+    cio.read_modify_write(gone, lambda p: "x")
+    os.unlink(gone)
+    gone_lock = str(tmp_path / f".gone.json{cio.LOCK_SIDECAR_SUFFIX}")
+    with open(gone_lock, "a") as held:
+        fcntl.flock(held, fcntl.LOCK_EX)
+        assert cio.reclaim_lock_sidecars(str(tmp_path)) == []
+    assert cio.reclaim_lock_sidecars(str(tmp_path)) == [gone_lock]
+
+
+def test_rmw_stays_serialized_through_a_concurrent_reclaim(tmp_path):
+    """The lockfile-unlink race, pinned: writers keep mutual exclusion
+    even while a chaos loop vacuums the parent side file and reclaims
+    the sidecar mid-traffic — the writer re-verifies the locked inode
+    is still the one at the path and retries on a fresh sidecar, so no
+    two writers ever hold locks on different inodes of the same
+    path."""
+    import os
+    import threading
+
+    p = str(tmp_path / "ctr.json")
+    in_cs = threading.Semaphore(1)
+    violations: list[int] = []
+    stop = threading.Event()
+
+    def bump(prior):
+        if not in_cs.acquire(blocking=False):
+            violations.append(1)  # two writers inside the critical section
+        try:
+            time.sleep(0.001)
+            return str(int(prior or 0) + 1)
+        finally:
+            in_cs.release()
+
+    def writer():
+        for _ in range(40):
+            cio.read_modify_write(p, bump)
+
+    def chaos():
+        while not stop.is_set():
+            try:
+                os.unlink(p)  # "vacuum" the side file
+            except FileNotFoundError:
+                pass
+            cio.reclaim_lock_sidecars(str(tmp_path))
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    chaos_t = threading.Thread(target=chaos)
+    chaos_t.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    chaos_t.join()
+    assert not violations
+
+
 def test_posix_rmw_serializes_across_processes(tmp_path):
     """The POSIX path's distinguishing failure mode is SEPARATE
     PROCESSES racing the rename (threads could in principle be saved by

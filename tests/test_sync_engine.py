@@ -2227,14 +2227,30 @@ def test_engine_maintain_compacts_and_reports(spark, tmp_path):
 
     orphan = _os.path.join(store._dir("t"), f"v{int(_time.time() * 1000)}_1")
     _os.makedirs(orphan)
+    # plant an ORPHANED flock sidecar (its side file vacuumed) and a
+    # live one (side file still present) — maintain()'s sidecar sweep
+    # must reclaim exactly the orphan (VERDICT r12 #5)
+    from stripe_sync_engine_spark import commitio as _cio
+
+    dead_side = _os.path.join(store.root, "gone.json")
+    live_side = _os.path.join(store.root, "here.json")
+    _cio.read_modify_write(dead_side, lambda p: "{}")
+    _cio.read_modify_write(live_side, lambda p: "{}")
+    _os.unlink(dead_side)
+    dead_lock = _os.path.join(store.root, f".gone.json{_cio.LOCK_SIDECAR_SUFFIX}")
+    live_lock = _os.path.join(store.root, f".here.json{_cio.LOCK_SIDECAR_SUFFIX}")
+    assert _os.path.exists(dead_lock) and _os.path.exists(live_lock)
     report = eng.maintain(orphan_min_age_s=0.0)
     assert report["compacted"].get("t", 0) > 0
     assert report["orphans_removed"].get("t", 0) >= 1
     assert not _os.path.exists(orphan)
+    assert report["lock_sidecars_removed"] == 1
+    assert not _os.path.exists(dead_lock) and _os.path.exists(live_lock)
     assert store.read("t").count() == 200
     # steady state: nothing left to do
     report2 = eng.maintain(orphan_min_age_s=0.0)
     assert report2["compacted"] == {}
+    assert report2["lock_sidecars_removed"] == 0
 
 
 def test_maintain_folds_gate_state_past_horizon(spark, tmp_path):
