@@ -623,9 +623,14 @@ def _bench_audio(spark, sf_dir: str) -> dict[str, float]:
     Measures the real multimodal fan-out cost: binary build + RIFF parse +
     numpy window stats, all worker-side."""
     from stripe_sync_engine_spark.functions.multimodal import audio_windows
-    from stripe_sync_engine_spark.tables import load_table
+    from stripe_sync_engine_spark.tables import load_table, spread_small_scan
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread BEFORE the CPU-heavy per-row work (r13: the sf0.1 documents
+    # file is one split, so the whole fixture build + DSP pass ran in a
+    # SINGLE Python worker with 31 cores idle — measured 3.3s quiesced;
+    # spreading is the operator's documented usage and the identity on
+    # any real multi-split corpus)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def build(batches):
         import struct

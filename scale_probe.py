@@ -361,6 +361,94 @@ def _probe_scale(
             if sampled is not None:
                 assert sampled.limit(1).count() == 1  # draw verified, untimed
 
+        if _want("txt_mixture_width_iso"):
+            # --- txt_mixture_width_iso (r13, VERDICT #2): the
+            # bucket_bytes residual measured with the fixed-job-latency
+            # term CANCELLED, so the deployment-width claim ("n_buckets
+            # ∝ corpus bounds bytes per bucket") is a number, not an
+            # argument. The change window is confined to ONE wide-width
+            # bucket — rows with pmod(xxhash64(id), B·mult) == 0 — and
+            # the mutation goes through write_buckets, so only that
+            # bucket's pointer moves. Because B divides B·mult, those
+            # rows land in exactly one store bucket at EVERY width:
+            # both scales run the same number of fixed-latency jobs and
+            # the poll ratio moves ONLY with bytes-per-bucket:
+            #   x10 @ scaled width (SCALE_PROBE_SCALE_BUCKETS=1, the
+            #     deployment posture): bytes/bucket equal → expect ~1.0
+            #   x10 @ fixed width (stress): bytes/bucket 10× → expect
+            #     >1 (positive control: the probe sees the bytes term)
+            # Rows are padded to ~8 KB of INCOMPRESSIBLE per-row hex
+            # (constant padding compresses to nothing in parquet —
+            # measured: the bytes term vanished under rpad) so the
+            # bytes term is visible over job latency at sf0.1 (x10
+            # fixed-width bucket ≈ 12 MB vs ~1.2 MB at x1); the *_floor
+            # series times the SAME poll with zero new commits (plan +
+            # latency, no bucket read) for subtraction in BASELINE.md's
+            # analysis.
+            from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+
+            wide_nb = DEFAULT_N_BUCKETS * int(
+                os.environ.get("SCALE_PROBE_MULT", "10")
+            )
+            langs = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es")])
+            store.write(
+                "mixiso",
+                docs.withColumn("lang", langs[(F.col("doc_id") % 4).cast("int")])
+                .withColumn(
+                    "text",
+                    F.concat(
+                        F.col("text"),
+                        F.concat_ws(
+                            "",
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(63)),
+                                lambda i: F.sha2(
+                                    F.concat(
+                                        F.col("doc_id").cast("string"),
+                                        F.lit(":pad:"),
+                                        i.cast("string"),
+                                    ),
+                                    512,
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+                key="doc_id",
+            )
+            eng_iso = StripeSparkSync(spark, store)
+            cc_iso = CategoryCounts(eng_iso, "mixiso")
+            cc_iso.poll()  # initial load — untimed setup
+            in_bucket = (
+                F.pmod(
+                    F.xxhash64(F.col("doc_id").cast("string")), F.lit(wide_nb)
+                )
+                == 0
+            )
+            out["txt_mixture_width_iso"] = []
+            for it in range(1, reps + 1):
+                cur_b = store.read_buckets("mixiso", [0])
+                win = cur_b.where(in_bucket).withColumn(
+                    "lang", F.lit(["fr", "de", "es", "en"][it % 4])
+                )
+                merged = cur_b.where(~in_bucket).unionByName(win)
+                # untimed: the mutation is the corpus's cost, not the
+                # poll's — one-bucket merge, one pointer moved
+                store.write_buckets("mixiso", merged, [0], key="doc_id")
+                t0 = time.perf_counter()
+                counts = cc_iso.poll()
+                out["txt_mixture_width_iso"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                assert counts and sum(counts.values()) > 0
+            out["txt_mixture_width_iso_floor"] = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                cc_iso.poll()  # no new commits: plan + latency floor
+                out["txt_mixture_width_iso_floor"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+
         if _want("txt_pack_incremental"):
             # --- txt_pack_incremental: a fixed 1k-doc batch packed against
             # per-shard progress state that is O(batches), never O(corpus) —

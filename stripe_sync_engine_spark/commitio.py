@@ -328,9 +328,11 @@ def read_modify_write(path: str, fn) -> None:
     correct way to update a side file whose new content derives from its
     old content when writers may race. On the conditional-put backend
     the loser of the generation race re-reads and re-applies (``fn``
-    must be a pure function of the current content); on POSIX the caller
-    holds the engine's usual locks and this is read + ``put_atomic``.
-    Engine state files today are single-writer by contract and use
+    must be a pure function of the current content); on POSIX an
+    exclusive flock on a ``.{base}.flock`` sidecar serializes threads
+    AND processes (see ``PosixRenameBackend.read_modify_write`` for the
+    sidecar lifecycle and ``reclaim_lock_sidecars``). Engine state
+    files today are single-writer by contract and use
     ``atomic_write_*`` directly; route any FUTURE multi-writer
     read-modify-write file through here, never through a bare
     read-then-``atomic_write_text`` (which is last-writer-wins on every
