@@ -489,11 +489,14 @@ def main() -> None:
     # ~1.0–1.2 (the flatness claim — local windows are latency-bound, so
     # 10× the bytes per touched bucket barely moves them). SCALING the
     # width instead (SCALE_PROBE_SCALE_BUCKETS=1 — the 100 TB posture,
-    # where bucket_bytes must stay bounded) makes the same fixed-size
-    # batch touch ~10× more buckets, and on local[32] the fixed
-    # per-bucket job latency dominates: measured dd ratio 3.2×, an
-    # artifact of task setup, not of data volume. Both configurations are
-    # recorded in BASELINE.md with this analysis.
+    # where bucket_bytes must stay bounded) makes the probes' FULL-WRITE
+    # mutation windows touch ~10× more buckets, and on local[32] the
+    # fixed per-bucket job latency dominates (r11 measured dd 3.2×, an
+    # artifact of task setup). r13's txt_mixture_width_iso probe settles
+    # the question with the latency term cancelled (same touched-bucket
+    # count at both scales by construction): fixed width 1.065 (the
+    # bytes term in isolation), scaled deployment width 0.978 — flat.
+    # All configurations are recorded in BASELINE.md with this analysis.
     scale_buckets = os.environ.get("SCALE_PROBE_SCALE_BUCKETS", "0") != "0"
     # Discarded warm-up pass at the smallest corpus: JVM JIT + codegen
     # caches otherwise inflate whichever scale runs first (measured: the

@@ -1008,6 +1008,49 @@ class _MaintainedFold(abc.ABC):
         self.engine.ack_changes(self.consumer, self.entity, int(head))
         return self.counts()
 
+    def verify(self) -> dict:
+        """Read-only drift audit of the maintained histogram — the
+        ``audit_corpus_indexes`` analog for fold state: recount the
+        table AS OF the fold's own committed cursor and diff against
+        the maintained counts, committing NOTHING (the remedy for a
+        failing report is ``rebase()``). Recounting at the cursor (not
+        the head) makes the check exact even while the fold lags the
+        table — windows past the cursor are future work, not drift.
+        Catches out-of-band mutations no feed can see: a wiped or
+        hand-edited state file, a fractional weight column that slipped
+        in before the integral guard, a restored-from-backup table
+        under a live cursor. One map-side-combined O(table) scan —
+        schedule it like the index audit, not like the poll. Returns
+        ``{"ok", "cursor", "drift": {key: (maintained, actual)}}`` with
+        drift capped at 50 entries."""
+        state = self._read_state()
+        cursor = int(state["applied_until"])
+        maintained = {
+            self._decode_key(k): int(v) for k, v in state["counts"]
+        }
+        actual: dict = {}
+        if cursor:
+            table = self.engine.store.read(self.entity, as_of_ms=cursor)
+            if table is not None:
+                if self.weight_col is not None:
+                    _require_integral_weight(table, self.weight_col)
+                actual = {
+                    k: v
+                    for k, v in self._grouped_rows(
+                        table, F.sum(self._weight())
+                    )
+                    if v
+                }
+        drift = {
+            key: (maintained.get(key, 0), actual.get(key, 0))
+            for key in set(maintained) | set(actual)
+            if maintained.get(key, 0) != actual.get(key, 0)
+        }
+        capped = dict(
+            sorted(drift.items(), key=lambda kv: self._sort_key(kv[0]))[:50]
+        )
+        return {"ok": not drift, "cursor": cursor, "drift": capped}
+
 
 class CategoryCounts(_MaintainedFold):
     """Exact per-category row counts of a store table, maintained

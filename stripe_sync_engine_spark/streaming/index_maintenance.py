@@ -112,7 +112,18 @@ def start_index_maintenance_stream(
     updated-away state incrementally (id-keyed targets ignore the extra
     rows). Pass ``available_now=False`` for a continuously-running
     query. Each applied micro-batch is appended to the store's durable
-    ``_maintenance_log.jsonl`` with its window id and net row count."""
+    ``_maintenance_log.jsonl`` with its window id and net row count.
+
+    Mixture folds (``operators/mixing._MaintainedFold``) are
+    deliberately CRON-FORM-ONLY (``maintain_corpus_indexes(
+    mixture_folds=...)``): their replay idempotence is cursor-aligned —
+    a window is skipped exactly when it ends at or below the fold's
+    committed commit-ms cursor — and a foreachBatch micro-batch carries
+    no commit-ms bounds (batch ids renumber on a checkpoint wipe, which
+    is precisely the overlap a batch-id key cannot detect). A standing
+    mixture next to a continuous stream keeps its own ``poll()``; the
+    gates/postings/ANN targets stay shared across both surfaces via
+    ``engine._apply_change_window``."""
     gates = tuple(gates)
     checkpoint_dir = _local_checkpoint_path(checkpoint_dir)
     if (

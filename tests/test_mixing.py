@@ -1164,6 +1164,67 @@ def test_mixture_folds_ride_the_fanout_window(spark, tmp_path, monkeypatch):
     assert cc.counts() == _recount(store, "corpus")
 
 
+def test_fold_verify_audits_drift_read_only(spark, tmp_path):
+    """fold.verify() — the index-audit analog for maintained fold
+    state: recounts AS OF the fold's own cursor (exact even while the
+    fold lags the table) and reports drift WITHOUT committing anything;
+    a hand-corrupted state file is caught, rebase() is the remedy, and
+    a lagging-but-consistent fold still audits ok."""
+    import json
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import (
+        CategoryCounts,
+        StratifiedCDF,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_vfy"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 10 + i) for i in range(20)],
+        "doc_id long, lang string, n_chars long",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    cc.poll()
+    assert cc.verify() == {"ok": True, "cursor": store.commits("corpus")[-1], "drift": {}}
+
+    # the fold LAGS the table (new commit, no poll): still ok — the
+    # recount is taken as of the fold's cursor, not the head
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(100, "en", 30)], "doc_id long, lang string, n_chars long"
+            )
+        ),
+        key="doc_id",
+    )
+    assert cc.verify()["ok"]
+
+    # out-of-band corruption (hand-edited state file): caught read-only
+    with open(cc._state_path()) as f:
+        state = json.load(f)
+    state["counts"][0][1] += 3
+    from stripe_sync_engine_spark.commitio import atomic_write_json
+
+    atomic_write_json(cc._state_path(), state)
+    rep = cc.verify()
+    assert not rep["ok"]
+    (key, (got, want)) = next(iter(rep["drift"].items()))
+    assert got == want + 3
+    cc.rebase()
+    assert cc.verify()["ok"]  # the remedy
+
+    # the stratified CDF audits through the same machinery
+    cdf = StratifiedCDF(eng, "corpus", "vfy-salt", weight_col="n_chars")
+    cdf.poll()
+    assert cdf.verify()["ok"]
+
+
 def test_category_counts_rebucket_during_lag_recovers_via_rebase(spark, tmp_path):
     """VERDICT r11 #6b: a REBUCKET landing inside the consumer's lag
     window makes the feed raise (bucket ids incomparable across widths)
