@@ -1424,6 +1424,7 @@ class StripeSparkSync:
         postings=None,
         ann=None,
         sample: int = 64,
+        mixture_folds: Iterable = (),
     ) -> dict:
         """Sampled drift audit of the derived indexes against ``entity``'s
         CURRENT table — ``verify_export`` for the fan-out targets (see
@@ -1433,7 +1434,16 @@ class StripeSparkSync:
         bounded) lands in the durable ``_maintenance_log.jsonl``. Catches
         out-of-band mutations no ledger can see — e.g. the exact gate's
         non-refcounted takedown edge, a hand-moved ANN code row, or a
-        truncated postings stats table."""
+        truncated postings stats table.
+
+        ``mixture_folds``: audit the fan-out's maintained fold state too
+        (``fold.verify()`` — recount AS OF each fold's own committed
+        cursor, read-only, exact even while the fold lags). NOTE the
+        cost difference: the index probes are sample-bounded, a fold
+        verify is one map-side-combined O(table) scan per fold —
+        schedule accordingly. A failing fold flips the report's ``ok``
+        and is repairable by ``repair_corpus_indexes`` with the same
+        fold list."""
         from stripe_sync_engine_spark.operators.index_audit import (
             audit_corpus_indexes as _audit,
         )
@@ -1451,6 +1461,27 @@ class StripeSparkSync:
             sample=sample,
         )
         report["entity"] = entity
+        mixture_folds = tuple(mixture_folds)
+        if mixture_folds:
+            fold_reports = []
+            for fold in mixture_folds:
+                v = fold.verify()
+                fold_reports.append(
+                    {
+                        # the state path is the fold's identity across
+                        # audit → repair (guards/salts ride the path)
+                        "state": fold._state_path(),
+                        "kind": "mixture_fold",
+                        "guard": fold._guard(),
+                        "ok": bool(v["ok"]),
+                        "cursor": int(v["cursor"]),
+                        "drift_entries": len(v["drift"]),
+                    }
+                )
+            report["mixture_folds"] = fold_reports
+            report["ok"] = bool(report["ok"]) and all(
+                r["ok"] for r in fold_reports
+            )
         self._log_maintenance(report)
         return report
 
@@ -1461,6 +1492,7 @@ class StripeSparkSync:
         gates: Iterable = (),
         postings=None,
         ann=None,
+        mixture_folds: Iterable = (),
     ) -> dict:
         """Repair the content-keyed fan-out targets from an
         ``audit_corpus_indexes`` report (see ``operators/index_audit.
@@ -1469,7 +1501,18 @@ class StripeSparkSync:
         re-audited before the result returns, and failing postings /
         IVF-PQ targets are refused with their rebuild pointer. The
         outcome lands in the durable ``_maintenance_log.jsonl`` beside
-        the audit that prompted it; a replayed repair is a no-op."""
+        the audit that prompted it; a replayed repair is a no-op.
+
+        Failing MIXTURE FOLDS in the report repair by
+        ``rebase(at_ms=<the fold's own audited cursor>)`` — recount the
+        retained snapshot the corrupt state claims to be at, which fixes
+        the counts WITHOUT moving the fold's cursor, so a fan-out-driven
+        fold stays window-aligned with its consumer (a head rebase would
+        strand it ahead of the fan-out's cursor and trip the alignment
+        guard on the next partially-overlapping window). Each repaired
+        fold is re-verified before the result returns; a failing fold
+        whose object was not passed is REFUSED, same as an unaddressed
+        gate (ok must never read clean over a known-failing target)."""
         from stripe_sync_engine_spark.operators.index_audit import (
             repair_from_audit as _repair,
         )
@@ -1481,6 +1524,38 @@ class StripeSparkSync:
             )
         result = _repair(
             report, corpus, gates=tuple(gates), postings=postings, ann=ann
+        )
+        by_state = {f._state_path(): f for f in tuple(mixture_folds)}
+        for rep_f in report.get("mixture_folds", []):
+            if rep_f.get("ok"):
+                continue
+            fold = by_state.get(rep_f["state"])
+            if fold is None:
+                result["refused"].append(
+                    {
+                        "table": rep_f["state"],
+                        "kind": "mixture_fold",
+                        "reason": (
+                            "failing fold was not passed to "
+                            "repair_corpus_indexes — pass the fold object "
+                            "and re-run; a repair that skips a known-"
+                            "failing target must not read as clean"
+                        ),
+                    }
+                )
+                continue
+            fold.rebase(at_ms=int(rep_f["cursor"]))
+            post = fold.verify()
+            result["repaired"].append(
+                {
+                    "table": rep_f["state"],
+                    "kind": "mixture_fold",
+                    "drifted_docs": int(rep_f.get("drift_entries", 0)),
+                    "post_ok": bool(post["ok"]),
+                }
+            )
+        result["ok"] = not result["refused"] and all(
+            r["post_ok"] for r in result["repaired"]
         )
         result["entity"] = entity
         self._log_maintenance(result)

@@ -1225,6 +1225,77 @@ def test_fold_verify_audits_drift_read_only(spark, tmp_path):
     assert cdf.verify()["ok"]
 
 
+def test_audit_and_repair_cover_mixture_folds(spark, tmp_path):
+    """The cron audit covers what the cron fan-out now maintains: an
+    audit with mixture_folds verifies each fold read-only (flipping ok
+    on drift), the repair refuses a failing fold whose object was not
+    passed (ok must never read clean over a known-failing target), and
+    with the fold passed it rebases AT THE FOLD'S OWN AUDITED CURSOR —
+    fixing the counts without moving the cursor, so a fan-out-driven
+    fold stays window-aligned — then re-verifies before returning."""
+    import json
+
+    from stripe_sync_engine_spark.commitio import atomic_write_json
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_far"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2]) for i in range(20)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc]
+    )
+    cursor = int(cc._read_state()["applied_until"])
+
+    report = eng.audit_corpus_indexes("corpus", mixture_folds=[cc])
+    assert report["ok"] and report["mixture_folds"][0]["ok"]
+
+    # out-of-band corruption: the audit flips ok, read-only
+    with open(cc._state_path()) as f:
+        state = json.load(f)
+    state["counts"][0][1] += 5
+    atomic_write_json(cc._state_path(), state)
+    report = eng.audit_corpus_indexes("corpus", mixture_folds=[cc])
+    assert not report["ok"]
+    assert report["mixture_folds"][0]["drift_entries"] == 1
+
+    # repair WITHOUT the fold: refused loudly, never reads clean
+    res = eng.repair_corpus_indexes("corpus", report)
+    assert not res["ok"]
+    assert any(
+        r["kind"] == "mixture_fold" and "not passed" in r["reason"]
+        for r in res["refused"]
+    )
+
+    # repair WITH the fold: rebased at the audited cursor, re-verified
+    res = eng.repair_corpus_indexes("corpus", report, mixture_folds=[cc])
+    assert res["ok"]
+    assert any(
+        r["kind"] == "mixture_fold" and r["post_ok"] for r in res["repaired"]
+    )
+    assert cc.verify()["ok"]
+    # the cursor did NOT move — fan-out alignment preserved: the next
+    # fan-out window applies cleanly
+    assert int(cc._read_state()["applied_until"]) == cursor
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(100, "en")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc]
+    )
+    assert cc.counts() == _recount(store, "corpus")
+
+
 def test_category_counts_rebucket_during_lag_recovers_via_rebase(spark, tmp_path):
     """VERDICT r11 #6b: a REBUCKET landing inside the consumer's lag
     window makes the feed raise (bucket ids incomparable across widths)
