@@ -763,24 +763,39 @@ def txt_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's (category, weight-stratum)) — must each select the
     byte-identical row set DuckDB's mirror predicates select, the
     reproducibility contract that makes a training mixture auditable and
-    re-derivable forever. Zero shuffle: two codegen'd md5/CASE filters
-    over the same scan, unioned under a draw_kind tag. Rates/thresholds
-    are fixed constants here; the waterline and stratified SOLVERS and
-    the incremental maintained folds are gated in tests/test_mixing.py
-    (hypothesis-swept)."""
+    re-derivable forever. ONE scan, zero shuffle: both membership
+    predicates are computed as codegen'd columns on the same pass and a
+    2-element inline array explodes into the draw_kind tags (a union of
+    two filtered scans would read the corpus twice — a real 2× at 100
+    TB). Rates/thresholds are fixed constants here; the waterline and
+    stratified SOLVERS and the incremental maintained folds are gated in
+    tests/test_mixing.py (hypothesis-swept)."""
     from stripe_sync_engine_spark.operators.mixing import (
-        sample_mixture,
-        sample_stratified_mixture,
+        mixture_member_col,
+        stratified_member_col,
     )
 
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    flat = sample_mixture(docs, MIXTURE_RATES, salt=MIXTURE_SALT).select(
-        "doc_id", "lang", F.lit("flat").alias("draw_kind")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array(
+                    F.when(
+                        mixture_member_col(MIXTURE_RATES, salt=MIXTURE_SALT),
+                        F.lit("flat"),
+                    ),
+                    F.when(
+                        stratified_member_col(
+                            MIXTURE_STRATA,
+                            weight_col="n_chars",
+                            salt=MIXTURE_STRATA_SALT,
+                        ),
+                        F.lit("stratified"),
+                    ),
+                )
+            ).alias("draw_kind"),
+        )
+        .where(F.col("draw_kind").isNotNull())
     )
-    strat = sample_stratified_mixture(
-        docs,
-        MIXTURE_STRATA,
-        weight_col="n_chars",
-        salt=MIXTURE_STRATA_SALT,
-    ).select("doc_id", "lang", F.lit("stratified").alias("draw_kind"))
-    return flat.unionByName(strat)
