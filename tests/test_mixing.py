@@ -1225,6 +1225,64 @@ def test_fold_verify_audits_drift_read_only(spark, tmp_path):
     assert cdf.verify()["ok"]
 
 
+def test_mixture_folds_drain_backlog_with_max_commits(spark, tmp_path):
+    """A fold riding the fan-out drains a multi-commit backlog in
+    ack-checkpointed steps (max_commits=1): every capped window ends at
+    a real commit, the fold's cursor advances in lockstep with the
+    fan-out's (the alignment guard never trips mid-drain), and the
+    final histogram equals a recount."""
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_bl"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2]) for i in range(10)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc]
+    )
+
+    # the fold falls behind by THREE commits
+    for k in range(3):
+        time.sleep(0.002)
+        store.write(
+            "corpus",
+            store.read("corpus").unionByName(
+                spark.createDataFrame(
+                    [(100 + k, ["en", "fr", "en"][k])],
+                    "doc_id long, lang string",
+                )
+            ),
+            key="doc_id",
+        )
+    head = store.commits("corpus")[-1]
+
+    steps = 0
+    while True:
+        rep = eng.maintain_corpus_indexes(
+            "fanout",
+            "corpus",
+            emit_update_preimages=True,
+            mixture_folds=[cc],
+            max_commits=1,
+        )
+        steps += 1
+        # lockstep: the fold's committed cursor is the window's end
+        assert int(cc._read_state()["applied_until"]) == rep["cursor"]
+        if rep["cursor"] >= head:
+            break
+        assert steps < 10
+    assert steps == 3  # one capped window per backlog commit
+    assert cc.counts() == _recount(store, "corpus")
+
+
 def test_audit_and_repair_cover_mixture_folds(spark, tmp_path):
     """The cron audit covers what the cron fan-out now maintains: an
     audit with mixture_folds verifies each fold read-only (flipping ok
