@@ -6,7 +6,8 @@ skew mitigation — plus the training-data layer's incremental gates
 ExactSubstr-style span-level dedup (``span_dedup``), deterministic
 weighted corpus mixing with maintained category counts, the
 length-stratified heavy-tail-bounded draw with its feed-maintained
-hash-CDF, and manifest-verified exports for both recipe kinds
-(``mixing``), persisted BM25 postings
+hash-CDF, fan-out-delivered fold windows with a read-only drift audit
+(``apply_window`` / ``verify``), and manifest-verified exports for both
+recipe kinds (``mixing``), persisted BM25 postings
 (``postings``) and IVF-PQ ANN (``pq_index``), and the derived-index
 drift audit + repair loop (``index_audit``)."""
