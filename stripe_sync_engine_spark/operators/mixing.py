@@ -820,6 +820,16 @@ class _MaintainedFold(abc.ABC):
             for k, v in self._read_state()["counts"]
         }
 
+    def identity(self) -> dict:
+        """The fold's public identity for operator tooling — the
+        audit → repair handshake key: ``{"state": <state-file path>,
+        "guard": <error-message subject>}``. The state path is the
+        cross-process identity (the guard parameters — salt, n_bins,
+        weight column — ride the path/state meta), so a repair run can
+        match a failing audit row back to a fold object without
+        reaching into private attributes."""
+        return {"state": self._state_path(), "guard": self._guard()}
+
     def _write_state(self, cursor: int, counts: dict) -> None:
         from stripe_sync_engine_spark.commitio import atomic_write_json
 
@@ -860,7 +870,9 @@ class _MaintainedFold(abc.ABC):
         no-op feed plan). Call it wherever the corpus's other feed
         consumers poll (the maintenance cron)."""
         state = self._read_state()
-        if int(state["applied_until"]) > 0:
+        applied0 = int(state["applied_until"])
+        since0 = int(self.engine._read_cursors(self.consumer).get(self.entity, 0))
+        if applied0 > 0 and since0 == 0:
             # Divergence guard (the fan-out stream's handover contract,
             # for counts): counts exist but the consumer's cursor is
             # gone, so the next window would be the WHOLE table as
@@ -869,16 +881,20 @@ class _MaintainedFold(abc.ABC):
             # entry silently ~doubled. The one legitimate
             # cursor=0-with-state shape is the crash retry of the
             # initial load itself, identified by its pinned window
-            # matching the state's applied_until.
-            cur0 = int(self.engine._read_cursors(self.consumer).get(self.entity, 0))
+            # matching the state's applied_until. (A fan-out-delivered
+            # fold — state ahead of a never-advanced own cursor — lands
+            # here too: same loud stop, remedy named below.)
             pin0 = int(self.engine._read_pending(self.consumer).get(self.entity, 0))
-            if cur0 == 0 and pin0 != int(state["applied_until"]):
+            if pin0 != applied0:
                 raise RuntimeError(
                     f"counts state for {self.entity!r}/{self._guard()} "
-                    f"is at commit {state['applied_until']} but consumer "
-                    f"{self.consumer!r} has no cursor — a wiped cursor would "
-                    "re-deliver the initial load and double every count; "
-                    "rebase() to recount and realign"
+                    f"is at commit {applied0} but consumer "
+                    f"{self.consumer!r} has no cursor — either the cursor "
+                    "was wiped (the re-delivered initial load would double "
+                    "every count; rebase() to recount and realign) or this "
+                    "fold is fan-out-delivered (maintain_corpus_indexes("
+                    "mixture_folds=...)) and must NOT also poll(): keep "
+                    "delivery on exactly one surface"
                 )
         feed, cursor = self.engine.consume_changes(
             self.consumer,
@@ -888,7 +904,27 @@ class _MaintainedFold(abc.ABC):
         )
         if feed is None:
             return self.counts()
-        if int(cursor) != int(state["applied_until"]):
+        if int(cursor) != applied0:
+            if 0 < applied0 != since0:
+                # The fold's state is ahead of (or behind) its OWN
+                # consumer's pre-consume cursor, and the delivered window
+                # isn't the pinned crash retry (that one matches
+                # applied_until and is skipped above). Folding
+                # (since0, cursor] now would re-apply the already-folded
+                # (since0, applied0] range with all-positive deltas — the
+                # negative-count guard is blind to doubling — so stop
+                # loudly: this fold was advanced by fan-out delivery
+                # (apply_window) and poll() must not be mixed in.
+                raise RuntimeError(
+                    f"maintained fold for {self.entity!r}/{self._guard()} "
+                    f"is at commit {applied0} but its own consumer "
+                    f"{self.consumer!r} is at {since0} — the fold was "
+                    "advanced by fan-out delivery (maintain_corpus_indexes("
+                    "mixture_folds=...)); polling it now would re-fold the "
+                    f"({since0}, {applied0}] range and double those counts. "
+                    "Deliver through exactly one surface: keep the fan-out, "
+                    "or rebase(at_ms=<own cursor>) to return to poll()-only"
+                )
             self._fold_window(state, feed, int(cursor))
         self.engine.ack_changes(self.consumer, self.entity, int(cursor))
         return self.counts()
@@ -1008,7 +1044,7 @@ class _MaintainedFold(abc.ABC):
         self.engine.ack_changes(self.consumer, self.entity, int(head))
         return self.counts()
 
-    def verify(self) -> dict:
+    def verify(self, sample: int | None = None, z: float = 6.0) -> dict:
         """Read-only drift audit of the maintained histogram — the
         ``audit_corpus_indexes`` analog for fold state: recount the
         table AS OF the fold's own committed cursor and diff against
@@ -1019,15 +1055,37 @@ class _MaintainedFold(abc.ABC):
         Catches out-of-band mutations no feed can see: a wiped or
         hand-edited state file, a fractional weight column that slipped
         in before the integral guard, a restored-from-backup table
-        under a live cursor. One map-side-combined O(table) scan —
-        schedule it like the index audit, not like the poll. Returns
-        ``{"ok", "cursor", "drift": {key: (maintained, actual)}}`` with
-        drift capped at 50 entries."""
+        under a live cursor.
+
+        ``sample=None`` (the deep option): one map-side-combined
+        O(table) scan, exact per key. ``sample=k``: recount only ``k``
+        deterministically-chosen snapshot BUCKETS — rows hash into
+        buckets uniformly (``pmod(xxhash64(key), n)``), so the slice is
+        a ~k/n row sample and the scan reads only k/n of the table; the
+        slice recount is scaled by 1/f and compared per key under a
+        concentration tolerance ``z·sqrt(max(N, est, w̄)·w̄·(1-f)/f)
+        + z·w̄`` (w̄ = the slice's mean row weight; 1 for count folds).
+        The sampled audit catches GROSS drift — a doubled or wiped
+        large entry — not off-by-a-few on small cells; tighten by
+        raising ``sample`` or run the exact form. Bucket choice rotates
+        with the fold's cursor (rank by md5(bucket:cursor)), so
+        repeated audits over an advancing fold cover different slices.
+        ``sample >= n_buckets`` degrades to the exact scan. Returns
+        ``{"ok", "cursor", "mode", "drift": {key: (maintained,
+        actual-or-estimate)}}`` with drift capped at 50 entries; the
+        sampled form adds ``"sample": {"buckets", "of", "fraction"}``
+        and rounds its scaled estimates to ints."""
         state = self._read_state()
         cursor = int(state["applied_until"])
         maintained = {
             self._decode_key(k): int(v) for k, v in state["counts"]
         }
+        if cursor and sample is not None:
+            n_b = self.engine.store.bucket_count(self.entity, as_of_ms=cursor)
+            if n_b is not None and 0 < sample < n_b:
+                return self._verify_sampled(
+                    cursor, maintained, int(sample), int(n_b), float(z)
+                )
         actual: dict = {}
         if cursor:
             table = self.engine.store.read(self.entity, as_of_ms=cursor)
@@ -1049,7 +1107,78 @@ class _MaintainedFold(abc.ABC):
         capped = dict(
             sorted(drift.items(), key=lambda kv: self._sort_key(kv[0]))[:50]
         )
-        return {"ok": not drift, "cursor": cursor, "drift": capped}
+        return {
+            "ok": not drift,
+            "cursor": cursor,
+            "mode": "exact",
+            "drift": capped,
+        }
+
+    def _verify_sampled(
+        self, cursor: int, maintained: dict, sample: int, n_b: int, z: float
+    ) -> dict:
+        """The k-bucket statistical recount behind ``verify(sample=k)``
+        — see its docstring for the tolerance contract."""
+        import hashlib
+        import math
+
+        ranked = sorted(
+            range(n_b),
+            key=lambda b: hashlib.md5(f"{b}:{cursor}".encode()).hexdigest(),
+        )
+        chosen = sorted(ranked[:sample])
+        f = len(chosen) / n_b
+        table = self.engine.store.read(
+            self.entity, as_of_ms=cursor, buckets=chosen
+        )
+        slice_w: dict = {}
+        slice_rows = 0
+        slice_total = 0
+        if table is not None:
+            if self.weight_col is not None:
+                _require_integral_weight(table, self.weight_col)
+            cols = self._group_cols()
+            rows = (
+                table.groupBy(*cols)
+                .agg(
+                    F.sum(self._weight()).alias("_v"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .limit(self._max_entries + 1)
+                .collect()
+            )
+            if len(rows) > self._max_entries:
+                raise ValueError(
+                    f"{self._guard()} produced more than "
+                    f"{self._max_entries} distinct entries in a bucket "
+                    "sample — not a bounded grouping"
+                )
+            names = [f"_g{i}" for i in range(len(cols))]
+            for r in rows:
+                key = self._key_of(tuple(r[n] for n in names))
+                slice_w[key] = slice_w.get(key, 0) + int(r["_v"])
+                slice_rows += int(r["_n"])
+                slice_total += int(r["_v"])
+        wbar = (slice_total / slice_rows) if slice_rows else 1.0
+        drift: dict = {}
+        for key in set(maintained) | set(slice_w):
+            n_claim = maintained.get(key, 0)
+            est = slice_w.get(key, 0) / f
+            tol = z * math.sqrt(
+                max(n_claim, est, wbar, 1.0) * wbar * (1.0 - f) / f
+            ) + z * wbar
+            if abs(est - n_claim) > tol:
+                drift[key] = (n_claim, int(round(est)))
+        capped = dict(
+            sorted(drift.items(), key=lambda kv: self._sort_key(kv[0]))[:50]
+        )
+        return {
+            "ok": not drift,
+            "cursor": cursor,
+            "mode": "sampled",
+            "sample": {"buckets": len(chosen), "of": n_b, "fraction": f},
+            "drift": capped,
+        }
 
 
 class CategoryCounts(_MaintainedFold):

@@ -1425,6 +1425,7 @@ class StripeSparkSync:
         ann=None,
         sample: int = 64,
         mixture_folds: Iterable = (),
+        fold_sample: int | None = 8,
     ) -> dict:
         """Sampled drift audit of the derived indexes against ``entity``'s
         CURRENT table — ``verify_export`` for the fan-out targets (see
@@ -1437,13 +1438,18 @@ class StripeSparkSync:
         truncated postings stats table.
 
         ``mixture_folds``: audit the fan-out's maintained fold state too
-        (``fold.verify()`` — recount AS OF each fold's own committed
-        cursor, read-only, exact even while the fold lags). NOTE the
-        cost difference: the index probes are sample-bounded, a fold
-        verify is one map-side-combined O(table) scan per fold —
-        schedule accordingly. A failing fold flips the report's ``ok``
-        and is repairable by ``repair_corpus_indexes`` with the same
-        fold list."""
+        (``fold.verify(sample=fold_sample)`` — recount AS OF each fold's
+        own committed cursor, read-only, exact even while the fold
+        lags). ``fold_sample`` bounds the fold leg like every other
+        audit leg: it recounts that many hash-chosen snapshot BUCKETS
+        (default 8 of the table's 32 — a quarter of the data) under the
+        concentration tolerance documented on
+        ``_MaintainedFold.verify`` — gross drift (a doubled or wiped
+        large entry) is caught; off-by-a-few on small cells needs the
+        deep option, ``fold_sample=None`` (one exact O(table) scan per
+        fold). A failing fold flips the report's ``ok`` and is
+        repairable by ``repair_corpus_indexes`` with the same fold
+        list."""
         from stripe_sync_engine_spark.operators.index_audit import (
             audit_corpus_indexes as _audit,
         )
@@ -1465,16 +1471,18 @@ class StripeSparkSync:
         if mixture_folds:
             fold_reports = []
             for fold in mixture_folds:
-                v = fold.verify()
+                v = fold.verify(sample=fold_sample)
+                ident = fold.identity()
                 fold_reports.append(
                     {
                         # the state path is the fold's identity across
                         # audit → repair (guards/salts ride the path)
-                        "state": fold._state_path(),
+                        "state": ident["state"],
                         "kind": "mixture_fold",
-                        "guard": fold._guard(),
+                        "guard": ident["guard"],
                         "ok": bool(v["ok"]),
                         "cursor": int(v["cursor"]),
+                        "mode": v.get("mode", "exact"),
                         "drift_entries": len(v["drift"]),
                     }
                 )
@@ -1525,7 +1533,7 @@ class StripeSparkSync:
         result = _repair(
             report, corpus, gates=tuple(gates), postings=postings, ann=ann
         )
-        by_state = {f._state_path(): f for f in tuple(mixture_folds)}
+        by_state = {f.identity()["state"]: f for f in tuple(mixture_folds)}
         for rep_f in report.get("mixture_folds", []):
             if rep_f.get("ok"):
                 continue

@@ -1164,6 +1164,93 @@ def test_mixture_folds_ride_the_fanout_window(spark, tmp_path, monkeypatch):
     assert cc.counts() == _recount(store, "corpus")
 
 
+def test_poll_refuses_fanout_advanced_fold(spark, tmp_path):
+    """ADVICE r13 (medium): poll() after fan-out delivery must raise,
+    not double-count. Two shapes: (a) the fold NEVER polled (own cursor
+    absent, state ahead) — the cursor-gone guard names fan-out delivery
+    as a cause; (b) the fold polled once THEN rode the fan-out (own
+    cursor stale at w1, state at w2) — a later poll() would re-fold the
+    already-applied (w1, w2] range with all-positive deltas, which the
+    negative-count guard cannot see; the new guard raises before
+    folding. rebase() returns the fold to poll()-only delivery."""
+    import time
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_pfg"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2]) for i in range(20)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+
+    # (a) fan-out-only fold: state advanced, own consumer cursor absent
+    cc = CategoryCounts(eng, "corpus")
+    eng.maintain_corpus_indexes(
+        "fanout", "corpus", emit_update_preimages=True, mixture_folds=[cc]
+    )
+    assert cc.counts() == {"en": 10, "fr": 10}
+    with pytest.raises(RuntimeError, match="fan-out-delivered"):
+        cc.poll()
+    assert cc.counts() == {"en": 10, "fr": 10}  # nothing folded
+
+    # (b) poll-then-fanout mixing: own cursor at w1, fan-out advances
+    # the state to w2, then a poll() over (w1, w3] must refuse.
+    # A second table so its fold state is distinct from (a)'s.
+    docs2 = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2]) for i in range(10)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus2", docs2, key="doc_id")
+    cc2 = CategoryCounts(eng, "corpus2")
+    assert cc2.poll() == {"en": 5, "fr": 5}
+    w1 = store.commits("corpus2")[-1]
+    # hand the fold to a fan-out consumer aligned at w1
+    eng.ack_changes("fanout2", "corpus2", w1)
+    time.sleep(0.002)
+    store.write(
+        "corpus2",
+        store.read("corpus2").unionByName(
+            spark.createDataFrame([(100, "en")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    eng.maintain_corpus_indexes(
+        "fanout2", "corpus2", emit_update_preimages=True, mixture_folds=[cc2]
+    )
+    assert cc2.counts() == {"en": 6, "fr": 5}
+    w2 = store.commits("corpus2")[-1]
+    assert int(cc2._read_state()["applied_until"]) == w2
+    # a third commit so poll()'s own window (w1, w3] is non-empty and
+    # straddles the already-folded (w1, w2]
+    time.sleep(0.002)
+    store.write(
+        "corpus2",
+        store.read("corpus2").unionByName(
+            spark.createDataFrame([(101, "fr")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    with pytest.raises(RuntimeError, match="advanced by fan-out delivery"):
+        cc2.poll()
+    assert cc2.counts() == {"en": 6, "fr": 5}  # the double-count never landed
+    # remedy: rebase() recounts at head and realigns the own cursor,
+    # after which poll()-only delivery works again
+    cc2.rebase()
+    time.sleep(0.002)
+    store.write(
+        "corpus2",
+        store.read("corpus2").unionByName(
+            spark.createDataFrame([(102, "fr")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    assert cc2.poll() == {"en": 6, "fr": 7} == _recount(store, "corpus2")
+
+
 def test_fold_verify_audits_drift_read_only(spark, tmp_path):
     """fold.verify() — the index-audit analog for maintained fold
     state: recounts AS OF the fold's own cursor (exact even while the
@@ -1189,7 +1276,12 @@ def test_fold_verify_audits_drift_read_only(spark, tmp_path):
     store.write("corpus", docs, key="doc_id")
     cc = CategoryCounts(eng, "corpus")
     cc.poll()
-    assert cc.verify() == {"ok": True, "cursor": store.commits("corpus")[-1], "drift": {}}
+    assert cc.verify() == {
+        "ok": True,
+        "cursor": store.commits("corpus")[-1],
+        "mode": "exact",
+        "drift": {},
+    }
 
     # the fold LAGS the table (new commit, no poll): still ok — the
     # recount is taken as of the fold's cursor, not the head
@@ -1223,6 +1315,68 @@ def test_fold_verify_audits_drift_read_only(spark, tmp_path):
     cdf = StratifiedCDF(eng, "corpus", "vfy-salt", weight_col="n_chars")
     cdf.poll()
     assert cdf.verify()["ok"]
+
+
+def test_fold_verify_sampled_catches_gross_drift(spark, tmp_path):
+    """VERDICT r14 #3: the sampled fold audit — ``verify(sample=k)``
+    recounts k hash-chosen snapshot buckets (a ~k/n row sample, reading
+    only k/n of the table) and compares scaled estimates under the
+    concentration tolerance. Pins: (a) a clean fold audits ok at the
+    sampled level; (b) injected GROSS drift (a doubled large entry and
+    a wiped one) is caught; (c) sample >= n_buckets degrades to the
+    exact scan; (d) the engine audit path is sample-bounded by default
+    and the repair pair fixes the failing fold."""
+    import json
+
+    from stripe_sync_engine_spark.commitio import atomic_write_json
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_svf"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(600)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    cc.poll()
+    assert cc.counts() == {"en": 400, "fr": 200}
+
+    # (a) clean: ok at the sampled level, and genuinely sample-bounded
+    # (16 of 32 buckets = half the data; the tolerance puts a clean
+    # false-positive ~6 sigma out, so this is draw-stable)
+    rep = cc.verify(sample=16)
+    assert rep["ok"] and rep["mode"] == "sampled"
+    assert rep["sample"]["buckets"] == 16 and rep["sample"]["of"] == 32
+
+    # (c) a sample covering every bucket degrades to the exact scan
+    assert cc.verify(sample=32)["mode"] == "exact"
+
+    # (b) gross drift injected out-of-band: triple 'en', wipe 'fr' —
+    # both many tolerance-widths past any bucket-draw realization
+    with open(cc._state_path()) as f:
+        state = json.load(f)
+    state["counts"] = [
+        [k, 1200 if k == "en" else v] for k, v in state["counts"] if k != "fr"
+    ]
+    atomic_write_json(cc._state_path(), state)
+    rep2 = cc.verify(sample=16)
+    assert not rep2["ok"]
+    assert "en" in rep2["drift"] and "fr" in rep2["drift"]
+    assert rep2["drift"]["en"][0] == 1200  # (maintained, estimate)
+    assert rep2["drift"]["fr"][0] == 0
+
+    # (d) the engine audit leg is sampled by default, and audit→repair
+    # rebases the failing fold at its audited cursor
+    audit = eng.audit_corpus_indexes("corpus", mixture_folds=[cc])
+    frep = audit["mixture_folds"][0]
+    assert not audit["ok"] and not frep["ok"] and frep["mode"] == "sampled"
+    fixed = eng.repair_corpus_indexes("corpus", audit, mixture_folds=[cc])
+    assert fixed["ok"]
+    assert cc.counts() == {"en": 400, "fr": 200}
+    assert cc.verify(sample=16)["ok"] and cc.verify()["ok"]
 
 
 def test_mixture_folds_drain_backlog_with_max_commits(spark, tmp_path):
@@ -1290,7 +1444,11 @@ def test_audit_and_repair_cover_mixture_folds(spark, tmp_path):
     passed (ok must never read clean over a known-failing target), and
     with the fold passed it rebases AT THE FOLD'S OWN AUDITED CURSOR —
     fixing the counts without moving the cursor, so a fan-out-driven
-    fold stays window-aligned — then re-verifies before returning."""
+    fold stays window-aligned — then re-verifies before returning.
+    The injected drift here is SMALL (+5 on a 20-row corpus), below
+    the default sampled tolerance by design, so this test runs the
+    deep option (fold_sample=None, exact recount); the sampled default
+    is covered by test_fold_verify_sampled_catches_gross_drift."""
     import json
 
     from stripe_sync_engine_spark.commitio import atomic_write_json
@@ -1311,15 +1469,20 @@ def test_audit_and_repair_cover_mixture_folds(spark, tmp_path):
     )
     cursor = int(cc._read_state()["applied_until"])
 
-    report = eng.audit_corpus_indexes("corpus", mixture_folds=[cc])
+    report = eng.audit_corpus_indexes(
+        "corpus", mixture_folds=[cc], fold_sample=None
+    )
     assert report["ok"] and report["mixture_folds"][0]["ok"]
+    assert report["mixture_folds"][0]["mode"] == "exact"
 
     # out-of-band corruption: the audit flips ok, read-only
     with open(cc._state_path()) as f:
         state = json.load(f)
     state["counts"][0][1] += 5
     atomic_write_json(cc._state_path(), state)
-    report = eng.audit_corpus_indexes("corpus", mixture_folds=[cc])
+    report = eng.audit_corpus_indexes(
+        "corpus", mixture_folds=[cc], fold_sample=None
+    )
     assert not report["ok"]
     assert report["mixture_folds"][0]["drift_entries"] == 1
 

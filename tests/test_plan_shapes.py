@@ -23,9 +23,13 @@ running the query, so the sweep costs seconds per row, not scans.
 
 from __future__ import annotations
 
+import os
+
 from stripe_sync_engine_spark.plans import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+# same override every other test honors (conftest.SF_DIR / the sf_dir
+# fixture) — module-level because BNLJ_BY_DESIGN tests also need it
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 #: rows whose BroadcastNestedLoopJoin is a tiny-broadcast-side design
 #: choice, re-adjudicated whenever this set changes
