@@ -61,6 +61,25 @@ import threading
 #: flock sidecar (held-by-flock, presence meaningless).
 LOCK_SIDECAR_SUFFIX = ".flock"
 
+#: the PRE-r13 sidecar suffix (``.{base}.lock``). UPGRADE NOTE — the
+#: r13 suffix change is a FLAG-DAY migration for multi-writer
+#: warehouses: an old writer flocks ``.{base}.lock`` while a new writer
+#: flocks ``.{base}.flock``, so during a mixed-version rollout the two
+#: do NOT exclude each other on the same side file (the lost-update
+#: race read_modify_write exists to prevent). Quiesce writers across
+#: the upgrade (single-writer deployments are unaffected). Afterward,
+#: legacy ORPHANS (parent side file gone) are swept by the regular
+#: ``reclaim_lock_sidecars`` pass, and live-parent legacy sidecars by a
+#: one-time ``reclaim_lock_sidecars(root, migrate_legacy=True)``. The
+#: store's presence-style ``.commit.lock`` matches this suffix pattern
+#: and is excluded BY EXACT NAME — it is never a reclaim candidate.
+LEGACY_LOCK_SIDECAR_SUFFIX = ".lock"
+
+#: storage._commit_lock's O_EXCL lock file name — held by PRESENCE, so
+#: unlinking one that exists would break the store's commit mutual
+#: exclusion; excluded from every sweep by exact name.
+STORE_COMMIT_LOCK_NAME = ".commit.lock"
+
 
 class PosixRenameBackend:
     """The default backend: write-to-temp + fsync + atomic rename +
@@ -340,12 +359,24 @@ def read_modify_write(path: str, fn) -> None:
     _backend.read_modify_write(path, fn)
 
 
-def reclaim_lock_sidecars(root: str) -> list[str]:
+def reclaim_lock_sidecars(root: str, migrate_legacy: bool = False) -> list[str]:
     """Remove orphaned flock sidecars (``.{base}.flock`` files whose
     parent side file ``{base}`` no longer exists) under ``root``,
     recursively — the maintenance sweep that keeps a long-lived
     deployment from accumulating one sidecar per vacuumed side file
     forever. Wired into ``engine.maintain()``.
+
+    Pre-r13 LEGACY sidecars (``.{base}.lock``) are swept by the same
+    orphan rule — current writers lock ``.flock``, so a legacy orphan
+    can only be held by an OLD (pre-upgrade) writer, which the
+    non-blocking flock skips. ``migrate_legacy=True`` additionally
+    removes legacy sidecars whose parent side file STILL EXISTS — the
+    one-time post-upgrade migration; run it only after EVERY writer has
+    upgraded (see ``LEGACY_LOCK_SIDECAR_SUFFIX``: the suffix change is
+    a flag-day, and an old writer that opened-but-not-yet-flocked a
+    legacy sidecar we unlink would reintroduce the unlink race old code
+    never defended against). The store's presence-style
+    ``.commit.lock`` is excluded by exact name in both modes.
 
     Safe next to live writers: each candidate is taken with a
     NON-BLOCKING exclusive flock (busy → skip, the holder is mid-commit
@@ -354,10 +385,10 @@ def reclaim_lock_sidecars(root: str) -> list[str]:
     a writer that then acquires the unlinked inode re-verifies inode
     identity (see ``PosixRenameBackend.read_modify_write``) and retries
     on a fresh sidecar, so no two writers ever hold locks on different
-    inodes of the same path. Sidecars of side files that still exist
-    are left alone (they are the lock). No-op on platforms without
-    ``fcntl`` and on backends without sidecars (conditional-put has
-    none). Returns the removed paths."""
+    inodes of the same path. ``.flock`` sidecars of side files that
+    still exist are left alone (they are the lock). No-op on platforms
+    without ``fcntl`` and on backends without sidecars (conditional-put
+    has none). Returns the removed paths."""
     try:
         import fcntl
     except ImportError:  # non-POSIX: no flock sidecars exist
@@ -365,12 +396,19 @@ def reclaim_lock_sidecars(root: str) -> list[str]:
     removed: list[str] = []
     for dirpath, _dirs, files in os.walk(root):
         for name in files:
-            if not (
-                name.startswith(".") and name.endswith(LOCK_SIDECAR_SUFFIX)
-            ):
+            if not name.startswith(".") or name == STORE_COMMIT_LOCK_NAME:
                 continue
-            base = name[1 : -len(LOCK_SIDECAR_SUFFIX)]
-            if not base or os.path.exists(os.path.join(dirpath, base)):
+            if name.endswith(LOCK_SIDECAR_SUFFIX):
+                suffix, legacy = LOCK_SIDECAR_SUFFIX, False
+            elif name.endswith(LEGACY_LOCK_SIDECAR_SUFFIX):
+                suffix, legacy = LEGACY_LOCK_SIDECAR_SUFFIX, True
+            else:
+                continue
+            base = name[1 : -len(suffix)]
+            if not base:
+                continue
+            parent = os.path.join(dirpath, base)
+            if os.path.exists(parent) and not (legacy and migrate_legacy):
                 continue
             lockpath = os.path.join(dirpath, name)
             try:
@@ -381,8 +419,12 @@ def reclaim_lock_sidecars(root: str) -> list[str]:
                         continue  # held — a writer is mid-commit
                     try:
                         # re-check under the lock: the holder we raced
-                        # may have just created the parent
-                        if not os.path.exists(os.path.join(dirpath, base)):
+                        # may have just created the parent (the legacy
+                        # migrate mode removes regardless — the parent
+                        # legitimately exists there)
+                        if (legacy and migrate_legacy) or not os.path.exists(
+                            parent
+                        ):
                             os.unlink(lockpath)
                             removed.append(lockpath)
                     finally:

@@ -243,6 +243,72 @@ def test_lock_sidecar_reclaim_removes_only_orphans(tmp_path):
     assert cio.reclaim_lock_sidecars(str(tmp_path)) == [gone_lock]
 
 
+def test_legacy_lock_sidecars_migrate(tmp_path):
+    """ADVICE r13 / VERDICT r14 #4: pre-r13 ``.{base}.lock`` sidecars
+    are reclaimable. Orphans (parent side file gone) fall to the
+    regular sweep; live-parent legacy sidecars survive the default
+    sweep (mixed-version rollout safety) and are removed only by the
+    explicit one-time ``migrate_legacy=True`` pass. The store's
+    presence-style ``.commit.lock`` — which MATCHES the legacy suffix
+    pattern — is excluded by exact name in both modes."""
+    import fcntl
+    import os
+
+    # simulate a pre-upgrade warehouse: legacy sidecars beside a live
+    # and a vacuumed side file
+    live = tmp_path / "live.json"
+    live.write_text('{"n": 1}')
+    legacy_live = tmp_path / ".live.json.lock"
+    legacy_live.write_text("")
+    legacy_orphan = tmp_path / "sub"
+    legacy_orphan.mkdir()
+    legacy_dead = legacy_orphan / ".dead.json.lock"
+    legacy_dead.write_text("")
+    (tmp_path / "tbl").mkdir()
+    commit_lock = tmp_path / "tbl" / ".commit.lock"
+    commit_lock.write_text("")
+
+    # default sweep: the legacy orphan goes, the live-parent legacy
+    # sidecar and the commit lock stay
+    assert cio.reclaim_lock_sidecars(str(tmp_path)) == [str(legacy_dead)]
+    assert legacy_live.exists() and commit_lock.exists()
+
+    # a HELD legacy sidecar (old writer mid-commit) is skipped even by
+    # the migration pass
+    with open(legacy_live, "a") as held:
+        fcntl.flock(held, fcntl.LOCK_EX)
+        assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == []
+    # the one-time post-upgrade migration removes live-parent legacy
+    # sidecars; .commit.lock and the parent side file are untouched
+    assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == [
+        str(legacy_live)
+    ]
+    assert live.exists() and commit_lock.exists()
+    # current-suffix sidecars with live parents never migrate
+    cio.read_modify_write(str(live), lambda p: '{"n": 2}')
+    flock_live = tmp_path / f".live.json{cio.LOCK_SIDECAR_SUFFIX}"
+    assert flock_live.exists()
+    assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == []
+    assert flock_live.exists()
+
+
+def test_non_posix_rmw_warns_and_reclaim_noops(tmp_path, monkeypatch):
+    """VERDICT r14 #4: the fcntl-less fallback is LOUD — RMW emits the
+    RuntimeWarning (unserialized writers lose updates off POSIX) but
+    still applies the update, and the sidecar sweep is a no-op."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "fcntl", None)  # import fcntl -> ImportError
+    path = str(tmp_path / "state.json")
+    with pytest.warns(RuntimeWarning, match="fcntl is unavailable"):
+        cio.read_modify_write(path, lambda p: '{"n": 1}')
+    with open(path) as f:
+        assert f.read() == '{"n": 1}'  # the update itself still lands
+    # no sidecar was created, and the sweep no-ops
+    assert not (tmp_path / f".state.json{cio.LOCK_SIDECAR_SUFFIX}").exists()
+    assert cio.reclaim_lock_sidecars(str(tmp_path)) == []
+
+
 def test_rmw_stays_serialized_through_a_concurrent_reclaim(tmp_path):
     """The lockfile-unlink race, pinned: writers keep mutual exclusion
     even while a chaos loop vacuums the parent side file and reclaims
