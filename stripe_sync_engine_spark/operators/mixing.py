@@ -820,6 +820,12 @@ class _MaintainedFold(abc.ABC):
             for k, v in self._read_state()["counts"]
         }
 
+    def cursor(self) -> int:
+        """The commit-ms the maintained counts are current to (0 =
+        never loaded). Reads only the side file — the public peek the
+        streaming fan-out's start guard and operator tooling use."""
+        return int(self._read_state()["applied_until"])
+
     def identity(self) -> dict:
         """The fold's public identity for operator tooling — the
         audit → repair handshake key: ``{"state": <state-file path>,

@@ -274,20 +274,41 @@ class TableStore:
                 paths.append(p)
         return paths
 
-    def read(self, table: str, as_of_ms: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        table: str,
+        as_of_ms: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame | None:
         """Current table state, or — with ``as_of_ms`` — the newest commit
         at or before that timestamp (time travel). Snapshots stay readable
         while their version dirs survive vacuum, i.e. for
         ``vacuum_retain_s`` after being replaced — exactly Delta's
         retention contract (the local default of 0 disables time travel;
         set a retention to use it). A vacuumed snapshot raises instead of
-        silently returning partial data."""
+        silently returning partial data. ``buckets`` restricts the scan
+        to the named bucket ids (the same pruning ``read_buckets`` does
+        for current state), composing with ``as_of_ms`` — the sampled
+        fold audit reads k snapshot buckets this way."""
         if as_of_ms is None:
-            return self.read_buckets(table, None)
+            return self.read_buckets(table, buckets)
         manifest = self._resolve_snapshot(table, as_of_ms)
         if manifest is None:
             return None
-        return self._scan_manifest(table, manifest, buckets=None)
+        return self._scan_manifest(table, manifest, buckets=buckets)
+
+    def bucket_count(self, table: str, as_of_ms: int | None = None) -> int | None:
+        """The table's recorded bucket count (current manifest, or the
+        snapshot at ``as_of_ms``); None for an unknown table. Rows hash
+        into buckets by ``pmod(xxhash64(key), n)``, so a subset of
+        buckets is a uniform ~k/n row sample — the basis of the sampled
+        fold audit."""
+        manifest = (
+            self._read_manifest(table)
+            if as_of_ms is None
+            else self._resolve_snapshot(table, as_of_ms)
+        )
+        return None if manifest is None else int(manifest["n_buckets"])
 
     def _resolve_snapshot(self, table: str, as_of_ms: int) -> dict | None:
         """The manifest snapshot current at ``as_of_ms`` (None = table did
