@@ -52,10 +52,11 @@ def _checkpoint_is_fresh(checkpoint_dir: str) -> bool:
         return True
 
 
-def _existing_target_state(gates, postings, ann) -> list[str]:
+def _existing_target_state(gates, postings, ann, mixture_folds=()) -> list[str]:
     """Names of every target state table that already exists — the
     evidence that an initial load would re-deliver rows these indexes
-    already absorbed."""
+    already absorbed. Mixture folds count too: a fold with a non-zero
+    cursor has absorbed commits an initial load would re-fold."""
     existing: list[str] = []
     for target in (*gates, postings, ann):
         if target is None:
@@ -64,7 +65,45 @@ def _existing_target_state(gates, postings, ann) -> list[str]:
             name = getattr(target, attr, None)
             if name and target.store.exists(name):
                 existing.append(name)
+    for fold in mixture_folds:
+        if fold.cursor() > 0:
+            existing.append(fold.identity()["state"])
     return existing
+
+
+def _batch_commit_bounds(
+    checkpoint_dir: str, batch_id: int, starting_commit_ms: int
+) -> tuple[int, int]:
+    """The ``(since, until]`` commit-ms window of micro-batch
+    ``batch_id``, read from the checkpoint's OffsetSeqLog. The stream's
+    offsets ARE store history commit timestamps
+    (``sources/store_datasource.build_changes_datasource``), Spark
+    writes ``offsets/<id>`` BEFORE invoking foreachBatch, and a
+    crash-restart replays the batch against the identical file — so
+    these bounds are (a) known at batch time and (b) byte-stable across
+    replays, which is exactly what the folds' cursor-aligned replay
+    idempotence needs. Batch IDS alone cannot provide this (they
+    renumber on a checkpoint wipe — the overlap a batch-id key cannot
+    detect); commit-ms bounds make a wiped-checkpoint re-delivery land
+    on ``apply_window``'s alignment guard instead of double-folding.
+    Batch 0's lower bound is ``starting_commit_ms`` (the reader's
+    initialOffset) — keep that parameter stable across restarts; it is
+    already part of the checkpoint contract."""
+    import json
+
+    def end_of(bid: int) -> int:
+        path = os.path.join(checkpoint_dir, "offsets", str(bid))
+        with open(path) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        # v1 OffsetSeqLog layout: version line, batch-metadata JSON,
+        # then ONE offset line per source — this stream has exactly one
+        # source (the change feed), whose offset is the reader's
+        # {"commit_ms": N} dict serialized as JSON
+        return int(json.loads(lines[-1])["commit_ms"])
+
+    until = end_of(batch_id)
+    since = end_of(batch_id - 1) if batch_id > 0 else int(starting_commit_ms)
+    return since, until
 
 
 def start_index_maintenance_stream(
@@ -78,6 +117,7 @@ def start_index_maintenance_stream(
     available_now: bool = True,
     starting_commit_ms: int = 0,
     allow_initial_load_over_existing: bool = False,
+    mixture_folds=(),
 ) -> StreamingQuery:
     """Subscribe the index fan-out to ``entity``'s change feed: every
     micro-batch applies to ``gates`` (objects with ``apply_changes(feed)``
@@ -114,33 +154,49 @@ def start_index_maintenance_stream(
     query. Each applied micro-batch is appended to the store's durable
     ``_maintenance_log.jsonl`` with its window id and net row count.
 
-    Mixture folds (``operators/mixing._MaintainedFold``) are
-    deliberately CRON-FORM-ONLY (``maintain_corpus_indexes(
-    mixture_folds=...)``): their replay idempotence is cursor-aligned —
-    a window is skipped exactly when it ends at or below the fold's
-    committed commit-ms cursor — and a foreachBatch micro-batch carries
-    no commit-ms bounds (batch ids renumber on a checkpoint wipe, which
-    is precisely the overlap a batch-id key cannot detect). A standing
-    mixture next to a continuous stream keeps its own ``poll()``; the
-    gates/postings/ANN targets stay shared across both surfaces via
-    ``engine._apply_change_window``."""
+    Mixture folds (``operators/mixing._MaintainedFold``) ride this
+    stream the same way they ride the cron fan-out: each micro-batch's
+    ``(since, until]`` commit-ms bounds are recovered from the
+    checkpoint's own OffsetSeqLog (``_batch_commit_bounds`` — the
+    stream's offsets ARE store commits, written before the batch runs
+    and replayed byte-identical on restart), and every fold gets
+    ``apply_window(batch, since, until)`` — so a crash-restart's
+    replayed batch is skipped by the fold's ``applied_until`` match,
+    a wiped checkpoint's renumbered initial load lands on the
+    alignment guard instead of double-folding (the reason batch ids
+    alone could never carry folds), and a fold that missed windows
+    raises with its ``rebase(at_ms=...)`` onboarding pointer.
+    ``emit_update_preimages=True`` is REQUIRED with folds (enforced
+    loudly) — without pre-images an update cannot move its weight out
+    of the old (category, stratum). Don't mix standalone ``poll()``
+    with stream delivery (the fold's guards raise in both directions);
+    the gates/postings/ANN targets stay shared across both surfaces
+    via ``engine._apply_change_window``."""
     gates = tuple(gates)
+    mixture_folds = tuple(mixture_folds)
+    if mixture_folds and not emit_update_preimages:
+        raise ValueError(
+            "mixture_folds require emit_update_preimages=True — "
+            "without pre-image rows an update cannot move its "
+            "weight out of the old (category, stratum)"
+        )
     checkpoint_dir = _local_checkpoint_path(checkpoint_dir)
     if (
         starting_commit_ms == 0
         and not allow_initial_load_over_existing
         and _checkpoint_is_fresh(checkpoint_dir)
     ):
-        existing = _existing_target_state(gates, postings, ann)
+        existing = _existing_target_state(gates, postings, ann, mixture_folds)
         if existing:
             raise RuntimeError(
                 "fresh checkpoint with starting_commit_ms=0 would deliver "
                 "the whole table as an initial load, but these target "
                 f"state tables already exist: {sorted(set(existing))} — "
                 "the re-delivered rows would double-count batch-id-keyed "
-                "state (postings N/avgdl). Pass starting_commit_ms="
-                "engine.store.commits(entity)[-1] (the commit the indexes "
-                "are current to), or allow_initial_load_over_existing=True "
+                "state (postings N/avgdl) and non-empty fold counts. Pass "
+                "starting_commit_ms=engine.store.commits(entity)[-1] (the "
+                "commit the targets are current to), or "
+                "allow_initial_load_over_existing=True "
                 "if the initial load is genuinely intended"
             )
     run_id = _checkpoint_run_id(checkpoint_dir)
@@ -157,6 +213,14 @@ def start_index_maintenance_stream(
         n, applied = engine._apply_change_window(
             batch_df, window, gates, postings, ann
         )
+        if mixture_folds:
+            since_ms, until_ms = _batch_commit_bounds(
+                checkpoint_dir, batch_id, starting_commit_ms
+            )
+            for fold in mixture_folds:
+                # even an empty window advances the fold's cursor so it
+                # stays aligned with this checkpoint for the NEXT batch
+                fold.apply_window(applied, since_ms, until_ms)
         record = {
             "op": "corpus_cdc_fanout_stream",
             "entity": entity,
@@ -167,6 +231,7 @@ def start_index_maintenance_stream(
                 "gates": len(gates),
                 "postings": postings is not None,
                 "ann": ann is not None,
+                "mixture_folds": len(mixture_folds),
             },
         }
         if n and ann is not None and hasattr(ann, "measure_codebook_drift"):

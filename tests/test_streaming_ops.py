@@ -976,3 +976,154 @@ def test_index_maintenance_stream_reports_ann_drift(spark, tmp_path):
     ]
     assert log and log[-1]["ann_drift"]["ratio"] == _pytest.approx(1.0)
     assert log[-1]["ann_drift"]["rebuild_recommended"] is False
+
+
+def test_mixture_folds_ride_the_stream_window(spark, tmp_path, monkeypatch):
+    """VERDICT r14 #2: the STREAM twin of
+    test_mixture_folds_ride_the_fanout_window — mixture folds ride the
+    checkpointed index-maintenance stream, with each micro-batch's
+    (since, until] commit-ms bounds recovered from the checkpoint's own
+    OffsetSeqLog. Pins: (a) pre-images enforced loudly; (b) the initial
+    load builds the fold and mutation windows keep it recount-equal;
+    (c) a crash AFTER the fold applied but BEFORE the checkpoint commit
+    replays the identical batch on restart and the fold's applied_until
+    match skips the re-apply (no double-count); (d) a late-joining fold
+    that missed windows fails the batch with the rebase pointer and
+    rebase(at_ms=<stream cursor>) onboards it; (e) a WIPED checkpoint
+    over a non-empty fold refuses at start (the renumbered-batch-id
+    overlap batch ids alone cannot detect)."""
+    import time
+
+    import pytest
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.index_maintenance import (
+        start_index_maintenance_stream,
+    )
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_msf"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 10 * (1 + i % 3)) for i in range(20)],
+        "doc_id long, lang string, n_chars long",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    ccw = CategoryCounts(eng, "corpus", weight_col="n_chars")
+    ckpt = str(tmp_path / "ckpt_msf")
+
+    def _recount(weight=None):
+        df = store.read("corpus").groupBy("lang")
+        agg = df.agg(
+            (F.sum(weight) if weight else F.count(F.lit(1))).alias("w")
+        )
+        return {str(r["lang"]): int(r["w"]) for r in agg.collect()}
+
+    def run_once(folds, checkpoint=ckpt):
+        q = start_index_maintenance_stream(
+            eng,
+            "corpus",
+            checkpoint,
+            emit_update_preimages=True,
+            mixture_folds=folds,
+        )
+        try:
+            assert q.awaitTermination(120), "availableNow run did not finish"
+        finally:
+            q.stop()
+
+    # (a) pre-images are non-negotiable for fold targets
+    with pytest.raises(ValueError, match="emit_update_preimages"):
+        start_index_maintenance_stream(eng, "corpus", ckpt, mixture_folds=[cc])
+
+    # (b) batch 1 = the initial load, delivered THROUGH the stream
+    run_once([cc])
+    assert cc.counts() == {"en": 10, "fr": 10}
+
+    # mutation window: insert + category move + delete, one stream pass
+    time.sleep(0.002)
+    cur = store.read("corpus")
+    moved = cur.where("doc_id = 0").withColumn("lang", F.lit("fr"))
+    nxt = (
+        cur.where("doc_id NOT IN (0, 1)")
+        .unionByName(moved)
+        .unionByName(
+            spark.createDataFrame(
+                [(100, "en", 70), (101, "en", 10)],
+                "doc_id long, lang string, n_chars long",
+            )
+        )
+    )
+    store.write("corpus", nxt, key="doc_id")
+    run_once([cc])
+    assert cc.counts() == _recount()
+
+    # (c) crash AFTER the fold applied, BEFORE the checkpoint commit:
+    # _log_maintenance runs after the folds in process_batch, so making
+    # it raise once kills the query post-fold-commit; the restart
+    # replays the identical batch (same OffsetSeqLog entry) and the
+    # fold's applied_until match skips the re-apply
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(200, "en", 20)], "doc_id long, lang string, n_chars long"
+            )
+        ),
+        key="doc_id",
+    )
+    w3 = store.commits("corpus")[-1]
+    real_log = eng._log_maintenance
+
+    def flaky_log(record):
+        raise OSError("injected crash before the checkpoint commit")
+
+    monkeypatch.setattr(eng, "_log_maintenance", flaky_log)
+    with pytest.raises(Exception, match="injected crash"):
+        run_once([cc])
+    monkeypatch.setattr(eng, "_log_maintenance", real_log)
+    assert cc.cursor() == w3  # the fold committed before the crash
+    run_once([cc])  # restart: replayed batch skipped, nothing doubled
+    assert cc.counts() == _recount()
+
+    # (d) a late-joining fold missed every prior window: the batch
+    # fails with the onboarding pointer; rebase at the stream's cursor
+    # (= the last committed offset, here the store head) onboards it
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame(
+                [(300, "fr", 40)], "doc_id long, lang string, n_chars long"
+            )
+        ),
+        key="doc_id",
+    )
+    with pytest.raises(Exception, match="missed windows"):
+        run_once([cc, ccw])
+    ccw.rebase(at_ms=w3)  # the stream's committed cursor before this write
+    run_once([cc, ccw])
+    assert cc.counts() == _recount()
+    assert ccw.counts() == _recount(weight="n_chars")
+
+    # (e) a wiped checkpoint over non-empty fold state refuses at start,
+    # naming the fold's state file
+    with pytest.raises(RuntimeError, match="fold counts|state tables already exist"):
+        run_once([cc], checkpoint=str(tmp_path / "ckpt_msf_wiped"))
+    # and the explicit starting_commit_ms handover runs clean
+    q = start_index_maintenance_stream(
+        eng,
+        "corpus",
+        str(tmp_path / "ckpt_msf_handover"),
+        emit_update_preimages=True,
+        mixture_folds=[cc],
+        starting_commit_ms=store.commits("corpus")[-1],
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert cc.counts() == _recount()
