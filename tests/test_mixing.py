@@ -755,6 +755,170 @@ def test_stratified_rates_properties():
     check()
 
 
+def _fanout_fold(tmpdir: str, commits: list):
+    """A CategoryCounts over a fake single-table store whose history is
+    ``commits = [(t_ms, {key: delta})]`` — read(as_of) returns prefix
+    sums, commits() the timestamps. The ONE Spark touchpoint of the
+    fan-out delivery path — ``_grouped_rows``'s groupBy-and-collect —
+    passes the already-grouped ``[(key, delta)]`` list through, so the
+    hypothesis sweep exercises the REAL state machine
+    (``apply_window``'s alignment guards, ``_fold_window``'s merge +
+    negative-count guard + atomic commit, ``rebase(at_ms)``'s
+    recount-and-realign) at pure-Python speed."""
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+
+    class _Store:
+        root = tmpdir
+
+        def commits(self, entity):
+            return [t for t, _ in commits]
+
+        def read(self, entity, as_of_ms=None, buckets=None):
+            counts: dict = {}
+            for t, delta in commits:
+                if as_of_ms is not None and t > as_of_ms:
+                    break
+                for k, d in delta.items():
+                    counts[k] = counts.get(k, 0) + d
+            return [(k, v) for k, v in counts.items() if v]
+
+    class _Engine:
+        store = _Store()
+        acked: dict = {}
+
+        def ack_changes(self, consumer, entity, cursor_ms):
+            self.acked[entity] = int(cursor_ms)
+
+    class _Fold(CategoryCounts):
+        def _grouped_rows(self, feed, value_col):
+            return list(feed)
+
+    return _Fold(_Engine(), "corpus")
+
+
+def test_fanout_fold_delivery_properties(spark, tmp_path):
+    # the spark fixture is unused directly but guarantees an active
+    # session: _fold_window builds (never executes) Column expressions
+    """VERDICT r14 #5: hypothesis over random commit sequences split
+    into arbitrary window partitions, with injected crash-replays and
+    an interleaved rebase(at_ms) — the hand-built fan-out tests cover
+    the known shapes; this closes the unknown ones. Invariants: (a)
+    after any aligned delivery schedule the fold state equals the
+    prefix-sum recount at its cursor; (b) every replayed window
+    (crash between fold commit and consumer ack) is a no-op; (c) every
+    MISALIGNED delivery — a skipped window — raises and leaves state
+    untouched; (d) rebase(at_ms=<any retained commit>) realigns so
+    delivery continues from exactly there."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ids = itertools.count()
+
+    @st.composite
+    def scenarios(draw):
+        n = draw(st.integers(min_value=2, max_value=8))
+        times = sorted(
+            draw(
+                st.sets(
+                    st.integers(min_value=1, max_value=10**6),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        keys = ["a", "b", "c"]
+        running = {k: 0 for k in keys}
+        commits = []
+        for t in times:
+            delta = {}
+            for k in keys:
+                d = draw(st.integers(min_value=-running[k], max_value=3))
+                if d:
+                    delta[k] = d
+                    running[k] += d
+            commits.append((t, delta))
+        # window partition of (0, times[-1]]: cut after these indices
+        cuts = sorted(
+            draw(
+                st.sets(st.integers(min_value=0, max_value=n - 2), max_size=n - 1)
+            )
+            | {n - 1}
+        )
+        replay = draw(
+            st.lists(st.booleans(), min_size=len(cuts), max_size=len(cuts))
+        )
+        rebase_at = draw(st.one_of(st.none(), st.integers(0, len(cuts) - 1)))
+        rebase_back = draw(st.integers(min_value=0, max_value=n - 1))
+        return commits, cuts, replay, rebase_at, rebase_back
+
+    def recount(commits, until):
+        counts: dict = {}
+        for t, delta in commits:
+            if t > until:
+                break
+            for k, d in delta.items():
+                counts[k] = counts.get(k, 0) + d
+        return {k: v for k, v in counts.items() if v}
+
+    def window_feed(commits, since, until):
+        net: dict = {}
+        for t, delta in commits:
+            if since < t <= until:
+                for k, d in delta.items():
+                    net[k] = net.get(k, 0) + d
+        return list(net.items())
+
+    @settings(max_examples=120, deadline=None)
+    @given(sc=scenarios())
+    def check(sc):
+        commits, cuts, replay, rebase_at, rebase_back = sc
+        times = [t for t, _ in commits]
+        fold = _fanout_fold(str(tmp_path / f"ff{next(ids)}"), commits)
+        since = 0
+        for i, cut in enumerate(cuts):
+            until = times[cut]
+            feed = window_feed(commits, since, until)
+            fold.apply_window(feed, since, until)
+            assert fold.counts() == recount(commits, until)  # (a)
+            if replay[i]:  # (b) crash retry: identical window, no-op
+                fold.apply_window(feed, since, until)
+                assert fold.counts() == recount(commits, until)
+            if rebase_at == i:
+                # (d) interleaved rebase to an ARBITRARY retained commit
+                # at or before the cursor: the recount matches that
+                # snapshot, and re-delivering (there, until] converges
+                # back — the onboarding/repair flow, mid-schedule
+                back = times[min(rebase_back, cut)]
+                fold.rebase(at_ms=back)
+                assert fold.cursor() == back
+                assert fold.counts() == recount(commits, back)
+                if back < until:
+                    fold.apply_window(
+                        window_feed(commits, back, until), back, until
+                    )
+                assert fold.cursor() == until
+                assert fold.counts() == recount(commits, until)
+            # (c) a skipped window raises and mutates nothing
+            if cut + 2 < len(times):
+                gap_since, gap_until = times[cut + 1], times[-1]
+                before = fold.counts()
+                with pytest.raises(RuntimeError, match="missed windows"):
+                    fold.apply_window(
+                        window_feed(commits, gap_since, gap_until),
+                        gap_since,
+                        gap_until,
+                    )
+                assert fold.counts() == before and fold.cursor() == until
+            since = until
+        # final: state == full recount at the head
+        assert fold.counts() == recount(commits, times[-1])
+        assert fold.cursor() == times[-1]
+
+    check()
+
+
 def test_stratified_draw_is_not_nested_across_totals():
     """Pinned counterexample behind the solver docstring's loud
     NO-CURRICULUM-SUBSET warning: the flat draw's nesting property
