@@ -1542,6 +1542,29 @@ def test_fold_verify_sampled_catches_gross_drift(spark, tmp_path):
     assert cc.counts() == {"en": 400, "fr": 200}
     assert cc.verify(sample=16)["ok"] and cc.verify()["ok"]
 
+    # the stratified CDF's (category, stratum, bin) keys flow through
+    # the same sampled machinery: a clean fold audits ok, per-cell
+    # drift of a few weights stays under the tolerance BY DESIGN
+    # (tiny-cell noise is the exact scan's job), and a grossly
+    # inflated cell is caught
+    from stripe_sync_engine_spark.operators.mixing import StratifiedCDF
+
+    docs_w = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", 100 + (i % 7)) for i in range(600)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    store.write("corpus_w", docs_w, key="doc_id")
+    cdf = StratifiedCDF(eng, "corpus_w", "svf-salt")
+    cdf.poll()
+    rep_cdf = cdf.verify(sample=16)
+    assert rep_cdf["ok"] and rep_cdf["mode"] == "sampled"
+    with open(cdf._state_path()) as f:
+        st = json.load(f)
+    st["counts"][0][1] += 100_000  # one cell claims ~1000x its weight
+    atomic_write_json(cdf._state_path(), st)
+    bad = cdf.verify(sample=16)
+    assert not bad["ok"] and len(bad["drift"]) == 1
+
 
 def test_mixture_folds_drain_backlog_with_max_commits(spark, tmp_path):
     """A fold riding the fan-out drains a multi-commit backlog in
