@@ -99,7 +99,20 @@ def _batch_commit_bounds(
         # then ONE offset line per source — this stream has exactly one
         # source (the change feed), whose offset is the reader's
         # {"commit_ms": N} dict serialized as JSON
-        return int(json.loads(lines[-1])["commit_ms"])
+        try:
+            return int(json.loads(lines[-1])["commit_ms"])
+        except (ValueError, KeyError, TypeError, IndexError) as e:
+            # fail LOUDLY rather than fold under guessed bounds — a
+            # changed OffsetSeqLog layout must stop fold delivery, not
+            # corrupt it (the gates/postings/ANN targets are unaffected;
+            # they key on batch ids)
+            raise RuntimeError(
+                f"cannot read the micro-batch's commit-ms bounds from "
+                f"{path!r} (expected the last non-empty line to be this "
+                "stream's single source offset, a JSON dict with "
+                f"'commit_ms') — got {lines[-3:]!r}. Mixture folds "
+                "cannot be delivered without exact window bounds"
+            ) from e
 
     until = end_of(batch_id)
     since = end_of(batch_id - 1) if batch_id > 0 else int(starting_commit_ms)
