@@ -462,7 +462,7 @@ def test_category_counts_incremental_parity(spark, tmp_path):
     import os
 
     os.remove(eng._cursor_path(cc.consumer))
-    with pytest.raises(RuntimeError, match="wiped cursor.*rebase"):
+    with pytest.raises(RuntimeError, match="cursor was wiped.*rebase"):
         cc.poll()
     assert cc.rebase() == _recount(store, "corpus")
     assert cc.poll() == _recount(store, "corpus")
