@@ -1924,7 +1924,7 @@ def test_stratified_cdf_maintained_solve_matches_scan(spark, tmp_path):
 
     # wiped-cursor guard inherited; rebase recovers
     os.remove(eng._cursor_path(cdf.consumer))
-    with pytest.raises(RuntimeError, match="wiped cursor.*rebase"):
+    with pytest.raises(RuntimeError, match="cursor was wiped.*rebase"):
         cdf.poll()
     cdf.rebase()
     assert cdf.solve(target) == scan_solve()
