@@ -1127,3 +1127,88 @@ def test_mixture_folds_ride_the_stream_window(spark, tmp_path, monkeypatch):
     finally:
         q.stop()
     assert cc.counts() == _recount()
+
+
+def test_stream_delivered_fold_audits_and_repairs(spark, tmp_path):
+    """Cross-feature pin: a STREAM-delivered fold rides the same
+    audit/repair loop as a cron-delivered one — the sampled audit leg
+    catches gross out-of-band corruption, repair rebases AT THE FOLD'S
+    AUDITED CURSOR (not the head), and because that preserves window
+    alignment the SAME checkpoint keeps delivering afterward."""
+    import json as _json
+    import time
+
+    import pytest
+
+    from stripe_sync_engine_spark.commitio import atomic_write_json
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.streaming.index_maintenance import (
+        start_index_maintenance_stream,
+    )
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_sar"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(600)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    ckpt = str(tmp_path / "ckpt_sar")
+
+    def run_once():
+        q = start_index_maintenance_stream(
+            eng, "corpus", ckpt, emit_update_preimages=True, mixture_folds=[cc]
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run_once()
+    assert cc.counts() == {"en": 400, "fr": 200}
+    cursor = cc.cursor()
+
+    # gross out-of-band corruption, caught by the SAMPLED audit leg
+    with open(cc._state_path()) as f:
+        state = _json.load(f)
+    state["counts"] = [[k, v * 3] for k, v in state["counts"]]
+    atomic_write_json(cc._state_path(), state)
+    report = eng.audit_corpus_indexes("corpus", mixture_folds=[cc])
+    frep = report["mixture_folds"][0]
+    assert not report["ok"] and frep["mode"] == "sampled"
+
+    # repair rebases at the audited cursor -> stream alignment intact
+    fixed = eng.repair_corpus_indexes("corpus", report, mixture_folds=[cc])
+    assert fixed["ok"] and cc.cursor() == cursor
+    assert cc.counts() == {"en": 400, "fr": 200}
+
+    # the SAME checkpoint keeps delivering post-repair
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(1000, "fr")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    run_once()
+    assert cc.counts() == {"en": 400, "fr": 201}
+    # ...and poll() still refuses the stream-delivered fold (one
+    # surface). Note repair's rebase ACKED the fold's own consumer at
+    # the audited cursor, so the refusal needs a window to straddle:
+    # with a commit past the stream's cursor, poll() would re-fold the
+    # stream-delivered range — the guard stops it
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(1001, "en")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    with pytest.raises(RuntimeError, match="advanced by fan-out delivery"):
+        cc.poll()
+    assert cc.counts() == {"en": 400, "fr": 201}  # nothing double-folded
