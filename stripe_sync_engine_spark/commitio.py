@@ -68,9 +68,10 @@ LOCK_SIDECAR_SUFFIX = ".flock"
 #: do NOT exclude each other on the same side file (the lost-update
 #: race read_modify_write exists to prevent). Quiesce writers across
 #: the upgrade (single-writer deployments are unaffected). Afterward,
-#: legacy ORPHANS (parent side file gone) are swept by the regular
-#: ``reclaim_lock_sidecars`` pass, and live-parent legacy sidecars by a
-#: one-time ``reclaim_lock_sidecars(root, migrate_legacy=True)``. The
+#: remove every legacy sidecar — orphaned and live-parent alike — with
+#: the one-time ``reclaim_lock_sidecars(root, migrate_legacy=True)``
+#: pass; the DEFAULT sweep never touches them (old writers lack the
+#: inode re-verification that makes unlinking safe). The
 #: store's presence-style ``.commit.lock`` matches this suffix pattern
 #: and is excluded BY EXACT NAME — it is never a reclaim candidate.
 LEGACY_LOCK_SIDECAR_SUFFIX = ".lock"
@@ -366,17 +367,19 @@ def reclaim_lock_sidecars(root: str, migrate_legacy: bool = False) -> list[str]:
     deployment from accumulating one sidecar per vacuumed side file
     forever. Wired into ``engine.maintain()``.
 
-    Pre-r13 LEGACY sidecars (``.{base}.lock``) are swept by the same
-    orphan rule — current writers lock ``.flock``, so a legacy orphan
-    can only be held by an OLD (pre-upgrade) writer, which the
-    non-blocking flock skips. ``migrate_legacy=True`` additionally
-    removes legacy sidecars whose parent side file STILL EXISTS — the
-    one-time post-upgrade migration; run it only after EVERY writer has
-    upgraded (see ``LEGACY_LOCK_SIDECAR_SUFFIX``: the suffix change is
-    a flag-day, and an old writer that opened-but-not-yet-flocked a
-    legacy sidecar we unlink would reintroduce the unlink race old code
-    never defended against). The store's presence-style
-    ``.commit.lock`` is excluded by exact name in both modes.
+    Pre-r13 LEGACY sidecars (``.{base}.lock``) are touched ONLY by the
+    explicit one-time ``migrate_legacy=True`` pass — never by the
+    default sweep, orphaned or not. The reason is the rollout race the
+    suffix change created: old (pre-upgrade) writers have no
+    inode re-verification, so an old writer that has OPENED but not yet
+    flocked a legacy sidecar holds nothing the non-blocking probe can
+    see, and unlinking it reintroduces the two-inodes lockfile-unlink
+    race for code that never defended against it. Run the migration
+    only after EVERY writer has upgraded (see
+    ``LEGACY_LOCK_SIDECAR_SUFFIX``: the suffix change is a flag-day);
+    at that point it removes legacy sidecars orphaned AND live-parent
+    alike. The store's presence-style ``.commit.lock`` is excluded by
+    exact name in both modes.
 
     Safe next to live writers: each candidate is taken with a
     NON-BLOCKING exclusive flock (busy → skip, the holder is mid-commit
@@ -407,8 +410,13 @@ def reclaim_lock_sidecars(root: str, migrate_legacy: bool = False) -> list[str]:
             base = name[1 : -len(suffix)]
             if not base:
                 continue
+            if legacy and not migrate_legacy:
+                # default sweep never touches legacy sidecars — even
+                # orphans: a pre-upgrade writer mid-open has no inode
+                # re-verification to survive our unlink (see docstring)
+                continue
             parent = os.path.join(dirpath, base)
-            if os.path.exists(parent) and not (legacy and migrate_legacy):
+            if os.path.exists(parent) and not legacy:
                 continue
             lockpath = os.path.join(dirpath, name)
             try:
@@ -422,9 +430,7 @@ def reclaim_lock_sidecars(root: str, migrate_legacy: bool = False) -> list[str]:
                         # may have just created the parent (the legacy
                         # migrate mode removes regardless — the parent
                         # legitimately exists there)
-                        if (legacy and migrate_legacy) or not os.path.exists(
-                            parent
-                        ):
+                        if legacy or not os.path.exists(parent):
                             os.unlink(lockpath)
                             removed.append(lockpath)
                     finally:

@@ -850,11 +850,14 @@ class _MaintainedFold(abc.ABC):
             },
         )
 
-    def _grouped_rows(self, df, value_col) -> list:
+    def _grouped_rows(self, df, value_col, with_rows: bool = False) -> list:
         cols = self._group_cols()
+        aggs = [value_col.alias("_v")]
+        if with_rows:
+            aggs.append(F.count(F.lit(1)).alias("_n"))
         rows = (
             df.groupBy(*cols)
-            .agg(value_col.alias("_v"))
+            .agg(*aggs)
             .limit(self._max_entries + 1)
             .collect()
         )
@@ -865,6 +868,15 @@ class _MaintainedFold(abc.ABC):
                 "it would grow unbounded driver state"
             )
         names = [f"_g{i}" for i in range(len(cols))]
+        if with_rows:
+            return [
+                (
+                    self._key_of(tuple(r[n] for n in names)),
+                    int(r["_v"]),
+                    int(r["_n"]),
+                )
+                for r in rows
+            ]
         return [
             (self._key_of(tuple(r[n] for n in names)), int(r["_v"]))
             for r in rows
@@ -1069,8 +1081,13 @@ class _MaintainedFold(abc.ABC):
         buckets uniformly (``pmod(xxhash64(key), n)``), so the slice is
         a ~k/n row sample and the scan reads only k/n of the table; the
         slice recount is scaled by 1/f and compared per key under a
-        concentration tolerance ``z·sqrt(max(N, est, w̄)·w̄·(1-f)/f)
-        + z·w̄`` (w̄ = the slice's mean row weight; 1 for count folds).
+        concentration tolerance ``z·sqrt(max(est, w)·w·(1-f)/f) + z·w``
+        — anchored on the MEASURED estimate (a corrupted claim must not
+        loosen its own audit) with ``w`` the key's weight scale: the
+        subclass's ``_key_weight_scale`` when the key bounds its rows'
+        weights (the stratified CDF's stratum does), else the key's
+        slice mean row weight, else the global slice mean; 1 for count
+        folds.
         The sampled audit catches GROSS drift — a doubled or wiped
         large entry — not off-by-a-few on small cells; tighten by
         raising ``sample`` or run the exact form. Bucket choice rotates
@@ -1086,25 +1103,32 @@ class _MaintainedFold(abc.ABC):
         maintained = {
             self._decode_key(k): int(v) for k, v in state["counts"]
         }
-        if cursor and sample is not None:
-            n_b = self.engine.store.bucket_count(self.entity, as_of_ms=cursor)
-            if n_b is not None and 0 < sample < n_b:
-                return self._verify_sampled(
-                    cursor, maintained, int(sample), int(n_b), float(z)
-                )
-        actual: dict = {}
+        table, chosen, n_b = None, None, 0
         if cursor:
-            table = self.engine.store.read(self.entity, as_of_ms=cursor)
-            if table is not None:
-                if self.weight_col is not None:
-                    _require_integral_weight(table, self.weight_col)
-                actual = {
-                    k: v
-                    for k, v in self._grouped_rows(
-                        table, F.sum(self._weight())
-                    )
-                    if v
-                }
+            if sample is not None:
+                # ONE snapshot resolution serves the bucket count, the
+                # choice, and the scan; k >= n_buckets comes back as the
+                # full scan, which the exact path below reuses
+                res = self.engine.store.read_bucket_sample(
+                    self.entity, int(sample), seed=str(cursor), as_of_ms=cursor
+                )
+                if res is not None:
+                    table, chosen, n_b = res
+            else:
+                table = self.engine.store.read(self.entity, as_of_ms=cursor)
+        if chosen is not None and len(chosen) < n_b:
+            return self._verify_sampled(
+                cursor, maintained, table, len(chosen) / n_b, n_b, float(z)
+            )
+        actual: dict = {}
+        if table is not None:
+            if self.weight_col is not None:
+                _require_integral_weight(table, self.weight_col)
+            actual = {
+                k: v
+                for k, v in self._grouped_rows(table, F.sum(self._weight()))
+                if v
+            }
         drift = {
             key: (maintained.get(key, 0), actual.get(key, 0))
             for key in set(maintained) | set(actual)
@@ -1120,59 +1144,63 @@ class _MaintainedFold(abc.ABC):
             "drift": capped,
         }
 
+    def _key_weight_scale(self, key):
+        """Per-key row-weight scale for the sampled audit's tolerance,
+        when the KEY ITSELF bounds its rows' weights (None = derive
+        from the slice). ``StratifiedCDF`` overrides: its keys carry
+        the log2 weight stratum, so a (category, stratum, bin) cell's
+        rows weigh < 2^(stratum+1) — without this, a heavy-stratum
+        cell's tolerance would be computed from the corpus-wide mean
+        weight and false-flag clean folds deterministically (a single
+        10^6-token doc is in the slice or not; no mean-weight tolerance
+        covers that swing)."""
+        return None
+
     def _verify_sampled(
-        self, cursor: int, maintained: dict, sample: int, n_b: int, z: float
+        self, cursor: int, maintained: dict, table, f: float, n_b: int, z: float
     ) -> dict:
         """The k-bucket statistical recount behind ``verify(sample=k)``
-        — see its docstring for the tolerance contract."""
-        import hashlib
+        — see its docstring for the tolerance contract. Per-key
+        tolerance scale: the subclass's ``_key_weight_scale`` when the
+        key bounds its weights, else the key's own slice mean weight,
+        else the global slice mean — a lone heavy row OUTSIDE both is
+        the documented residual false-positive risk (the repair it
+        triggers is a correct-but-wasteful rebase; run the exact form
+        where single rows dominate categories)."""
         import math
 
-        ranked = sorted(
-            range(n_b),
-            key=lambda b: hashlib.md5(f"{b}:{cursor}".encode()).hexdigest(),
-        )
-        chosen = sorted(ranked[:sample])
-        f = len(chosen) / n_b
-        table = self.engine.store.read(
-            self.entity, as_of_ms=cursor, buckets=chosen
-        )
         slice_w: dict = {}
+        slice_n: dict = {}
         slice_rows = 0
         slice_total = 0
         if table is not None:
             if self.weight_col is not None:
                 _require_integral_weight(table, self.weight_col)
-            cols = self._group_cols()
-            rows = (
-                table.groupBy(*cols)
-                .agg(
-                    F.sum(self._weight()).alias("_v"),
-                    F.count(F.lit(1)).alias("_n"),
-                )
-                .limit(self._max_entries + 1)
-                .collect()
-            )
-            if len(rows) > self._max_entries:
-                raise ValueError(
-                    f"{self._guard()} produced more than "
-                    f"{self._max_entries} distinct entries in a bucket "
-                    "sample — not a bounded grouping"
-                )
-            names = [f"_g{i}" for i in range(len(cols))]
-            for r in rows:
-                key = self._key_of(tuple(r[n] for n in names))
-                slice_w[key] = slice_w.get(key, 0) + int(r["_v"])
-                slice_rows += int(r["_n"])
-                slice_total += int(r["_v"])
-        wbar = (slice_total / slice_rows) if slice_rows else 1.0
+            for key, v, n in self._grouped_rows(
+                table, F.sum(self._weight()), with_rows=True
+            ):
+                slice_w[key] = slice_w.get(key, 0) + int(v)
+                slice_n[key] = slice_n.get(key, 0) + int(n)
+                slice_rows += int(n)
+                slice_total += int(v)
+        wbar_global = (slice_total / slice_rows) if slice_rows else 1.0
         drift: dict = {}
         for key in set(maintained) | set(slice_w):
             n_claim = maintained.get(key, 0)
             est = slice_w.get(key, 0) / f
-            tol = z * math.sqrt(
-                max(n_claim, est, wbar, 1.0) * wbar * (1.0 - f) / f
-            ) + z * wbar
+            w = self._key_weight_scale(key)
+            if w is None:
+                w = (
+                    slice_w[key] / slice_n[key]
+                    if slice_n.get(key)
+                    else wbar_global
+                )
+            w = max(float(w), 1.0)
+            # variance base = the MEASURED side (est), never the claim:
+            # a corrupted claim must not loosen its own audit (a claim
+            # inflated 50x would otherwise scale its own tolerance up
+            # 7x and sail through)
+            tol = z * math.sqrt(max(est, w, 1.0) * w * (1.0 - f) / f) + z * w
             if abs(est - n_claim) > tol:
                 drift[key] = (n_claim, int(round(est)))
         capped = dict(
@@ -1182,7 +1210,11 @@ class _MaintainedFold(abc.ABC):
             "ok": not drift,
             "cursor": cursor,
             "mode": "sampled",
-            "sample": {"buckets": len(chosen), "of": n_b, "fraction": f},
+            "sample": {
+                "buckets": int(round(f * n_b)),
+                "of": n_b,
+                "fraction": f,
+            },
             "drift": capped,
         }
 
@@ -1364,6 +1396,13 @@ class StratifiedCDF(_MaintainedFold):
             f"({self.category_col!r}, stratum, hash-bin) "
             f"[salt {self._salt_digest}]"
         )
+
+    def _key_weight_scale(self, key):
+        # the key's stratum bounds its rows' weights: stratum s holds
+        # weights in [2^s, 2^(s+1)) — the exact per-cell scale the
+        # sampled audit's tolerance needs on heavy-tailed corpora
+        _c, stratum, _hb = key
+        return float(2 ** (int(stratum) + 1))
 
     def solve(
         self, target_props: dict[str, float], total: int | None = None

@@ -310,6 +310,40 @@ class TableStore:
         )
         return None if manifest is None else int(manifest["n_buckets"])
 
+    def read_bucket_sample(
+        self, table: str, k: int, seed: str = "", as_of_ms: int | None = None
+    ):
+        """A deterministic k-bucket sample scan: rows hash into buckets
+        uniformly (``pmod(xxhash64(key), n)``), so k hash-chosen buckets
+        are a ~k/n row sample read at ~k/n the IO — the storage
+        primitive under the sampled fold audit. Bucket choice ranks ids
+        by ``md5(bucket:seed)`` (vary the seed to rotate coverage across
+        repeated audits). ONE snapshot resolution serves the count, the
+        choice, and the scan — no second history walk, no window for
+        the snapshot to age out between them. Returns
+        ``(df, chosen_bucket_ids, n_buckets)``; ``k >= n_buckets``
+        degrades to the full scan (``chosen`` = every id); None for an
+        unknown table."""
+        import hashlib
+
+        manifest = (
+            self._read_manifest(table)
+            if as_of_ms is None
+            else self._resolve_snapshot(table, as_of_ms)
+        )
+        if manifest is None:
+            return None
+        n_b = int(manifest["n_buckets"])
+        if k >= n_b:
+            chosen = list(range(n_b))
+            return self._scan_manifest(table, manifest, buckets=None), chosen, n_b
+        ranked = sorted(
+            range(n_b),
+            key=lambda b: hashlib.md5(f"{b}:{seed}".encode()).hexdigest(),
+        )
+        chosen = sorted(ranked[: max(0, int(k))])
+        return self._scan_manifest(table, manifest, buckets=chosen), chosen, n_b
+
     def _resolve_snapshot(self, table: str, as_of_ms: int) -> dict | None:
         """The manifest snapshot current at ``as_of_ms`` (None = table did
         not exist then; raises when the snapshot aged out of retention or

@@ -1447,7 +1447,11 @@ class StripeSparkSync:
         ``_MaintainedFold.verify`` — gross drift (a doubled or wiped
         large entry) is caught; off-by-a-few on small cells needs the
         deep option, ``fold_sample=None`` (one exact O(table) scan per
-        fold). A failing fold flips the report's ``ok`` and is
+        fold). NOTE (r14 behavior change): this default WIDENS what an
+        unchanged pre-r14 audit cron tolerates — small real drift the
+        old exact default caught now passes the sampled leg; crons that
+        relied on exact small-drift detection must pass
+        ``fold_sample=None`` explicitly. A failing fold flips the report's ``ok`` and is
         repairable by ``repair_corpus_indexes`` with the same fold
         list."""
         from stripe_sync_engine_spark.operators.index_audit import (

@@ -245,12 +245,12 @@ def test_lock_sidecar_reclaim_removes_only_orphans(tmp_path):
 
 def test_legacy_lock_sidecars_migrate(tmp_path):
     """ADVICE r13 / VERDICT r14 #4: pre-r13 ``.{base}.lock`` sidecars
-    are reclaimable. Orphans (parent side file gone) fall to the
-    regular sweep; live-parent legacy sidecars survive the default
-    sweep (mixed-version rollout safety) and are removed only by the
-    explicit one-time ``migrate_legacy=True`` pass. The store's
-    presence-style ``.commit.lock`` — which MATCHES the legacy suffix
-    pattern — is excluded by exact name in both modes."""
+    are removed ONLY by the explicit one-time ``migrate_legacy=True``
+    pass — the default sweep leaves them all alone (even orphans:
+    pre-upgrade writers have no inode re-verification, so unlinking
+    under them reintroduces the two-inodes race during a rollout). The
+    store's presence-style ``.commit.lock`` — which MATCHES the legacy
+    suffix pattern — is excluded by exact name in both modes."""
     import fcntl
     import os
 
@@ -268,18 +268,21 @@ def test_legacy_lock_sidecars_migrate(tmp_path):
     commit_lock = tmp_path / "tbl" / ".commit.lock"
     commit_lock.write_text("")
 
-    # default sweep: the legacy orphan goes, the live-parent legacy
-    # sidecar and the commit lock stay
-    assert cio.reclaim_lock_sidecars(str(tmp_path)) == [str(legacy_dead)]
-    assert legacy_live.exists() and commit_lock.exists()
+    # default sweep: every legacy sidecar stays (rollout safety), the
+    # commit lock stays
+    assert cio.reclaim_lock_sidecars(str(tmp_path)) == []
+    assert legacy_live.exists() and legacy_dead.exists() and commit_lock.exists()
 
     # a HELD legacy sidecar (old writer mid-commit) is skipped even by
     # the migration pass
     with open(legacy_live, "a") as held:
         fcntl.flock(held, fcntl.LOCK_EX)
-        assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == []
-    # the one-time post-upgrade migration removes live-parent legacy
-    # sidecars; .commit.lock and the parent side file are untouched
+        assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == [
+            str(legacy_dead)
+        ]
+    # the one-time post-upgrade migration removes orphaned and
+    # live-parent legacy sidecars alike; .commit.lock and the parent
+    # side file are untouched
     assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == [
         str(legacy_live)
     ]

@@ -1565,6 +1565,47 @@ def test_fold_verify_sampled_catches_gross_drift(spark, tmp_path):
     bad = cdf.verify(sample=16)
     assert not bad["ok"] and len(bad["drift"]) == 1
 
+    # heavy-tailed corpora don't false-flag: a lone 10^6-token doc's
+    # (category, stratum, bin) cell is in the slice or not — a swing no
+    # mean-weight tolerance covers — so the tolerance scales by the
+    # KEY'S OWN stratum bound (2^(stratum+1)); a clean fold stays ok at
+    # every bucket draw (exercise several cursors' rotations via
+    # repeated commits)
+    import time as _time
+
+    docs_h = spark.createDataFrame(
+        [(i, "en", 100 + (i % 7)) for i in range(300)]
+        + [(9999, "en", 1_000_000)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    store.write("corpus_h", docs_h, key="doc_id")
+    cdf_h = StratifiedCDF(eng, "corpus_h", "svf-heavy")
+    cdf_h.poll()
+    assert cdf_h.verify(sample=8)["ok"]
+    for i in range(3):  # rotate the bucket draw (seed = cursor)
+        _time.sleep(0.002)
+        store.write(
+            "corpus_h",
+            store.read("corpus_h").unionByName(
+                spark.createDataFrame(
+                    [(10_000 + i, "fr", 120)],
+                    "doc_id long, lang string, n_tokens long",
+                )
+            ),
+            key="doc_id",
+        )
+        cdf_h.poll()
+        assert cdf_h.verify(sample=8)["ok"]
+    # ...and a GROSSLY inflated heavy cell is still caught: claim far
+    # past even the stratum-scaled tolerance
+    with open(cdf_h._state_path()) as f:
+        sth = json.load(f)
+    for row in sth["counts"]:
+        if row[1] >= 1_000_000:  # the heavy doc's cell
+            row[1] += 50_000_000
+    atomic_write_json(cdf_h._state_path(), sth)
+    assert not cdf_h.verify(sample=8)["ok"]
+
 
 def test_mixture_folds_drain_backlog_with_max_commits(spark, tmp_path):
     """A fold riding the fan-out drains a multi-commit backlog in
