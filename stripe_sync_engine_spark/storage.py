@@ -299,10 +299,9 @@ class TableStore:
 
     def bucket_count(self, table: str, as_of_ms: int | None = None) -> int | None:
         """The table's recorded bucket count (current manifest, or the
-        snapshot at ``as_of_ms``); None for an unknown table. Rows hash
-        into buckets by ``pmod(xxhash64(key), n)``, so a subset of
-        buckets is a uniform ~k/n row sample — the basis of the sampled
-        fold audit."""
+        snapshot at ``as_of_ms``); None for an unknown table. For a
+        bucket-restricted sample SCAN use ``read_bucket_sample`` — it
+        resolves count, choice, and scan from one snapshot."""
         manifest = (
             self._read_manifest(table)
             if as_of_ms is None
