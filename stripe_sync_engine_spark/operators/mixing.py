@@ -1080,24 +1080,27 @@ class _MaintainedFold(abc.ABC):
         deterministically-chosen snapshot BUCKETS — rows hash into
         buckets uniformly (``pmod(xxhash64(key), n)``), so the slice is
         a ~k/n row sample and the scan reads only k/n of the table; the
-        slice recount is scaled by 1/f and compared per key under a
-        concentration tolerance ``z·sqrt(max(est, w)·w·(1-f)/f) + z·w``
-        — anchored on the MEASURED estimate (a corrupted claim must not
-        loosen its own audit) with ``w`` the key's weight scale: the
-        subclass's ``_key_weight_scale`` when the key bounds its rows'
-        weights (the stratified CDF's stratum does), else the key's
-        slice mean row weight, else the global slice mean; 1 for count
-        folds.
+        slice recount is scaled by 1/f and compared per AUDIT MARGIN
+        (``_audit_margin_key`` — the key itself for count folds, the
+        many-row (category, stratum) margin for the CDF's single-row
+        cells) under a concentration tolerance
+        ``z·sqrt(max(claim, est, w)·w·(1-f)/f) + z·w`` with ``w`` the
+        margin's weight scale: the subclass's ``_key_weight_scale``
+        when the margin bounds its rows' weights (the stratified CDF's
+        stratum does), else the margin's slice mean row weight, else
+        the global slice mean; 1 for count folds.
         The sampled audit catches GROSS drift — a doubled or wiped
-        large entry — not off-by-a-few on small cells; tighten by
-        raising ``sample`` or run the exact form. Bucket choice rotates
-        with the fold's cursor (rank by md5(bucket:cursor)), so
-        repeated audits over an advancing fold cover different slices.
-        ``sample >= n_buckets`` degrades to the exact scan. Returns
-        ``{"ok", "cursor", "mode", "drift": {key: (maintained,
+        large margin — not off-by-a-few, per-cell corruption that
+        preserves margins, or whole-row atoms on few-huge-row margins;
+        tighten by raising ``sample`` or run the exact form. Bucket
+        choice rotates with the fold's cursor (rank by
+        md5(bucket:cursor)), so repeated audits over an advancing fold
+        cover different slices. ``sample >= n_buckets`` degrades to
+        the exact scan (``sample <= 0`` too). Returns ``{"ok",
+        "cursor", "mode", "drift": {key: (maintained,
         actual-or-estimate)}}`` with drift capped at 50 entries; the
-        sampled form adds ``"sample": {"buckets", "of", "fraction"}``
-        and rounds its scaled estimates to ints."""
+        sampled form keys drift by audit margin and adds
+        ``"sample": {"buckets", "of", "fraction"}``."""
         state = self._read_state()
         cursor = int(state["applied_until"])
         maintained = {
@@ -1105,10 +1108,12 @@ class _MaintainedFold(abc.ABC):
         }
         table, chosen, n_b = None, None, 0
         if cursor:
-            if sample is not None:
+            if sample is not None and int(sample) > 0:
                 # ONE snapshot resolution serves the bucket count, the
                 # choice, and the scan; k >= n_buckets comes back as the
                 # full scan, which the exact path below reuses
+                # (sample <= 0 falls through to the exact scan — the
+                # storage primitive rejects 0-bucket samples)
                 res = self.engine.store.read_bucket_sample(
                     self.entity, int(sample), seed=str(cursor), as_of_ms=cursor
                 )
@@ -1146,29 +1151,50 @@ class _MaintainedFold(abc.ABC):
 
     def _key_weight_scale(self, key):
         """Per-key row-weight scale for the sampled audit's tolerance,
-        when the KEY ITSELF bounds its rows' weights (None = derive
-        from the slice). ``StratifiedCDF`` overrides: its keys carry
-        the log2 weight stratum, so a (category, stratum, bin) cell's
-        rows weigh < 2^(stratum+1) — without this, a heavy-stratum
-        cell's tolerance would be computed from the corpus-wide mean
-        weight and false-flag clean folds deterministically (a single
+        when the AUDIT KEY ITSELF bounds its rows' weights (None =
+        derive from the slice). ``StratifiedCDF`` overrides: its audit
+        margins carry the log2 weight stratum, so a (category, stratum)
+        margin's rows weigh < 2^(stratum+1) — without this, a
+        heavy-stratum margin's tolerance would be computed from the
+        corpus-wide mean weight and false-flag clean folds (a single
         10^6-token doc is in the slice or not; no mean-weight tolerance
         covers that swing)."""
         return None
+
+    def _audit_margin_key(self, key):
+        """Aggregation key for the SAMPLED audit (default: the key
+        itself). Folds whose cells hold single rows — the stratified
+        CDF's (category, stratum, bin) cells at deployment bin counts —
+        have no per-cell statistical power under ANY tolerance (one row
+        is in the slice or it isn't); aggregating claims and slice
+        recounts to a many-row margin ((category, stratum) for the
+        CDF) restores real detection power. Per-cell corruption that
+        exactly preserves the margins is sampled-invisible by
+        construction; the exact scan (``sample=None``) is the deep
+        option that sees it."""
+        return key
 
     def _verify_sampled(
         self, cursor: int, maintained: dict, table, f: float, n_b: int, z: float
     ) -> dict:
         """The k-bucket statistical recount behind ``verify(sample=k)``
-        — see its docstring for the tolerance contract. Per-key
-        tolerance scale: the subclass's ``_key_weight_scale`` when the
-        key bounds its weights, else the key's own slice mean weight,
-        else the global slice mean — a lone heavy row OUTSIDE both is
-        the documented residual false-positive risk (the repair it
-        triggers is a correct-but-wasteful rebase; run the exact form
-        where single rows dominate categories)."""
+        — see its docstring for the tolerance contract. Claims and the
+        slice recount are both aggregated to ``_audit_margin_key``
+        before comparing; the tolerance's variance base is
+        ``max(claim, est, w)`` — the claim side is the H0 variance
+        anchor (so a genuinely missed slice doesn't false-flag small
+        clean keys), and because the tolerance grows only as
+        sqrt(claim·w), an inflated claim still flags once the inflation
+        exceeds ~z²·w·(1-f)/f rows' worth. The irreducible blind spot:
+        margins dominated by a FEW huge rows (the claim and the slice
+        differ by whole-row atoms no concentration bound separates) —
+        run the exact form where single rows dominate margins."""
         import math
 
+        margins: dict = {}
+        for key, v in maintained.items():
+            mk = self._audit_margin_key(key)
+            margins[mk] = margins.get(mk, 0) + int(v)
         slice_w: dict = {}
         slice_n: dict = {}
         slice_rows = 0
@@ -1179,33 +1205,30 @@ class _MaintainedFold(abc.ABC):
             for key, v, n in self._grouped_rows(
                 table, F.sum(self._weight()), with_rows=True
             ):
-                slice_w[key] = slice_w.get(key, 0) + int(v)
-                slice_n[key] = slice_n.get(key, 0) + int(n)
+                mk = self._audit_margin_key(key)
+                slice_w[mk] = slice_w.get(mk, 0) + int(v)
+                slice_n[mk] = slice_n.get(mk, 0) + int(n)
                 slice_rows += int(n)
                 slice_total += int(v)
         wbar_global = (slice_total / slice_rows) if slice_rows else 1.0
         drift: dict = {}
-        for key in set(maintained) | set(slice_w):
-            n_claim = maintained.get(key, 0)
-            est = slice_w.get(key, 0) / f
-            w = self._key_weight_scale(key)
+        for mk in set(margins) | set(slice_w):
+            n_claim = margins.get(mk, 0)
+            est = slice_w.get(mk, 0) / f
+            w = self._key_weight_scale(mk)
             if w is None:
                 w = (
-                    slice_w[key] / slice_n[key]
-                    if slice_n.get(key)
+                    slice_w[mk] / slice_n[mk]
+                    if slice_n.get(mk)
                     else wbar_global
                 )
             w = max(float(w), 1.0)
-            # variance base = the MEASURED side (est), never the claim:
-            # a corrupted claim must not loosen its own audit (a claim
-            # inflated 50x would otherwise scale its own tolerance up
-            # 7x and sail through)
-            tol = z * math.sqrt(max(est, w, 1.0) * w * (1.0 - f) / f) + z * w
+            tol = z * math.sqrt(
+                max(n_claim, est, w, 1.0) * w * (1.0 - f) / f
+            ) + z * w
             if abs(est - n_claim) > tol:
-                drift[key] = (n_claim, int(round(est)))
-        capped = dict(
-            sorted(drift.items(), key=lambda kv: self._sort_key(kv[0]))[:50]
-        )
+                drift[mk] = (n_claim, int(round(est)))
+        capped = dict(sorted(drift.items(), key=lambda kv: repr(kv[0]))[:50])
         return {
             "ok": not drift,
             "cursor": cursor,
@@ -1398,11 +1421,19 @@ class StratifiedCDF(_MaintainedFold):
         )
 
     def _key_weight_scale(self, key):
-        # the key's stratum bounds its rows' weights: stratum s holds
-        # weights in [2^s, 2^(s+1)) — the exact per-cell scale the
-        # sampled audit's tolerance needs on heavy-tailed corpora
-        _c, stratum, _hb = key
+        # the audit margin's stratum bounds its rows' weights: stratum
+        # s holds weights in [2^s, 2^(s+1)) — the exact per-margin
+        # scale the sampled audit's tolerance needs on heavy-tailed
+        # corpora
+        _c, stratum = key
         return float(2 ** (int(stratum) + 1))
+
+    def _audit_margin_key(self, key):
+        # (category, stratum, bin) cells hold ~single rows at
+        # deployment bin counts — zero per-cell sampling power; the
+        # (category, stratum) margin has the stratum's full row count
+        c, stratum, _hb = key
+        return (c, int(stratum))
 
     def solve(
         self, target_props: dict[str, float], total: int | None = None

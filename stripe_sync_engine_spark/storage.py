@@ -288,8 +288,9 @@ class TableStore:
         set a retention to use it). A vacuumed snapshot raises instead of
         silently returning partial data. ``buckets`` restricts the scan
         to the named bucket ids (the same pruning ``read_buckets`` does
-        for current state), composing with ``as_of_ms`` — the sampled
-        fold audit reads k snapshot buckets this way."""
+        for current state), composing with ``as_of_ms``. For a
+        DETERMINISTIC k-bucket sample prefer ``read_bucket_sample``,
+        which resolves count, choice, and scan from one snapshot."""
         if as_of_ms is None:
             return self.read_buckets(table, buckets)
         manifest = self._resolve_snapshot(table, as_of_ms)
@@ -322,9 +323,18 @@ class TableStore:
         the snapshot to age out between them. Returns
         ``(df, chosen_bucket_ids, n_buckets)``; ``k >= n_buckets``
         degrades to the full scan (``chosen`` = every id); None for an
-        unknown table."""
+        unknown table. ``k <= 0`` raises — a 0%% "sample" is a contract
+        violation, not an empty result (any caller scaling by the
+        sampled fraction would divide by zero or audit nothing)."""
         import hashlib
 
+        k = int(k)
+        if k <= 0:
+            raise ValueError(
+                f"read_bucket_sample requires k >= 1 (got {k}) — a "
+                "0-bucket sample covers nothing; use read() for a full "
+                "scan"
+            )
         manifest = (
             self._read_manifest(table)
             if as_of_ms is None
@@ -340,7 +350,7 @@ class TableStore:
             range(n_b),
             key=lambda b: hashlib.md5(f"{b}:{seed}".encode()).hexdigest(),
         )
-        chosen = sorted(ranked[: max(0, int(k))])
+        chosen = sorted(ranked[:k])
         return self._scan_manifest(table, manifest, buckets=chosen), chosen, n_b
 
     def _resolve_snapshot(self, table: str, as_of_ms: int) -> dict | None:

@@ -1596,15 +1596,32 @@ def test_fold_verify_sampled_catches_gross_drift(spark, tmp_path):
         )
         cdf_h.poll()
         assert cdf_h.verify(sample=8)["ok"]
-    # ...and a GROSSLY inflated heavy cell is still caught: claim far
-    # past even the stratum-scaled tolerance
+    # a GROSSLY inflated many-row margin is caught (the CDF's audit
+    # aggregates single-row cells to (category, stratum) margins —
+    # per-cell sampling has no power, the margin has the stratum's
+    # full row count): triple every (en, stratum-6) cell
+    with open(cdf_h._state_path()) as f:
+        sth = json.load(f)
+    for row in sth["counts"]:
+        if row[0][0] == "en" and row[0][1] == 6:
+            row[1] *= 3
+    atomic_write_json(cdf_h._state_path(), sth)
+    bad_h = cdf_h.verify(sample=8)
+    assert not bad_h["ok"] and list(bad_h["drift"]) == [("en", 6)]
+
+    # ...while the documented atom blind spot holds: inflating the
+    # LONE heavy doc's margin by whole-row atoms is sampled-invisible
+    # (sqrt(claim*w) noise covers it) — the exact scan is the deep
+    # option that sees it
+    cdf_h.rebase()
     with open(cdf_h._state_path()) as f:
         sth = json.load(f)
     for row in sth["counts"]:
         if row[1] >= 1_000_000:  # the heavy doc's cell
-            row[1] += 50_000_000
+            row[1] += 30_000_000
     atomic_write_json(cdf_h._state_path(), sth)
-    assert not cdf_h.verify(sample=8)["ok"]
+    assert cdf_h.verify(sample=8)["ok"]  # blind by design
+    assert not cdf_h.verify()["ok"]  # exact sees it
 
 
 def test_mixture_folds_drain_backlog_with_max_commits(spark, tmp_path):
