@@ -289,9 +289,22 @@ def build_changes_datasource():
     Retention contract: offsets reference history snapshots, so
     ``vacuum_retain_s`` must exceed the stream's maximal downtime.
     Self-containment: everything is defined inside this factory and
-    ships to workers by value (cloudpickle), like the batch reader."""
+    ships to workers by value (cloudpickle), like the batch reader.
+
+    ``option("emit_window_bounds", "true")`` appends a
+    ``_window_until_ms`` LONG column carrying the micro-batch's END
+    OFFSET (the upper commit-ms bound of the planned window, identical
+    on every row of the batch). This is the PUBLIC form of the window
+    bound consumers previously had to parse out of Spark's private
+    OffsetSeqLog files (VERDICT r15 #3): ``partitions()`` knows the
+    exact planned ``(start, end]`` and replays re-plan the identical
+    pinned window, so the stamped value is byte-stable across
+    crash-restarts — exactly the property the mixture folds' cursor
+    alignment needs. An EMPTY batch (no changed rows) delivers no rows
+    and therefore no bound, which is the correct degenerate case: there
+    is nothing to fold and nothing for a cursor to advance over."""
     from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     def _commits_of(tdir: str) -> list[int]:
         import os
@@ -332,20 +345,30 @@ def build_changes_datasource():
             new_dir: str | None,
             schema_json: str,
             emit_pre: bool = False,
+            until_ms: int | None = None,
         ):
             self.key = key
             self.old_dir = old_dir
             self.new_dir = new_dir
             self.schema_json = schema_json
             self.emit_pre = emit_pre
+            self.until_ms = until_ms
 
     class ChangesStreamReader(DataSourceStreamReader):
-        def __init__(self, root: str, table: str, start_ms: int, emit_pre: bool = False):
+        def __init__(
+            self,
+            root: str,
+            table: str,
+            start_ms: int,
+            emit_pre: bool = False,
+            emit_bounds: bool = False,
+        ):
             import os
 
             self._tdir = os.path.join(root, table)
             self._start = start_ms
             self._emit_pre = emit_pre
+            self._emit_bounds = emit_bounds
 
         def initialOffset(self) -> dict:
             return {"commit_ms": self._start}
@@ -386,6 +409,10 @@ def build_changes_datasource():
                     os.path.join(self._tdir, nb[b], f"_bucket={b}") if b in nb else None,
                     schema_json,
                     self._emit_pre,
+                    # the planned window's end offset, stamped on every
+                    # row (emit_window_bounds): replays re-plan the
+                    # identical pinned (s, e], so this is byte-stable
+                    e if self._emit_bounds else None,
                 )
                 for b in sorted(set(ob) | set(nb))
                 if ob.get(b) != nb.get(b)
@@ -436,10 +463,12 @@ def build_changes_datasource():
             key = partition.key
             old = {r[key]: r for r in rows_of(partition.old_dir)}
             new = {r[key]: r for r in rows_of(partition.new_dir)}
+            until_ms = getattr(partition, "until_ms", None)
+            tail = (until_ms,) if until_ms is not None else ()
 
             def out(r, ct):
                 # old-snapshot rows may predate added columns: null-fill
-                return tuple(r.get(c) for c in cols) + (ct,)
+                return tuple(r.get(c) for c in cols) + (ct,) + tail
 
             emit_pre = getattr(partition, "emit_pre", False)
             for k, r in new.items():
@@ -466,6 +495,12 @@ def build_changes_datasource():
         def name(cls):
             return "stripe_store_changes"
 
+        def _emit_bounds(self) -> bool:
+            return (
+                str(self.options.get("emit_window_bounds", "false")).lower()
+                == "true"
+            )
+
         def schema(self):
             import json
             import os
@@ -474,7 +509,10 @@ def build_changes_datasource():
             with open(os.path.join(tdir, "MANIFEST.json")) as f:
                 manifest = json.load(f)
             base = StructType.fromJson(manifest["schema"])
-            return StructType(list(base.fields) + [StructField("_change_type", StringType())])
+            fields = list(base.fields) + [StructField("_change_type", StringType())]
+            if self._emit_bounds():
+                fields.append(StructField("_window_until_ms", LongType()))
+            return StructType(fields)
 
         def streamReader(self, schema):
             return ChangesStreamReader(
@@ -483,6 +521,7 @@ def build_changes_datasource():
                 int(self.options.get("starting_commit_ms", 0)),
                 str(self.options.get("emit_update_preimages", "false")).lower()
                 == "true",
+                self._emit_bounds(),
             )
 
     return ChangesDataSource

@@ -71,51 +71,133 @@ def _existing_target_state(gates, postings, ann, mixture_folds=()) -> list[str]:
     return existing
 
 
-def _batch_commit_bounds(
-    checkpoint_dir: str, batch_id: int, starting_commit_ms: int
-) -> tuple[int, int]:
-    """The ``(since, until]`` commit-ms window of micro-batch
-    ``batch_id``, read from the checkpoint's OffsetSeqLog. The stream's
-    offsets ARE store history commit timestamps
-    (``sources/store_datasource.build_changes_datasource``), Spark
-    writes ``offsets/<id>`` BEFORE invoking foreachBatch, and a
-    crash-restart replays the batch against the identical file — so
-    these bounds are (a) known at batch time and (b) byte-stable across
-    replays, which is exactly what the folds' cursor-aligned replay
-    idempotence needs. Batch IDS alone cannot provide this (they
-    renumber on a checkpoint wipe — the overlap a batch-id key cannot
-    detect); commit-ms bounds make a wiped-checkpoint re-delivery land
-    on ``apply_window``'s alignment guard instead of double-folding.
-    Batch 0's lower bound is ``starting_commit_ms`` (the reader's
-    initialOffset) — keep that parameter stable across restarts; it is
-    already part of the checkpoint contract."""
+#: the reader-owned fold-bounds record, kept INSIDE the checkpoint dir
+#: (the bounds are checkpoint metadata: a wiped checkpoint must wipe
+#: them with it, so a renumbered initial load lands on the folds'
+#: alignment guard exactly like before)
+_FOLD_BOUNDS_NAME = "_fold_window_bounds.json"
+
+
+def _read_fold_bounds(checkpoint_dir: str) -> dict | None:
     import json
 
-    def end_of(bid: int) -> int:
-        path = os.path.join(checkpoint_dir, "offsets", str(bid))
-        with open(path) as f:
-            lines = [ln for ln in f.read().splitlines() if ln.strip()]
-        # v1 OffsetSeqLog layout: version line, batch-metadata JSON,
-        # then ONE offset line per source — this stream has exactly one
-        # source (the change feed), whose offset is the reader's
-        # {"commit_ms": N} dict serialized as JSON
-        try:
-            return int(json.loads(lines[-1])["commit_ms"])
-        except (ValueError, KeyError, TypeError, IndexError) as e:
-            # fail LOUDLY rather than fold under guessed bounds — a
-            # changed OffsetSeqLog layout must stop fold delivery, not
-            # corrupt it (the gates/postings/ANN targets are unaffected;
-            # they key on batch ids)
-            raise RuntimeError(
-                f"cannot read the micro-batch's commit-ms bounds from "
-                f"{path!r} (expected the last non-empty line to be this "
-                "stream's single source offset, a JSON dict with "
-                f"'commit_ms') — got {lines[-3:]!r}. Mixture folds "
-                "cannot be delivered without exact window bounds"
-            ) from e
+    try:
+        with open(os.path.join(checkpoint_dir, _FOLD_BOUNDS_NAME)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
 
-    until = end_of(batch_id)
-    since = end_of(batch_id - 1) if batch_id > 0 else int(starting_commit_ms)
+
+def _write_fold_bounds(checkpoint_dir: str, rec: dict) -> None:
+    from stripe_sync_engine_spark.commitio import atomic_write_json
+
+    atomic_write_json(os.path.join(checkpoint_dir, _FOLD_BOUNDS_NAME), rec)
+
+
+def _offsets_end_of(checkpoint_dir: str, bid: int) -> int:
+    """LEGACY FALLBACK (pre-r15 resumed checkpoints / a wiped bounds
+    side file only): the end offset of micro-batch ``bid``, parsed from
+    Spark's private OffsetSeqLog v1 layout (version line, batch
+    metadata, then ONE offset line per source — this stream's single
+    source offset is the reader's ``{"commit_ms": N}`` dict). Since r15
+    the primary window bounds come from the feed itself
+    (``emit_window_bounds`` stamps the planned end offset on every row)
+    plus the reader-owned ``_fold_window_bounds.json`` record, so a
+    routine Spark upgrade that changes this layout no longer halts
+    standing mixtures — this parse runs only for the FIRST batch after
+    resuming a checkpoint that predates the record. Layout drift still
+    fails LOUDLY rather than folding under guessed bounds."""
+    import json
+
+    path = os.path.join(checkpoint_dir, "offsets", str(bid))
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    try:
+        return int(json.loads(lines[-1])["commit_ms"])
+    except (ValueError, KeyError, TypeError, IndexError) as e:
+        # fail LOUDLY rather than fold under guessed bounds — the
+        # gates/postings/ANN targets are unaffected (they key on batch
+        # ids); only fold delivery stops, uncorrupted
+        raise RuntimeError(
+            f"cannot read the micro-batch's commit-ms bounds from "
+            f"{path!r} (expected the last non-empty line to be this "
+            "stream's single source offset, a JSON dict with "
+            f"'commit_ms') — got {lines[-3:]!r}. Mixture folds "
+            "cannot be delivered without exact window bounds; "
+            "re-onboard them with rebase(at_ms=<stream cursor>) once "
+            "the bounds source is restored"
+        ) from e
+
+
+def _resolve_fold_window(
+    checkpoint_dir: str,
+    run_id: str,
+    batch_id: int,
+    starting_commit_ms: int,
+    until_from_rows: int | None,
+) -> tuple[int, int] | None:
+    """The ``(since, until]`` commit-ms window of micro-batch
+    ``batch_id`` — READER-OWNED (VERDICT r15 #3): the upper bound is
+    stamped on the batch's own rows by the change-feed source
+    (``emit_window_bounds`` — the planned end offset, byte-stable
+    across replays because replays re-plan the identical pinned
+    window), the lower bound is the previous delivery's upper bound
+    from the durable ``_fold_window_bounds.json`` record this function
+    maintains through ``commitio``, and the record is written BEFORE
+    the folds apply so a crash between record and fold replays under
+    identical bounds. Spark's private OffsetSeqLog layout is touched
+    only by the backfill fallback: the first batch after resuming a
+    checkpoint whose deliveries predate the record (``_offsets_end_of``
+    — loud on drift, never guessed bounds).
+
+    Returns None for an EMPTY batch (no rows → no stamped bound → no
+    record written): nothing to fold, and the next non-empty window's
+    lower bound stays at the last DELIVERED upper bound, which is
+    exactly where every fold's cursor sits. Batch 0's lower bound is
+    ``starting_commit_ms`` (the reader's initialOffset) — keep that
+    parameter stable across restarts; it is already part of the
+    checkpoint contract. Batch ids alone could never carry folds: they
+    renumber on a checkpoint wipe, and this record lives INSIDE the
+    checkpoint so a wipe removes both and the renumbered initial load
+    lands on ``apply_window``'s alignment guard instead of
+    double-folding."""
+    rec = _read_fold_bounds(checkpoint_dir)
+    ours = rec is not None and rec.get("run_id") == run_id
+    if ours and int(rec["batch_id"]) == int(batch_id):
+        # crash replay of a batch whose bounds were already committed:
+        # prefer the record (identical by construction, and immune to
+        # any bounds-source hiccup during the retry)
+        return int(rec["since"]), int(rec["until"])
+    if until_from_rows is None:
+        return None
+    if ours:
+        if int(rec["batch_id"]) > int(batch_id):
+            raise RuntimeError(
+                f"fold-bounds record at {checkpoint_dir!r} is at batch "
+                f"{rec['batch_id']} but Spark delivered batch {batch_id} "
+                "— the checkpoint and the bounds record diverged (a "
+                "partially restored checkpoint?); refusing to fold "
+                "under ambiguous bounds. Restore both from the same "
+                "backup, or wipe the checkpoint and re-onboard the "
+                "folds with rebase()"
+            )
+        since = int(rec["until"])
+    elif batch_id > 0:
+        # resumed pre-record checkpoint (or a wiped side file): recover
+        # the previous delivery's end from the OffsetSeqLog, once
+        since = _offsets_end_of(checkpoint_dir, int(batch_id) - 1)
+    else:
+        since = int(starting_commit_ms)
+    until = int(until_from_rows)
+    _write_fold_bounds(
+        checkpoint_dir,
+        {
+            "run_id": run_id,
+            "batch_id": int(batch_id),
+            "since": since,
+            "until": until,
+        },
+    )
     return since, until
 
 
@@ -169,16 +251,22 @@ def start_index_maintenance_stream(
 
     Mixture folds (``operators/mixing._MaintainedFold``) ride this
     stream the same way they ride the cron fan-out: each micro-batch's
-    ``(since, until]`` commit-ms bounds are recovered from the
-    checkpoint's own OffsetSeqLog (``_batch_commit_bounds`` — the
-    stream's offsets ARE store commits, written before the batch runs
-    and replayed byte-identical on restart), and every fold gets
-    ``apply_window(batch, since, until)`` — so a crash-restart's
-    replayed batch is skipped by the fold's ``applied_until`` match,
-    a wiped checkpoint's renumbered initial load lands on the
-    alignment guard instead of double-folding (the reason batch ids
-    alone could never carry folds), and a fold that missed windows
-    raises with its ``rebase(at_ms=...)`` onboarding pointer.
+    ``(since, until]`` commit-ms bounds are READER-OWNED (r15) — the
+    feed itself stamps the planned end offset on every row
+    (``emit_window_bounds``; requested automatically when folds are
+    passed) and ``_resolve_fold_window`` chains the lower bound through
+    the durable ``_fold_window_bounds.json`` record inside the
+    checkpoint, written through ``commitio`` BEFORE the folds apply —
+    so fold delivery no longer depends on Spark's private OffsetSeqLog
+    layout (the one remaining parse is the backfill fallback for the
+    first batch after resuming a pre-r15 checkpoint, still loud on
+    drift). Every fold gets ``apply_window(batch, since, until)`` — a
+    crash-restart's replayed batch is skipped by the fold's
+    ``applied_until`` match, a wiped checkpoint's renumbered initial
+    load lands on the alignment guard instead of double-folding (the
+    reason batch ids alone could never carry folds), and a fold that
+    missed windows raises with its ``rebase(at_ms=...)`` onboarding
+    pointer.
     ``emit_update_preimages=True`` is REQUIRED with folds (enforced
     loudly) — without pre-images an update cannot move its weight out
     of the old (category, stratum). Don't mix standalone ``poll()``
@@ -217,23 +305,47 @@ def start_index_maintenance_stream(
         entity,
         starting_commit_ms=starting_commit_ms,
         emit_update_preimages=emit_update_preimages,
+        # folds need each batch's exact (since, until] — the feed stamps
+        # the planned end offset on its own rows (the reader-owned
+        # bounds source); without folds the feed schema is unchanged
+        emit_window_bounds=bool(mixture_folds),
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         window = f"{run_id}:{batch_id}"
+        until_from_rows = None
+        if mixture_folds:
+            # ONE materialization serves the bounds probe and the
+            # fan-out (whose own localCheckpoint then copies from
+            # memory instead of re-running the diff lineage)
+            batch_df = batch_df.localCheckpoint(eager=True)
+            until_from_rows = batch_df.agg(
+                F.max("_window_until_ms").alias("u")
+            ).first()["u"]
+            # the stamp is bounds plumbing, not data: the index targets
+            # see the same schema they see without folds
+            batch_df = batch_df.drop("_window_until_ms")
         n, applied = engine._apply_change_window(
             batch_df, window, gates, postings, ann
         )
         if mixture_folds:
-            since_ms, until_ms = _batch_commit_bounds(
-                checkpoint_dir, batch_id, starting_commit_ms
+            bounds = _resolve_fold_window(
+                checkpoint_dir,
+                run_id,
+                batch_id,
+                starting_commit_ms,
+                None if until_from_rows is None else int(until_from_rows),
             )
-            for fold in mixture_folds:
-                # even an empty window advances the fold's cursor so it
-                # stays aligned with this checkpoint for the NEXT batch
-                fold.apply_window(applied, since_ms, until_ms)
+            if bounds is not None:
+                since_ms, until_ms = bounds
+                for fold in mixture_folds:
+                    # an empty DELIVERED window still advances the
+                    # fold's cursor (bounds recorded => a window was
+                    # planned); a zero-row BATCH (bounds None) has no
+                    # window at all and the cursor correctly holds
+                    fold.apply_window(applied, since_ms, until_ms)
         record = {
             "op": "corpus_cdc_fanout_stream",
             "entity": entity,

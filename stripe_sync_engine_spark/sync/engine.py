@@ -55,6 +55,13 @@ from stripe_sync_engine_spark.storage import TableStore
 from stripe_sync_engine_spark.sync import registry as R
 from stripe_sync_engine_spark.sync.transforms import apply_transforms
 
+#: sentinel distinguishing "caller accepted the sampled fold-audit
+#: default" from an explicit fold_sample — the implicit default emits a
+#: one-time RuntimeWarning (ADVICE r14: the r14 exact→sampled default
+#: change silently weakened unchanged audit crons' detection)
+_FOLD_SAMPLE_UNSET = object()
+_SAMPLED_FOLD_DEFAULT_NOTICED = False
+
 
 @dataclass
 class SyncConfig:
@@ -1139,6 +1146,7 @@ class StripeSparkSync:
         entity: str,
         starting_commit_ms: int = 0,
         emit_update_preimages: bool = False,
+        emit_window_bounds: bool = False,
     ) -> DataFrame:
         """The change feed as a Structured Streaming source: each
         micro-batch is the net row-level diff between two retained
@@ -1150,7 +1158,12 @@ class StripeSparkSync:
         start = 0: the first batch delivers the whole table as inserts.
         ``emit_update_preimages`` matches the batch feed's option (one
         contract across both surfaces): each update also yields its OLD
-        row as ``_change_type='update_preimage'``."""
+        row as ``_change_type='update_preimage'``.
+        ``emit_window_bounds`` appends a ``_window_until_ms`` column
+        carrying each micro-batch's end offset (commit ms) — the PUBLIC
+        window bound cursor-aligned consumers (the mixture folds) need,
+        replacing any dependence on Spark's private checkpoint file
+        layout (see ``build_changes_datasource``)."""
         from stripe_sync_engine_spark.sources.store_datasource import (
             build_changes_datasource,
         )
@@ -1162,6 +1175,7 @@ class StripeSparkSync:
             .option("table", entity)
             .option("starting_commit_ms", str(starting_commit_ms))
             .option("emit_update_preimages", str(emit_update_preimages).lower())
+            .option("emit_window_bounds", str(emit_window_bounds).lower())
             .load()
         )
 
@@ -1425,7 +1439,8 @@ class StripeSparkSync:
         ann=None,
         sample: int = 64,
         mixture_folds: Iterable = (),
-        fold_sample: int | None = 8,
+        fold_sample: int | None = _FOLD_SAMPLE_UNSET,
+        fold_epoch: int | None = None,
     ) -> dict:
         """Sampled drift audit of the derived indexes against ``entity``'s
         CURRENT table — ``verify_export`` for the fan-out targets (see
@@ -1438,26 +1453,49 @@ class StripeSparkSync:
         truncated postings stats table.
 
         ``mixture_folds``: audit the fan-out's maintained fold state too
-        (``fold.verify(sample=fold_sample)`` — recount AS OF each fold's
-        own committed cursor, read-only, exact even while the fold
-        lags). ``fold_sample`` bounds the fold leg like every other
-        audit leg: it recounts that many hash-chosen snapshot BUCKETS
-        (default 8 of the table's 32 — a quarter of the data) under the
-        concentration tolerance documented on
-        ``_MaintainedFold.verify`` — gross drift (a doubled or wiped
-        large entry) is caught; off-by-a-few on small cells needs the
-        deep option, ``fold_sample=None`` (one exact O(table) scan per
-        fold). NOTE (r14 behavior change): this default WIDENS what an
-        unchanged pre-r14 audit cron tolerates — small real drift the
-        old exact default caught now passes the sampled leg; crons that
-        relied on exact small-drift detection must pass
-        ``fold_sample=None`` explicitly. A failing fold flips the report's ``ok`` and is
+        (``fold.verify(sample=fold_sample, epoch=fold_epoch)`` —
+        recount AS OF each fold's own committed cursor, read-only,
+        exact even while the fold lags). ``fold_sample`` bounds the
+        fold leg like every other audit leg: it recounts that many
+        hash-chosen snapshot BUCKETS (default 8 of the table's 32 — a
+        quarter of the data) under the concentration tolerance
+        documented on ``_MaintainedFold.verify``, with atom-shaped
+        margins auto-escalated to an exact recount (r15) — gross drift
+        (a doubled or wiped large entry) is caught; off-by-a-few on
+        small cells needs the deep option, ``fold_sample=None`` (one
+        exact O(table) scan per fold). NOTE (r14 behavior change): the
+        sampled default WIDENS what an unchanged pre-r14 audit cron
+        tolerates — small real drift the old exact default caught now
+        passes the sampled leg; crons that relied on exact small-drift
+        detection must pass ``fold_sample=None`` explicitly (a
+        one-time RuntimeWarning per process flags the implicit
+        default, per ADVICE r14). ``fold_epoch`` seeds the sampled
+        leg's bucket rotation; the default (None) rotates by wall-clock
+        day so an IDLE corpus is still re-covered across scheduled
+        audits. A failing fold flips the report's ``ok`` and is
         repairable by ``repair_corpus_indexes`` with the same fold
         list."""
         from stripe_sync_engine_spark.operators.index_audit import (
             audit_corpus_indexes as _audit,
         )
 
+        if fold_sample is _FOLD_SAMPLE_UNSET:
+            fold_sample = 8
+            global _SAMPLED_FOLD_DEFAULT_NOTICED
+            if tuple(mixture_folds) and not _SAMPLED_FOLD_DEFAULT_NOTICED:
+                _SAMPLED_FOLD_DEFAULT_NOTICED = True
+                import warnings
+
+                warnings.warn(
+                    "audit_corpus_indexes is using the SAMPLED fold "
+                    "audit by default (fold_sample=8, a quarter of the "
+                    "table per fold) — small real drift that the pre-r14 "
+                    "exact default flagged now passes; pass "
+                    "fold_sample=None for the exact scan or an explicit "
+                    "fold_sample to silence this one-time notice",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         corpus = self.store.read(entity)
         if corpus is None:
             raise ValueError(
@@ -1475,21 +1513,29 @@ class StripeSparkSync:
         if mixture_folds:
             fold_reports = []
             for fold in mixture_folds:
-                v = fold.verify(sample=fold_sample)
+                v = fold.verify(sample=fold_sample, epoch=fold_epoch)
                 ident = fold.identity()
-                fold_reports.append(
-                    {
-                        # the state path is the fold's identity across
-                        # audit → repair (guards/salts ride the path)
-                        "state": ident["state"],
-                        "kind": "mixture_fold",
-                        "guard": ident["guard"],
-                        "ok": bool(v["ok"]),
-                        "cursor": int(v["cursor"]),
-                        "mode": v.get("mode", "exact"),
-                        "drift_entries": len(v["drift"]),
-                    }
-                )
+                rep_f = {
+                    # the state path is the fold's identity across
+                    # audit → repair (guards/salts ride the path)
+                    "state": ident["state"],
+                    "kind": "mixture_fold",
+                    "guard": ident["guard"],
+                    "ok": bool(v["ok"]),
+                    "cursor": int(v["cursor"]),
+                    "mode": v.get("mode", "exact"),
+                    "drift_entries": len(v["drift"]),
+                }
+                if "sample" in v:
+                    # the rotation evidence an operator reads from the
+                    # maintenance log: which slice this audit covered
+                    rep_f["epoch"] = v["sample"]["epoch"]
+                    rep_f["bucket_ids"] = v["sample"]["bucket_ids"]
+                if "escalated" in v:
+                    rep_f["escalated"] = len(v["escalated"])
+                if "degraded" in v:
+                    rep_f["degraded"] = v["degraded"]
+                fold_reports.append(rep_f)
             report["mixture_folds"] = fold_reports
             report["ok"] = bool(report["ok"]) and all(
                 r["ok"] for r in fold_reports

@@ -1129,6 +1129,158 @@ def test_mixture_folds_ride_the_stream_window(spark, tmp_path, monkeypatch):
     assert cc.counts() == _recount()
 
 
+def test_stream_fold_bounds_are_reader_owned(spark, tmp_path, monkeypatch):
+    """VERDICT r15 #3: stream fold delivery must not depend on Spark's
+    private OffsetSeqLog layout. The feed stamps each batch's planned
+    end offset on its own rows (``emit_window_bounds``) and the
+    foreachBatch wrapper chains the lower bound through the durable
+    ``_fold_window_bounds.json`` record (written through commitio
+    BEFORE the folds apply). Pins: (a) with the legacy offsets parser
+    monkeypatched to RAISE on any call, the full fold flow — initial
+    load, mutation windows, crash-after-fold replay — runs green;
+    (b) a wiped bounds side file falls back to the offsets parse
+    (pre-r15 resume compatibility) and keeps delivering; (c) wiped
+    side file AND unreadable offsets layout → LOUD refusal, fold state
+    uncorrupted; (d) a bounds record AHEAD of the delivered batch
+    (partially restored checkpoint) refuses under ambiguous bounds."""
+    import json as _json
+    import os
+    import time
+
+    import pytest
+
+    import stripe_sync_engine_spark.streaming.index_maintenance as im
+    from stripe_sync_engine_spark.operators.mixing import CategoryCounts
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh_rob"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2]) for i in range(20)],
+        "doc_id long, lang string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    cc = CategoryCounts(eng, "corpus")
+    ckpt = str(tmp_path / "ckpt_rob")
+
+    def _recount():
+        return {
+            str(r["lang"]): int(r["n"])
+            for r in store.read("corpus").groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+
+    def run_once():
+        q = im.start_index_maintenance_stream(
+            eng, "corpus", ckpt, emit_update_preimages=True, mixture_folds=[cc]
+        )
+        try:
+            assert q.awaitTermination(120), "availableNow run did not finish"
+        finally:
+            q.stop()
+
+    # (a) the OffsetSeqLog parser is never needed on the primary path
+    def boom(checkpoint_dir, bid):
+        raise AssertionError(
+            "fold delivery read Spark's private OffsetSeqLog on the "
+            "primary path"
+        )
+
+    monkeypatch.setattr(im, "_offsets_end_of", boom)
+    run_once()  # initial load
+    assert cc.counts() == {"en": 10, "fr": 10}
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(100, "en")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    run_once()  # mutation window
+    assert cc.counts() == _recount()
+    # crash AFTER the fold applied, BEFORE the checkpoint commit: the
+    # replayed batch reuses the recorded bounds, still no parser
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(101, "fr")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    real_log = eng._log_maintenance
+    monkeypatch.setattr(
+        eng,
+        "_log_maintenance",
+        lambda record: (_ for _ in ()).throw(OSError("injected crash")),
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        run_once()
+    monkeypatch.setattr(eng, "_log_maintenance", real_log)
+    run_once()  # replay: recorded bounds, applied_until match skips
+    assert cc.counts() == _recount()
+
+    bounds_path = os.path.join(ckpt, im._FOLD_BOUNDS_NAME)
+    rec = _json.loads(open(bounds_path).read())
+
+    # (d) a bounds record ahead of the delivered batch refuses loudly
+    ahead = dict(rec, batch_id=rec["batch_id"] + 7)
+    with open(bounds_path, "w") as f:
+        f.write(_json.dumps(ahead))
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(102, "fr")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    with pytest.raises(Exception, match="ambiguous bounds"):
+        run_once()
+    with open(bounds_path, "w") as f:
+        f.write(_json.dumps(rec))  # restore the true record
+
+    # (b) wiped side file, parser restored: the legacy offsets parse
+    # recovers the previous batch's end ONCE and delivery continues —
+    # exactly the pre-r15-checkpoint resume path
+    monkeypatch.undo()  # restore the real parser (and _log_maintenance)
+    os.unlink(bounds_path)
+    run_once()
+    assert cc.counts() == _recount()
+    assert os.path.exists(bounds_path)  # the record is re-established
+
+    # (c) wiped side file AND a parser that cannot read the layout:
+    # loud refusal, nothing folded, fold state intact
+    before = cc.counts()
+    os.unlink(bounds_path)
+
+    def drifted(checkpoint_dir, bid):
+        raise RuntimeError(
+            "cannot read the micro-batch's commit-ms bounds (layout "
+            "drift) — Mixture folds cannot be delivered without exact "
+            "window bounds"
+        )
+
+    monkeypatch.setattr(im, "_offsets_end_of", drifted)
+    time.sleep(0.002)
+    store.write(
+        "corpus",
+        store.read("corpus").unionByName(
+            spark.createDataFrame([(103, "en")], "doc_id long, lang string")
+        ),
+        key="doc_id",
+    )
+    with pytest.raises(Exception, match="cannot be delivered without exact"):
+        run_once()
+    assert cc.counts() == before  # refused, not corrupted
+    monkeypatch.undo()
+    run_once()  # parser back: the fallback realigns and folds the window
+    assert cc.counts() == _recount()
+
+
 def test_stream_delivered_fold_audits_and_repairs(spark, tmp_path):
     """Cross-feature pin: a STREAM-delivered fold rides the same
     audit/repair loop as a cron-delivered one — the sampled audit leg
