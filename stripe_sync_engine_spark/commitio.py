@@ -360,6 +360,47 @@ def read_modify_write(path: str, fn) -> None:
     _backend.read_modify_write(path, fn)
 
 
+#: base-name suffixes a legacy sidecar's parent side file can have —
+#: every file the engine has ever routed through ``read_modify_write``
+#: is a ``.json``/``.jsonl`` side file, so the ``migrate_legacy`` pass
+#: only unlinks ``.{base}.lock`` names whose stripped base matches;
+#: any OTHER dot-``.lock`` file under the warehouse root (presence-style
+#: locks kept by foreign tooling — which a non-blocking flock probe
+#: cannot protect) is left alone and surfaced by ``count_legacy_lock_
+#: sidecars`` instead (ADVICE r14)
+_RMW_SIDE_FILE_SUFFIXES = (".json", ".jsonl")
+
+
+def _is_engine_legacy_sidecar(base: str) -> bool:
+    return base.endswith(_RMW_SIDE_FILE_SUFFIXES)
+
+
+def count_legacy_lock_sidecars(root: str) -> int:
+    """Count pre-r13 legacy flock sidecars (``.{base}.lock`` with an
+    engine-side-file base) under ``root`` WITHOUT touching them — the
+    pending-migration signal ``engine.maintain()`` surfaces so an
+    operator who missed the r13 upgrade note learns the one-time
+    ``reclaim_lock_sidecars(root, migrate_legacy=True)`` pass is still
+    owed (see ``LEGACY_LOCK_SIDECAR_SUFFIX`` for the flag-day
+    contract). The store's ``.commit.lock`` and foreign ``.lock`` files
+    (non-engine bases) are not counted — they are not migration
+    candidates."""
+    n = 0
+    for _dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            if (
+                name.startswith(".")
+                and name != STORE_COMMIT_LOCK_NAME
+                and name.endswith(LEGACY_LOCK_SIDECAR_SUFFIX)
+                and not name.endswith(LOCK_SIDECAR_SUFFIX)
+                and _is_engine_legacy_sidecar(
+                    name[1 : -len(LEGACY_LOCK_SIDECAR_SUFFIX)]
+                )
+            ):
+                n += 1
+    return n
+
+
 def reclaim_lock_sidecars(root: str, migrate_legacy: bool = False) -> list[str]:
     """Remove orphaned flock sidecars (``.{base}.flock`` files whose
     parent side file ``{base}`` no longer exists) under ``root``,
@@ -378,8 +419,14 @@ def reclaim_lock_sidecars(root: str, migrate_legacy: bool = False) -> list[str]:
     only after EVERY writer has upgraded (see
     ``LEGACY_LOCK_SIDECAR_SUFFIX``: the suffix change is a flag-day);
     at that point it removes legacy sidecars orphaned AND live-parent
-    alike. The store's presence-style ``.commit.lock`` is excluded by
-    exact name in both modes.
+    alike — but ONLY names whose stripped base is an engine side file
+    (``.json``/``.jsonl``, the only files ``read_modify_write`` has
+    ever locked): a FOREIGN ``.lock`` file some other tool keeps under
+    the warehouse root may be a presence-style lock the non-blocking
+    flock probe cannot protect, so the migration never unlinks it
+    (ADVICE r14). The store's presence-style ``.commit.lock`` is
+    excluded by exact name in both modes. ``engine.maintain()`` reports
+    the pending-migration count via ``count_legacy_lock_sidecars``.
 
     Safe next to live writers: each candidate is taken with a
     NON-BLOCKING exclusive flock (busy → skip, the holder is mid-commit
@@ -414,6 +461,11 @@ def reclaim_lock_sidecars(root: str, migrate_legacy: bool = False) -> list[str]:
                 # default sweep never touches legacy sidecars — even
                 # orphans: a pre-upgrade writer mid-open has no inode
                 # re-verification to survive our unlink (see docstring)
+                continue
+            if legacy and not _is_engine_legacy_sidecar(base):
+                # a foreign .lock file under the warehouse root: possibly
+                # a presence-style lock the non-blocking flock probe
+                # cannot protect — never a migration candidate
                 continue
             parent = os.path.join(dirpath, base)
             if os.path.exists(parent) and not legacy:

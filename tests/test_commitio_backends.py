@@ -294,6 +294,53 @@ def test_legacy_lock_sidecars_migrate(tmp_path):
     assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == []
     assert flock_live.exists()
 
+    # ADVICE r14: a FOREIGN .lock file (base is not an engine .json/
+    # .jsonl side file — e.g. another tool's presence-style lock kept
+    # under the warehouse root) is never a migration candidate: the
+    # non-blocking flock probe cannot protect presence-style locks, so
+    # even migrate_legacy=True leaves it alone
+    foreign = tmp_path / ".editor-session.lock"
+    foreign.write_text("")
+    assert cio.reclaim_lock_sidecars(str(tmp_path), migrate_legacy=True) == []
+    assert foreign.exists()
+
+
+def test_legacy_sidecar_count_surfaces_pending_migration(spark, tmp_path):
+    """VERDICT r15 #4: operators get a SIGNAL that the one-time legacy
+    migration is pending — ``count_legacy_lock_sidecars`` counts
+    engine-base ``.{base}.lock`` files without touching them,
+    ``engine.maintain()`` carries the count in its report, and the
+    default sweep still removes nothing legacy."""
+    from stripe_sync_engine_spark.storage import TableStore
+    from stripe_sync_engine_spark.sync.engine import StripeSparkSync
+
+    store = TableStore(spark, str(tmp_path / "wh"), vacuum_retain_s=3600.0)
+    eng = StripeSparkSync(spark, store)
+    store.write(
+        "t", spark.createDataFrame([(1, "a")], "id long, v string"), key="id"
+    )
+    root = tmp_path / "wh"
+    planted = root / ".cursors.json.lock"
+    planted.write_text("")
+    (root / ".other.jsonl.lock").write_text("")
+    # non-candidates: the commit lock, a current-suffix sidecar, a
+    # foreign presence-style lock
+    (root / "t").mkdir(exist_ok=True)
+    (root / "t" / ".commit.lock").write_text("")
+    (root / f".cursors.json{cio.LOCK_SIDECAR_SUFFIX}").write_text("")
+    (root / ".session.lock").write_text("")
+
+    assert cio.count_legacy_lock_sidecars(str(root)) == 2
+    report = eng.maintain()
+    assert report["legacy_sidecars"] == 2
+    # count-only: the planted sidecars survived the default sweep
+    assert planted.exists() and (root / ".other.jsonl.lock").exists()
+    # after the explicit flag-day pass the signal clears
+    cio.reclaim_lock_sidecars(str(root), migrate_legacy=True)
+    assert cio.count_legacy_lock_sidecars(str(root)) == 0
+    assert eng.maintain()["legacy_sidecars"] == 0
+    assert (root / ".session.lock").exists()  # foreign lock untouched
+
 
 def test_non_posix_rmw_warns_and_reclaim_noops(tmp_path, monkeypatch):
     """VERDICT r14 #4: the fcntl-less fallback is LOUD — RMW emits the
