@@ -125,6 +125,21 @@ class TableStore:
         # fatal at construction.
         with contextlib.suppress(Exception):
             spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Commit-protocol overhead (r15): this store's atomicity is the
+        # manifest swap — version dirs are single-writer and unreferenced
+        # until committed — so the v1 committer's job-commit rename pass
+        # and the _SUCCESS marker are pure overhead on every bucketed
+        # write (~0.2s of a ~1s small commit, measured; far worse on
+        # object stores). Set here as well as in session.py so
+        # driver-provided sessions get the same write path; SQL writes
+        # read spark.hadoop.* confs per job (newHadoopConf), so a runtime
+        # set works. Failure-tolerated: defaults are merely slower.
+        for k, v in (
+            ("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"),
+            ("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"),
+        ):
+            with contextlib.suppress(Exception):
+                spark.conf.set(k, v)
 
     # -- layout --------------------------------------------------------
     def _dir(self, table: str) -> str:
