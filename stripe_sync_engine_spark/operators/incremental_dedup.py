@@ -68,6 +68,29 @@ FINGERPRINT_COL = "fingerprint"
 FREEFORM_IDS_WARN = 10_000
 
 
+def ensure_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` unless ``df`` IS already a bare
+    checkpoint (its analyzed plan is a single ``LogicalRDD`` scan — no
+    operators on top), in which case return it unchanged.
+
+    Why (r15, measured): every fan-out target defensively checkpoints the
+    change window it receives, but ``engine._apply_change_window``
+    checkpoints the window ONCE before fanning it out — so a 3-target
+    poll re-materialized the identical RDD three more times (~0.3–1s per
+    re-checkpoint of a window at sf0.1; at scale each is a full extra
+    pass over the window). The plan-root check is exact and conservative:
+    anything other than a lone LogicalRDD (a filter, a projection, a real
+    lineage) checkpoints as before, so standalone callers keep the
+    defensive materialization."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.getClass().getSimpleName() == "LogicalRDD":
+            return df
+    except Exception:
+        pass  # any introspection hiccup: fall through to the safe path
+    return df.localCheckpoint(eager=True)
+
+
 def anti_probe(batch: DataFrame, indexed: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of ``batch`` whose keys are absent from ``indexed``, with the
     indexed side never shuffled OR broadcast.
@@ -236,8 +259,10 @@ def apply_feed_changes(gate, feed: DataFrame) -> None:
     ``fold_batch_rows`` discipline): delete and ``update_preimage``
     rows unregister their pre-images; insert/update post-images
     register. Unregister FIRST so an in-window content swap (doc A
-    deletes 'x' while doc B inserts 'x') lands registered, not erased."""
-    changed = feed.localCheckpoint(eager=True)
+    deletes 'x' while doc B inserts 'x') lands registered, not erased.
+    The checkpoint is idempotent: a feed the engine's fan-out already
+    materialized is not re-materialized (``ensure_local_checkpoint``)."""
+    changed = ensure_local_checkpoint(feed)
     dels = changed.where(
         F.col("_change_type").isin("delete", "update_preimage")
     ).drop("_change_type")

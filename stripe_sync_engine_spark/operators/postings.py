@@ -405,9 +405,12 @@ class PersistedPostingsIndex:
         each internally ordered for replay (see their docstrings).
         ``update_preimage`` rows (a pre-image feed) are ignored here —
         postings deletes are id-keyed via the forward table."""
-        from stripe_sync_engine_spark.operators.incremental_dedup import sub_batch_id
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            ensure_local_checkpoint,
+            sub_batch_id,
+        )
 
-        changed = feed.localCheckpoint(eager=True)
+        changed = ensure_local_checkpoint(feed)
         old_ids = changed.where(
             F.col("_change_type").isin("delete", "update")
         ).select(self.id_col)

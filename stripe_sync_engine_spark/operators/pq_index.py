@@ -979,9 +979,12 @@ class PersistedIVFPQ:
         nothing down (the update's new rows are kept via the ``:ins``
         sub-batch id) and a crash at any point heals — unregister before
         register, each internally ordered for replay."""
-        from stripe_sync_engine_spark.operators.incremental_dedup import sub_batch_id
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            ensure_local_checkpoint,
+            sub_batch_id,
+        )
 
-        changed = feed.localCheckpoint(eager=True)
+        changed = ensure_local_checkpoint(feed)
         old_ids = changed.where(
             F.col("_change_type").isin("delete", "update")
         ).select(self.id_col)

@@ -2255,3 +2255,28 @@ def test_near_gate_update_registers_new_bands_without_preimages(spark, tmp_path)
         by_key.setdefault(r["band_key"], set()).add(tuple(r[c] for c in sig_cols))
     for _, bk in old_pairs & new_pairs:
         assert new_sig in by_key[bk]  # a fresh-generation row exists
+
+
+def test_ensure_local_checkpoint_idempotent(spark):
+    """r15: fan-out targets' defensive feed checkpoint must be a no-op on
+    a frame the engine already materialized (the plan root is a bare
+    LogicalRDD), and a real materialization on anything with lineage —
+    including a mere filter ON TOP of a checkpoint."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        ensure_local_checkpoint,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    cp = df.localCheckpoint(eager=True)
+    assert ensure_local_checkpoint(cp) is cp  # already materialized: pass through
+    out = ensure_local_checkpoint(df)
+    assert out is not df
+    assert (
+        out._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        == "LogicalRDD"
+    )
+    assert sorted(r.x for r in out.collect()) == list(range(10))
+    filtered = cp.where("x > 3")
+    refiltered = ensure_local_checkpoint(filtered)
+    assert refiltered is not filtered  # lineage on top: real checkpoint
+    assert sorted(r.x for r in refiltered.collect()) == list(range(4, 10))
