@@ -239,25 +239,48 @@ class PersistedPostingsIndex:
         self._commit_stats(inc)
 
     def _commit_stats(self, inc: DataFrame) -> None:
-        """Idempotently append one stats row (anti-probed on batch_id) —
-        shared by register (positive increments) and unregister (negative
-        deltas); query-time SUM nets them out."""
+        """Idempotently append stats rows (anti-probed on batch_id) —
+        shared by register (positive increments), unregister (negative
+        deltas) and the merged window apply (both at once); query-time
+        SUM nets them out.
+
+        ``inc`` is a HANDFUL of agg rows by construction (one per
+        sub-batch), so the probe and commit run driver-side: one collect
+        yields the rows plus their bucket ids, one collect of the touched
+        buckets' batch_ids decides freshness, one partial write commits —
+        replacing the generic anti-probe's checkpoint + isEmpty + two
+        bucket-probe jobs (r15: that machinery cost ~1s per window to
+        commit two 4-column rows)."""
         store = self.store
         if not store.exists(self.stats_table):
             store.write(self.stats_table, inc, key="batch_id")
             return
         manifest = store._read_manifest(self.stats_table)
-        touched = store.buckets_of(inc, key="batch_id", table=self.stats_table)
-        known = self._stats_with_schema(
-            store._scan_manifest(self.stats_table, manifest, touched)
-        )
-        fresh = anti_probe(inc, known, ["batch_id"]).localCheckpoint(eager=True)
-        if fresh.isEmpty():
+        nb = int(manifest["n_buckets"])
+        rows = inc.withColumn("_b", store.bucket_expr("batch_id", nb)).collect()
+        if not rows:
             return
-        # commit_fresh unions the scanned base with fresh, so a legacy
-        # 3-column base must be upgraded before the union (the write also
-        # migrates the touched buckets to the new schema as a side effect).
-        write_set = store.buckets_of(fresh, key="batch_id", table=self.stats_table)
+        touched = sorted({int(r["_b"]) for r in rows})
+        known_ids = {
+            r["batch_id"]
+            for r in store._scan_manifest(self.stats_table, manifest, touched)
+            .select("batch_id")
+            .collect()
+        }
+        fresh_rows = [r for r in rows if r["batch_id"] not in known_ids]
+        if not fresh_rows:
+            return
+        fresh = store.spark.createDataFrame(
+            [
+                (r["batch_id"], r["n_docs"], r["n_dl_docs"], r["total_dl"])
+                for r in fresh_rows
+            ],
+            "batch_id string, n_docs long, n_dl_docs long, total_dl long",
+        )
+        # the scanned base unions with fresh, so a legacy 3-column base
+        # must be upgraded before the union (the write also migrates the
+        # touched buckets to the new schema as a side effect).
+        write_set = sorted({int(r["_b"]) for r in fresh_rows})
         base = self._stats_with_schema(
             store._scan_manifest(self.stats_table, manifest, write_set)
         )
@@ -401,10 +424,19 @@ class PersistedPostingsIndex:
         ledger, so a long-lived CDC consumer's ledger stays O(consumers),
         not O(windows)): a replay of a completed window tears nothing
         down (the update's new rows are registered under the kept ins
-        id) and a crash at any point heals — unregister before register,
-        each internally ordered for replay (see their docstrings).
+        id) and a crash at any point heals.
         ``update_preimage`` rows (a pre-image feed) are ignored here —
-        postings deletes are id-keyed via the forward table."""
+        postings deletes are id-keyed via the forward table.
+
+        Steady state (all three tables exist) commits ONE merged
+        delete+insert version per table — stats, postings, forward — in
+        that order, instead of the six sequential unregister-then-
+        register commits (r15, guide §6: the window's cost was dominated
+        by per-commit overhead, not compute; see ``_apply_window_once``
+        for the replay matrix). Birth and legacy-upgrade windows (a
+        missing postings/forward table) keep the sequential protocol,
+        which owns table creation and the predates-delete-support
+        diagnostics."""
         from stripe_sync_engine_spark.operators.incremental_dedup import (
             ensure_local_checkpoint,
             sub_batch_id,
@@ -417,9 +449,187 @@ class PersistedPostingsIndex:
         new_docs = changed.where(
             F.col("_change_type").isin("insert", "update")
         ).drop("_change_type")
+        del_id = sub_batch_id(batch_id, "del")
         ins_id = sub_batch_id(batch_id, "ins")
-        self.unregister(old_ids, sub_batch_id(batch_id, "del"), _keep_batch_id=ins_id)
-        self.register(new_docs, ins_id)
+        if not (
+            self.store.exists(self.table)
+            and self.store.exists(self.forward_table)
+            and self.store.exists(self.stats_table)
+        ):
+            self.unregister(old_ids, del_id, _keep_batch_id=ins_id)
+            self.register(new_docs, ins_id)
+            return
+        ledger = FoldLedger(self.store, self.stats_table)
+        ledger.check_replayable(del_id)
+        ledger.check_replayable(ins_id)
+        with_occ_retry(
+            lambda: self._apply_window_once(old_ids, new_docs, del_id, ins_id)
+        )
+
+    def _apply_window_once(
+        self, old_ids: DataFrame, new_docs: DataFrame, del_id: str, ins_id: str
+    ) -> None:
+        """One CDC window as ONE merged delete+insert commit per table —
+        stats (dec+inc rows together), postings, forward, in that order.
+        Equivalent by construction to unregister-then-register: every
+        freshness probe runs against the table VIEW AFTER the window's
+        deletes (``known ∖ pairs``), so an update that keeps a term still
+        lands its new (tf, dl) row exactly as it does when the delete
+        commits first.
+
+        Replay matrix (crash after any prefix of the three commits, then
+        re-apply): [none] full redo. [stats] dec recomputed from the
+        still-present forward rows and skipped by the batch_id
+        anti-probe; inc likewise; postings/forward proceed. [stats,
+        postings] targets still non-empty (forward rows are the replay's
+        memory, deleted LAST), so the postings rewrite re-lands
+        byte-identically (delete hits nothing, freshness re-admits
+        nothing — the merged write degrades to a no-op rewrite of the
+        touched buckets); forward proceeds. [all three] targets is empty
+        (old rows gone, the update's rows carry the kept ins id), every
+        freshness probe is empty, and the only rewrite candidate set is
+        empty — the replay commits nothing. A crash between the ledger
+        check and any commit is a plain retry."""
+        store = self.store
+        # ONE eager tokenization feeds all three new-side derivations,
+        # exactly as in _register_once.
+        base = self._tokenized(new_docs).localCheckpoint(eager=True)
+        rows = self._rows(base, ins_id).localCheckpoint(eager=True)
+        fwd = self._forward_rows(base, ins_id).localCheckpoint(eager=True)
+        ids = (
+            old_ids.select(F.col(self.id_col).alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fm = store._read_manifest(self.forward_table)
+        pm = store._read_manifest(self.table)
+        # ONE forward bucket probe serves both the delete-target lookup
+        # and the forward freshness probe.
+        fwd_probe = store.buckets_of(
+            ids.unionByName(fwd.select("doc_id")),
+            key="doc_id",
+            table=self.forward_table,
+        )
+        fwd_known = store._scan_manifest(self.forward_table, fm, fwd_probe)
+        targets = (
+            fwd_known.join(F.broadcast(ids), "doc_id", "left_semi")
+            .where(F.col("batch_id") != ins_id)
+            .localCheckpoint(eager=True)
+        )
+        has_del = not targets.isEmpty()
+        # --- 1. stats: dec (from the forward rows, which outlive this
+        # commit) + inc (from the batch itself) in ONE anti-probed
+        # commit. Same skip rule as _unregister_once: no zero :del row.
+        inc = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dl").cast("long").alias("n_dl_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("total_dl"),
+        ).select(F.lit(ins_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
+        if has_del:
+            per_doc = targets.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+            dec = per_doc.agg(
+                (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+                (-F.count("dl")).cast("long").alias("n_dl_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("total_dl"),
+            ).select(
+                F.lit(del_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl"
+            )
+            inc = dec.unionByName(inc)
+        self._commit_stats(inc)
+        # --- 2. postings: one rewrite of (buckets losing ∪ buckets
+        # gaining rows); freshness probed against the post-delete view.
+        pairs = None
+        if has_del:
+            pairs = (
+                targets.where(F.col("term_h").isNotNull())
+                .select("term_h", "doc_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        probe_keys = (
+            rows.select("term_h")
+            if pairs is None
+            else rows.select("term_h").unionByName(pairs.select("term_h"))
+        )
+        known_buckets = store.buckets_of(probe_keys, key="term_h", table=self.table)
+        known = store._scan_manifest(self.table, pm, known_buckets)
+        known_eff = (
+            known
+            if pairs is None
+            else known.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
+        )
+        fresh = anti_probe(rows, known_eff, ["term_h", "doc_id"]).localCheckpoint(
+            eager=True
+        )
+        write_keys = (
+            fresh.select("term_h")
+            if pairs is None
+            else fresh.select("term_h").unionByName(pairs.select("term_h"))
+        )
+        write_set = store.buckets_of(write_keys, key="term_h", table=self.table)
+        if write_set:
+            # uncheckpointed: the write consumes this lineage exactly once
+            # while the old version files still exist (delete_matching_rows
+            # has the rationale).
+            base_w = store._scan_manifest(self.table, pm, write_set)
+            keep = (
+                base_w
+                if pairs is None
+                else base_w.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
+            )
+            store.write_buckets(
+                self.table,
+                keep.unionByName(fresh),
+                write_set,
+                key="term_h",
+                planned_versions=dict(pm["buckets"]),
+            )
+        # --- 3. forward LAST (the replay's memory), same merged shape;
+        # NULL-term sentinels probe via the reserved-long coalesce
+        # (_register_once has the collision note).
+        th = F.coalesce(F.col("term_h"), F.lit(-(1 << 62)).cast("long"))
+        if has_del:
+            fwd_eff = fwd_known.join(F.broadcast(ids), "doc_id", "left_anti").unionByName(
+                fwd_known.where(F.col("batch_id") == ins_id).join(
+                    F.broadcast(ids), "doc_id", "left_semi"
+                )
+            )
+        else:
+            fwd_eff = fwd_known
+        fresh_fwd = (
+            anti_probe(
+                fwd.withColumn("_th", th),
+                fwd_eff.withColumn("_th", th),
+                ["doc_id", "_th"],
+            )
+            .drop("_th")
+            .localCheckpoint(eager=True)
+        )
+        fwd_write_keys = (
+            fresh_fwd.select("doc_id")
+            if not has_del
+            else fresh_fwd.select("doc_id").unionByName(targets.select("doc_id"))
+        )
+        fwd_write_set = store.buckets_of(
+            fwd_write_keys, key="doc_id", table=self.forward_table
+        )
+        if fwd_write_set:
+            base_w = store._scan_manifest(self.forward_table, fm, fwd_write_set)
+            if has_del:
+                keep = base_w.join(F.broadcast(ids), "doc_id", "left_anti").unionByName(
+                    base_w.where(F.col("batch_id") == ins_id).join(
+                        F.broadcast(ids), "doc_id", "left_semi"
+                    )
+                )
+            else:
+                keep = base_w
+            store.write_buckets(
+                self.forward_table,
+                keep.unionByName(fresh_fwd),
+                fwd_write_set,
+                key="doc_id",
+                planned_versions=dict(fm["buckets"]),
+            )
 
     def topk(self, query_terms: list[str], k: int = 20) -> DataFrame:
         """``(doc_id, score)`` — BM25 top-k from the index: reads ONLY

@@ -977,11 +977,23 @@ class PersistedIVFPQ:
         index tracks a mutating corpus without rescans or rebuilds.
         Idempotent per ``batch_id``: a replay of a completed window tears
         nothing down (the update's new rows are kept via the ``:ins``
-        sub-batch id) and a crash at any point heals — unregister before
-        register, each internally ordered for replay."""
+        sub-batch id) and a crash at any point heals.
+
+        Steady state (codes + forward tables exist) commits ONE merged
+        delete+insert version per table — codes, then forward — instead
+        of the four sequential unregister-then-register commits (r15,
+        guide §6: the window's cost was dominated by per-commit
+        overhead, not compute; ``_apply_window_once`` has the replay
+        matrix). Birth and legacy-upgrade windows (a missing codes or
+        forward table) keep the sequential protocol, which owns table
+        creation, the forward backfill, the codebook baseline pin, and
+        the predates-delete-support diagnostics."""
+        import os
+
         from stripe_sync_engine_spark.operators.incremental_dedup import (
             ensure_local_checkpoint,
             sub_batch_id,
+            with_occ_retry,
         )
 
         changed = ensure_local_checkpoint(feed)
@@ -992,8 +1004,169 @@ class PersistedIVFPQ:
             F.col("_change_type").isin("insert", "update")
         ).drop("_change_type")
         ins_id = sub_batch_id(batch_id, "ins")
-        self.unregister(old_ids, _keep_batch_id=ins_id)
-        self.register(new_vecs, ins_id)
+        if not (self.store.exists(self.table) and self.store.exists(self.forward_table)):
+            self.unregister(old_ids, _keep_batch_id=ins_id)
+            self.register(new_vecs, ins_id)
+            return
+        with_occ_retry(lambda: self._apply_window_once(old_ids, new_vecs, ins_id))
+        # register()'s codebook side-file backfill contract holds on the
+        # merged path too: an index persisted before codebook persistence
+        # existed gets the file on its next maintenance window.
+        if not os.path.exists(self._codebook_path()):
+            self._save_codebook()
+
+    def _apply_window_once(
+        self, old_ids: DataFrame, new_vecs: DataFrame, ins_id: str
+    ) -> None:
+        """One CDC window as ONE merged delete+insert commit per table —
+        codes, then forward (the replay's memory, LAST). Equivalent by
+        construction to unregister-then-register: every probe — the
+        moved-cell and mutated-code loud failures AND the freshness
+        anti-probes — runs against the table VIEW AFTER the window's
+        deletes, so an update's old row never trips the checks its own
+        delete half would have removed first.
+
+        Replay matrix (crash after any prefix of the two commits, then
+        re-apply): [none] full redo. [codes] forward rows untouched →
+        same targets; the codes rewrite re-lands byte-identically (its
+        deletes already applied, freshness re-admits nothing); forward
+        proceeds. [both] targets is empty (old forward rows gone, the
+        update's rows carry the kept ins id), the checks compare equal
+        cells/codes, both freshness probes are empty — the replay
+        commits nothing."""
+        from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+
+        store, table = self.store, self.table
+        rows = encode_ivf_pq(new_vecs, self.index, self.id_col, self.vec_col).localCheckpoint(
+            eager=True
+        )
+        ids = (
+            old_ids.select(F.col(self.id_col).alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fm = store._read_manifest(self.forward_table)
+        pm = store._read_manifest(table)
+        # ONE forward bucket probe serves the delete-target lookup, the
+        # moved-cell check, and the forward freshness probe.
+        fwd_probe = store.buckets_of(
+            ids.unionByName(rows.select("vec_id")),
+            key="vec_id",
+            table=self.forward_table,
+        )
+        fwd_known = store._scan_manifest(self.forward_table, fm, fwd_probe)
+        targets = (
+            fwd_known.join(F.broadcast(ids), "vec_id", "left_semi")
+            .where(F.col("batch_id") != ins_id)
+            .localCheckpoint(eager=True)
+        )
+        has_del = not targets.isEmpty()
+        # Post-delete forward view: rows of deleted/updated vecs drop out,
+        # an update's kept :ins rows (crash replays) survive.
+        if has_del:
+            fwd_eff = fwd_known.join(F.broadcast(ids), "vec_id", "left_anti").unionByName(
+                fwd_known.where(F.col("batch_id") == ins_id).join(
+                    F.broadcast(ids), "vec_id", "left_semi"
+                )
+            )
+        else:
+            fwd_eff = fwd_known
+        # Moved-cell loud failure, against the post-delete view (an
+        # embedding change routed through THIS window's delete half is
+        # legitimate; one smuggled in as a plain insert is not).
+        moved = fwd_eff.join(
+            F.broadcast(rows.select("vec_id", F.col("cell").alias("_new_cell"))),
+            "vec_id",
+        ).where(F.col("cell") != F.col("_new_cell"))
+        if not moved.isEmpty():
+            some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
+            raise RuntimeError(
+                f"vec_ids {some} are registered in a DIFFERENT cell — their "
+                "embeddings changed since registration. Re-registering would "
+                "leave the stale code queryable; route the update's pre-image "
+                "through this window's delete half (or unregister first)."
+            )
+        # --- 1. codes: one rewrite of (buckets losing ∪ buckets gaining
+        # rows); mutated-code check and freshness probed against the
+        # post-delete view.
+        pairs = None
+        if has_del:
+            pairs = targets.select("cell", "vec_id").distinct().localCheckpoint(eager=True)
+        probe_keys = (
+            rows.select("cell")
+            if pairs is None
+            else rows.select("cell").unionByName(pairs.select("cell"))
+        )
+        known_buckets = store.buckets_of(probe_keys, key="cell", table=table)
+        known = store._scan_manifest(table, pm, known_buckets)
+        known_eff = (
+            known
+            if pairs is None
+            else known.join(F.broadcast(pairs), ["cell", "vec_id"], "left_anti")
+        )
+        mutated = known_eff.join(
+            F.broadcast(rows.select("vec_id", F.col("codes").alias("_new_codes"))),
+            "vec_id",
+        ).where(F.col("codes") != F.col("_new_codes"))
+        if not mutated.isEmpty():
+            some = [r["vec_id"] for r in mutated.select("vec_id").limit(5).collect()]
+            raise RuntimeError(
+                f"vec_ids {some} are registered with DIFFERENT codes — their "
+                "embeddings changed since registration. Route the update "
+                "through this window's delete half (or unregister first)."
+            )
+        fresh = anti_probe(rows, known_eff, ["vec_id"]).localCheckpoint(eager=True)
+        write_keys = (
+            fresh.select("cell")
+            if pairs is None
+            else fresh.select("cell").unionByName(pairs.select("cell"))
+        )
+        write_set = store.buckets_of(write_keys, key="cell", table=table)
+        if write_set:
+            # uncheckpointed: the write consumes this lineage exactly once
+            # while the old version files still exist (delete_matching_rows
+            # has the rationale).
+            base_w = store._scan_manifest(table, pm, write_set)
+            keep = (
+                base_w
+                if pairs is None
+                else base_w.join(F.broadcast(pairs), ["cell", "vec_id"], "left_anti")
+            )
+            store.write_buckets(
+                table,
+                keep.unionByName(fresh),
+                write_set,
+                key="cell",
+                planned_versions=dict(pm["buckets"]),
+            )
+        # --- 2. forward LAST, same merged shape.
+        fwd_rows = rows.select("vec_id", "cell", F.lit(ins_id).alias("batch_id"))
+        fresh_fwd = anti_probe(fwd_rows, fwd_eff, ["vec_id"]).localCheckpoint(eager=True)
+        fwd_write_keys = (
+            fresh_fwd.select("vec_id")
+            if not has_del
+            else fresh_fwd.select("vec_id").unionByName(targets.select("vec_id"))
+        )
+        fwd_write_set = store.buckets_of(
+            fwd_write_keys, key="vec_id", table=self.forward_table
+        )
+        if fwd_write_set:
+            base_w = store._scan_manifest(self.forward_table, fm, fwd_write_set)
+            if has_del:
+                keep = base_w.join(F.broadcast(ids), "vec_id", "left_anti").unionByName(
+                    base_w.where(F.col("batch_id") == ins_id).join(
+                        F.broadcast(ids), "vec_id", "left_semi"
+                    )
+                )
+            else:
+                keep = base_w
+            store.write_buckets(
+                self.forward_table,
+                keep.unionByName(fresh_fwd),
+                fwd_write_set,
+                key="vec_id",
+                planned_versions=dict(fm["buckets"]),
+            )
 
     def topk(
         self, queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 4

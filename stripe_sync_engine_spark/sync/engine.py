@@ -1633,7 +1633,19 @@ class StripeSparkSync:
         rows already count and would overstate every report's window
         size; the checkpointed feed comes back so callers' post-apply
         probes (the drift metric) reuse the cached snapshot instead of
-        re-running the diff lineage."""
+        re-running the diff lineage.
+
+        Targets apply CONCURRENTLY (r15, guide §2.6 — overlap
+        independent jobs): each target owns disjoint store tables, so
+        their many small probe/commit jobs back-fill each other's
+        scheduler idle time instead of serializing; wall per window is
+        max(target), not sum. Failure semantics are unchanged — every
+        target's outcome is awaited, and the first failure (in declared
+        target order, deterministically) propagates so the caller never
+        acks a partially failed window. At-least-once already tolerated
+        any committed PREFIX of targets before an ack-less crash;
+        concurrency widens that to any committed SUBSET, which the same
+        per-target replay idempotence covers."""
         feed = feed.localCheckpoint(eager=True)
         counts = feed.agg(
             F.count(F.lit(1)).alias("all"),
@@ -1642,12 +1654,23 @@ class StripeSparkSync:
             ).alias("net"),
         ).first()
         if counts["all"]:
-            for gate in gates:
-                gate.apply_changes(feed)
+            tasks = [(f"gate:{i}", g.apply_changes, (feed,)) for i, g in enumerate(gates)]
             if postings is not None:
-                postings.apply_changes(feed, window)
+                tasks.append(("postings", postings.apply_changes, (feed, window)))
             if ann is not None:
-                ann.apply_changes(feed, window)
+                tasks.append(("ann", ann.apply_changes, (feed, window)))
+            if len(tasks) <= 1:
+                for _, fn, args in tasks:
+                    fn(*args)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(len(tasks), 4)) as pool:
+                    futs = [(name, pool.submit(fn, *args)) for name, fn, args in tasks]
+                    errs = [(name, f.exception()) for name, f in futs]
+                first_err = next((e for _, e in errs if e is not None), None)
+                if first_err is not None:
+                    raise first_err
         return int(counts["net"]), feed
 
     def materialize_changes(

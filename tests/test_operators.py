@@ -2045,6 +2045,107 @@ def test_postings_apply_changes_bootstraps_fresh_index(spark, tmp_path):
     )
 
 
+@pytest.mark.parametrize("crash_after", [0, 1, 2])
+def test_postings_merged_window_crash_replay_converges(spark, tmp_path, crash_after):
+    """The merged one-commit-per-table CDC window (r15): crash after any
+    prefix of its three commits — [] / [stats] / [stats, postings] — then
+    re-apply, and the index converges to the fresh-build state (scores,
+    netted stats, no duplicate forward rows); a further replay of the
+    completed window moves nothing. This pins the replay matrix in
+    ``_apply_window_once``'s docstring commit by commit."""
+    import math
+
+    from stripe_sync_engine_spark.operators.postings import PersistedPostingsIndex
+    from stripe_sync_engine_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_crash_idx"), vacuum_retain_s=3600.0)
+    docs = spark.createDataFrame(
+        [(i, f"alpha spark doc {i} corpus query words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    store.write("corpus", docs, key="doc_id")
+    t0 = store.commits("corpus")[-1]
+    idx = PersistedPostingsIndex(store)
+    idx.register(store.read("corpus"), "b0")
+
+    import time as _t
+
+    _t.sleep(0.002)
+    cur = store.read("corpus")
+    upd = cur.where("doc_id >= 5 and doc_id < 10").withColumn(
+        "text",
+        F.when(F.col("doc_id") == 5, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("rewritten join body "), F.col("text"))
+        ),
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"brand new spark join document {i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    nxt = (
+        cur.where("doc_id >= 3")  # doc_id 0..2 deleted
+        .join(upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    store.write("corpus", nxt, key="doc_id")
+    feed = store.read_changes("corpus", t0).localCheckpoint(eager=True)
+    kinds = {r["_change_type"] for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"insert", "update", "delete"}
+
+    # Crash injection: the steady-state window commits exactly three
+    # versions through write_buckets — stats, postings, forward, in that
+    # order. Fail the (crash_after+1)-th.
+    calls = {"n": 0}
+    orig = store.write_buckets
+
+    def crashing(*a, **k):
+        if calls["n"] == crash_after:
+            raise RuntimeError("injected crash")
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    store.write_buckets = crashing
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.apply_changes(feed, "w1")
+    store.write_buckets = orig
+
+    idx.apply_changes(feed, "w1")  # recovery replay heals
+
+    fresh = PersistedPostingsIndex(TableStore(spark, str(tmp_path / "wh_crash_f")))
+    fresh.register(store.read("corpus"), "all")
+    for terms in (["spark", "join"], ["rewritten"], ["document"]):
+        got = {r["doc_id"]: r["score"] for r in idx.topk(terms, k=40).collect()}
+        want = {r["doc_id"]: r["score"] for r in fresh.topk(terms, k=40).collect()}
+        assert set(got) == set(want) and got, terms
+        for d, s in want.items():
+            assert math.isclose(got[d], s, rel_tol=1e-9), (terms, d)
+    s_inc = idx._stats_with_schema(store.read(idx.stats_table)).groupBy().sum().collect()[0]
+    s_new = fresh._stats_with_schema(
+        fresh.store.read(fresh.stats_table)
+    ).groupBy().sum().collect()[0]
+    for c in ("sum(n_docs)", "sum(n_dl_docs)", "sum(total_dl)"):
+        assert s_inc[c] == s_new[c], c
+    # forward rows: exactly one batch of rows per live doc (no crash dupes)
+    dup = (
+        store.read(idx.forward_table)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("batch_id").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert dup == 0
+    # a further replay of the completed window moves nothing
+    before = {
+        t: store.read(t).count() for t in (idx.table, idx.forward_table, idx.stats_table)
+    }
+    idx.apply_changes(feed, "w1")
+    after = {
+        t: store.read(t).count() for t in (idx.table, idx.forward_table, idx.stats_table)
+    }
+    assert after == before
+
+
 def test_postings_unregister_requires_forward_table(spark, tmp_path):
     """Indexes built before the forward table existed fail loudly on
     unregister instead of silently leaving stale postings."""

@@ -3,6 +3,7 @@ recall floors vs the exact ranking, monotone improvement with finer
 codebooks, and the re-rank refinement."""
 
 import numpy as np
+import pytest
 
 from stripe_sync_engine_spark.operators.pq_index import (
     encode_pq,
@@ -367,6 +368,116 @@ def test_persisted_ivfpq_apply_changes_tracks_mutating_corpus(spark, sf_dir, tmp
     )
     p.apply_changes(feed, "w1")
     assert codes_set(store, p.table) == codes_set(fresh_store, fresh.table)
+
+
+@pytest.mark.parametrize("crash_after", [0, 1])
+def test_persisted_ivfpq_merged_window_crash_replay_converges(
+    spark, sf_dir, tmp_path, crash_after
+):
+    """The merged one-commit-per-table CDC window (r15): crash after any
+    prefix of its two commits — [] / [codes] — then re-apply, and the
+    index converges to the fresh-build state; a further replay moves
+    nothing; and the moved-cell loud failure still fires through the
+    merged path for an embedding change smuggled in WITHOUT its delete
+    half."""
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.pq_index import (
+        PersistedIVFPQ,
+        train_ivf_pq,
+    )
+    from stripe_sync_engine_spark.storage import TableStore
+
+    vecs, X, ids = _corpus(spark, sf_dir)
+    idx = train_ivf_pq(vecs, n_cells=8, m=8, k=8)
+    cells = _cells_of(spark, idx, X, ids)
+    emb_of = {int(i): [float(v) for v in X[k]] for k, i in enumerate(ids)}
+
+    store = TableStore(spark, str(tmp_path / "wh_pq_crash"), vacuum_retain_s=3600.0)
+    store.write("vectors", vecs, key="vec_id")
+    t0 = store.commits("vectors")[-1]
+    p = PersistedIVFPQ(store, idx)
+    p.register(store.read("vectors"), "b0")
+
+    import time as _t
+
+    _t.sleep(0.002)
+    sorted_ids = sorted(cells)
+    deleted = sorted_ids[:3]
+    to_update = sorted_ids[3:6]
+    donors = {
+        u: next(d for d in sorted_ids[6:] if cells[d] != cells[u]) for u in to_update
+    }
+    cur = store.read("vectors")
+    upd = spark.createDataFrame(
+        [(u, emb_of[donors[u]]) for u in to_update],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(100000 + j, emb_of[sorted_ids[10 + j]]) for j in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    nxt = (
+        cur.join(
+            spark.createDataFrame([(d,) for d in deleted], "vec_id long"),
+            "vec_id",
+            "left_anti",
+        )
+        .join(upd.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    store.write("vectors", nxt, key="vec_id")
+    feed = store.read_changes("vectors", t0).localCheckpoint(eager=True)
+
+    # Crash injection: the steady-state window commits exactly two
+    # versions through write_buckets — codes, forward. Fail the
+    # (crash_after+1)-th.
+    calls = {"n": 0}
+    orig = store.write_buckets
+
+    def crashing(*a, **k):
+        if calls["n"] == crash_after:
+            raise RuntimeError("injected crash")
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    store.write_buckets = crashing
+    with pytest.raises(RuntimeError, match="injected crash"):
+        p.apply_changes(feed, "w1")
+    store.write_buckets = orig
+
+    p.apply_changes(feed, "w1")  # recovery replay heals
+
+    fresh_store = TableStore(spark, str(tmp_path / "wh_pq_crash_f"))
+    fresh = PersistedIVFPQ(fresh_store, idx)
+    fresh.register(store.read("vectors"), "all")
+
+    def codes_set(s, table):
+        return {
+            (r["vec_id"], r["cell"], tuple(r["codes"])) for r in s.read(table).collect()
+        }
+
+    assert codes_set(store, p.table) == codes_set(fresh_store, fresh.table)
+    fwd = {(r["vec_id"], r["cell"]) for r in store.read(p.forward_table).collect()}
+    fwd_fresh = {
+        (r["vec_id"], r["cell"]) for r in fresh_store.read(fresh.forward_table).collect()
+    }
+    assert fwd == fwd_fresh
+    # a further replay of the completed window moves nothing
+    before = (codes_set(store, p.table), store.read(p.forward_table).count())
+    p.apply_changes(feed, "w1")
+    assert (codes_set(store, p.table), store.read(p.forward_table).count()) == before
+    # the merged path still fails loudly on an embedding change smuggled
+    # in as a bare insert (no delete half for that vec in the window)
+    victim = sorted_ids[8]
+    donor = next(d for d in sorted_ids[9:] if cells[d] != cells[victim])
+    bad = spark.createDataFrame(
+        [(victim, emb_of[donor], "insert")],
+        "vec_id long, embedding array<double>, _change_type string",
+    ).localCheckpoint(eager=True)
+    with pytest.raises(RuntimeError, match="DIFFERENT cell"):
+        p.apply_changes(bad, "w2")
 
 
 def test_persisted_ivfpq_register_rejects_changed_embedding(spark, sf_dir, tmp_path):
