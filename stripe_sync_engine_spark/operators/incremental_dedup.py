@@ -91,6 +91,33 @@ def ensure_local_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def checkpoint_parallel(*dfs: DataFrame) -> tuple[DataFrame, ...]:
+    """``localCheckpoint(eager=True)`` several INDEPENDENT frames
+    concurrently, returned in argument order.
+
+    Why (r15, guide §2.6 — overlap independent jobs): a merged CDC window
+    materializes a handful of frames whose lineages do not depend on each
+    other (the tokenized batch and the delete-id set; the postings rows
+    and the forward rows; the two tables' freshness survivors), but a
+    sequential ``df.localCheckpoint()`` chain makes the driver wait out
+    each job's fixed scheduler latency one at a time. Submitting them
+    from a thread pool lets one job's tasks back-fill the others' idle
+    scheduler time — wall per phase becomes ~max(job), not sum. Spark's
+    scheduler supports concurrent driver-thread submission (the engine
+    already relies on this in ``_run_handler_chains`` and
+    ``_apply_change_window``); checkpoints are pure materializations
+    with no commit-order semantics, so overlap is semantically
+    invisible. Callers must only group frames with NO mutual lineage
+    dependency (a frame derived from another's checkpoint belongs in a
+    later phase)."""
+    if len(dfs) <= 1:
+        return tuple(df.localCheckpoint(eager=True) for df in dfs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return tuple(pool.map(lambda d: d.localCheckpoint(eager=True), dfs))
+
+
 def anti_probe(batch: DataFrame, indexed: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of ``batch`` whose keys are absent from ``indexed``, with the
     indexed side never shuffled OR broadcast.

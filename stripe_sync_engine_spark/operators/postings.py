@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 from stripe_sync_engine_spark.operators.incremental_dedup import (
     FoldLedger,
     anti_probe,
+    checkpoint_parallel,
     commit_fresh,
     fold_batch_rows,
     with_occ_retry,
@@ -492,14 +493,16 @@ class PersistedPostingsIndex:
         check and any commit is a plain retry."""
         store = self.store
         # ONE eager tokenization feeds all three new-side derivations,
-        # exactly as in _register_once.
-        base = self._tokenized(new_docs).localCheckpoint(eager=True)
-        rows = self._rows(base, ins_id).localCheckpoint(eager=True)
-        fwd = self._forward_rows(base, ins_id).localCheckpoint(eager=True)
-        ids = (
-            old_ids.select(F.col(self.id_col).alias("doc_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        # exactly as in _register_once. Materializations with no mutual
+        # lineage dependency overlap via checkpoint_parallel (r15, guide
+        # §2.6): {base, ids} first, then {rows, fwd} (both derive from the
+        # checkpointed base) — two scheduler waits instead of four.
+        base, ids = checkpoint_parallel(
+            self._tokenized(new_docs),
+            old_ids.select(F.col(self.id_col).alias("doc_id")).distinct(),
+        )
+        rows, fwd = checkpoint_parallel(
+            self._rows(base, ins_id), self._forward_rows(base, ins_id)
         )
         fm = store._read_manifest(self.forward_table)
         pm = store._read_manifest(self.table)
@@ -558,15 +561,55 @@ class PersistedPostingsIndex:
             if pairs is None
             else known.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
         )
-        fresh = anti_probe(rows, known_eff, ["term_h", "doc_id"]).localCheckpoint(
-            eager=True
+        # Both tables' freshness survivors materialize CONCURRENTLY (r15,
+        # guide §2.6): the forward survivors read only the already-scanned
+        # forward view (fwd_known) — nothing the postings commit below
+        # touches — so computing them before that commit is semantically
+        # identical to the old compute-after order, and the two probe
+        # jobs overlap instead of serializing. NULL-term sentinels probe
+        # via the reserved-long coalesce (_register_once has the
+        # collision note).
+        th = F.coalesce(F.col("term_h"), F.lit(-(1 << 62)).cast("long"))
+        if has_del:
+            fwd_eff = fwd_known.join(F.broadcast(ids), "doc_id", "left_anti").unionByName(
+                fwd_known.where(F.col("batch_id") == ins_id).join(
+                    F.broadcast(ids), "doc_id", "left_semi"
+                )
+            )
+        else:
+            fwd_eff = fwd_known
+        fresh, fresh_fwd = checkpoint_parallel(
+            anti_probe(rows, known_eff, ["term_h", "doc_id"]),
+            anti_probe(
+                fwd.withColumn("_th", th),
+                fwd_eff.withColumn("_th", th),
+                ["doc_id", "_th"],
+            ).drop("_th"),
         )
         write_keys = (
             fresh.select("term_h")
             if pairs is None
             else fresh.select("term_h").unionByName(pairs.select("term_h"))
         )
-        write_set = store.buckets_of(write_keys, key="term_h", table=self.table)
+        fwd_write_keys = (
+            fresh_fwd.select("doc_id")
+            if not has_del
+            else fresh_fwd.select("doc_id").unionByName(targets.select("doc_id"))
+        )
+        # ...and the two write-set bucket probes collect concurrently too
+        # (both are read-only probes planned against the manifests already
+        # in hand; the commits below stay strictly sequential,
+        # postings-then-forward).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ws = pool.submit(
+                store.buckets_of, write_keys, key="term_h", table=self.table
+            )
+            f_fws = pool.submit(
+                store.buckets_of, fwd_write_keys, key="doc_id", table=self.forward_table
+            )
+            write_set, fwd_write_set = f_ws.result(), f_fws.result()
         if write_set:
             # uncheckpointed: the write consumes this lineage exactly once
             # while the old version files still exist (delete_matching_rows
@@ -584,35 +627,7 @@ class PersistedPostingsIndex:
                 key="term_h",
                 planned_versions=dict(pm["buckets"]),
             )
-        # --- 3. forward LAST (the replay's memory), same merged shape;
-        # NULL-term sentinels probe via the reserved-long coalesce
-        # (_register_once has the collision note).
-        th = F.coalesce(F.col("term_h"), F.lit(-(1 << 62)).cast("long"))
-        if has_del:
-            fwd_eff = fwd_known.join(F.broadcast(ids), "doc_id", "left_anti").unionByName(
-                fwd_known.where(F.col("batch_id") == ins_id).join(
-                    F.broadcast(ids), "doc_id", "left_semi"
-                )
-            )
-        else:
-            fwd_eff = fwd_known
-        fresh_fwd = (
-            anti_probe(
-                fwd.withColumn("_th", th),
-                fwd_eff.withColumn("_th", th),
-                ["doc_id", "_th"],
-            )
-            .drop("_th")
-            .localCheckpoint(eager=True)
-        )
-        fwd_write_keys = (
-            fresh_fwd.select("doc_id")
-            if not has_del
-            else fresh_fwd.select("doc_id").unionByName(targets.select("doc_id"))
-        )
-        fwd_write_set = store.buckets_of(
-            fwd_write_keys, key="doc_id", table=self.forward_table
-        )
+        # --- 3. forward LAST (the replay's memory), same merged shape.
         if fwd_write_set:
             base_w = store._scan_manifest(self.forward_table, fm, fwd_write_set)
             if has_del:

@@ -1034,16 +1034,17 @@ class PersistedIVFPQ:
         update's rows carry the kept ins id), the checks compare equal
         cells/codes, both freshness probes are empty — the replay
         commits nothing."""
-        from stripe_sync_engine_spark.operators.incremental_dedup import anti_probe
+        from stripe_sync_engine_spark.operators.incremental_dedup import (
+            anti_probe,
+            checkpoint_parallel,
+        )
 
         store, table = self.store, self.table
-        rows = encode_ivf_pq(new_vecs, self.index, self.id_col, self.vec_col).localCheckpoint(
-            eager=True
-        )
-        ids = (
-            old_ids.select(F.col(self.id_col).alias("vec_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        # The encoded batch and the delete-id set share no lineage, so
+        # their materializations overlap (r15, guide §2.6).
+        rows, ids = checkpoint_parallel(
+            encode_ivf_pq(new_vecs, self.index, self.id_col, self.vec_col),
+            old_ids.select(F.col(self.id_col).alias("vec_id")).distinct(),
         )
         fm = store._read_manifest(self.forward_table)
         pm = store._read_manifest(table)
@@ -1115,13 +1116,36 @@ class PersistedIVFPQ:
                 "embeddings changed since registration. Route the update "
                 "through this window's delete half (or unregister first)."
             )
-        fresh = anti_probe(rows, known_eff, ["vec_id"]).localCheckpoint(eager=True)
+        # Both tables' freshness survivors materialize CONCURRENTLY, and
+        # the two write-set bucket probes collect concurrently (r15, guide
+        # §2.6): the forward survivors read only the already-scanned
+        # forward view (fwd_eff over fwd_known) — nothing the codes commit
+        # below touches — so computing them before that commit is
+        # semantically identical to the old compute-after order. The
+        # commits themselves stay strictly sequential, codes-then-forward.
+        fwd_rows = rows.select("vec_id", "cell", F.lit(ins_id).alias("batch_id"))
+        fresh, fresh_fwd = checkpoint_parallel(
+            anti_probe(rows, known_eff, ["vec_id"]),
+            anti_probe(fwd_rows, fwd_eff, ["vec_id"]),
+        )
         write_keys = (
             fresh.select("cell")
             if pairs is None
             else fresh.select("cell").unionByName(pairs.select("cell"))
         )
-        write_set = store.buckets_of(write_keys, key="cell", table=table)
+        fwd_write_keys = (
+            fresh_fwd.select("vec_id")
+            if not has_del
+            else fresh_fwd.select("vec_id").unionByName(targets.select("vec_id"))
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ws = pool.submit(store.buckets_of, write_keys, key="cell", table=table)
+            f_fws = pool.submit(
+                store.buckets_of, fwd_write_keys, key="vec_id", table=self.forward_table
+            )
+            write_set, fwd_write_set = f_ws.result(), f_fws.result()
         if write_set:
             # uncheckpointed: the write consumes this lineage exactly once
             # while the old version files still exist (delete_matching_rows
@@ -1140,16 +1164,6 @@ class PersistedIVFPQ:
                 planned_versions=dict(pm["buckets"]),
             )
         # --- 2. forward LAST, same merged shape.
-        fwd_rows = rows.select("vec_id", "cell", F.lit(ins_id).alias("batch_id"))
-        fresh_fwd = anti_probe(fwd_rows, fwd_eff, ["vec_id"]).localCheckpoint(eager=True)
-        fwd_write_keys = (
-            fresh_fwd.select("vec_id")
-            if not has_del
-            else fresh_fwd.select("vec_id").unionByName(targets.select("vec_id"))
-        )
-        fwd_write_set = store.buckets_of(
-            fwd_write_keys, key="vec_id", table=self.forward_table
-        )
         if fwd_write_set:
             base_w = store._scan_manifest(self.forward_table, fm, fwd_write_set)
             if has_del:

@@ -2381,3 +2381,34 @@ def test_ensure_local_checkpoint_idempotent(spark):
     refiltered = ensure_local_checkpoint(filtered)
     assert refiltered is not filtered  # lineage on top: real checkpoint
     assert sorted(r.x for r in refiltered.collect()) == list(range(4, 10))
+
+
+def test_checkpoint_parallel_materializes_in_order(spark):
+    """r15 (guide §2.6): concurrent localCheckpoint of independent frames
+    must return MATERIALIZED frames (bare LogicalRDD roots) in argument
+    order with contents identical to sequential checkpointing, across
+    arities 0/1/3."""
+    from stripe_sync_engine_spark.operators.incremental_dedup import (
+        checkpoint_parallel,
+    )
+
+    assert checkpoint_parallel() == ()
+    (one,) = checkpoint_parallel(spark.range(5).withColumnRenamed("id", "x"))
+    assert (
+        one._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        == "LogicalRDD"
+    )
+    assert sorted(r.x for r in one.collect()) == list(range(5))
+    a, b, c = checkpoint_parallel(
+        spark.range(3).withColumnRenamed("id", "x"),
+        spark.range(10).withColumnRenamed("id", "x").where("x >= 7"),
+        spark.range(2).selectExpr("id * 100 as x"),
+    )
+    for df in (a, b, c):
+        assert (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    assert sorted(r.x for r in a.collect()) == [0, 1, 2]
+    assert sorted(r.x for r in b.collect()) == [7, 8, 9]
+    assert sorted(r.x for r in c.collect()) == [0, 100]
