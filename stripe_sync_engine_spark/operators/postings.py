@@ -246,12 +246,18 @@ class PersistedPostingsIndex:
         SUM nets them out.
 
         ``inc`` is a HANDFUL of agg rows by construction (one per
-        sub-batch), so the probe and commit run driver-side: one collect
-        yields the rows plus their bucket ids, one collect of the touched
-        buckets' batch_ids decides freshness, one partial write commits —
-        replacing the generic anti-probe's checkpoint + isEmpty + two
-        bucket-probe jobs (r15: that machinery cost ~1s per window to
-        commit two 4-column rows)."""
+        sub-batch), so the ENTIRE commit runs driver-side (r16, guide
+        §1.2 — the window's cost is per-commit overhead, not compute):
+        ONE Spark job collects the rows plus their bucket ids; the
+        freshness probe reads the touched buckets' few rows with pyarrow,
+        and the partial write lands via the store's driver-side
+        tiny-commit path (``write_rows_buckets`` — same manifest swap,
+        OCC precondition, and footer-stat harvest as a Spark write).
+        This replaced a probe scan job + a write job per window (r15's
+        form itself replaced the generic anti-probe machinery, ~1s of
+        jobs to commit two 4-column rows)."""
+        from pyspark.sql.types import StructType
+
         store = self.store
         if not store.exists(self.stats_table):
             store.write(self.stats_table, inc, key="batch_id")
@@ -262,33 +268,42 @@ class PersistedPostingsIndex:
         if not rows:
             return
         touched = sorted({int(r["_b"]) for r in rows})
+        base_by_bucket = store.read_rows_driver(self.stats_table, touched, manifest)
         known_ids = {
-            r["batch_id"]
-            for r in store._scan_manifest(self.stats_table, manifest, touched)
-            .select("batch_id")
-            .collect()
+            r["batch_id"] for rs in base_by_bucket.values() for r in rs
         }
         fresh_rows = [r for r in rows if r["batch_id"] not in known_ids]
         if not fresh_rows:
             return
-        fresh = store.spark.createDataFrame(
-            [
-                (r["batch_id"], r["n_docs"], r["n_dl_docs"], r["total_dl"])
-                for r in fresh_rows
-            ],
-            "batch_id string, n_docs long, n_dl_docs long, total_dl long",
-        )
-        # the scanned base unions with fresh, so a legacy 3-column base
-        # must be upgraded before the union (the write also migrates the
+        # the base rows union with fresh, so a legacy 3-column base must
+        # be upgraded before the union (the write also migrates the
         # touched buckets to the new schema as a side effect).
+        def up(r: dict) -> dict:
+            return {
+                "batch_id": r["batch_id"],
+                "n_docs": int(r["n_docs"]),
+                "n_dl_docs": int(r.get("n_dl_docs", r["n_docs"])),
+                "total_dl": int(r["total_dl"]),
+            }
+
         write_set = sorted({int(r["_b"]) for r in fresh_rows})
-        base = self._stats_with_schema(
-            store._scan_manifest(self.stats_table, manifest, write_set)
+        by_bucket = {b: [up(r) for r in base_by_bucket[b]] for b in write_set}
+        for r in fresh_rows:
+            by_bucket[int(r["_b"])].append(
+                {
+                    "batch_id": r["batch_id"],
+                    "n_docs": int(r["n_docs"]),
+                    "n_dl_docs": int(r["n_dl_docs"]),
+                    "total_dl": int(r["total_dl"]),
+                }
+            )
+        schema = StructType.fromDDL(
+            "batch_id string, n_docs long, n_dl_docs long, total_dl long"
         )
-        store.write_buckets(
+        store.write_rows_buckets(
             self.stats_table,
-            base.unionByName(fresh),
-            write_set,
+            by_bucket,
+            schema,
             key="batch_id",
             planned_versions=dict(manifest["buckets"]),
         )
@@ -488,31 +503,53 @@ class PersistedPostingsIndex:
         nothing — the merged write degrades to a no-op rewrite of the
         touched buckets); forward proceeds. [all three] targets is empty
         (old rows gone, the update's rows carry the kept ins id), every
-        freshness probe is empty, and the only rewrite candidate set is
-        empty — the replay commits nothing. A crash between the ledger
-        check and any commit is a plain retry."""
+        freshness probe is empty, and both merged writes degrade to
+        no-op rewrites of the window's touched buckets (r16: write sets
+        are the probed buckets, not re-probed from materialized
+        survivors — the replay's wasted IO is bounded by the window's
+        own bucket fan-out). A crash between the ledger check and any
+        commit is a plain retry.
+
+        Job shape (r16, guide §1.2/§2.6 — the window's cost is fixed
+        per-job latency, not compute; r16 traced 58 jobs per bench
+        window before this form): the freshness anti-probes are FOLDED
+        INTO the two table rewrites (each rewrite's one job scans its
+        write-set buckets, drops the window's delete pairs, anti-probes
+        the new rows against that post-delete view map-side, and writes
+        — no separate survivor materialization, no second write-set
+        probe), the write sets are the already-probed bucket sets, the
+        forward rows derive lazily from the checkpointed tokenization
+        (consumed exactly once, by the forward rewrite), and the two
+        driver waits that remain per phase overlap read-only work
+        (tokenized-rows materialization ∥ forward bucket probe; stats
+        collect+driver-commit ∥ postings bucket probe)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         store = self.store
         # ONE eager tokenization feeds all three new-side derivations,
-        # exactly as in _register_once. Materializations with no mutual
-        # lineage dependency overlap via checkpoint_parallel (r15, guide
-        # §2.6): {base, ids} first, then {rows, fwd} (both derive from the
-        # checkpointed base) — two scheduler waits instead of four.
+        # exactly as in _register_once; the delete-id set shares no
+        # lineage with it, so the two materialize concurrently.
         base, ids = checkpoint_parallel(
             self._tokenized(new_docs),
             old_ids.select(F.col(self.id_col).alias("doc_id")).distinct(),
         )
-        rows, fwd = checkpoint_parallel(
-            self._rows(base, ins_id), self._forward_rows(base, ins_id)
-        )
         fm = store._read_manifest(self.forward_table)
         pm = store._read_manifest(self.table)
-        # ONE forward bucket probe serves both the delete-target lookup
-        # and the forward freshness probe.
-        fwd_probe = store.buckets_of(
-            ids.unionByName(fwd.select("doc_id")),
-            key="doc_id",
-            table=self.forward_table,
-        )
+        # ONE forward bucket probe serves the delete-target lookup, the
+        # forward freshness view, and the forward write set. Its key set
+        # (the window's doc_ids) derives from base+ids alone, so it
+        # overlaps the postings-rows materialization.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_rows = pool.submit(
+                lambda: self._rows(base, ins_id).localCheckpoint(eager=True)
+            )
+            f_probe = pool.submit(
+                store.buckets_of,
+                ids.unionByName(base.select("doc_id")),
+                key="doc_id",
+                table=self.forward_table,
+            )
+            rows, fwd_probe = f_rows.result(), f_probe.result()
         fwd_known = store._scan_manifest(self.forward_table, fm, fwd_probe)
         targets = (
             fwd_known.join(F.broadcast(ids), "doc_id", "left_semi")
@@ -523,11 +560,16 @@ class PersistedPostingsIndex:
         # --- 1. stats: dec (from the forward rows, which outlive this
         # commit) + inc (from the batch itself) in ONE anti-probed
         # commit. Same skip rule as _unregister_once: no zero :del row.
+        # The stats job and the postings bucket probe are both read-only,
+        # so they overlap; the COMMIT order stays stats → postings →
+        # forward (the stats commit itself is driver-side and completes
+        # before either table rewrite starts).
         inc = base.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.count("dl").cast("long").alias("n_dl_docs"),
             F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("total_dl"),
         ).select(F.lit(ins_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl")
+        pairs = None
         if has_del:
             per_doc = targets.groupBy("doc_id").agg(F.max("dl").alias("dl"))
             dec = per_doc.agg(
@@ -538,88 +580,40 @@ class PersistedPostingsIndex:
                 F.lit(del_id).alias("batch_id"), "n_docs", "n_dl_docs", "total_dl"
             )
             inc = dec.unionByName(inc)
-        self._commit_stats(inc)
-        # --- 2. postings: one rewrite of (buckets losing ∪ buckets
-        # gaining rows); freshness probed against the post-delete view.
-        pairs = None
-        if has_del:
+            # lazy over the checkpointed targets — each consumer's
+            # re-derivation is a filter+distinct over materialized rows
             pairs = (
                 targets.where(F.col("term_h").isNotNull())
                 .select("term_h", "doc_id")
                 .distinct()
-                .localCheckpoint(eager=True)
             )
         probe_keys = (
             rows.select("term_h")
             if pairs is None
             else rows.select("term_h").unionByName(pairs.select("term_h"))
         )
-        known_buckets = store.buckets_of(probe_keys, key="term_h", table=self.table)
-        known = store._scan_manifest(self.table, pm, known_buckets)
-        known_eff = (
-            known
-            if pairs is None
-            else known.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
-        )
-        # Both tables' freshness survivors materialize CONCURRENTLY (r15,
-        # guide §2.6): the forward survivors read only the already-scanned
-        # forward view (fwd_known) — nothing the postings commit below
-        # touches — so computing them before that commit is semantically
-        # identical to the old compute-after order, and the two probe
-        # jobs overlap instead of serializing. NULL-term sentinels probe
-        # via the reserved-long coalesce (_register_once has the
-        # collision note).
-        th = F.coalesce(F.col("term_h"), F.lit(-(1 << 62)).cast("long"))
-        if has_del:
-            fwd_eff = fwd_known.join(F.broadcast(ids), "doc_id", "left_anti").unionByName(
-                fwd_known.where(F.col("batch_id") == ins_id).join(
-                    F.broadcast(ids), "doc_id", "left_semi"
-                )
-            )
-        else:
-            fwd_eff = fwd_known
-        fresh, fresh_fwd = checkpoint_parallel(
-            anti_probe(rows, known_eff, ["term_h", "doc_id"]),
-            anti_probe(
-                fwd.withColumn("_th", th),
-                fwd_eff.withColumn("_th", th),
-                ["doc_id", "_th"],
-            ).drop("_th"),
-        )
-        write_keys = (
-            fresh.select("term_h")
-            if pairs is None
-            else fresh.select("term_h").unionByName(pairs.select("term_h"))
-        )
-        fwd_write_keys = (
-            fresh_fwd.select("doc_id")
-            if not has_del
-            else fresh_fwd.select("doc_id").unionByName(targets.select("doc_id"))
-        )
-        # ...and the two write-set bucket probes collect concurrently too
-        # (both are read-only probes planned against the manifests already
-        # in hand; the commits below stay strictly sequential,
-        # postings-then-forward).
-        from concurrent.futures import ThreadPoolExecutor
-
         with ThreadPoolExecutor(max_workers=2) as pool:
+            f_stats = pool.submit(self._commit_stats, inc)
             f_ws = pool.submit(
-                store.buckets_of, write_keys, key="term_h", table=self.table
+                store.buckets_of, probe_keys, key="term_h", table=self.table
             )
-            f_fws = pool.submit(
-                store.buckets_of, fwd_write_keys, key="doc_id", table=self.forward_table
-            )
-            write_set, fwd_write_set = f_ws.result(), f_fws.result()
+            f_stats.result()
+            write_set = f_ws.result()
+        # --- 2. postings: ONE job scans the write-set buckets (buckets
+        # losing ∪ buckets gaining rows), drops the window's delete
+        # pairs, anti-probes the new rows against that post-delete view,
+        # and writes the merged contents. NULL-term sentinels never reach
+        # this table (postings rows are real terms). Uncheckpointed: the
+        # write consumes this lineage exactly once while the old version
+        # files still exist (delete_matching_rows has the rationale).
         if write_set:
-            # uncheckpointed: the write consumes this lineage exactly once
-            # while the old version files still exist (delete_matching_rows
-            # has the rationale).
             base_w = store._scan_manifest(self.table, pm, write_set)
             keep = (
                 base_w
                 if pairs is None
                 else base_w.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
             )
+            fresh = anti_probe(rows, keep, ["term_h", "doc_id"])
             store.write_buckets(
                 self.table,
                 keep.unionByName(fresh),
@@ -627,9 +621,15 @@ class PersistedPostingsIndex:
                 key="term_h",
                 planned_versions=dict(pm["buckets"]),
             )
-        # --- 3. forward LAST (the replay's memory), same merged shape.
-        if fwd_write_set:
-            base_w = store._scan_manifest(self.forward_table, fm, fwd_write_set)
+        # --- 3. forward LAST (the replay's memory), same folded shape
+        # over the already-probed forward buckets; the new forward rows
+        # derive lazily from the checkpointed tokenization (this is
+        # their only consumer). NULL-term sentinels probe via the
+        # reserved-long coalesce (_register_once has the collision
+        # note).
+        if fwd_probe:
+            th = F.coalesce(F.col("term_h"), F.lit(-(1 << 62)).cast("long"))
+            base_w = store._scan_manifest(self.forward_table, fm, fwd_probe)
             if has_del:
                 keep = base_w.join(F.broadcast(ids), "doc_id", "left_anti").unionByName(
                     base_w.where(F.col("batch_id") == ins_id).join(
@@ -638,10 +638,16 @@ class PersistedPostingsIndex:
                 )
             else:
                 keep = base_w
+            fwd = self._forward_rows(base, ins_id)
+            fresh_fwd = anti_probe(
+                fwd.withColumn("_th", th),
+                keep.withColumn("_th", th),
+                ["doc_id", "_th"],
+            ).drop("_th")
             store.write_buckets(
                 self.forward_table,
                 keep.unionByName(fresh_fwd),
-                fwd_write_set,
+                fwd_probe,
                 key="doc_id",
                 planned_versions=dict(fm["buckets"]),
             )
@@ -649,7 +655,14 @@ class PersistedPostingsIndex:
     def topk(self, query_terms: list[str], k: int = 20) -> DataFrame:
         """``(doc_id, score)`` — BM25 top-k from the index: reads ONLY
         the buckets the query's term hashes land in, plus the (tiny)
-        stats table."""
+        stats table.
+
+        Query-time job shape (r16, guide §1.2): the bucket probe runs
+        driver-side (the terms are driver-known strings —
+        ``buckets_of_values``), and the corpus-level N/avgdl come from a
+        driver-side pyarrow read of the stats table's few rows injected
+        as literals — two Spark jobs' fixed latency removed from every
+        query; the scored scan itself is unchanged."""
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
         store, spark = self.store, self.store.spark
@@ -662,16 +675,34 @@ class PersistedPostingsIndex:
         probe = spark.createDataFrame(
             [(t,) for t in terms], "term string"
         ).select(F.xxhash64("term").alias("term_h"), "term")
-        touched = store.buckets_of(probe, key="term_h", table=self.table)
+        # the table is bucketed by term_h (the signed xxhash64 of the
+        # term), so the driver-side probe hashes twice: term → term_h,
+        # then the store's bucket hash over term_h's decimal rendering
+        from stripe_sync_engine_spark.functions.xxh64 import spark_xxhash64_str
+
+        touched = store.buckets_of_values(
+            [spark_xxhash64_str(t) for t in terms], table=self.table
+        )
         hits = (
             store.read_buckets(self.table, touched)
             .join(F.broadcast(probe), ["term_h", "term"], "left_semi")
         )
-        stats = self._stats_with_schema(store.read(self.stats_table)).agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            (
-                F.sum("total_dl").cast("double") / F.sum("n_dl_docs").cast("double")
-            ).alias("avgdl"),
+        sm = store._read_manifest(self.stats_table)
+        srows = [
+            r
+            for rs in store.read_rows_driver(
+                self.stats_table, [int(b) for b in sm["buckets"]], sm
+            ).values()
+            for r in rs
+        ]
+        n_docs = sum(int(r["n_docs"]) for r in srows)
+        n_dl = sum(int(r.get("n_dl_docs", r["n_docs"])) for r in srows)
+        total_dl = sum(int(r["total_dl"]) for r in srows)
+        # same IEEE double division the Spark agg performed; an all-empty
+        # corpus (n_dl == 0) has no postings rows, so avgdl is never read
+        avgdl = (float(total_dl) / float(n_dl)) if n_dl else float("nan")
+        stats = spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
         )
         dfreq = hits.groupBy("term").agg(
             F.count_distinct(F.col("doc_id")).cast("double").alias("df")

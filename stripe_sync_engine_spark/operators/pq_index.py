@@ -1032,29 +1032,50 @@ class PersistedIVFPQ:
         deletes already applied, freshness re-admits nothing); forward
         proceeds. [both] targets is empty (old forward rows gone, the
         update's rows carry the kept ins id), the checks compare equal
-        cells/codes, both freshness probes are empty — the replay
-        commits nothing."""
+        cells/codes, both freshness probes are empty, and both merged
+        writes degrade to no-op rewrites of the window's touched
+        buckets (r16: write sets are the probed buckets, not re-probed
+        from materialized survivors — the replay's wasted IO is bounded
+        by the window's own bucket fan-out).
+
+        Job shape (r16, guide §1.2/§2.6): the freshness anti-probes are
+        FOLDED INTO the two table rewrites (no separate survivor
+        materialization, no second write-set probe — each rewrite's one
+        job scans its write-set buckets, drops the window's delete
+        pairs, anti-probes the new rows against that post-delete view
+        map-side, and writes), the write sets are the already-probed
+        bucket sets, and the remaining driver waits overlap read-only
+        work: the encode+ids materialization runs concurrently with the
+        forward bucket probe (whose key set is the window's changed ids,
+        derivable from the checkpointed feed halves), and the moved-cell
+        loud check runs concurrently with the codes bucket probe."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from stripe_sync_engine_spark.operators.incremental_dedup import (
             anti_probe,
             checkpoint_parallel,
         )
 
         store, table = self.store, self.table
-        # The encoded batch and the delete-id set share no lineage, so
-        # their materializations overlap (r15, guide §2.6).
-        rows, ids = checkpoint_parallel(
-            encode_ivf_pq(new_vecs, self.index, self.id_col, self.vec_col),
-            old_ids.select(F.col(self.id_col).alias("vec_id")).distinct(),
-        )
         fm = store._read_manifest(self.forward_table)
         pm = store._read_manifest(table)
         # ONE forward bucket probe serves the delete-target lookup, the
-        # moved-cell check, and the forward freshness probe.
-        fwd_probe = store.buckets_of(
-            ids.unionByName(rows.select("vec_id")),
-            key="vec_id",
-            table=self.forward_table,
+        # moved-cell check, the forward freshness view, and the forward
+        # write set; its key set (every changed id in the window) needs
+        # no encoding, so it overlaps the encode+ids materialization.
+        probe_ids = old_ids.select(F.col(self.id_col).alias("vec_id")).unionByName(
+            new_vecs.select(F.col(self.id_col).alias("vec_id"))
         )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ck = pool.submit(
+                checkpoint_parallel,
+                encode_ivf_pq(new_vecs, self.index, self.id_col, self.vec_col),
+                old_ids.select(F.col(self.id_col).alias("vec_id")).distinct(),
+            )
+            f_probe = pool.submit(
+                store.buckets_of, probe_ids, key="vec_id", table=self.forward_table
+            )
+            (rows, ids), fwd_probe = f_ck.result(), f_probe.result()
         fwd_known = store._scan_manifest(self.forward_table, fm, fwd_probe)
         targets = (
             fwd_known.join(F.broadcast(ids), "vec_id", "left_semi")
@@ -1074,12 +1095,29 @@ class PersistedIVFPQ:
             fwd_eff = fwd_known
         # Moved-cell loud failure, against the post-delete view (an
         # embedding change routed through THIS window's delete half is
-        # legitimate; one smuggled in as a plain insert is not).
+        # legitimate; one smuggled in as a plain insert is not). The
+        # check and the codes bucket probe are both read-only, so they
+        # overlap; the failure still precedes every commit.
         moved = fwd_eff.join(
             F.broadcast(rows.select("vec_id", F.col("cell").alias("_new_cell"))),
             "vec_id",
         ).where(F.col("cell") != F.col("_new_cell"))
-        if not moved.isEmpty():
+        pairs = None
+        if has_del:
+            # lazy over the checkpointed targets — each consumer's
+            # re-derivation is a projection over materialized rows
+            pairs = targets.select("cell", "vec_id").distinct()
+        probe_keys = (
+            rows.select("cell")
+            if pairs is None
+            else rows.select("cell").unionByName(pairs.select("cell"))
+        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_moved = pool.submit(moved.isEmpty)
+            f_ws = pool.submit(store.buckets_of, probe_keys, key="cell", table=table)
+            moved_empty = f_moved.result()
+            write_set = f_ws.result()
+        if not moved_empty:
             some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
             raise RuntimeError(
                 f"vec_ids {some} are registered in a DIFFERENT cell — their "
@@ -1087,75 +1125,33 @@ class PersistedIVFPQ:
                 "leave the stale code queryable; route the update's pre-image "
                 "through this window's delete half (or unregister first)."
             )
-        # --- 1. codes: one rewrite of (buckets losing ∪ buckets gaining
-        # rows); mutated-code check and freshness probed against the
-        # post-delete view.
-        pairs = None
-        if has_del:
-            pairs = targets.select("cell", "vec_id").distinct().localCheckpoint(eager=True)
-        probe_keys = (
-            rows.select("cell")
-            if pairs is None
-            else rows.select("cell").unionByName(pairs.select("cell"))
-        )
-        known_buckets = store.buckets_of(probe_keys, key="cell", table=table)
-        known = store._scan_manifest(table, pm, known_buckets)
-        known_eff = (
-            known
-            if pairs is None
-            else known.join(F.broadcast(pairs), ["cell", "vec_id"], "left_anti")
-        )
-        mutated = known_eff.join(
-            F.broadcast(rows.select("vec_id", F.col("codes").alias("_new_codes"))),
-            "vec_id",
-        ).where(F.col("codes") != F.col("_new_codes"))
-        if not mutated.isEmpty():
-            some = [r["vec_id"] for r in mutated.select("vec_id").limit(5).collect()]
-            raise RuntimeError(
-                f"vec_ids {some} are registered with DIFFERENT codes — their "
-                "embeddings changed since registration. Route the update "
-                "through this window's delete half (or unregister first)."
-            )
-        # Both tables' freshness survivors materialize CONCURRENTLY, and
-        # the two write-set bucket probes collect concurrently (r15, guide
-        # §2.6): the forward survivors read only the already-scanned
-        # forward view (fwd_eff over fwd_known) — nothing the codes commit
-        # below touches — so computing them before that commit is
-        # semantically identical to the old compute-after order. The
-        # commits themselves stay strictly sequential, codes-then-forward.
-        fwd_rows = rows.select("vec_id", "cell", F.lit(ins_id).alias("batch_id"))
-        fresh, fresh_fwd = checkpoint_parallel(
-            anti_probe(rows, known_eff, ["vec_id"]),
-            anti_probe(fwd_rows, fwd_eff, ["vec_id"]),
-        )
-        write_keys = (
-            fresh.select("cell")
-            if pairs is None
-            else fresh.select("cell").unionByName(pairs.select("cell"))
-        )
-        fwd_write_keys = (
-            fresh_fwd.select("vec_id")
-            if not has_del
-            else fresh_fwd.select("vec_id").unionByName(targets.select("vec_id"))
-        )
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ws = pool.submit(store.buckets_of, write_keys, key="cell", table=table)
-            f_fws = pool.submit(
-                store.buckets_of, fwd_write_keys, key="vec_id", table=self.forward_table
-            )
-            write_set, fwd_write_set = f_ws.result(), f_fws.result()
+        # --- 1. codes: ONE job scans the write-set buckets (buckets
+        # losing ∪ buckets gaining rows), drops the window's delete
+        # pairs, anti-probes the new rows against that post-delete view,
+        # and writes the merged contents; the mutated-code loud check
+        # runs against the same post-delete view first.
         if write_set:
-            # uncheckpointed: the write consumes this lineage exactly once
-            # while the old version files still exist (delete_matching_rows
-            # has the rationale).
             base_w = store._scan_manifest(table, pm, write_set)
             keep = (
                 base_w
                 if pairs is None
                 else base_w.join(F.broadcast(pairs), ["cell", "vec_id"], "left_anti")
             )
+            mutated = keep.join(
+                F.broadcast(rows.select("vec_id", F.col("codes").alias("_new_codes"))),
+                "vec_id",
+            ).where(F.col("codes") != F.col("_new_codes"))
+            if not mutated.isEmpty():
+                some = [r["vec_id"] for r in mutated.select("vec_id").limit(5).collect()]
+                raise RuntimeError(
+                    f"vec_ids {some} are registered with DIFFERENT codes — their "
+                    "embeddings changed since registration. Route the update "
+                    "through this window's delete half (or unregister first)."
+                )
+            # uncheckpointed: the write consumes this lineage exactly once
+            # while the old version files still exist (delete_matching_rows
+            # has the rationale).
+            fresh = anti_probe(rows, keep, ["vec_id"])
             store.write_buckets(
                 table,
                 keep.unionByName(fresh),
@@ -1163,9 +1159,10 @@ class PersistedIVFPQ:
                 key="cell",
                 planned_versions=dict(pm["buckets"]),
             )
-        # --- 2. forward LAST, same merged shape.
-        if fwd_write_set:
-            base_w = store._scan_manifest(self.forward_table, fm, fwd_write_set)
+        # --- 2. forward LAST, same folded shape over the already-probed
+        # forward buckets.
+        if fwd_probe:
+            base_w = store._scan_manifest(self.forward_table, fm, fwd_probe)
             if has_del:
                 keep = base_w.join(F.broadcast(ids), "vec_id", "left_anti").unionByName(
                     base_w.where(F.col("batch_id") == ins_id).join(
@@ -1174,10 +1171,12 @@ class PersistedIVFPQ:
                 )
             else:
                 keep = base_w
+            fwd_rows = rows.select("vec_id", "cell", F.lit(ins_id).alias("batch_id"))
+            fresh_fwd = anti_probe(fwd_rows, keep, ["vec_id"])
             store.write_buckets(
                 self.forward_table,
                 keep.unionByName(fresh_fwd),
-                fwd_write_set,
+                fwd_probe,
                 key="vec_id",
                 planned_versions=dict(fm["buckets"]),
             )
@@ -1194,8 +1193,8 @@ class PersistedIVFPQ:
             {int(c) for row in np.argsort(d2, axis=1)[:, :nprobe] for c in row}
         )
         store, table = self.store, self.table
-        probe_df = store.spark.createDataFrame([(c,) for c in probed], "cell int")
-        touched = store.buckets_of(probe_df, key="cell", table=table)
+        # driver-known cell ids → driver-side bucket probe (zero jobs)
+        touched = store.buckets_of_values(probed, table=table)
         codes = store.read_buckets(table, touched)
         return ivf_pq_topk(codes, self.index, queries, k=k, nprobe=nprobe)
 

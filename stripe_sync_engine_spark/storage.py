@@ -257,6 +257,19 @@ class TableStore:
         m = self._read_manifest(table)
         return (m or {}).get("bucket_key", "id")
 
+    def buckets_of_values(self, values, table: str | None = None) -> list[int]:
+        """Distinct bucket ids of DRIVER-KNOWN key values — the zero-job
+        twin of ``buckets_of`` for probes whose keys already live on the
+        driver (a query's terms, an ANN query's probed cells): the same
+        ``pmod(xxhash64(cast(key as string)), n_buckets)`` computed in
+        Python (functions/xxh64 — JVM parity pytest-pinned), so an
+        indexed read stops paying a Spark job to learn its read set.
+        str/int keys only; distributed key frames keep ``buckets_of``."""
+        from stripe_sync_engine_spark.functions.xxh64 import spark_xxhash64_str
+
+        nb = self._table_n_buckets(table) if table else self.n_buckets
+        return sorted({spark_xxhash64_str(v) % nb for v in values})
+
     def buckets_of(self, df: DataFrame, key: str = "id", table: str | None = None) -> list[int]:
         """Distinct bucket ids present in ``df`` — bounded by n_buckets, so
         the collect is O(n_buckets) regardless of batch size."""
@@ -1091,6 +1104,30 @@ class TableStore:
             df = df.repartition(len(buckets), self.bucket_expr(key, nb))
             pre_clustered = True
         version = self._write_version(table, df, key, nb, pre_clustered=pre_clustered)
+        self._commit_partial(
+            table,
+            version,
+            buckets,
+            key,
+            nb,
+            json.loads(df.schema.json()),
+            planned_versions,
+        )
+
+    def _commit_partial(
+        self,
+        table: str,
+        version: str,
+        buckets: list[int],
+        key: str,
+        nb: int,
+        schema_json: dict,
+        planned_versions: dict[str, str] | None,
+    ) -> None:
+        """The locked manifest swap of a partial write — shared by
+        ``write_buckets`` (Spark-written version dirs) and
+        ``write_rows_buckets`` (driver-written tiny version dirs): footer
+        harvest, OCC preconditions, bucket re-point/drop, vacuum."""
         vdir = os.path.join(self._dir(table), version)
         written = {
             d.split("=", 1)[1]
@@ -1101,7 +1138,11 @@ class TableStore:
         with self._commit_lock(table):
             # base the pointer swap on the LATEST manifest, not the one the
             # caller planned against — concurrent disjoint commits survive
-            prior = self._read_manifest(table) or prior
+            prior = self._read_manifest(table)
+            if prior is None:
+                raise RuntimeError(
+                    f"{table!r} disappeared between planning and commit"
+                )
             if int(prior["n_buckets"]) != nb:
                 # a rebucket landed between this write's planning and its
                 # commit: the data was bucketed at the OLD width, so
@@ -1141,7 +1182,7 @@ class TableStore:
             manifest = {
                 "n_buckets": nb,
                 "bucket_key": key,
-                "schema": json.loads(df.schema.json()),
+                "schema": schema_json,
                 "buckets": new_buckets,
                 "stats": {k: v for k, v in new_stats.items() if v},
                 "created_ms": prior.get("created_ms", int(time.time() * 1000)),
@@ -1149,6 +1190,119 @@ class TableStore:
             self._commit_manifest(table, manifest)
         replaced = set(prior["buckets"].values()) - set(new_buckets.values())
         self._vacuum(table, replaced)
+
+    # -- driver-side tiny commits ----------------------------------------
+    # Some state tables hold a HANDFUL of rows per commit (postings stats:
+    # one 4-column row per sub-batch). Routing those through a Spark write
+    # job costs a full job launch + shuffle + task commit (~0.5-1s of pure
+    # fixed latency per CDC window, r16 measured) to move a few hundred
+    # bytes. The store owns its file format, so a driver-side pyarrow
+    # write into a private version dir + the SAME locked manifest swap is
+    # an equivalent commit at ~none of the cost — the guide §5 rule
+    # ("the driver should do almost no data work") is about data volume,
+    # and these commits are bounded at a few rows BY CONSTRUCTION
+    # (callers own that contract).
+
+    _ARROW_TYPES = {
+        "long": "int64",
+        "integer": "int32",
+        "short": "int16",
+        "byte": "int8",
+        "double": "float64",
+        "float": "float32",
+        "string": "string",
+        "boolean": "bool_",
+    }
+
+    def read_rows_driver(
+        self, table: str, buckets: list[int], manifest: dict | None = None
+    ) -> dict[int, list[dict]]:
+        """Driver-side read of the given buckets' rows as per-bucket dict
+        lists (pyarrow, no Spark job). For TINY state tables only —
+        callers own the bound; missing columns (legacy files) come back
+        absent from the row dicts; absent buckets come back as empty
+        lists."""
+        import pyarrow.parquet as pq
+
+        manifest = manifest or self._read_manifest(table)
+        out: dict[int, list[dict]] = {int(b): [] for b in buckets}
+        if manifest is None:
+            return out
+        for b in buckets:
+            version = manifest["buckets"].get(str(b))
+            if not version:
+                continue
+            bdir = os.path.join(self._dir(table), version, f"_bucket={b}")
+            if not os.path.isdir(bdir):
+                continue
+            for fn in os.listdir(bdir):
+                if fn.endswith(".parquet"):
+                    out[int(b)].extend(
+                        pq.read_table(os.path.join(bdir, fn)).to_pylist()
+                    )
+        return out
+
+    def write_rows_buckets(
+        self,
+        table: str,
+        rows_by_bucket: dict[int, list[dict]],
+        schema,
+        key: str,
+        planned_versions: dict[str, str] | None = None,
+    ) -> None:
+        """Partial write of driver-side rows (the tiny-commit twin of
+        ``write_buckets``): ``rows_by_bucket`` holds the FULL new contents
+        of exactly its bucket ids, pre-bucketed by the caller (bucket ids
+        must come from the store's own bucket expression — callers compute
+        them JVM-side in the same collect that yielded the rows). Files
+        are written driver-side with pyarrow; the manifest swap, OCC
+        preconditions, footer-stat harvest, and vacuum are exactly
+        ``write_buckets``'s. Only flat schemas of simple types (string /
+        integral / float / bool) are supported — state tables are."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        prior = self._read_manifest(table)
+        if prior is None:
+            raise RuntimeError(
+                f"write_rows_buckets requires an existing table (got {table!r}); "
+                "route a table's first version through write()"
+            )
+        nb = int(prior["n_buckets"])
+        key = prior.get("bucket_key", key)
+        fields = []
+        for f in schema.fields:
+            tn = f.dataType.typeName()
+            if tn not in self._ARROW_TYPES:
+                raise ValueError(
+                    f"write_rows_buckets supports simple flat types only; "
+                    f"{table!r} column {f.name!r} is {tn}"
+                )
+            fields.append(pa.field(f.name, getattr(pa, self._ARROW_TYPES[tn])()))
+        aschema = pa.schema(fields)
+        version = f"v{int(time.time() * 1000)}_{os.getpid()}_{time.monotonic_ns()}"
+        vdir = os.path.join(self._dir(table), version)
+        for b, rows in rows_by_bucket.items():
+            if not rows:
+                continue
+            bdir = os.path.join(vdir, f"_bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            cols = {
+                f.name: [r.get(f.name) for r in rows] for f in schema.fields
+            }
+            pq.write_table(
+                pa.table(cols, schema=aschema),
+                os.path.join(bdir, "part-driver.parquet"),
+            )
+        self._commit_partial(
+            table,
+            version,
+            sorted(rows_by_bucket),
+            key,
+            nb,
+            json.loads(schema.json()),
+            planned_versions,
+        )
 
     # Unreferenced dirs beyond this age are swept by every commit's vacuum
     # (they can no longer be a concurrent writer's in-flight version);

@@ -2094,21 +2094,26 @@ def test_postings_merged_window_crash_replay_converges(spark, tmp_path, crash_af
     assert kinds == {"insert", "update", "delete"}
 
     # Crash injection: the steady-state window commits exactly three
-    # versions through write_buckets — stats, postings, forward, in that
-    # order. Fail the (crash_after+1)-th.
+    # versions — stats (the driver-side tiny commit, write_rows_buckets),
+    # then postings and forward (write_buckets), in that order. Fail the
+    # (crash_after+1)-th commit, whichever surface it lands on.
     calls = {"n": 0}
-    orig = store.write_buckets
+    orig_wb, orig_wrb = store.write_buckets, store.write_rows_buckets
 
-    def crashing(*a, **k):
-        if calls["n"] == crash_after:
-            raise RuntimeError("injected crash")
-        calls["n"] += 1
-        return orig(*a, **k)
+    def crashing(orig):
+        def run(*a, **k):
+            if calls["n"] == crash_after:
+                raise RuntimeError("injected crash")
+            calls["n"] += 1
+            return orig(*a, **k)
 
-    store.write_buckets = crashing
+        return run
+
+    store.write_buckets = crashing(orig_wb)
+    store.write_rows_buckets = crashing(orig_wrb)
     with pytest.raises(RuntimeError, match="injected crash"):
         idx.apply_changes(feed, "w1")
-    store.write_buckets = orig
+    store.write_buckets, store.write_rows_buckets = orig_wb, orig_wrb
 
     idx.apply_changes(feed, "w1")  # recovery replay heals
 
@@ -2412,3 +2417,53 @@ def test_checkpoint_parallel_materializes_in_order(spark):
     assert sorted(r.x for r in a.collect()) == [0, 1, 2]
     assert sorted(r.x for r in b.collect()) == [7, 8, 9]
     assert sorted(r.x for r in c.collect()) == [0, 100]
+
+
+def test_xxh64_matches_spark(spark, tmp_path):
+    """The driver-side bucket probe (r16) stands on
+    ``functions/xxh64.spark_xxhash64_str`` being BIT-IDENTICAL to the
+    JVM ``xxhash64(cast(key as string))`` — a divergence would silently
+    read the wrong buckets. Sweep every code path of the algorithm:
+    empty input, the 1/4/8-byte tails, the >=32-byte stripe loop,
+    multi-stripe, unicode multi-byte encodings, and integer casts — plus
+    the pmod bucket parity against the store's own expression."""
+    import random
+    import string as _s
+
+    from stripe_sync_engine_spark.functions.xxh64 import spark_xxhash64_str
+    from stripe_sync_engine_spark.storage import TableStore
+
+    rnd = random.Random(7)
+    cases = (
+        ["", "a", "ab", "abc", "abcd", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+         "v" * 33, "long" * 50, "ünïcødé", "汉字テスト🙂", "\x00\x01ctl"]
+        + ["".join(rnd.choices(_s.printable, k=rnd.randint(0, 120))) for _ in range(60)]
+    )
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    assert all(got[c] == spark_xxhash64_str(c) for c in cases)
+    ints = [0, 1, -1, 42, 2**31, -(2**63), 2**63 - 1] + [
+        rnd.randint(-(2**63), 2**63 - 1) for _ in range(40)
+    ]
+    got_i = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(i,) for i in ints], "v long")
+        .select("v", F.xxhash64(F.col("v").cast("string")).alias("h"))
+        .collect()
+    }
+    assert all(got_i[i] == spark_xxhash64_str(i) for i in ints)
+    st = TableStore(spark, str(tmp_path / "wh_xxh"), n_buckets=32)
+    assert st.buckets_of_values(cases) == st.buckets_of(
+        spark.createDataFrame([(c,) for c in cases], "s string"), key="s"
+    )
+    # unsupported key types fail loudly, never hash to a wrong bucket
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        spark_xxhash64_str(1.5)
+    with _pytest.raises(TypeError):
+        spark_xxhash64_str(True)
