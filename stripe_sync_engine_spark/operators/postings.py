@@ -592,21 +592,26 @@ class PersistedPostingsIndex:
             if pairs is None
             else rows.select("term_h").unionByName(pairs.select("term_h"))
         )
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_stats = pool.submit(self._commit_stats, inc)
-            f_ws = pool.submit(
-                store.buckets_of, probe_keys, key="term_h", table=self.table
-            )
-            f_stats.result()
-            write_set = f_ws.result()
-        # --- 2. postings: ONE job scans the write-set buckets (buckets
-        # losing ∪ buckets gaining rows), drops the window's delete
-        # pairs, anti-probes the new rows against that post-delete view,
-        # and writes the merged contents. NULL-term sentinels never reach
-        # this table (postings rows are real terms). Uncheckpointed: the
-        # write consumes this lineage exactly once while the old version
+
+        # --- 2+3. postings and forward: each rewrite is ONE job that
+        # scans its write-set buckets (buckets losing ∪ buckets gaining
+        # rows), drops the window's delete pairs, anti-probes the new
+        # rows against that post-delete view, and writes the merged
+        # contents into a PRIVATE version dir. The two Spark write jobs
+        # (plus their footer harvests) run CONCURRENTLY with each other
+        # and with the stats commit (prepare_buckets — version dirs are
+        # unreferenced until committed, guide §2.6); the COMMITS stay
+        # strictly sequential, stats → postings → forward, so the replay
+        # matrix is unchanged. Rewrite lineages stay uncheckpointed: each
+        # write consumes its lineage exactly once while the old version
         # files still exist (delete_matching_rows has the rationale).
-        if write_set:
+        # NULL-term sentinels never reach the postings table; on the
+        # forward side they probe via the reserved-long coalesce
+        # (_register_once has the collision note).
+        def prep_postings():
+            write_set = store.buckets_of(probe_keys, key="term_h", table=self.table)
+            if not write_set:
+                return None
             base_w = store._scan_manifest(self.table, pm, write_set)
             keep = (
                 base_w
@@ -614,20 +619,13 @@ class PersistedPostingsIndex:
                 else base_w.join(F.broadcast(pairs), ["term_h", "doc_id"], "left_anti")
             )
             fresh = anti_probe(rows, keep, ["term_h", "doc_id"])
-            store.write_buckets(
-                self.table,
-                keep.unionByName(fresh),
-                write_set,
-                key="term_h",
-                planned_versions=dict(pm["buckets"]),
+            return store.prepare_buckets(
+                self.table, keep.unionByName(fresh), write_set, key="term_h"
             )
-        # --- 3. forward LAST (the replay's memory), same folded shape
-        # over the already-probed forward buckets; the new forward rows
-        # derive lazily from the checkpointed tokenization (this is
-        # their only consumer). NULL-term sentinels probe via the
-        # reserved-long coalesce (_register_once has the collision
-        # note).
-        if fwd_probe:
+
+        def prep_forward():
+            if not fwd_probe:
+                return None
             th = F.coalesce(F.col("term_h"), F.lit(-(1 << 62)).cast("long"))
             base_w = store._scan_manifest(self.forward_table, fm, fwd_probe)
             if has_del:
@@ -638,19 +636,28 @@ class PersistedPostingsIndex:
                 )
             else:
                 keep = base_w
+            # the new forward rows derive lazily from the checkpointed
+            # tokenization (this is their only consumer)
             fwd = self._forward_rows(base, ins_id)
             fresh_fwd = anti_probe(
                 fwd.withColumn("_th", th),
                 keep.withColumn("_th", th),
                 ["doc_id", "_th"],
             ).drop("_th")
-            store.write_buckets(
-                self.forward_table,
-                keep.unionByName(fresh_fwd),
-                fwd_probe,
-                key="doc_id",
-                planned_versions=dict(fm["buckets"]),
+            return store.prepare_buckets(
+                self.forward_table, keep.unionByName(fresh_fwd), fwd_probe, key="doc_id"
             )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stats = pool.submit(self._commit_stats, inc)
+            f_p = pool.submit(prep_postings)
+            f_f = pool.submit(prep_forward)
+            f_stats.result()
+            prep_p, prep_f = f_p.result(), f_f.result()
+        if prep_p is not None:
+            store.commit_prepared(prep_p, planned_versions=dict(pm["buckets"]))
+        if prep_f is not None:
+            store.commit_prepared(prep_f, planned_versions=dict(fm["buckets"]))
 
     def topk(self, query_terms: list[str], k: int = 20) -> DataFrame:
         """``(doc_id, score)`` — BM25 top-k from the index: reads ONLY

@@ -1125,12 +1125,22 @@ class PersistedIVFPQ:
                 "leave the stale code queryable; route the update's pre-image "
                 "through this window's delete half (or unregister first)."
             )
-        # --- 1. codes: ONE job scans the write-set buckets (buckets
-        # losing ∪ buckets gaining rows), drops the window's delete
-        # pairs, anti-probes the new rows against that post-delete view,
-        # and writes the merged contents; the mutated-code loud check
-        # runs against the same post-delete view first.
-        if write_set:
+        # --- 1+2. codes and forward: each rewrite is ONE job that scans
+        # its write-set buckets (buckets losing ∪ buckets gaining rows),
+        # drops the window's delete pairs, anti-probes the new rows
+        # against that post-delete view, and writes into a PRIVATE
+        # version dir; the mutated-code loud check runs against the same
+        # post-delete view first and still precedes every commit. The two
+        # Spark write jobs (plus footer harvests) run CONCURRENTLY
+        # (prepare_buckets — version dirs are unreferenced until
+        # committed, guide §2.6); the COMMITS stay strictly sequential,
+        # codes then forward, so the replay matrix is unchanged. Rewrite
+        # lineages stay uncheckpointed: each write consumes its lineage
+        # exactly once while the old version files still exist
+        # (delete_matching_rows has the rationale).
+        def prep_codes():
+            if not write_set:
+                return None
             base_w = store._scan_manifest(table, pm, write_set)
             keep = (
                 base_w
@@ -1148,20 +1158,14 @@ class PersistedIVFPQ:
                     "embeddings changed since registration. Route the update "
                     "through this window's delete half (or unregister first)."
                 )
-            # uncheckpointed: the write consumes this lineage exactly once
-            # while the old version files still exist (delete_matching_rows
-            # has the rationale).
             fresh = anti_probe(rows, keep, ["vec_id"])
-            store.write_buckets(
-                table,
-                keep.unionByName(fresh),
-                write_set,
-                key="cell",
-                planned_versions=dict(pm["buckets"]),
+            return store.prepare_buckets(
+                table, keep.unionByName(fresh), write_set, key="cell"
             )
-        # --- 2. forward LAST, same folded shape over the already-probed
-        # forward buckets.
-        if fwd_probe:
+
+        def prep_forward():
+            if not fwd_probe:
+                return None
             base_w = store._scan_manifest(self.forward_table, fm, fwd_probe)
             if has_del:
                 keep = base_w.join(F.broadcast(ids), "vec_id", "left_anti").unionByName(
@@ -1173,13 +1177,18 @@ class PersistedIVFPQ:
                 keep = base_w
             fwd_rows = rows.select("vec_id", "cell", F.lit(ins_id).alias("batch_id"))
             fresh_fwd = anti_probe(fwd_rows, keep, ["vec_id"])
-            store.write_buckets(
-                self.forward_table,
-                keep.unionByName(fresh_fwd),
-                fwd_probe,
-                key="vec_id",
-                planned_versions=dict(fm["buckets"]),
+            return store.prepare_buckets(
+                self.forward_table, keep.unionByName(fresh_fwd), fwd_probe, key="vec_id"
             )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_c = pool.submit(prep_codes)
+            f_f = pool.submit(prep_forward)
+            prep_c, prep_f = f_c.result(), f_f.result()
+        if prep_c is not None:
+            store.commit_prepared(prep_c, planned_versions=dict(pm["buckets"]))
+        if prep_f is not None:
+            store.commit_prepared(prep_f, planned_versions=dict(fm["buckets"]))
 
     def topk(
         self, queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 4

@@ -216,7 +216,7 @@ def q06_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the declarative last-write-wins (the oracle). Exercises the exact
     semantics of upsertManyWithTimestampProtection
     (reference: database/postgres.ts:64-104,159-204)."""
-    from stripe_sync_engine_spark.operators.merge import merge_upsert
+    from stripe_sync_engine_spark.operators.merge import merge_upsert_clustered
 
     events = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("id"),
@@ -229,8 +229,23 @@ def q06_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrival order does not matter (T2 idempotent/out-of-order semantics).
     batches = [events.where(F.pmod(F.col("last_event_id"), F.lit(4)) == i) for i in (2, 0, 3, 1)]
     snapshot: DataFrame | None = None
+    # The fold runs through the engine's SINGLE-EXCHANGE merge form
+    # (r16, guide §2.4; VERDICT r15 #7): the join-based merge_upsert
+    # chain re-exchanged 6 times (one argmax window per batch + the
+    # full-outer joins, whose coalesce(t.id, s.id) output key hides the
+    # partitioning from Catalyst), while merge_upsert_clustered — the
+    # operator the sync layer's hot path already uses, equivalence
+    # property-tested in tests/test_merge_properties.py — is one
+    # union+window exchange per merge: 4 exchanges, and the
+    # quarter-batches each cross the network once instead of the
+    # accumulated snapshot re-shuffling per step. Identical
+    # timestamp-protected T1/T2 semantics and result; NULL merge keys
+    # don't arise (events.user_id is the oracle's partition key).
     for b in batches:
-        snapshot = merge_upsert(snapshot, b, key="id", ts_col="last_synced_at", tiebreak_cols=["last_event_id"])
+        snapshot = merge_upsert_clustered(
+            snapshot, b, cluster_expr=F.col("id"), key="id",
+            ts_col="last_synced_at", tiebreak_cols=["last_event_id"],
+        )
     return snapshot.select(
         F.col("id").alias("user_id"), "last_event_id", "last_synced_at", "last_event_type", "last_value"
     )

@@ -1077,6 +1077,49 @@ class TableStore:
             # table does not exist yet — a partial write of its only data
             # is simply its first full version
             return self.write(table, df, key=key, pre_clustered=pre_clustered)
+        prep = self._prepare_buckets(
+            prior, table, df, buckets, key, pre_clustered, planned_n_buckets
+        )
+        self.commit_prepared(prep, planned_versions=planned_versions)
+
+    def prepare_buckets(
+        self,
+        table: str,
+        df: DataFrame,
+        buckets: list[int],
+        key: str = "id",
+        pre_clustered: bool = False,
+        planned_n_buckets: int | None = None,
+    ) -> dict:
+        """Phase 1 of a partial write (``write_buckets`` = this +
+        ``commit_prepared``): run the Spark write into a private version
+        dir and harvest its footer stats — everything EXCEPT the locked
+        manifest swap. The version dir is single-writer and unreferenced
+        until committed, so several tables' prepares may run CONCURRENTLY
+        (r16, guide §2.6 — a merged CDC window overlaps its two table
+        rewrites' Spark jobs this way) while the COMMITS keep their
+        declared order; a prepare whose commit never happens is a plain
+        crash leftover, vacuumed later. Requires an existing table."""
+        prior = self._read_manifest(table)
+        if prior is None:
+            raise RuntimeError(
+                f"prepare_buckets requires an existing table (got {table!r}); "
+                "route a table's first version through write()"
+            )
+        return self._prepare_buckets(
+            prior, table, df, buckets, key, pre_clustered, planned_n_buckets
+        )
+
+    def _prepare_buckets(
+        self,
+        prior: dict,
+        table: str,
+        df: DataFrame,
+        buckets: list[int],
+        key: str,
+        pre_clustered: bool,
+        planned_n_buckets: int | None,
+    ) -> dict:
         nb = int(prior["n_buckets"])
         if planned_n_buckets is not None and planned_n_buckets != nb:
             raise RuntimeError(
@@ -1104,15 +1147,30 @@ class TableStore:
             df = df.repartition(len(buckets), self.bucket_expr(key, nb))
             pre_clustered = True
         version = self._write_version(table, df, key, nb, pre_clustered=pre_clustered)
-        self._commit_partial(
-            table,
-            version,
-            buckets,
-            key,
-            nb,
-            json.loads(df.schema.json()),
-            planned_versions,
-        )
+        vdir = os.path.join(self._dir(table), version)
+        written = {
+            d.split("=", 1)[1]
+            for d in (os.listdir(vdir) if os.path.exists(vdir) else [])
+            if d.startswith("_bucket=")
+        }
+        return {
+            "table": table,
+            "version": version,
+            "buckets": buckets,
+            "key": key,
+            "nb": nb,
+            "schema_json": json.loads(df.schema.json()),
+            "written": written,
+            "stats": self._version_stats(table, version),
+        }
+
+    def commit_prepared(
+        self, prep: dict, planned_versions: dict[str, str] | None = None
+    ) -> None:
+        """Phase 2 of a partial write: the locked manifest swap for a
+        ``prepare_buckets`` handle — OCC preconditions, bucket
+        re-point/drop, vacuum."""
+        self._commit_partial(planned_versions=planned_versions, **prep)
 
     def _commit_partial(
         self,
@@ -1123,18 +1181,14 @@ class TableStore:
         nb: int,
         schema_json: dict,
         planned_versions: dict[str, str] | None,
+        written: set[str],
+        stats: dict[str, dict],
     ) -> None:
         """The locked manifest swap of a partial write — shared by
-        ``write_buckets`` (Spark-written version dirs) and
-        ``write_rows_buckets`` (driver-written tiny version dirs): footer
-        harvest, OCC preconditions, bucket re-point/drop, vacuum."""
-        vdir = os.path.join(self._dir(table), version)
-        written = {
-            d.split("=", 1)[1]
-            for d in (os.listdir(vdir) if os.path.exists(vdir) else [])
-            if d.startswith("_bucket=")
-        }
-        stats = self._version_stats(table, version)
+        ``write_buckets``/``commit_prepared`` (Spark-written version dirs)
+        and ``write_rows_buckets`` (driver-written tiny version dirs):
+        OCC preconditions, bucket re-point/drop, vacuum; ``written`` and
+        ``stats`` were harvested by the prepare phase."""
         with self._commit_lock(table):
             # base the pointer swap on the LATEST manifest, not the one the
             # caller planned against — concurrent disjoint commits survive
@@ -1282,6 +1336,7 @@ class TableStore:
         aschema = pa.schema(fields)
         version = f"v{int(time.time() * 1000)}_{os.getpid()}_{time.monotonic_ns()}"
         vdir = os.path.join(self._dir(table), version)
+        written = set()
         for b, rows in rows_by_bucket.items():
             if not rows:
                 continue
@@ -1294,6 +1349,7 @@ class TableStore:
                 pa.table(cols, schema=aschema),
                 os.path.join(bdir, "part-driver.parquet"),
             )
+            written.add(str(b))
         self._commit_partial(
             table,
             version,
@@ -1302,6 +1358,8 @@ class TableStore:
             nb,
             json.loads(schema.json()),
             planned_versions,
+            written,
+            self._version_stats(table, version),
         )
 
     # Unreferenced dirs beyond this age are swept by every commit's vacuum

@@ -2095,10 +2095,11 @@ def test_postings_merged_window_crash_replay_converges(spark, tmp_path, crash_af
 
     # Crash injection: the steady-state window commits exactly three
     # versions — stats (the driver-side tiny commit, write_rows_buckets),
-    # then postings and forward (write_buckets), in that order. Fail the
-    # (crash_after+1)-th commit, whichever surface it lands on.
+    # then postings and forward (commit_prepared manifest swaps; their
+    # file writes run concurrently but commits are strictly ordered).
+    # Fail the (crash_after+1)-th commit, whichever surface it lands on.
     calls = {"n": 0}
-    orig_wb, orig_wrb = store.write_buckets, store.write_rows_buckets
+    orig_cp, orig_wrb = store.commit_prepared, store.write_rows_buckets
 
     def crashing(orig):
         def run(*a, **k):
@@ -2109,11 +2110,11 @@ def test_postings_merged_window_crash_replay_converges(spark, tmp_path, crash_af
 
         return run
 
-    store.write_buckets = crashing(orig_wb)
+    store.commit_prepared = crashing(orig_cp)
     store.write_rows_buckets = crashing(orig_wrb)
     with pytest.raises(RuntimeError, match="injected crash"):
         idx.apply_changes(feed, "w1")
-    store.write_buckets, store.write_rows_buckets = orig_wb, orig_wrb
+    store.commit_prepared, store.write_rows_buckets = orig_cp, orig_wrb
 
     idx.apply_changes(feed, "w1")  # recovery replay heals
 

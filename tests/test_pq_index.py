@@ -431,10 +431,11 @@ def test_persisted_ivfpq_merged_window_crash_replay_converges(
     feed = store.read_changes("vectors", t0).localCheckpoint(eager=True)
 
     # Crash injection: the steady-state window commits exactly two
-    # versions through write_buckets — codes, forward. Fail the
-    # (crash_after+1)-th.
+    # versions via commit_prepared manifest swaps — codes, forward (their
+    # file writes run concurrently but commits are strictly ordered).
+    # Fail the (crash_after+1)-th.
     calls = {"n": 0}
-    orig = store.write_buckets
+    orig = store.commit_prepared
 
     def crashing(*a, **k):
         if calls["n"] == crash_after:
@@ -442,10 +443,10 @@ def test_persisted_ivfpq_merged_window_crash_replay_converges(
         calls["n"] += 1
         return orig(*a, **k)
 
-    store.write_buckets = crashing
+    store.commit_prepared = crashing
     with pytest.raises(RuntimeError, match="injected crash"):
         p.apply_changes(feed, "w1")
-    store.write_buckets = orig
+    store.commit_prepared = orig
 
     p.apply_changes(feed, "w1")  # recovery replay heals
 
