@@ -319,45 +319,59 @@ def audit_corpus_indexes(
     column (and counted once for the postings stats check), however
     many targets share it — the orchestrator's corpus cost is a couple
     of scans, not one per target.
-    Returns ``{"ok", "sample", "targets": [report...]}``."""
-    samples: dict[str, DataFrame] = {}
+    Returns ``{"ok", "sample", "targets": [report...]}``.
 
-    def shared(id_col: str) -> DataFrame:
-        if id_col not in samples:
-            samples[id_col] = _sample(corpus, id_col, sample)
-        return samples[id_col]
+    Every leg is READ-ONLY and the legs share nothing but the
+    pre-materialized samples, so the per-target audits run CONCURRENTLY
+    across driver threads (r16, guide §2.6 — the audit's cost is a chain
+    of tiny fixed-latency probe jobs, so wall = max(target), not
+    sum(target)); the report list keeps the caller's target order."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    reports = []
+    kinds = []
     for gate in gates:
         if hasattr(gate, "_fingerprints"):
-            reports.append(
-                audit_exact_gate(gate, corpus, sample, _s=shared(gate.id_col))
-            )
+            kinds.append((audit_exact_gate, gate))
         elif hasattr(gate, "_band_rows"):
-            reports.append(
-                audit_near_gate(gate, corpus, sample, _s=shared(gate.id_col))
-            )
+            kinds.append((audit_near_gate, gate))
         elif hasattr(gate, "_bq"):
-            reports.append(
-                audit_embedding_index(gate, corpus, sample, _s=shared(gate.id_col))
-            )
+            kinds.append((audit_embedding_index, gate))
         else:
             raise TypeError(
                 f"cannot audit gate {type(gate).__name__}: expected one of "
                 "the engine's exact/near/embedding gates"
             )
+    # one shared sample per distinct target id column (and one corpus
+    # count for the postings stats check), materialized concurrently
+    id_cols = [g.id_col for _, g in kinds]
+    id_cols += [t.id_col for t in (postings, ann) if t is not None]
+    uniq = list(dict.fromkeys(id_cols))
+    samples: dict[str, DataFrame] = {}
+    n_corpus: int | None = None
+    if uniq:
+        with ThreadPoolExecutor(max_workers=min(4, len(uniq) + 1)) as pool:
+            futs = {c: pool.submit(_sample, corpus, c, sample) for c in uniq}
+            f_n = pool.submit(corpus.count) if postings is not None else None
+            samples = {c: f.result() for c, f in futs.items()}
+            n_corpus = f_n.result() if f_n is not None else None
+
+    tasks = [
+        (lambda fn=fn, g=g: fn(g, corpus, sample, _s=samples[g.id_col]))
+        for fn, g in kinds
+    ]
     if postings is not None:
-        reports.append(
-            audit_postings(
-                postings,
-                corpus,
-                sample,
-                _s=shared(postings.id_col),
-                _corpus_rows=corpus.count(),
+        tasks.append(
+            lambda: audit_postings(
+                postings, corpus, sample,
+                _s=samples[postings.id_col], _corpus_rows=n_corpus,
             )
         )
     if ann is not None:
-        reports.append(audit_ivfpq(ann, corpus, sample, _s=shared(ann.id_col)))
+        tasks.append(lambda: audit_ivfpq(ann, corpus, sample, _s=samples[ann.id_col]))
+    reports: list[dict] = []
+    if tasks:
+        with ThreadPoolExecutor(max_workers=min(4, len(tasks))) as pool:
+            reports = list(pool.map(lambda t: t(), tasks))
     return {
         "op": "index_audit",
         "ok": all(r["ok"] for r in reports),

@@ -26,6 +26,23 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+# Scan-split floor (r16, guide §2.2/§2.5): Spark's default
+# spark.sql.files.minPartitionNum is defaultParallelism, which forces a
+# core-count-dependent MINIMUM split count on every file scan — a
+# kilobyte bucket file shatters into 32 splits on local[32] (31 of them
+# empty: one row group goes to one split), so the many tiny bucket-pruned
+# scans of the store protocol paid ~32 task launches each where the data
+# fits in one. Measured (interleaved A/B, sf0.1): the mixture steady trio
+# 1.53/1.33/1.59s → 1.14/0.90/1.05s, txt_bm25_cdc_window 5.34 → 4.60s,
+# corpus_cdc_fanout 6.95 → 5.25s, no entry slower. With a floor of 1 the
+# split count derives ONLY from input size (maxPartitionBytes +
+# openCostInBytes) — tiny input → few tasks, 100 TB input → the same
+# ~800k 128 MB splits as before — i.e. the scale-ADAPTIVE behavior the
+# default's core-count constant was defeating; it also decouples scan
+# parallelism from $SPARK_GRAFT_CPUS, so the 8-core bench run plans the
+# same splits as the 32-core one.
+DEFAULT_MIN_SCAN_PARTITIONS = os.environ.get("SPARK_GRAFT_MIN_SCAN_PARTITIONS", "1")
+
 EXCLUDED_OPTIMIZER_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
 
@@ -44,6 +61,7 @@ def get_spark(app_name: str = "stripe-sync-engine-spark", shuffle_partitions: in
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.minPartitionNum", DEFAULT_MIN_SCAN_PARTITIONS)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # Commit-protocol overhead (r15, guide §6): the store's writes get

@@ -270,6 +270,21 @@ class TableStore:
         nb = self._table_n_buckets(table) if table else self.n_buckets
         return sorted({spark_xxhash64_str(v) % nb for v in values})
 
+    def bucket_counts_of_values(
+        self, values, table: str | None = None
+    ) -> list[tuple[int, int]]:
+        """``(bucket id, value count)`` pairs of DRIVER-KNOWN key values —
+        the zero-job twin of ``bucket_counts`` (r16): the webhook merge's
+        bucket probe + row accounting for batches whose keys already live
+        on the driver, so a micro-batch merge stops paying a Spark probe
+        job before its write. Same hash/pmod as ``buckets_of_values``."""
+        from collections import Counter
+
+        from stripe_sync_engine_spark.functions.xxh64 import spark_xxhash64_str
+
+        nb = self._table_n_buckets(table) if table else self.n_buckets
+        return sorted(Counter(spark_xxhash64_str(v) % nb for v in values).items())
+
     def buckets_of(self, df: DataFrame, key: str = "id", table: str | None = None) -> list[int]:
         """Distinct bucket ids present in ``df`` — bounded by n_buckets, so
         the collect is O(n_buckets) regardless of batch size."""

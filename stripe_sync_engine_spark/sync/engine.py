@@ -53,7 +53,7 @@ from stripe_sync_engine_spark.schemas.entities import bucket_key, entity_schema
 from stripe_sync_engine_spark.sources.stripe_api import FLUSH_CHUNK, StripeAPI, to_json_rows
 from stripe_sync_engine_spark.storage import TableStore
 from stripe_sync_engine_spark.sync import registry as R
-from stripe_sync_engine_spark.sync.transforms import apply_transforms
+from stripe_sync_engine_spark.sync.transforms import apply_transforms, transforms_for
 
 #: sentinel distinguishing "caller accepted the sampled fold-audit
 #: default" from an explicit fold_sample — the implicit default emits a
@@ -422,7 +422,15 @@ class StripeSparkSync:
     # Parsing & projection
     # ------------------------------------------------------------------
     def events_df_from_json(self, payloads: list[str]) -> DataFrame:
-        return self.spark.createDataFrame([(p,) for p in payloads], _RAW_EVENT_SCHEMA)
+        df = self.spark.createDataFrame([(p,) for p in payloads], _RAW_EVENT_SCHEMA)
+        # The raw strings live on the DRIVER (an HTTP webhook body is a
+        # Python list by nature) — remember them on the frame so
+        # process_webhook_events can do its routing/probe bookkeeping in
+        # Python instead of paying Spark jobs for it (r16, guide §1.2/§4).
+        # Purely an annotation: the distributed lineage is identical and
+        # any consumer that ignores the attribute behaves as before.
+        df._stripe_driver_payloads = list(payloads)
+        return df
 
     @staticmethod
     def _parse_envelope(raw: DataFrame) -> DataFrame:
@@ -478,27 +486,57 @@ class StripeSparkSync:
     def process_webhook_events(self, raw_events: DataFrame) -> dict[str, int]:
         """Process a batch of raw Stripe Event JSON strings (column
         ``value``). Returns {table: merged-row-count}."""
-        # Cache the parsed batch: every per-entity handler (and its row
-        # accounting) re-reads it, and without the cache each one would
-        # re-execute the parse→project lineage from the raw strings.
-        parsed = (
-            self._parse_envelope(raw_events)
-            .withColumn("sync_ts", F.to_timestamp(F.col("event_created")))
-            .persist()
+        # Driver-known batches (events_df_from_json — webhook bodies are
+        # Python lists by nature) do the routing plan and the merges'
+        # bucket probes in Python (r16, guide §1.2/§4): the same
+        # json-envelope fields Spark's from_json would read, decoded once
+        # driver-side, replace the distinct-types job, the cache
+        # materialization and (via bucket_counts_of_values, XXH64
+        # parity-pinned) each upsert's Spark probe job — the distributed
+        # parse→project lineage still runs UNCHANGED inside each entity's
+        # write job, so every stored byte comes from the same expressions
+        # as the generic path. Distributed batches (the streaming webhook
+        # sink) keep the original shape including the persist.
+        payloads = getattr(raw_events, "_stripe_driver_payloads", None)
+        envelopes: list[tuple[str | None, dict | None]] | None = None
+        if payloads is not None:
+            envelopes = []
+            for p in payloads:
+                try:
+                    env = json.loads(p)
+                    obj = (env.get("data") or {}).get("object")
+                    envelopes.append((env.get("type"), obj if isinstance(obj, dict) else None))
+                except (ValueError, AttributeError):
+                    envelopes.append((None, None))
+        parsed = self._parse_envelope(raw_events).withColumn(
+            "sync_ts", F.to_timestamp(F.col("event_created"))
         )
+        if envelopes is None:
+            # Cache the parsed batch: every per-entity handler (and its row
+            # accounting) re-reads it, and without the cache each one would
+            # re-execute the parse→project lineage from the raw strings.
+            parsed = parsed.persist()
         try:
             routes = sorted({(r[0], r[1]) for r in R.EVENT_ROUTES.values()})
             # Driver-side routing plan: which (entity, action) groups exist in
-            # this batch. One tiny agg over the batch (not the tables).
-            present = {
-                row["event_type"]
-                for row in parsed.select("event_type").distinct().collect()
-            }
+            # this batch. One tiny agg over the batch (not the tables) — or
+            # free when the envelopes are driver-known.
+            if envelopes is not None:
+                present = {t for t, _ in envelopes}
+            else:
+                present = {
+                    row["event_type"]
+                    for row in parsed.select("event_type").distinct().collect()
+                }
             groups = []
             for entity, action in routes:
                 types = [t for t, r in R.EVENT_ROUTES.items() if r == (entity, action) and t in present]
                 if types:
-                    groups.append((entity, action, types))
+                    objs = None
+                    if envelopes is not None and action == R.UPSERT:
+                        tset = set(types)
+                        objs = [o for t, o in envelopes if t in tset]
+                    groups.append((entity, action, types, objs))
             counts: dict[str, int] = {}
             for chain_counts in self._run_handler_chains(parsed, groups):
                 for entity, n in chain_counts.items():
@@ -510,7 +548,8 @@ class StripeSparkSync:
                 counts["_unhandled"] = len(unhandled)
             return counts
         finally:
-            parsed.unpersist()
+            if envelopes is None:
+                parsed.unpersist()
 
     # -- handler scheduling --------------------------------------------
     def _write_set(self, entity: str, action: str) -> frozenset[str]:
@@ -560,10 +599,10 @@ class StripeSparkSync:
 
         def run_chain(chain_groups) -> dict[str, int]:
             out: dict[str, int] = {}
-            for entity, action, types in chain_groups:
+            for entity, action, types, driver_objs in chain_groups:
                 subset = parsed.where(F.col("event_type").isin(types))
                 if action == R.UPSERT:
-                    n = self._handle_upsert(entity, subset)
+                    n = self._handle_upsert(entity, subset, driver_objs)
                 elif action == R.CUSTOMER_DELETED:
                     n = self._handle_customer_deleted(subset)
                 elif action == R.DELETE:
@@ -583,7 +622,9 @@ class StripeSparkSync:
             return [f.result() for f in futures]
 
     # -- handlers ------------------------------------------------------
-    def _handle_upsert(self, entity: str, subset: DataFrame) -> int:
+    def _handle_upsert(
+        self, entity: str, subset: DataFrame, driver_objs: list[dict | None] | None = None
+    ) -> int:
         if entity in self.config.revalidate_objects_via_stripe_api and self.api is not None:
             # T3 read-repair path: refetched rows arrive in FLUSH_CHUNK
             # chunks (the reference's flush-250 contract,
@@ -595,19 +636,44 @@ class StripeSparkSync:
                 if deleted_ids:
                     self._delete_ids(entity, deleted_ids)
             return n
-        return self._upsert_rows(entity, subset)
+        return self._upsert_rows(entity, subset, driver_objs)
 
-    def _upsert_rows(self, entity: str, subset: DataFrame) -> int:
+    def _driver_key_values(
+        self, entity: str, driver_objs: list[dict | None] | None
+    ) -> list[str] | None:
+        """The batch's post-projection bucket-key values, when knowable
+        driver-side (r16): the merge's probe is then pure Python. Valid
+        only with no API (expansion/backfill/revalidation all reshape the
+        batch), no registered transform (one could rewrite the key), a
+        string-typed declared bucket key (the projected cast is then the
+        identity, so ``payload[bkey]`` IS the projected value), and every
+        payload carrying a non-null string key. Anything else → None →
+        the distributed probe."""
+        if driver_objs is None or self.api is not None or transforms_for(entity):
+            return None
+        bkey = bucket_key(entity)
+        field = {f.name: f for f in entity_schema(entity).fields}.get(bkey)
+        if field is None or not isinstance(field.dataType, StringType):
+            return None
+        vals = [o.get(bkey) if isinstance(o, dict) else None for o in driver_objs]
+        if any(not isinstance(v, str) for v in vals):
+            return None
+        return vals
+
+    def _upsert_rows(
+        self, entity: str, subset: DataFrame, driver_objs: list[dict | None] | None = None
+    ) -> int:
         """Expand → project → parent backfill → merge → child side-writes.
         List expansion yields the untruncated remainder first and then the
         refetched events in FLUSH_CHUNK slices, each run through the full
         pipeline immediately — no accumulation of expanded payloads."""
         n = 0
+        driver_keys = self._driver_key_values(entity, driver_objs)
         for part in self._expanded_parts(entity, subset):
             rows = self._project(entity, part, carry={"_event_id": F.col("event_id")})
             if self.config.backfill_related_entities:
                 self._backfill_parents(entity, rows, depth=0)
-            n += self._merge(entity, rows)
+            n += self._merge(entity, rows, driver_key_values=driver_keys)
             if entity == "subscriptions":
                 self._sync_subscription_items(part)
             elif entity == "checkout_sessions":
@@ -983,7 +1049,11 @@ class StripeSparkSync:
         return bkey
 
     def _merge_plan(
-        self, entity: str, rows: DataFrame, update_cols: list[str] | None = None
+        self,
+        entity: str,
+        rows: DataFrame,
+        update_cols: list[str] | None = None,
+        driver_key_values: list[str] | None = None,
     ) -> tuple[DataFrame, list[int], str, int, bool]:
         """Build (but do not write) the merged contents of the buckets a
         batch touches. Returns ``(merged, touched_buckets, bucket_key,
@@ -1017,7 +1087,15 @@ class StripeSparkSync:
         # accounting, so no separate count() re-executes the
         # parse→project lineage per entity.
         bkey = self._ensure_bucket_key(entity)
-        probe = self.store.bucket_counts(rows, bkey, table=entity)
+        if driver_key_values is not None and not transforms_for(entity):
+            # Zero-job probe (r16): the batch's bucket-key values are
+            # driver-known (see _driver_key_values for the validity
+            # conditions, re-checked here against late transform
+            # registration) — the probe + row accounting is a Python
+            # Counter over the XXH64 parity hash instead of a Spark job.
+            probe = self.store.bucket_counts_of_values(driver_key_values, table=entity)
+        else:
+            probe = self.store.bucket_counts(rows, bkey, table=entity)
         touched = [b for b, _ in probe]
         n_rows = int(sum(n for _, n in probe))
         target = self.store.read_buckets(entity, touched)
@@ -1932,7 +2010,13 @@ class StripeSparkSync:
                 entity, max_files_per_bucket=max_files_per_bucket, sort_col=sort_col
             )
 
-    def _merge(self, entity: str, rows: DataFrame, update_cols: list[str] | None = None) -> int:
+    def _merge(
+        self,
+        entity: str,
+        rows: DataFrame,
+        update_cols: list[str] | None = None,
+        driver_key_values: list[str] | None = None,
+    ) -> int:
         # the PLAN reads the current bucket state, so plan+write must sit
         # inside the same critical section (cross-batch writers racing on
         # a bucket would otherwise be last-commit-wins)
@@ -1941,7 +2025,9 @@ class StripeSparkSync:
             # out-of-band rebucket between here and the commit then fails
             # the write loudly instead of corrupting buckets
             nb_planned = self.store._table_n_buckets(entity)
-            merged, touched, bkey, n_rows, pre_clustered = self._merge_plan(entity, rows, update_cols)
+            merged, touched, bkey, n_rows, pre_clustered = self._merge_plan(
+                entity, rows, update_cols, driver_key_values
+            )
             # An empty batch touches no buckets — skip the write job unless
             # the table doesn't exist yet (first write materializes the
             # schema).

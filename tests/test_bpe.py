@@ -1,6 +1,8 @@
 """BPE trainer tests: known-merge toy case, determinism, driver/cluster
 encode parity, histogram bounding."""
 
+import pytest
+
 from stripe_sync_engine_spark.functions.bpe import (
     EOW,
     BPETokenizer,
@@ -310,6 +312,7 @@ def test_materialize_packs_epoch_order(spark):
     sizes=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=25),
     budget=st.integers(min_value=2, max_value=7),
 )
+@pytest.mark.slow  # 45s hypothesis sweep; deterministic pack parity stays in the default tier
 def test_property_materialize_packs_invariants(spark, sizes, budget):
     """For arbitrary doc sizes and budgets: every pack except a shard's
     last is exactly full, per-shard concatenation in pack order equals
@@ -348,6 +351,7 @@ def test_property_materialize_packs_invariants(spark, sizes, budget):
 # ---- incremental packing ------------------------------------------------
 
 
+@pytest.mark.slow  # 33s arrival-order sweep; fold-horizon/equivalence stay in the default tier
 def test_incremental_packer_matches_one_shot_arrival_order(spark, tmp_path):
     """Batches assigned sequentially through IncrementalPacker land at
     exactly the positions a one-shot assign_packs gives the concatenated

@@ -141,6 +141,7 @@ def test_end_to_end_over_socket(engine):
     assert table_rows(engine, "charges")["ch_sock"]["amount"] == 4200
 
 
+@pytest.mark.slow  # 340s: full-corpus sweep; per-fixture projection gated by test_fixture_corpus
 def test_webhook_corpus_sweep_over_http(router, engine):
     """The reference's e2e shape (test/webhooks.test.ts:64-168): each
     production-shaped fixture posts to /webhooks with a freshly signed

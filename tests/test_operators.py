@@ -2045,7 +2045,12 @@ def test_postings_apply_changes_bootstraps_fresh_index(spark, tmp_path):
     )
 
 
-@pytest.mark.parametrize("crash_after", [0, 1, 2])
+@pytest.mark.parametrize(
+    "crash_after",
+    # default tier keeps the first-commit crash (the hardest replay); the
+    # later matrix params run in the slow tier (pytest.ini rationale)
+    [0, pytest.param(1, marks=pytest.mark.slow), pytest.param(2, marks=pytest.mark.slow)],
+)
 def test_postings_merged_window_crash_replay_converges(spark, tmp_path, crash_after):
     """The merged one-commit-per-table CDC window (r15): crash after any
     prefix of its three commits — [] / [stats] / [stats, postings] — then

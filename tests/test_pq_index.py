@@ -370,7 +370,12 @@ def test_persisted_ivfpq_apply_changes_tracks_mutating_corpus(spark, sf_dir, tmp
     assert codes_set(store, p.table) == codes_set(fresh_store, fresh.table)
 
 
-@pytest.mark.parametrize("crash_after", [0, 1])
+@pytest.mark.parametrize(
+    "crash_after",
+    # default tier keeps the first-commit crash; the second matrix param
+    # runs in the slow tier (pytest.ini rationale)
+    [0, pytest.param(1, marks=pytest.mark.slow)],
+)
 def test_persisted_ivfpq_merged_window_crash_replay_converges(
     spark, sf_dir, tmp_path, crash_after
 ):

@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -1129,6 +1131,7 @@ def test_mixture_folds_ride_the_stream_window(spark, tmp_path, monkeypatch):
     assert cc.counts() == _recount()
 
 
+@pytest.mark.slow  # 34s stream restart matrix
 def test_stream_fold_bounds_are_reader_owned(spark, tmp_path, monkeypatch):
     """VERDICT r15 #3: stream fold delivery must not depend on Spark's
     private OffsetSeqLog layout. The feed stamps each batch's planned

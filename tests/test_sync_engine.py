@@ -1647,6 +1647,7 @@ def test_engine_rebucket_entity_serializes_with_merges(spark, tmp_path):
 # Dependency-leveled parallel backfill: same final state as the serial
 # dependency-ordered scan; parents always land before their children's
 # level starts.
+@pytest.mark.slow  # 24s serial-vs-parallel equivalence; serial backfill gated by test_parent_backfill
 def test_backfill_parallel_matches_serial(spark, tmp_path):
     def load(api):
         for i in range(3):
