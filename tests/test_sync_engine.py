@@ -5,6 +5,7 @@ the engine, then assert on table state."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from stripe_sync_engine_spark.sources.stripe_api import InMemoryStripeAPI
 from stripe_sync_engine_spark.storage import TableStore
@@ -418,6 +419,56 @@ def test_transform_registry_applied_before_merge(engine):
         # other entities are untouched
         process(engine, fx.event("charge.succeeded", fx.charge(id="ch_T")))
         assert table_rows(engine, "charges")["ch_T"]["amount"] == 4200
+    finally:
+        clear_transforms("customers")
+
+
+# r16: driver-known webhook batches (events_df_from_json) route and
+# bucket-probe in Python; a batch arriving as a PLAIN DataFrame (the
+# streaming sink's shape) keeps the distributed probe. The two paths
+# must land byte-equal state and identical counts — including the
+# same-second tiebreak and stale-event semantics the probe feeds into.
+def test_driver_known_batch_equals_distributed_batch(spark, tmp_path):
+    from stripe_sync_engine_spark.sync.engine import _RAW_EVENT_SCHEMA
+
+    payloads = [
+        fx.event("charge.succeeded", fx.charge(id="ch_E1", amount=1), created=1_000),
+        fx.event("charge.updated", fx.charge(id="ch_E1", amount=2), created=2_000),
+        fx.event("charge.updated", fx.charge(id="ch_E1", amount=3), created=1_500),  # stale
+        fx.event("customer.updated", fx.customer(id="cus_E1", email="e@x.io"), created=1_000),
+        fx.event("charge.succeeded", fx.charge(id="ch_E2", amount=9), created=1_000),
+    ]
+    results = {}
+    for mode in ("driver", "distributed"):
+        eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / mode)))
+        if mode == "driver":
+            df = eng.events_df_from_json(payloads)
+            assert getattr(df, "_stripe_driver_payloads", None) is not None
+        else:
+            df = spark.createDataFrame([(p,) for p in payloads], _RAW_EVENT_SCHEMA)
+        counts = eng.process_webhook_events(df)
+        results[mode] = (
+            counts,
+            table_rows(eng, "charges"),
+            table_rows(eng, "customers"),
+        )
+    assert results["driver"] == results["distributed"]
+    assert results["driver"][1]["ch_E1"]["amount"] == 2  # stale event lost
+
+
+def test_driver_known_batch_with_transform_falls_back_and_applies_it(spark, tmp_path):
+    from stripe_sync_engine_spark.sync import clear_transforms, register_transform
+
+    eng = StripeSparkSync(spark, TableStore(spark, str(tmp_path / "wh")))
+    register_transform("customers", lambda df: df.withColumn("email", F.upper(F.col("email"))))
+    try:
+        counts = eng.process_webhook_events(
+            eng.events_df_from_json(
+                [fx.event("customer.updated", fx.customer(id="cus_T2", email="low@x.io"))]
+            )
+        )
+        assert counts["customers"] == 1
+        assert table_rows(eng, "customers")["cus_T2"]["email"] == "LOW@X.IO"
     finally:
         clear_transforms("customers")
 
