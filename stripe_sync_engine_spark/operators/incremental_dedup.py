@@ -91,6 +91,31 @@ def ensure_local_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def run_parallel(*thunks):
+    """Run zero-arg callables concurrently on driver threads, returning
+    their results in argument order (first raised exception propagates).
+
+    ONE implementation of the window paths' overlap-two-independent-jobs
+    blocks (guide §2.6 — postings/pq ``_apply_window_once`` each had a
+    verbatim copy). Worker count is CAPPED at 8: under PySpark's pinned
+    thread mode (default since 3.2) each fresh Python thread maps to its
+    own JVM thread, so an unbounded per-call pool in a long-lived
+    streaming driver churns JVM threads for no scheduling benefit — the
+    overlapped jobs are few and short. Thunks must be INDEPENDENT (no
+    thunk may wait on another's result) and must not themselves call
+    ``run_parallel``-based helpers reentrantly in a way that blocks —
+    every current call site submits leaf work (a localCheckpoint, a
+    bucket probe, a prepare/commit) and waits in the CALLER, never
+    inside a pooled task."""
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 8)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return tuple(f.result() for f in futures)
+
+
 def checkpoint_parallel(*dfs: DataFrame) -> tuple[DataFrame, ...]:
     """``localCheckpoint(eager=True)`` several INDEPENDENT frames
     concurrently, returned in argument order.
@@ -112,10 +137,7 @@ def checkpoint_parallel(*dfs: DataFrame) -> tuple[DataFrame, ...]:
     later phase)."""
     if len(dfs) <= 1:
         return tuple(df.localCheckpoint(eager=True) for df in dfs)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        return tuple(pool.map(lambda d: d.localCheckpoint(eager=True), dfs))
+    return run_parallel(*[lambda d=d: d.localCheckpoint(eager=True) for d in dfs])
 
 
 def anti_probe(batch: DataFrame, indexed: DataFrame, keys: list[str]) -> DataFrame:

@@ -141,6 +141,7 @@ def merge_upsert_clustered(
     key: str = "id",
     ts_col: str | None = "last_synced_at",
     tiebreak_cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Full-row ``merge_upsert`` (``update_cols=None``) in ONE exchange.
 
@@ -188,7 +189,20 @@ def merge_upsert_clustered(
     reconcile paths, which delete from the old parent's bucket explicitly.
     Declaring a mutable column as a bucket key would violate this contract
     — that is a schema-design error, not a runtime state.
-    """
+
+    ``num_partitions`` (r16, guide §2.4/§6): pin the merge's ONE exchange
+    to an explicit partition count — callers that know the touched-bucket
+    set pass ``len(touched)``. Without it, the window's ENSURE_REQUIREMENTS
+    exchange is AQE-coalescible, and a micro-batch merge collapses to ONE
+    task that then writes every touched bucket dir SEQUENTIALLY (the exact
+    serial-tail pathology storage._prepare_buckets already fixes for
+    non-pre-clustered partial writes with an explicit per-bucket
+    repartition). An explicit-count ``repartition(n, cluster_expr)``
+    satisfies the window's clustered-distribution requirement (no second
+    exchange) and is not AQE-coalescible, so the merge+write runs one task
+    per touched bucket — the store's rewrite unit. Purely physical: the
+    window's partitionBy defines the logical groups either way, so the
+    merged ROWS are identical."""
     is_tgt = F.col("_is_tgt")
     source = source.where(F.col(key).isNotNull())
     src = source.withColumn("_is_tgt", F.lit(0))
@@ -202,6 +216,8 @@ def merge_upsert_clustered(
         )
     else:
         both = src
+    if num_partitions is not None:
+        both = both.repartition(num_partitions, cluster_expr)
     order: list[Column] = [F.col(key).asc()]
     if ts_col is not None:
         ts = F.col(ts_col)

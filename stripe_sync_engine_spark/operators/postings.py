@@ -67,6 +67,7 @@ from stripe_sync_engine_spark.operators.incremental_dedup import (
     checkpoint_parallel,
     commit_fresh,
     fold_batch_rows,
+    run_parallel,
     with_occ_retry,
 )
 from stripe_sync_engine_spark.plans.textops import BM25_B, BM25_K1, tokens_nonempty
@@ -523,8 +524,6 @@ class PersistedPostingsIndex:
         driver waits that remain per phase overlap read-only work
         (tokenized-rows materialization ∥ forward bucket probe; stats
         collect+driver-commit ∥ postings bucket probe)."""
-        from concurrent.futures import ThreadPoolExecutor
-
         store = self.store
         # ONE eager tokenization feeds all three new-side derivations,
         # exactly as in _register_once; the delete-id set shares no
@@ -539,17 +538,14 @@ class PersistedPostingsIndex:
         # forward freshness view, and the forward write set. Its key set
         # (the window's doc_ids) derives from base+ids alone, so it
         # overlaps the postings-rows materialization.
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_rows = pool.submit(
-                lambda: self._rows(base, ins_id).localCheckpoint(eager=True)
-            )
-            f_probe = pool.submit(
-                store.buckets_of,
+        rows, fwd_probe = run_parallel(
+            lambda: self._rows(base, ins_id).localCheckpoint(eager=True),
+            lambda: store.buckets_of(
                 ids.unionByName(base.select("doc_id")),
                 key="doc_id",
                 table=self.forward_table,
-            )
-            rows, fwd_probe = f_rows.result(), f_probe.result()
+            ),
+        )
         fwd_known = store._scan_manifest(self.forward_table, fm, fwd_probe)
         targets = (
             fwd_known.join(F.broadcast(ids), "doc_id", "left_semi")
@@ -648,12 +644,9 @@ class PersistedPostingsIndex:
                 self.forward_table, keep.unionByName(fresh_fwd), fwd_probe, key="doc_id"
             )
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_stats = pool.submit(self._commit_stats, inc)
-            f_p = pool.submit(prep_postings)
-            f_f = pool.submit(prep_forward)
-            f_stats.result()
-            prep_p, prep_f = f_p.result(), f_f.result()
+        _, prep_p, prep_f = run_parallel(
+            lambda: self._commit_stats(inc), prep_postings, prep_forward
+        )
         if prep_p is not None:
             store.commit_prepared(prep_p, planned_versions=dict(pm["buckets"]))
         if prep_f is not None:

@@ -1049,11 +1049,10 @@ class PersistedIVFPQ:
         forward bucket probe (whose key set is the window's changed ids,
         derivable from the checkpointed feed halves), and the moved-cell
         loud check runs concurrently with the codes bucket probe."""
-        from concurrent.futures import ThreadPoolExecutor
-
         from stripe_sync_engine_spark.operators.incremental_dedup import (
             anti_probe,
             checkpoint_parallel,
+            run_parallel,
         )
 
         store, table = self.store, self.table
@@ -1066,16 +1065,13 @@ class PersistedIVFPQ:
         probe_ids = old_ids.select(F.col(self.id_col).alias("vec_id")).unionByName(
             new_vecs.select(F.col(self.id_col).alias("vec_id"))
         )
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ck = pool.submit(
-                checkpoint_parallel,
+        (rows, ids), fwd_probe = run_parallel(
+            lambda: checkpoint_parallel(
                 encode_ivf_pq(new_vecs, self.index, self.id_col, self.vec_col),
                 old_ids.select(F.col(self.id_col).alias("vec_id")).distinct(),
-            )
-            f_probe = pool.submit(
-                store.buckets_of, probe_ids, key="vec_id", table=self.forward_table
-            )
-            (rows, ids), fwd_probe = f_ck.result(), f_probe.result()
+            ),
+            lambda: store.buckets_of(probe_ids, key="vec_id", table=self.forward_table),
+        )
         fwd_known = store._scan_manifest(self.forward_table, fm, fwd_probe)
         targets = (
             fwd_known.join(F.broadcast(ids), "vec_id", "left_semi")
@@ -1112,11 +1108,10 @@ class PersistedIVFPQ:
             if pairs is None
             else rows.select("cell").unionByName(pairs.select("cell"))
         )
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_moved = pool.submit(moved.isEmpty)
-            f_ws = pool.submit(store.buckets_of, probe_keys, key="cell", table=table)
-            moved_empty = f_moved.result()
-            write_set = f_ws.result()
+        moved_empty, write_set = run_parallel(
+            moved.isEmpty,
+            lambda: store.buckets_of(probe_keys, key="cell", table=table),
+        )
         if not moved_empty:
             some = [r["vec_id"] for r in moved.select("vec_id").limit(5).collect()]
             raise RuntimeError(
@@ -1181,10 +1176,7 @@ class PersistedIVFPQ:
                 self.forward_table, keep.unionByName(fresh_fwd), fwd_probe, key="vec_id"
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_c = pool.submit(prep_codes)
-            f_f = pool.submit(prep_forward)
-            prep_c, prep_f = f_c.result(), f_f.result()
+        prep_c, prep_f = run_parallel(prep_codes, prep_forward)
         if prep_c is not None:
             store.commit_prepared(prep_c, planned_versions=dict(pm["buckets"]))
         if prep_f is not None:

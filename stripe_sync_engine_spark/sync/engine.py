@@ -1111,6 +1111,12 @@ class StripeSparkSync:
                 key="id",
                 ts_col="last_synced_at",
                 tiebreak_cols=tiebreaks,
+                # one task per touched bucket (r16): without the explicit
+                # count AQE coalesces the merge's exchange to one task for
+                # a micro-batch, and that task writes every touched bucket
+                # dir sequentially — the serial tail the non-pre-clustered
+                # write path already avoids (storage._prepare_buckets).
+                num_partitions=max(1, len(touched)),
             )
             pre_clustered = True
         else:

@@ -308,3 +308,35 @@ def test_clustered_merge_cluster_consistency_contract(spark):
     src_bad = spark.createDataFrame([("si_1", "sub_zz", 2.0)], "id string, parent string, ts double")
     rows = merge_upsert_clustered(tgt, src_bad, cluster, key="id", ts_col="ts").collect()
     assert sorted(r["id"] for r in rows) == ["si_1", "si_1", "si_2"]
+
+# r16: num_partitions pins the clustered merge's ONE exchange to an explicit
+# count (one task per touched bucket at the write) — purely physical. The
+# merged ROWS must be identical to the default, and the plan must still have
+# exactly one Exchange (the explicit repartition satisfies the window's
+# clustered distribution, so Catalyst adds no second one).
+def test_clustered_merge_num_partitions_physical_only(spark):
+    from pyspark.sql import functions as F
+
+    from stripe_sync_engine_spark.operators.merge import merge_upsert_clustered
+
+    tgt = spark.createDataFrame(
+        [(f"k{i}", float(i % 3), i) for i in range(40)], "id string, ts double, v long"
+    )
+    src = spark.createDataFrame(
+        [(f"k{i}", float(i % 4), i + 100) for i in range(0, 60, 2)],
+        "id string, ts double, v long",
+    )
+    cluster = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8)).cast("int")
+    base = merge_upsert_clustered(tgt, src, cluster, key="id", ts_col="ts")
+    pinned = merge_upsert_clustered(
+        tgt, src, cluster, key="id", ts_col="ts", num_partitions=8
+    )
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, base.collect()))
+    # the AQE plan string prints the final AND the initial plan — count
+    # exchanges in the final section only
+    plan = (
+        pinned._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan  # AQE must not coalesce it
+    assert pinned.rdd.getNumPartitions() == 8
