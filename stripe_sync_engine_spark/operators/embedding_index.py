@@ -231,7 +231,8 @@ class IncrementalEmbeddingIndex:
         and conservative. Out-of-band writers (``engine.maintain()``
         compacting the index) re-plan via ``with_occ_retry``, same as
         the text gates. ``_rows``: precomputed ``_bq(batch)``
-        (materialized — a retry re-reads)."""
+        (re-derivable without reading store files — materialized, or a
+        pure projection over materialized frames; a retry re-reads)."""
         with_occ_retry(lambda: self._register_once(batch, _rows))
 
     def _register_once(self, batch: DataFrame, _rows: DataFrame | None = None) -> None:
@@ -302,8 +303,10 @@ class IncrementalEmbeddingIndex:
         rows = self._bq(batch).localCheckpoint(eager=True)
         survivors = self.select_new(batch, _rows=rows).localCheckpoint(eager=True)
         surv_ids = survivors.select(F.col(self.id_col).alias("vec_id"))
-        surv_rows = rows.join(F.broadcast(surv_ids), "vec_id", "left_semi").localCheckpoint(
-            eager=True
-        )
+        # LAZY (r16): both parents are checkpointed, so this projection is
+        # re-derivable without reading any store file — register's OCC
+        # retry re-evaluates it safely, and the eager materialization was
+        # one whole extra driver-waited job per batch (see the near gate).
+        surv_rows = rows.join(F.broadcast(surv_ids), "vec_id", "left_semi")
         self.register(survivors, _rows=surv_rows)
         return survivors

@@ -537,10 +537,50 @@ class IncrementalDeduper:
     def filter_new(self, batch: DataFrame) -> DataFrame:
         """select_new + register in one call: survivors (original schema),
         durably registered so a later batch — or a replay of this one —
-        treats them as seen."""
-        survivors = self.select_new(batch).localCheckpoint(eager=True)
-        self.register(survivors)
-        return survivors
+        treats them as seen.
+
+        Fused (r16, guide §1.2): the two-call form scans and anti-probes
+        the touched buckets TWICE — once inside select (to find fresh
+        content) and again inside register (to re-derive the same fresh
+        set from the survivors) — because each phase plans against its own
+        manifest read. Here both phases share ONE manifest, ONE bucket
+        probe and ONE touched-bucket scan: for the EXACT gate the
+        survivors' (fingerprint, min doc_id) pairs ARE the select phase's
+        fresh frame (identical content gates replays, so a survivor is
+        fresh by construction — unlike the near/embedding gates, whose
+        registers keep their own freshness anti-probe because self-matches
+        deliberately never gate there). Concurrency is unchanged: the
+        commit carries the planned manifest's version map, and an OCC
+        abort (out-of-band compaction) re-plans the WHOLE body against a
+        fresh manifest, exactly like register. Crash ordering is the
+        two-call form's: nothing is registered until the single commit."""
+        store, table = self.store, self.table
+        if not store.exists(table):
+            fresh = self._fresh_fps(batch).localCheckpoint(eager=True)
+            survivors = self._originals(batch, fresh).localCheckpoint(eager=True)
+            if not fresh.isEmpty():
+                store.write(table, fresh, key=FINGERPRINT_COL)
+            return survivors
+
+        def body() -> DataFrame:
+            manifest = store._read_manifest(table)
+            fps = self._fingerprints(batch)
+            touched = store.buckets_of(fps, key=FINGERPRINT_COL, table=table)
+            known = store._scan_manifest(table, manifest, touched)
+            fresh = (
+                anti_probe(fps, known, [FINGERPRINT_COL])
+                .groupBy(FINGERPRINT_COL)
+                .agg(F.min("doc_id").alias("doc_id"))
+                # materialized BEFORE the commit (vacuum deletes the bucket
+                # files this lineage reads), and the survivors join reads it
+                .localCheckpoint(eager=True)
+            )
+            survivors = self._originals(batch, fresh).localCheckpoint(eager=True)
+            if not fresh.isEmpty():
+                commit_fresh(store, table, fresh, FINGERPRINT_COL, manifest)
+            return survivors
+
+        return with_occ_retry(body)
 
     def unregister(self, docs: DataFrame) -> None:
         """Remove ``docs``' content fingerprints — the TAKEDOWN path: a
@@ -696,8 +736,10 @@ class IncrementalNearDeduper:
         old rows stay keep-seen ghosts until a pre-image feed retires
         them) — with the same OCC-guarded single partial commit and the
         same out-of-band re-plan tolerance as the exact gate. ``_rows``:
-        precomputed band rows for exactly ``docs`` (must be materialized
-        — a retry re-reads them)."""
+        precomputed band rows for exactly ``docs`` (must be re-derivable
+        WITHOUT reading store files — materialized, or a pure projection
+        over materialized frames — because a retry re-reads them after
+        the aborted plan's vacuum)."""
         with_occ_retry(lambda: self._register_once(docs, _rows))
 
     @staticmethod
@@ -764,9 +806,13 @@ class IncrementalNearDeduper:
         rows = self._band_rows(batch).localCheckpoint(eager=True)
         survivors = self.select_new(batch, _rows=rows).localCheckpoint(eager=True)
         surv_ids = survivors.select(F.col(self.id_col).alias("doc_id"))
-        surv_rows = rows.join(F.broadcast(surv_ids), "doc_id", "left_semi").localCheckpoint(
-            eager=True
-        )
+        # LAZY (r16): both parents are checkpointed, so this projection is
+        # re-derivable without reading any store file — register's OCC
+        # retry re-evaluates it safely, and the eager materialization was
+        # one whole extra driver-waited job per batch. (register's
+        # freshness anti-probe stays: self-matches never gate here, so a
+        # replayed batch's rows reach register and must be dropped by it.)
+        surv_rows = rows.join(F.broadcast(surv_ids), "doc_id", "left_semi")
         self.register(survivors, _rows=surv_rows)
         return survivors
 
